@@ -1,0 +1,243 @@
+"""Date/time cleaning functions (SURVEY.md §2.3 F1-F8).
+
+Reference semantics (cited per function) re-expressed as native Spark
+Column expressions. The reference applies these row-at-a-time with
+``Series.apply``; here they are codegen'd expressions, so they
+vectorize and constant-fold for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Buddhist-era thresholds differ across reference call-sites
+# (credit-prepare-api/inv_processor.py:5-21 uses >=2400;
+#  supplier_processor.py:55-61 uses >2500) — both policies exposed.
+BE_THRESHOLD_DEFAULT = 2400
+BE_THRESHOLD_STRICT = 2500
+
+
+def safe_make_date(y: Column, m: Column, d: Column) -> Column:
+    """make_date that yields NULL (not an ANSI error) on invalid
+    year/month/day combinations — the tolerant behavior every
+    reference parser has (failure → None)."""
+    s = F.concat_ws("-", y.cast("string"), m.cast("string"), d.cast("string"))
+    return F.try_to_timestamp(s, F.lit("y-M-d")).cast("date")
+
+
+def be_to_ce_year(year: Column, threshold: int = BE_THRESHOLD_DEFAULT) -> Column:
+    """F1: Buddhist→Gregorian year: year >= threshold → year - 543.
+
+    Ref: credit-prepare-api/inv_processor.py:5-21,
+    script_read_dbd_balance.py:82-89, BolApiController.php:438-451.
+    """
+    y = year.cast("int")
+    return F.when(y >= threshold, y - 543).otherwise(y)
+
+
+def be_date_fix(d: Column, threshold: int = BE_THRESHOLD_DEFAULT) -> Column:
+    """F1 on a DateType column: rebuild the date with the CE year."""
+    return F.make_date(
+        be_to_ce_year(F.year(d), threshold), F.month(d), F.dayofmonth(d)
+    )
+
+
+def excel_serial_to_date(
+    n: Column, be_adjust: bool = False, max_serial: int = 60000
+) -> Column:
+    """F2: Excel serial number → date (origin 1899-12-30 + N days).
+
+    Guard ``0 < n <= max_serial`` (supplier_processor.py:57-61); the
+    ``be_adjust`` variant additionally subtracts 543 years from the
+    RESULT (supplier_processor.py:91-97). Ref: inv_processor.py:17-19,
+    read_rem_detail_to_json.py:53-57.
+    """
+    serial = (n.cast("string")).try_cast("double").cast("int")
+    d = F.date_add(F.to_date(F.lit("1899-12-30")), serial)
+    if be_adjust:
+        d = F.make_date(F.year(d) - 543, F.month(d), F.dayofmonth(d))
+    return F.when((serial > 0) & (serial <= max_serial), d)
+
+
+# The cited cascade order in pdf_ocr_inv_to_json.py:81-111 —
+# order matters: d/M/y before M/d/y (SURVEY §7.4 watch-list 3).
+DATE_FORMATS_DEFAULT = (
+    "d/M/yyyy",
+    "yyyy-M-d",
+    "d-M-yyyy",
+    "yyyy/M/d",
+    "d.M.yyyy",
+    "M/d/yyyy",
+)
+
+
+def try_date(c: Column, fmt: str) -> Column:
+    """try_to_date equivalent that never raises under ANSI mode."""
+    return F.try_to_timestamp(c, F.lit(fmt)).cast("date")
+
+
+def parse_date_cascade(
+    c: Column, formats: tuple[str, ...] = DATE_FORMATS_DEFAULT
+) -> Column:
+    """F3: ordered multi-format date parse; first hit wins, else NULL.
+
+    Ref: parse_date_to_iso pdf_ocr_inv_to_json.py:81-111,
+    ImportInvoiceReport.php:333-369 (toYmdOrNull).
+    """
+    s = F.trim(c.cast("string"))
+    return F.coalesce(*[try_date(s, f) for f in formats], F.try_to_date(s))
+
+
+TIMESTAMP_FORMATS_DEFAULT = (
+    "yyyy-M-d H:m:s",
+    "d/M/yyyy H:m:s",
+    "yyyy/M/d H:m:s",
+    "d-M-yyyy H:m:s",
+    "yyyy-M-d H:m",
+    "d/M/yyyy H:m",
+)
+
+
+def parse_timestamp_cascade(
+    c: Column, formats: tuple[str, ...] = TIMESTAMP_FORMATS_DEFAULT
+) -> Column:
+    """F3/F4 datetime twin: ordered strptime cascade → first hit."""
+    s = F.trim(c.cast("string"))
+    return F.coalesce(
+        *[F.try_to_timestamp(s, F.lit(f)) for f in formats],
+        F.try_to_timestamp(s),
+    )
+
+
+def strip_bogus_ampm(c: Column) -> Column:
+    """F4: drop an AM/PM suffix when the hour field is already 24h
+    (hour >= 13 with 'PM' is self-contradictory OCR noise).
+
+    Ref: pdf_ocr_inv_to_json.py:60-64.
+    """
+    s = c.cast("string")
+    hour = (F.regexp_extract(s, r"\b(\d{1,2}):\d{2}", 1)).try_cast("int")
+    return F.when(
+        hour >= 13, F.trim(F.regexp_replace(s, r"(?i)\s*[AP]\.?M\.?\s*$", ""))
+    ).otherwise(s)
+
+
+def twelve_to_24h(time_str: Column) -> Column:
+    """F4: '02:30:05 PM' → '14:30:05'; '12 AM' hour → 0.
+
+    Ref: read_po_csv_to_json.py:132-164.
+    """
+    s = F.trim(time_str.cast("string"))
+    m = F.regexp_extract(s, r"(?i)^(\d{1,2}):(\d{2})(?::(\d{2}))?\s*([AP])\.?M\.?$", 0)
+    hh = (F.regexp_extract(s, r"(?i)^(\d{1,2}):", 1)).try_cast("int")
+    mm = F.regexp_extract(s, r"(?i)^\d{1,2}:(\d{2})", 1)
+    ss = F.regexp_extract(s, r"(?i)^\d{1,2}:\d{2}:(\d{2})", 1)
+    ampm = F.upper(F.regexp_extract(s, r"(?i)([AP])\.?M\.?$", 1))
+    hh24 = (
+        F.when((ampm == "A") & (hh == 12), F.lit(0))
+        .when((ampm == "P") & (hh < 12), hh + 12)
+        .otherwise(hh)
+    )
+    out = F.concat_ws(
+        ":",
+        F.lpad(hh24.cast("string"), 2, "0"),
+        mm,
+        F.when(ss == "", F.lit("00")).otherwise(ss),
+    )
+    return F.when(m != "", out).otherwise(s)
+
+
+def fix_swapped_month_day(ts: Column) -> Column:
+    """F5: in 'YYYY-DD-MM[ HH:MM:SS]' strings where month>12 and
+    day<=12, swap the two fields. Returns the repaired TIMESTAMP.
+
+    Ref: ImportInvoiceReport.php:371-473, ImportPoReport.php:341-443.
+    """
+    s = F.trim(ts.cast("string"))
+    y = (F.regexp_extract(s, r"^(\d{4})-(\d{1,2})-(\d{1,2})", 1)).try_cast("int")
+    mo = (F.regexp_extract(s, r"^(\d{4})-(\d{1,2})-(\d{1,2})", 2)).try_cast("int")
+    dd = (F.regexp_extract(s, r"^(\d{4})-(\d{1,2})-(\d{1,2})", 3)).try_cast("int")
+    rest = F.regexp_extract(s, r"^\d{4}-\d{1,2}-\d{1,2}(.*)$", 1)
+    swapped = F.concat(
+        y.cast("string"),
+        F.lit("-"),
+        F.lpad(dd.cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(mo.cast("string"), 2, "0"),
+        rest,
+    )
+    fixed = F.when((mo > 12) & (dd <= 12), swapped).otherwise(s)
+    return F.coalesce(
+        F.try_to_timestamp(fixed, F.lit("yyyy-M-d H:m:s")),
+        F.try_to_timestamp(fixed, F.lit("yyyy-M-d")),
+        F.try_to_timestamp(fixed),
+    )
+
+
+def was_swapped_month_day(ts: Column) -> Column:
+    """F5 companion predicate (for the fixed-count metric, A2)."""
+    s = F.trim(ts.cast("string"))
+    mo = (F.regexp_extract(s, r"^\d{4}-(\d{1,2})-", 1)).try_cast("int")
+    dd = (F.regexp_extract(s, r"^\d{4}-\d{1,2}-(\d{1,2})", 1)).try_cast("int")
+    return (mo > 12) & (dd <= 12)
+
+
+# F6: Thai month names (full + abbreviated) → month number.
+# Ref: pdf_ocr_sale_invoice_to_json.py:74-78, dbd_web_scraping.py:244-261.
+THAI_MONTHS = {
+    "มกราคม": 1, "ม.ค.": 1, "กุมภาพันธ์": 2, "ก.พ.": 2,
+    "มีนาคม": 3, "มี.ค.": 3, "เมษายน": 4, "เม.ย.": 4,
+    "พฤษภาคม": 5, "พ.ค.": 5, "มิถุนายน": 6, "มิ.ย.": 6,
+    "กรกฎาคม": 7, "ก.ค.": 7, "สิงหาคม": 8, "ส.ค.": 8,
+    "กันยายน": 9, "ก.ย.": 9, "ตุลาคม": 10, "ต.ค.": 10,
+    "พฤศจิกายน": 11, "พ.ย.": 11, "ธันวาคม": 12, "ธ.ค.": 12,
+}
+
+
+def thai_month_num(c: Column) -> Column:
+    """F6: Thai month name/abbr → 1-12 (NULL if unknown)."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in THAI_MONTHS.items() for x in kv]
+    )
+    return mapping[F.trim(c.cast("string"))]
+
+
+def be_dotted_to_iso(c: Column, threshold: int = BE_THRESHOLD_DEFAULT) -> Column:
+    """F7: 'DD.MM.YYYY' with a BE year → DATE (BE−543).
+
+    Ref: pdf_ocr_sale_invoice_to_json.py:80-94.
+    """
+    s = F.trim(c.cast("string"))
+    dd = (F.regexp_extract(s, r"^(\d{1,2})\.(\d{1,2})\.(\d{4})$", 1)).try_cast("int")
+    mm = (F.regexp_extract(s, r"^(\d{1,2})\.(\d{1,2})\.(\d{4})$", 2)).try_cast("int")
+    yy = (F.regexp_extract(s, r"^(\d{1,2})\.(\d{1,2})\.(\d{4})$", 3)).try_cast("int")
+    return safe_make_date(be_to_ce_year(yy, threshold), mm, dd)
+
+
+def dayfirst_normalize(c: Column, threshold: int = BE_THRESHOLD_STRICT) -> Column:
+    """F8: Thai day-first date normalization — unify separators to '-',
+    detect Y-m-d vs d-m-Y, 2-digit year → 2000+, BE−543, day-first
+    parse with month-first fallback.
+
+    Ref: po_old_processor.py:28-69.
+    """
+    s = F.regexp_replace(F.trim(c.cast("string")), r"[./]", "-")
+    # Y-m-d branch (4-digit leading year)
+    ymd_y = (F.regexp_extract(s, r"^(\d{4})-(\d{1,2})-(\d{1,2})$", 1)).try_cast("int")
+    ymd_m = (F.regexp_extract(s, r"^(\d{4})-(\d{1,2})-(\d{1,2})$", 2)).try_cast("int")
+    ymd_d = (F.regexp_extract(s, r"^(\d{4})-(\d{1,2})-(\d{1,2})$", 3)).try_cast("int")
+    # d-m-Y branch (2- or 4-digit trailing year)
+    dmy_d = (F.regexp_extract(s, r"^(\d{1,2})-(\d{1,2})-(\d{2,4})$", 1)).try_cast("int")
+    dmy_m = (F.regexp_extract(s, r"^(\d{1,2})-(\d{1,2})-(\d{2,4})$", 2)).try_cast("int")
+    dmy_y_raw = (F.regexp_extract(s, r"^(\d{1,2})-(\d{1,2})-(\d{2,4})$", 3)).try_cast("int")
+    dmy_y = F.when(dmy_y_raw < 100, dmy_y_raw + 2000).otherwise(dmy_y_raw)
+    # BE adjust (strict >2500 policy per supplier_processor.py:73-74)
+    fix = lambda y: F.when(y > threshold, y - 543).otherwise(y)  # noqa: E731
+    ymd = safe_make_date(fix(ymd_y), ymd_m, ymd_d)
+    # day-first, with month-first fallback when day-first is invalid
+    dmy = F.coalesce(
+        safe_make_date(fix(dmy_y), dmy_m, dmy_d),
+        safe_make_date(fix(dmy_y), dmy_d, dmy_m),
+    )
+    return F.coalesce(ymd, dmy)
