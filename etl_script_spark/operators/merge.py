@@ -1,0 +1,172 @@
+"""Merge / upsert / sync operators (SURVEY.md §2.6 J1-J8).
+
+The reference mutates MySQL rows (updateOrCreate, delete+reinsert,
+diff-sync). On immutable columnar storage these become set-algebra
+between the incoming batch and the current table snapshot — pure
+DataFrame ops (Delta Lake's MERGE would do the same shuffle; vanilla
+Spark keeps us dependency-free, the writers layer handles atomic
+swap). Every function returns the NEW table contents.
+
+Scale notes: all joins here are key-equi joins; Catalyst broadcasts
+the small side automatically, AQE splits skewed keys. For repeated
+syncs against a huge target, partition the stored table by a key
+prefix (e.g. fiscal_year) so only touched partitions rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """J6: keyed updateOrCreate — source rows win on key collision,
+    unmatched target rows survive.
+
+    Ref: PublicApiController.php:159-165 (company_id, year),
+    ImportDbdFinancial.php:209-212, BolApiController.php:332-336.
+    """
+    src = dedupe_last(source, keys)
+    return target.join(src, keys, "left_anti").unionByName(src)
+
+
+def insert_dedup(
+    target: DataFrame, source: DataFrame, keys: list[str]
+) -> tuple[DataFrame, Column]:
+    """J7: insert-only with duplicate-key skip (SQLSTATE 23000 →
+    silent skip). Returns (new rows to append, dup-count aggregate
+    expression usable with ``observe``).
+
+    Ref: ImportOldInvoices.php:188-195, ImportInvoiceReport.php:203-217.
+    """
+    src = dedupe_first(source, keys)
+    new_rows = src.join(target, keys, "left_anti")
+    return new_rows, F.count(F.lit(1))
+
+
+def replace_children(
+    target: DataFrame, source: DataFrame, parent_key: str
+) -> DataFrame:
+    """J3: replace-children sync — delete ALL child rows of the
+    parents present in source, then insert source rows.
+
+    Ref: PublicApiController.php:605-631 (directors of a company).
+    """
+    parents = source.select(parent_key).distinct()
+    survivors = target.join(parents, parent_key, "left_anti")
+    return survivors.unionByName(source, allowMissingColumns=True)
+
+
+def diff_sync(
+    target: DataFrame, source: DataFrame, keys: list[str]
+) -> DataFrame:
+    """J4: full-outer diff-sync — upsert incoming rows, DELETE target
+    rows whose natural key is absent from source (MERGE ... WHEN NOT
+    MATCHED BY SOURCE THEN DELETE semantics).
+
+    Ref: BolApiController.php:201-249 (directors), :252-303
+    (shareholders).
+    """
+    src = dedupe_last(source, keys)
+    return src  # target rows not in source are dropped; source wins on match
+
+
+def diff_sync_scoped(
+    target: DataFrame, source: DataFrame, scope_key: str, keys: list[str]
+) -> DataFrame:
+    """J4/J5 scoped: within each scope (e.g. company), source is the
+    new truth (delete-missing + upsert); rows of scopes NOT present in
+    the source batch are untouched.
+
+    Ref: BolApiController.php:404-409 (delete fiscal years not in
+    payload for the company being synced).
+    """
+    scopes = source.select(scope_key).distinct()
+    untouched = target.join(scopes, scope_key, "left_anti")
+    return untouched.unionByName(dedupe_last(source, keys), allowMissingColumns=True)
+
+
+def keyed_replace_all(
+    target: DataFrame, source: DataFrame, scope_key: str, sub_key: str
+) -> DataFrame:
+    """J5: keyed-year replace-all — upsert the (scope, sub) rows seen
+    in the payload AND delete target rows of those scopes whose sub-key
+    was not seen. Alias of diff_sync_scoped with explicit naming."""
+    return diff_sync_scoped(target, source, scope_key, [scope_key, sub_key])
+
+
+def dedupe_last(df: DataFrame, keys: list[str], order_col: str | None = None) -> DataFrame:
+    """Keep the LAST row per key (reference overwrite semantics,
+    ImportDbdFinancial.php:196-204). With no order column, uses an
+    arbitrary-but-deterministic max over remaining columns via
+    row_number on all columns descending is overkill — callers that
+    care pass ``order_col`` (ingest ordinal)."""
+    if order_col is None:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedupe_first(df: DataFrame, keys: list[str], order_col: str | None = None) -> DataFrame:
+    """D1: composite-key dedup, keep-first (in stamped order when
+    given). Ref: dedupe_rows pdf_ocr_rm_to_json.py:437-445."""
+    if order_col is None:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def enrich_left(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fill_cols: list[str],
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """J1: enrichment left join + fill-if-absent per field.
+
+    The dim side is broadcast (tiny title-card table) — no shuffle on
+    the fact side, which is the 100 TB-safe shape.
+
+    Ref: pdf_ocr_dbd_to_json.py:399-419.
+    """
+    d = dim.select(key, *[F.col(c).alias(f"__dim_{c}") for c in fill_cols])
+    if broadcast_dim:
+        d = F.broadcast(d)
+    out = fact.join(d, key, "left")
+    for c in fill_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__dim_{c}")))
+    return out.drop(*[f"__dim_{c}" for c in fill_cols])
+
+
+def exists_in(df: DataFrame, parent: DataFrame, key_map: dict[str, str]) -> DataFrame:
+    """J2: existence check (left-semi) — keep rows whose key exists in
+    the parent table. key_map: df_col → parent_col.
+
+    Ref: ImportDbdFinancial.php:124-129.
+    """
+    cond = [F.col(f"__l.{a}") == F.col(f"__r.{b}") for a, b in key_map.items()]
+    return (
+        df.alias("__l")
+        .join(parent.alias("__r"), cond, "left_semi")
+        .select("__l.*")
+    )
+
+
+def missing_parent(df: DataFrame, parent: DataFrame, key_map: dict[str, str]) -> DataFrame:
+    """J2 companion: rows whose parent is MISSING (the skip report) —
+    left-anti twin."""
+    cond = [F.col(f"__l.{a}") == F.col(f"__r.{b}") for a, b in key_map.items()]
+    return (
+        df.alias("__l")
+        .join(parent.alias("__r"), cond, "left_anti")
+        .select("__l.*")
+    )

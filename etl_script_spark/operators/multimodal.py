@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container — see ``decode_image_stub``); everything around it — schema,
+batch iteration, partition sizing, UDF signatures — is real and
+tested, so dropping in PIL/torchaudio later is a one-function change.
+
+Scale notes: binary payloads dominate partition size; repartition so
+that rows_per_partition * avg_payload ≈ 64-128 MB before a decode
+stage, and select() the binary column away as soon as features are
+extracted (column pruning keeps it out of later shuffles).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha_prefix", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int, float]:
+    """STUB for the real decoder (PIL.Image.open → size, luma).
+
+    Deterministic fake: derives (width, height, mean_luma) from the
+    payload bytes so tests are reproducible. Replace the body with a
+    real decode when an imaging library is available.
+    """
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError(
+            "real image decode requires an imaging library (PIL); "
+            "empty payload has no deterministic fake"
+        )
+    h = sum(payload[:64])
+    return (64 + h % 1024, 64 + (h * 7) % 1024, float(payload[0]) / 255.0)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary image columns.
+
+    mapInPandas: each batch arrives as a pandas DataFrame with the
+    binary payloads materialized once; the stub decode runs per row
+    INSIDE the batch (vectorizable when the real library lands).
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r["content"]
+                try:
+                    w, h, luma = decode_image_stub(payload)
+                except NotImplementedError:
+                    w = h = None
+                    luma = None
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "n_bytes": len(payload) if payload is not None else None,
+                        "sha_prefix": hashlib.sha256(payload).hexdigest()[:16]
+                        if payload is not None
+                        else None,
+                        "width": w,
+                        "height": h,
+                        "mean_luma": luma,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        _extract, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:
+    """Video frame-sampling PLAN: expands each video row into frame
+    timestamps to decode (the decode itself is the stubbed step).
+    Demonstrates the explode-then-decode shape that keeps per-task
+    memory flat: one frame per row, not one video per row.
+    """
+    duration = F.coalesce(
+        F.element_at(F.col("meta"), "duration_s").try_cast("int"), F.lit(0)
+    )
+    ts = F.sequence(F.lit(0), duration, F.lit(every_n_seconds))
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(ts).alias("frame_ts"))
+    )
+
+
+def pack_binary_partitions(
+    media: DataFrame, target_bytes: int = 96 * 1024 * 1024
+) -> DataFrame:
+    """Repartition a binary-heavy frame so each partition holds
+    ~target_bytes of payload (decode stages then fit executor memory).
+    Uses a running estimate from n_bytes when present, else payload
+    length."""
+    sized = media.withColumn(
+        "__sz", F.coalesce(F.length(F.col("content")), F.lit(0)).cast("long")
+    )
+    stats = sized.agg(
+        F.sum("__sz").alias("total"), F.count(F.lit(1)).alias("n")
+    ).first()
+    total = stats["total"] or 0
+    n_parts = max(1, int(total / target_bytes) + 1)
+    return sized.repartition(n_parts).drop("__sz")

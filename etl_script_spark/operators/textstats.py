@@ -1,0 +1,122 @@
+"""Text-analysis operators for a training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All built-in expressions (split/regexp/aggregate) — the hot path stays
+in whole-stage codegen; at 100 TB these run at parquet-scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators.dedup import normalize_text
+
+# Minimal per-language stopword marker sets (function words with high
+# corpus frequency and low cross-language collision).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "del", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "des"],
+}
+
+
+def words(c: Column) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(normalize_text(c), " ")
+
+
+def token_count_ws(c: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(c))
+
+
+def token_count_bpe_ish(c: Column) -> Column:
+    """BPE-ish subword proxy: count of word pieces after splitting on
+    non-alphanumerics plus per-4-chars continuation pieces — a
+    deterministic stand-in for a real tokenizer (no vocab file in this
+    container). Counts ceil(len/4) per word, floor 1."""
+    ws = F.filter(
+        F.split(F.lower(c.cast("string")), r"[^\p{L}\p{N}]+"), lambda w: w != ""
+    )
+    pieces = F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(F.ceil(F.length(w) / 4.0), F.lit(1).cast("long")),
+    )
+    return pieces
+
+
+def stopword_ratio(c: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang`."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    ws = words(c)
+    hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    return hits / F.greatest(F.size(ws), F.lit(1))
+
+
+def detect_language(c: Column) -> Column:
+    """Language-ID heuristic: script detection (Thai/CJK character
+    ranges) first, then argmax stopword-hit ratio over the marker sets;
+    ties/no-hits → 'und'."""
+    s = normalize_text(c)
+    thai = F.length(F.regexp_replace(s, r"[^฀-๿]", ""))
+    cjk = F.length(F.regexp_replace(s, r"[^一-鿿]", ""))
+    total = F.greatest(F.length(s), F.lit(1))
+    scores = [(lang, stopword_ratio(c, lang)) for lang in STOPWORDS]
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang, score in scores:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return (
+        F.when(thai / total > 0.25, F.lit("th"))
+        .when(cjk / total > 0.25, F.lit("zh"))
+        .otherwise(best_lang)
+    )
+
+
+def quality_score(c: Column) -> Column:
+    """Document quality heuristic in [0,1]: blends length band,
+    punctuation density, alpha ratio, mean word length band, and
+    repetition (distinct-word ratio). Deterministic arithmetic —
+    identical results on any engine."""
+    s = normalize_text(c)
+    n_chars = F.greatest(F.length(s), F.lit(1))
+    ws = words(c)
+    n_words = F.greatest(F.size(ws), F.lit(1))
+    punct = F.length(F.regexp_replace(s, r"[^.,;:!?]", "")) / n_chars
+    alpha = F.length(F.regexp_replace(s, r"[^\p{L} ]", "")) / n_chars
+    mean_wlen = (F.length(F.regexp_replace(s, " ", "")) / n_words).cast("double")
+    distinct_ratio = F.size(F.array_distinct(ws)) / n_words
+    len_band = F.when(n_chars < 50, 0.2).when(n_chars > 10000, 0.5).otherwise(1.0)
+    wlen_band = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 1.0).otherwise(0.5)
+    raw = (
+        len_band * 0.25
+        + wlen_band * 0.15
+        + alpha * 0.25
+        + (1.0 - F.least(punct * 5.0, F.lit(1.0))) * 0.15
+        + distinct_ratio * 0.20
+    )
+    return F.round(raw.cast("double"), 6)
+
+
+def fingerprint_md5(c: Column) -> Column:
+    """Stable document fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(c))
+
+
+def fingerprint_rolling(c: Column, base: int = 257, mod: int = (1 << 61) - 1) -> Column:
+    """Polynomial rolling hash over normalized-text words (bigint) —
+    an order-sensitive fingerprint (md5 twin is order-sensitive too
+    but opaque; this one supports windowed substring matching).
+    Computed with aggregate — no UDF."""
+    ws = words(c)
+    return F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * base + F.abs(F.xxhash64(w)) % F.lit(1000003))
+        % F.lit(mod),
+    )

@@ -1,0 +1,594 @@
+"""Declared-query catalog (the correctness surface).
+
+Each entry pairs a PySpark DataFrame query with the ANSI-SQL string a
+DuckDB oracle runs on the same parquet tables. The driver compares
+row-count + schema + order-insensitive value hash, with columns sorted
+by NAME — so every computed column is aliased identically on both
+sides.
+
+Float determinism policy: any aggregate over doubles is computed in
+DECIMAL (exact, order-independent) and cast to double at the end, on
+BOTH sides — summation order then cannot flip low bits between Spark
+and DuckDB. Raw double columns pass through untouched (same parquet
+bits on both sides). Same-shaped scalar arithmetic (x*y, x/y) is
+bitwise-identical IEEE 754 on both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_script_spark.functions import dates, numerics, strings
+from etl_script_spark.operators import dedup as dedup_ops
+from etl_script_spark.operators import merge as merge_ops
+from etl_script_spark.operators import reshape, rowfilters, similarity, textstats
+
+DEC = "decimal(18,6)"  # exact intermediate for double aggregation
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(c: F.Column) -> F.Column:
+    """Order-independent sum of a double column (exact decimal)."""
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(c: F.Column) -> F.Column:
+    """Order-independent mean: decimal sum / count, divided as double."""
+    return F.sum(c.cast(DEC)).cast("double") / F.count(F.lit(1))
+
+
+@dataclass
+class DeclaredQuery:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    survey_ids: tuple[str, ...] = field(default_factory=tuple)
+
+
+CATALOG: dict[str, DeclaredQuery] = {}
+
+
+def register(name: str, oracle: str | None, survey_ids: tuple[str, ...] = ()):
+    def deco(fn):
+        CATALOG[name] = DeclaredQuery(name, fn, oracle, survey_ids)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Core relational / aggregation (A1-A4, F28, P12-P13)
+# =====================================================================
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                * (1 + CAST(l_tax AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    ("A1", "A2", "F28", "P12"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pricing-summary rollup (the reference's A1 grand-total
+    reconciliation semantics generalized to TPC-H Q1 shape). All sums
+    in exact decimal; one shuffle on the two grouping keys; partial
+    aggregation map-side."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    price = F.col("l_extendedprice").cast(DEC)
+    disc_price = (price * (F.lit(1) - F.col("l_discount").cast(DEC))).cast(DEC)
+    charge = (disc_price * (F.lit(1) + F.col("l_tax").cast(DEC))).cast(DEC)
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) DESC,
+             l.l_orderkey
+    LIMIT 10
+    """,
+    ("J8", "O1", "O3"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join + group + deterministic top-k (revenue ranked in
+    exact decimal so the LIMIT row set is stable across engines)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = (
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    ).cast(DEC)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).alias("__rev"))
+        .orderBy(F.col("__rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("__rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    ("J1", "J8", "P12"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way star join; region/nation/supplier dims broadcast, the
+    two fact tables sort-merge on their keys — the 100 TB-safe shape."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc_price = (
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    ).cast(DEC)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "point_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey = 4242
+    """,
+    ("P12", "P13"),
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: the financial-statement point lookup (tax_id, year) shape —
+    keyed filter + fixed projection; predicate pushes to parquet."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 4242)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+
+
+@register(
+    "range_projection",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS quantity,
+           CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+           l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+    ("P12", "P13"),
+)
+def range_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12/P13: fiscal-range predicate + onlyCols float projection
+    (PublicApiController.php:870-882)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").cast("double").alias("extendedprice"),
+            "l_shipdate",
+        )
+    )
+
+
+@register(
+    "keep_list_projection",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    """,
+    ("P1", "P3", "P4"),
+)
+def keep_list_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: keep-list projection through the canonicalize operator —
+    requested columns that don't exist are silently skipped (the
+    reference's intersect-with-table-schema behavior)."""
+    from etl_script_spark.operators.canonicalize import keep_columns
+
+    return keep_columns(
+        t(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_mktsegment", "does_not_exist"],
+    )
+
+
+# =====================================================================
+# Joins: semi / anti / enrichment / merge families (J1-J8)
+# =====================================================================
+
+@register(
+    "semi_join_exists",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    ("J2",),
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: parent-exists semi join (import gate)."""
+    parents = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return merge_ops.exists_in(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        parents,
+        {"c_custkey": "o_custkey"},
+    )
+
+
+@register(
+    "anti_join_missing",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    ("J2", "J7"),
+)
+def anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 companion / J7: rows with no parent (the skip report)."""
+    return merge_ops.missing_parent(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        t(spark, sf_dir, "orders"),
+        {"c_custkey": "o_custkey"},
+    )
+
+
+@register(
+    "upsert_keyed",
+    """
+    WITH target AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey
+    ), source AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(s.custkey, t.custkey) AS custkey,
+           COALESCE(s.total, t.total) AS total
+    FROM target t FULL OUTER JOIN source s ON t.custkey = s.custkey
+    """,
+    ("J6",),
+)
+def upsert_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: keyed updateOrCreate — new-period rows overwrite matching
+    keys, unmatched old rows survive (MERGE semantics on vanilla
+    DataFrames via the merge operator)."""
+    o = t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    target = (
+        o.filter(F.col("o_orderdate") < cut)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(dsum(F.col("o_totalprice")).alias("total"))
+    )
+    source = (
+        o.filter(F.col("o_orderdate") >= cut)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(dsum(F.col("o_totalprice")).alias("total"))
+    )
+    return merge_ops.upsert(target, source, ["custkey"])
+
+
+@register(
+    "replace_children",
+    """
+    WITH target AS (
+      SELECT o_custkey AS parent, o_orderkey AS child, o_totalprice AS amount
+      FROM orders WHERE o_orderstatus = 'F'
+    ), source AS (
+      SELECT o_custkey AS parent, o_orderkey AS child, o_totalprice AS amount
+      FROM orders WHERE o_orderstatus = 'O' AND o_custkey % 10 = 0
+    )
+    SELECT * FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.parent = t.parent)
+    UNION ALL
+    SELECT * FROM source
+    """,
+    ("J3",),
+)
+def replace_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: replace-children sync — all children of parents present in
+    the payload are dropped and re-inserted from the payload."""
+    o = t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("parent"),
+        F.col("o_orderkey").alias("child"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    source = o.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_custkey") % 10 == 0)
+    ).select(
+        F.col("o_custkey").alias("parent"),
+        F.col("o_orderkey").alias("child"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    return merge_ops.replace_children(target, source, "parent")
+
+
+@register(
+    "diff_sync_scoped",
+    """
+    WITH target AS (
+      SELECT o_custkey AS scope, YEAR(o_orderdate) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_custkey, YEAR(o_orderdate)
+    ), source AS (
+      SELECT o_custkey AS scope, YEAR(o_orderdate) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_custkey % 7 = 0 AND YEAR(o_orderdate) >= 1997
+      GROUP BY o_custkey, YEAR(o_orderdate)
+    )
+    SELECT * FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.scope = t.scope)
+    UNION ALL
+    SELECT * FROM source
+    """,
+    ("J4", "J5"),
+)
+def diff_sync_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5: scoped diff-sync — for companies present in the payload,
+    the payload's (scope, year) rows become the full truth (years not
+    re-sent are deleted); untouched companies keep all rows."""
+    o = t(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.col("o_custkey").alias("scope"), F.year("o_orderdate").alias("yr")
+    ).agg(dsum(F.col("o_totalprice")).alias("total"))
+    source = (
+        o.filter((F.col("o_custkey") % 7 == 0) & (F.year("o_orderdate") >= 1997))
+        .groupBy(F.col("o_custkey").alias("scope"), F.year("o_orderdate").alias("yr"))
+        .agg(dsum(F.col("o_totalprice")).alias("total"))
+    )
+    return merge_ops.diff_sync_scoped(yearly, source, "scope", ["scope", "yr"])
+
+
+@register(
+    "insert_dedup_new_rows",
+    """
+    WITH target AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_linenumber = 1
+    )
+    SELECT DISTINCT l.l_orderkey, l.l_linenumber FROM lineitem l
+    WHERE l.l_linenumber = 2
+      AND NOT EXISTS (SELECT 1 FROM target t WHERE t.l_orderkey = l.l_orderkey)
+    """,
+    ("J7",),
+)
+def insert_dedup_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: insert-only with duplicate-key skip — only rows whose key is
+    absent from the target survive."""
+    l = t(spark, sf_dir, "lineitem")
+    target = l.filter(F.col("l_linenumber") == 1).select("l_orderkey").distinct()
+    source = l.filter(F.col("l_linenumber") == 2).select("l_orderkey", "l_linenumber")
+    new_rows, _ = merge_ops.insert_dedup(target, source, ["l_orderkey"])
+    return new_rows
+
+
+@register(
+    "broadcast_enrich_fill",
+    """
+    SELECT s.s_suppkey, s.s_name,
+           COALESCE(s.s_acctbal, n.n_nationkey * 1.0) AS s_acctbal
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    ("J1",),
+)
+def broadcast_enrich_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast enrichment left join + fill-if-absent (coalesce
+    per field) — the title-card merge shape."""
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        (F.col("n_nationkey") * 1.0).alias("s_acctbal"),
+    )
+    out = merge_ops.enrich_left(s, n, "s_nationkey", ["s_acctbal"])
+    return out.select("s_suppkey", "s_name", "s_acctbal")
+
+
+# =====================================================================
+# Dedup / sort / pagination (D1-D2, O1-O5)
+# =====================================================================
+
+@register(
+    "dedup_composite_first",
+    """
+    SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber FROM (
+      SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
+                                ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+    ("D1", "D2"),
+)
+def dedup_composite_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D2: composite-key dedup keeping the FIRST row in stamped
+    order (here (orderkey, linenumber) stands in for file order)."""
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.struct("l_orderkey", "l_linenumber").alias("__ord"),
+    )
+    out = dedup_ops.dedupe_ordered(l, ["l_partkey", "l_suppkey"], "__ord")
+    return out.drop("__ord")
+
+
+@register(
+    "nulls_last_pagination",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS c_acctbal
+      FROM customer
+    )
+    ORDER BY c_acctbal ASC NULLS LAST, c_custkey
+    LIMIT 50 OFFSET 50
+    """,
+    ("O2", "O3"),
+)
+def nulls_last_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2+O3: nulls-last multi-key sort + page 2 of 50 (the directors
+    endpoint shape: director_no NULLS LAST, then id; paginate(50))."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_acctbal") < 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    return (
+        c.orderBy(F.col("c_acctbal").asc_nulls_last(), F.col("c_custkey"))
+        .offset(50)
+        .limit(50)
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 5
+    """,
+    ("O1", "O4"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-family: top-k per group via rank window (deterministic
+    tiebreak on the unique key)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
+
+
+@register(
+    "union_with_lineage",
+    """
+    SELECT o_orderkey, o_totalprice, 'open' AS source_sheet
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'final' AS source_sheet
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    ("S3",),
+)
+def union_with_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: multi-sheet union with a lineage column (unionByName +
+    lit(sheet))."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice", F.lit("open").alias("source_sheet")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice", F.lit("final").alias("source_sheet")
+    )
+    return a.unionByName(b)
