@@ -216,10 +216,14 @@ def simhash(c: Column, bits: int = 64) -> Column:
             hashes,
             F.lit(0).cast("long"),
             lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1).cast("long") << i) != 0, 1).otherwise(-1),
+            + F.when(
+                h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
+            ).otherwise(-1),
         )
         bit_cols.append(
-            F.when(votes > 0, F.lit(1).cast("long") << i).otherwise(F.lit(0).cast("long"))
+            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     out = bit_cols[0]
     for bc in bit_cols[1:]:

@@ -88,7 +88,9 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         plane = F.array(*[F.lit(float(x)) for x in p])
         s = dot(vec, plane)
         bucket = bucket.bitwiseOR(
-            F.when(s >= 0, F.lit(1).cast("long") << i).otherwise(F.lit(0).cast("long"))
+            F.when(s >= 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return bucket
 

@@ -34,6 +34,23 @@ TABLES = (
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a driver table. ``events.parquet`` stores TIMESTAMP(NANOS),
+    which Spark's parquet reader rejects — read the raw int64 via the
+    legacy nanosAsLong conf and rebuild a microsecond TIMESTAMP_NTZ
+    (lossless here: the generator writes microsecond-resolution data).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -69,6 +86,10 @@ def register(name: str, oracle: str | None, survey_ids: tuple[str, ...] = ()):
 # =====================================================================
 # Core relational / aggregation (A1-A4, F28, P12-P13)
 # =====================================================================
+
+# Submodule catalogs register themselves on import — see the imports
+# at the bottom of this file.
+
 
 @register(
     "q1_pricing_summary",
@@ -592,3 +613,11 @@ def union_with_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", F.lit("final").alias("source_sheet")
     )
     return a.unionByName(b)
+
+
+# --- register submodule catalogs (import side effect) ---------------
+from etl_script_spark.plans import (  # noqa: E402,F401
+    catalog_functions,
+    catalog_reshape,
+    catalog_text,
+)

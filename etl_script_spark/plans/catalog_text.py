@@ -1,0 +1,234 @@
+"""Declared queries for the LLM-training-data operators: dedup
+families (exact / n-gram Jaccard / MinHash / SimHash), similarity
+search over embeddings, and text analysis. These are first-class
+engine components (BASELINE.json north_star), exercised on the
+``documents`` / ``embeddings`` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import dedup as dedup_ops
+from etl_script_spark.operators import similarity, textstats
+from etl_script_spark.plans.catalog import register, t
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WS = f"string_split({_NORM}, ' ')"
+_SHINGLES = (
+    f"CASE WHEN len({_WS}) < 3 THEN [array_to_string({_WS}, ' ')] "
+    f"ELSE list_distinct([array_to_string({_WS}[i:i+2], ' ') "
+    f"for i in range(1, len({_WS})-1)]) END"
+)
+
+
+@register(
+    "dedup_exact_text",
+    f"""
+    SELECT doc_id, dup_count FROM (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY md5({_NORM})) AS dup_count
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    ("D1", "LLM-dedup"),
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a 128-bit content hash (shuffle key = hash, not
+    text — the 100 TB-safe shuffle)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(d, "text", "doc_id").select("doc_id", "dup_count")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle, len({_SHINGLES}) AS n_sh
+      FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) * 1.0
+               / (any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*)) AS jaccard
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+    ("LLM-dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via shingle inverted
+    index (equi-join on shingle hash; no cross join)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("dedup_minhash_lsh", None, ("LLM-dedup",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) candidate pairs with estimated
+    Jaccard >= 0.5. xxhash64-based (no DuckDB twin) → rows-only check;
+    its recall against the exact-Jaccard oracle pairs is asserted in
+    tests/test_llm_ops.py."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_candidates(d, "doc_id", "text").filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+@register("dedup_simhash", None, ("LLM-dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) near-dup pairs at hamming<=3 via banded pigeonhole
+    join. xxhash64-based → rows-only check + recall test."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5
+    )
+    SELECT query_id, vec_id, cosine_sim FROM (
+      SELECT q.query_id, v.vec_id,
+             list_dot_product(v.vec, q.qvec)
+               / (sqrt(list_dot_product(v.vec, v.vec))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_dot_product(v.vec, q.qvec)
+                 / (sqrt(list_dot_product(v.vec, v.vec))
+                    * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
+               v.vec_id) AS rn
+      FROM v CROSS JOIN q
+    ) WHERE rn <= 10
+    """,
+    ("LLM-similarity",),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors over the corpus —
+    the exact baseline (query side broadcast; corpus never shuffles
+    until the per-query top-k window)."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.brute_force_topk(e, queries, k=10)
+
+
+@register("ann_lsh_topk", None, ("LLM-similarity",))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the scale path: compare count
+    divided by ~2^planes). Deterministic hyperplanes; recall vs the
+    exact baseline asserted in tests/test_llm_ops.py."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_topk(e, queries, dim=64, k=10, n_planes=4)
+
+
+@register("embedding_near_dups", None, ("LLM-dedup", "LLM-similarity"))
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH self-join + exact verify
+    >= 0.95)."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(e, threshold=0.95, n_planes=4, dim=64)
+
+
+@register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+           CASE WHEN len(list_filter({_WS}, w -> w IN
+                  ('the','and','of','to','a','in','is','that','it','for'))) > 0
+                THEN 'en' ELSE 'und' END AS lang_pred
+    FROM documents
+    """,
+    ("LLM-text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (script ranges + stopword argmax)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.detect_language(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len({_WS}) AS INTEGER) AS n_tokens_ws,
+           CAST(list_sum(list_transform(
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             w -> w != ''),
+                 w -> greatest(CAST(ceil(length(w) / 4.0) AS BIGINT), 1)))
+             AS BIGINT) AS n_tokens_bpe
+    FROM documents
+    """,
+    ("LLM-text",),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish subword token counts."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        textstats.token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    SELECT doc_id, round(
+        (CASE WHEN greatest(length({_NORM}),1) < 50 THEN 0.2
+              WHEN greatest(length({_NORM}),1) > 10000 THEN 0.5 ELSE 1.0 END) * 0.25
+        + (CASE WHEN length(regexp_replace({_NORM}, ' ', '', 'g'))
+                     / greatest(len({_WS}),1) >= 3.0
+               AND length(regexp_replace({_NORM}, ' ', '', 'g'))
+                     / greatest(len({_WS}),1) <= 10.0
+              THEN 1.0 ELSE 0.5 END) * 0.15
+        + (length(regexp_replace({_NORM}, '[^\\p{{L}} ]', '', 'g'))
+             / greatest(length({_NORM}),1)) * 0.25
+        + (1.0 - least((length(regexp_replace({_NORM}, '[^.,;:!?]', '', 'g'))
+             / greatest(length({_NORM}),1)) * 5.0, 1.0)) * 0.15
+        + (len(list_distinct({_WS})) / greatest(len({_WS}),1)) * 0.20
+      , 6) AS quality
+    FROM documents
+    """,
+    ("LLM-text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality heuristic (length/alpha/punct/repetition
+    bands)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM}) AS fp FROM documents
+    """,
+    ("LLM-text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable md5 document fingerprint over normalized text."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.fingerprint_md5(F.col("text")).alias("fp"))
+
+
+@register("text_fingerprint_rolling", None, ("LLM-text",))
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (xxhash64-based →
+    rows-only)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textstats.fingerprint_rolling(F.col("text")).alias("fp")
+    )
