@@ -1,0 +1,216 @@
+"""Declared queries exercising sources & sinks (SURVEY.md §2.1).
+
+Pattern: the callable materializes a deterministic input artifact
+(CSV in two encodings, pointer-wrapped JSON, JDBC table, binary files)
+from a driver parquet table into a per-sf temp dir, then reads it back
+through the engine's source/sink layer. The DuckDB oracle states the
+expected rows straight from the parquet view — a full write→read
+round-trip proof. Only dim-sized tables (region/nation/supplier) are
+materialized driver-side; fact-sized round-trips use distributed
+``df.write``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_script_spark.plans.catalog import register, t
+from etl_script_spark.sources import readers, writers
+
+
+def _workdir(sf_dir: str, tag: str) -> str:
+    sf = re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.strip("/"))
+    d = f"/tmp/etl_script_spark_io/{sf}/{tag}"
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@register(
+    "s1_csv_encoding_fallback",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 2 = 0 THEN n_name || ' ไทย'
+                ELSE n_name END AS n_name,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'cp874' ELSE 'utf-8' END AS enc
+    FROM nation
+    """,
+    ("S1",),
+)
+def s1_csv_encoding_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: two CSV files — one cp874 (Thai), one utf-8 — probed and
+    read through the per-file encoding cascade, then unioned
+    (inv_old_processor.py:85-97 semantics)."""
+    d = _workdir(sf_dir, "s1")
+    rows = sorted(
+        t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect(),
+        key=lambda r: r["n_nationkey"],
+    )  # nation is a 25-row dim — driver materialization is the point here
+    thai = [r for r in rows if r["n_nationkey"] % 2 == 0]
+    plain = [r for r in rows if r["n_nationkey"] % 2 == 1]
+    with open(f"{d}/thai.csv", "w", encoding="cp874") as f:
+        f.write("n_nationkey,n_name\n")
+        for r in thai:
+            f.write(f"{r['n_nationkey']},{r['n_name']} ไทย\n")
+    with open(f"{d}/plain.csv", "w", encoding="utf-8") as f:
+        f.write("n_nationkey,n_name\n")
+        for r in plain:
+            f.write(f"{r['n_nationkey']},{r['n_name']}\n")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+        ]
+    )
+    df = readers.read_csv_fallback(
+        spark,
+        [f"{d}/thai.csv", f"{d}/plain.csv"],
+        header=True,
+        schema=schema,
+        add_lineage=True,
+    )
+    return df.select(
+        "n_nationkey",
+        "n_name",
+        F.when(F.col("source_file").endswith("thai.csv"), F.lit("cp874"))
+        .otherwise(F.lit("utf-8"))
+        .alias("enc"),
+    )
+
+
+@register(
+    "s11_json_pointer",
+    """
+    SELECT r_regionkey, r_name FROM region
+    """,
+    ("S11",),
+)
+def s11_json_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: pointer-scoped JSON object read — ``{"records": [...]}``
+    exploded via the /records pointer (ImportInvoiceReport.php:70-76
+    JsonMachine shape, distributed)."""
+    d = _workdir(sf_dir, "s11")
+    rows = sorted(
+        t(spark, sf_dir, "region").select("r_regionkey", "r_name").collect(),
+        key=lambda r: r["r_regionkey"],
+    )
+    payload = {
+        "meta": {"source": "s11"},
+        "records": [
+            {"r_regionkey": r["r_regionkey"], "r_name": r["r_name"]} for r in rows
+        ],
+    }
+    with open(f"{d}/records.json", "w", encoding="utf-8") as f:
+        json.dump(payload, f, ensure_ascii=False)
+    df = readers.read_json_records(spark, f"{d}/records.json", pointer="/records")
+    return df.select("r_regionkey", "r_name")
+
+
+@register(
+    "s12_json_roundtrip",
+    """
+    SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal FROM supplier
+    """,
+    ("S12",),
+)
+def s12_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: distributed JSON records sink → JSON-lines source round
+    trip (po_processor.py:82-86 to_json(orient='records'))."""
+    d = _workdir(sf_dir, "s12")
+    out = f"{d}/supplier_json"
+    src = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("acctbal")
+    )
+    writers.write_json_records(src, out)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("acctbal", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out)
+
+
+@register(
+    "s13_csv_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    ("S13",),
+)
+def s13_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: headered CSV sink → typed CSV read round trip
+    (bs_processor.py:114)."""
+    d = _workdir(sf_dir, "s13")
+    out = f"{d}/orders_csv"
+    src = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+    )
+    writers.write_csv(src, out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("totalprice", T.DoubleType()),
+        ]
+    )
+    return spark.read.options(header="true").schema(schema).csv(out)
+
+
+@register(
+    "s14_jdbc_batch_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    ("S14",),
+)
+def s14_jdbc_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: batched JDBC sink (batchsize=1000, the reference's chunked
+    1000-row transaction PublicApiController.php:392-408) into embedded
+    Derby, read back through the JDBC source."""
+    sf = re.sub(r"[^0-9a-zA-Z]", "", sf_dir)
+    url = f"jdbc:derby:memory:etl{sf};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    writers.write_jdbc_append(
+        src, url, "nation_rt", batchsize=1000, driver=drv, mode="overwrite"
+    )
+    return writers.read_jdbc(spark, url, "nation_rt", driver=drv).select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+
+
+@register(
+    "s16_file_meta",
+    """
+    SELECT 'r_' || CAST(r_regionkey AS VARCHAR) || '.bin' AS file_name,
+           CAST(strlen(r_name) AS BIGINT) AS file_size,
+           md5(r_name) AS md5
+    FROM region
+    """,
+    ("S16",),
+)
+def s16_file_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16: binaryFile provenance envelope — name, size, md5 per file
+    (pdf_ocr_dbd_to_json.py:97-102)."""
+    d = _workdir(sf_dir, "s16")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    rows = t(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
+    for r in rows:
+        with open(f"{d}/r_{r['r_regionkey']}.bin", "wb") as f:
+            f.write(r["r_name"].encode("utf-8"))
+    meta = readers.read_files_with_meta(spark, f"{d}/*.bin")
+    return meta.select("file_name", "file_size", "md5")

@@ -1,0 +1,181 @@
+"""Declared queries for the streaming surface (SURVEY.md §2.10).
+
+Two flavors:
+- Batch-checkable window plans (tumbling/sliding/session) built with
+  the same helpers streaming jobs use — the oracle states the window
+  algebra in portable SQL (epoch arithmetic, gaps-and-islands).
+- REAL Structured Streaming executions (``st_stream_*``): readStream →
+  stateful op → Trigger.AvailableNow → memory sink, returned as a
+  batch DataFrame. Deterministic because AvailableNow drains a static
+  input, so even these carry a full SQL oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_script_spark.plans.catalog import dsum, register, t
+from etl_script_spark.streaming import ingest, windows
+
+
+def _tag(sf_dir: str) -> str:
+    return re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))
+
+
+@register(
+    "st_tumbling_window",
+    """
+    SELECT make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT) * 3600 * 1000000)
+               AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    ("streaming-window",),
+)
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type (same plan runs under
+    readStream with a watermark — see st_stream_tumbling)."""
+    e = t(spark, sf_dir, "events")
+    out = windows.tumbling_agg(
+        e,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        ],
+    )
+    return out.select("win_start", "event_type", "n_events", "total_value")
+
+
+@register(
+    "st_sliding_window",
+    """
+    SELECT make_timestamp((CAST(floor(epoch(ts)/1800) AS BIGINT) - s.s)
+                          * 1800 * 1000000) AS win_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS s) s
+    GROUP BY 1
+    """,
+    ("streaming-window",),
+)
+def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — each event lands in
+    exactly two windows; the oracle expands the same membership with a
+    series join."""
+    e = t(spark, sf_dir, "events")
+    out = windows.sliding_agg(
+        e,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        [],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        ],
+    )
+    return out.select("win_start", "n_events", "total_value")
+
+
+@register(
+    "st_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    ("streaming-window",),
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap —
+    Spark's native session_window vs the oracle's gaps-and-islands."""
+    e = t(spark, sf_dir, "events")
+    out = windows.session_agg(
+        e,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+@register(
+    "st_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    ("streaming-dedup", "D1", "J7"),
+)
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run: readStream(events) → watermark +
+    dropDuplicates(user_id, event_type) → AvailableNow → memory sink.
+    The reference's duplicate-skip import (ImportOldInvoices.php:
+    188-195) as an exactly-once streaming pipeline."""
+    sdf = ingest.stream_events(spark, sf_dir)
+    deduped = windows.dedup_events(
+        sdf.select("ts", "user_id", "event_type"),
+        "ts",
+        ["user_id", "event_type"],
+        delay="365 days",
+    ).select("user_id", "event_type")
+    return ingest.run_available_now(
+        deduped, f"st_stream_dedup_{_tag(sf_dir)}", output_mode="append"
+    )
+
+
+@register(
+    "st_stream_tumbling",
+    """
+    SELECT make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT) * 3600 * 1000000)
+               AS win_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    ("streaming-window",),
+)
+def st_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the tumbling-window aggregation (complete
+    output mode drains every window, so the result equals the batch
+    plan exactly)."""
+    sdf = ingest.stream_events(spark, sf_dir)
+    agg = windows.tumbling_agg(
+        windows.watermarked(sdf, "ts", "1 hour"),
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")],
+    ).select(
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n_events",
+    )
+    return ingest.run_available_now(
+        agg, f"st_stream_tumbling_{_tag(sf_dir)}", output_mode="complete"
+    )

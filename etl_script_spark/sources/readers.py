@@ -1,0 +1,155 @@
+"""Readers (SURVEY.md §2.1 S1/S3/S11/S16).
+
+Design: Spark's scans cannot retry a file under a different text
+encoding, so the S1 multi-encoding fallback is a DRIVER-SIDE probe —
+each file's bytes are sniffed once (cheap: first 64 KiB), files are
+grouped by the first encoding that decodes them, and ONE distributed
+``spark.read.csv`` runs per encoding group. The probe is O(#files) on
+the driver; the data path stays fully distributed, so this holds at
+100 TB (probe 100k files ≈ seconds; the scan itself is unchanged
+Spark).
+
+Reference semantics reproduced:
+- S1 encoding cascade: ``credit-prepare-api/inv_old_processor.py:85-97``
+  (utf-8 → utf-8-sig → cp874), ``services/bs_processor.py:75-78``,
+  ``read_po_csv_to_json.py:38-44``.
+- S3 multi-file union + lineage: ``po_processor.py:40-49``,
+  ``read_rem_detail_to_json.py:93-122``.
+- S11 pointer-scoped JSON stream: ``smf-api/.../ImportInvoiceReport.php:70-76``
+  (JsonMachine ``/records`` pointer), ``ImportRmReport.php:60-65``
+  (``/transactions``).
+- S16 file-hash/meta envelope: ``pdf_ocr_dbd_to_json.py:97-102,445-456``.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_ENCODINGS = ("utf-8", "utf-8-sig", "cp874", "latin1")
+PROBE_BYTES = 64 * 1024
+
+# Python codec name → Java charset name (Spark's CSV reader is
+# JVM-side). Spark 4 restricts csv charsets to a short list unless
+# spark.sql.legacy.javaCharsets is on — read_csv_fallback sets it.
+_JAVA_CHARSETS = {
+    "utf-8": "UTF-8",
+    "utf-8-sig": "UTF-8",  # BOM handled by Java's UTF-8 decode of csv
+    "cp874": "x-windows-874",
+    "tis-620": "TIS-620",
+    "latin1": "ISO-8859-1",
+    "cp1252": "windows-1252",
+}
+
+
+def sniff_encoding(
+    path: str, encodings: tuple[str, ...] = DEFAULT_ENCODINGS
+) -> str:
+    """First encoding in the cascade that decodes the file's head.
+
+    Mirrors the reference's try-read-retry loop
+    (inv_old_processor.py:85-97) without reading the file N times:
+    one 64 KiB head read, decoded in memory per candidate. utf-8-sig
+    is distinguished from utf-8 by the BOM."""
+    with open(path, "rb") as f:
+        head = f.read(PROBE_BYTES)
+    if head.startswith(b"\xef\xbb\xbf") and "utf-8-sig" in encodings:
+        return "utf-8-sig"
+    for enc in encodings:
+        if enc == "utf-8-sig":
+            continue
+        try:
+            head.decode(enc)
+            return enc
+        except (UnicodeDecodeError, LookupError):
+            continue
+    return encodings[-1]
+
+
+def read_csv_fallback(
+    spark: SparkSession,
+    paths: list[str] | str,
+    encodings: tuple[str, ...] = DEFAULT_ENCODINGS,
+    add_lineage: bool = False,
+    **csv_options,
+) -> DataFrame:
+    """S1: CSV read with per-file encoding fallback.
+
+    Files are grouped by sniffed encoding; each group becomes one
+    distributed ``spark.read.csv`` (Spark's ``encoding`` option is
+    per-read), then groups union by name. ``add_lineage=True`` stamps
+    ``source_file`` (S3's lineage column) via ``input_file_name()``.
+    """
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(paths)) or [paths]
+    groups: dict[str, list[str]] = {}
+    for p in paths:
+        groups.setdefault(sniff_encoding(p, encodings), []).append(p)
+
+    if any(enc not in ("utf-8", "utf-8-sig") for enc in groups):
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    out: DataFrame | None = None
+    for enc, files in sorted(groups.items()):
+        charset = _JAVA_CHARSETS.get(enc, enc)
+        df = spark.read.options(encoding=charset, **csv_options).csv(files)
+        if add_lineage:
+            df = df.withColumn("source_file", F.input_file_name())
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    assert out is not None
+    return out
+
+
+def read_json_records(
+    spark: SparkSession,
+    path: str,
+    pointer: str | None = None,
+    multi_line: bool = True,
+) -> DataFrame:
+    """S11: JSON source scoped to a pointer (``/records``,
+    ``/transactions``) — the JsonMachine shape.
+
+    A top-level JSON *array* needs ``multiLine`` and Spark explodes it
+    to rows natively. A pointer into an object (``{"records": [...]}``)
+    reads the wrapper then ``explode``s the array field — column
+    pruning means only the pointed-at subtree is ever materialized.
+    JSON-lines files (one record per line) set ``multi_line=False`` and
+    scale embarrassingly (splittable)."""
+    df = spark.read.option("multiLine", str(multi_line).lower()).json(path)
+    if pointer:
+        field = pointer.strip("/").split("/")[0]
+        df = df.select(F.explode(F.col(field)).alias("__rec")).select("__rec.*")
+    return df
+
+
+def read_files_with_meta(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S16: binary-file source with the reference's provenance envelope
+    — md5, size, modification time per file
+    (pdf_ocr_dbd_to_json.py:97-102). Content stays a binary column for
+    downstream extractor sidecars (mapInPandas)."""
+    bf = spark.read.format("binaryFile").load(path_glob)
+    return bf.select(
+        F.col("path"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("file_size"),
+        F.col("modificationTime").alias("modified_at"),
+        F.md5(F.col("content")).alias("md5"),
+        F.col("content"),
+    )
+
+
+def union_files_with_lineage(
+    spark: SparkSession, frames: list[tuple[str, DataFrame]]
+) -> DataFrame:
+    """S3: union heterogeneous per-sheet/per-file frames, tagging each
+    with its origin (po_processor.py:40-49 concat + source_sheet)."""
+    out: DataFrame | None = None
+    for tag, df in frames:
+        tagged = df.withColumn("source_sheet", F.lit(tag))
+        out = tagged if out is None else out.unionByName(
+            tagged, allowMissingColumns=True
+        )
+    assert out is not None
+    return out

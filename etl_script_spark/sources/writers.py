@@ -1,0 +1,92 @@
+"""Sinks (SURVEY.md §2.1 S12/S13/S14) and merge-write composition.
+
+The reference's write path is the #1 perf cliff it has: per-row INSERT
+over a process boundary (ImportInvoiceReport.php:199-217). Here every
+sink is a distributed batched write; the JDBC sink reproduces the
+reference's 1000-row chunking (PublicApiController.php:392-408) via
+``batchsize`` — per-partition batched statements instead of per-row
+round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import merge as merge_ops
+
+
+def write_json_records(
+    df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite"
+) -> None:
+    """S12: JSON records sink (po_processor.py:82-86 ``to_json(
+    orient="records", force_ascii=False)``). UTF-8 non-ascii by
+    default in Spark. ``single_file`` coalesces to one part — only for
+    small gold outputs; distributed multi-part otherwise."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **opts) -> None:
+    """S13: CSV sink with header (bs_processor.py:114)."""
+    df.write.mode(mode).options(header="true", **opts).csv(path)
+
+
+def write_jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batchsize: int = 1000,
+    driver: str | None = None,
+    mode: str = "append",
+    **properties: str,
+) -> None:
+    """S14: batched JDBC sink. ``batchsize=1000`` mirrors the
+    reference's chunked transaction size; each Spark task holds one
+    connection and flushes 1000-row batches — at 1000 executors that
+    is 1000 parallel bulk loaders, vs the reference's single row
+    loop."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+    )
+    if driver:
+        writer = writer.option("driver", driver)
+    for k, v in properties.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, driver: str | None = None, **opts
+) -> DataFrame:
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def insert_only_append(
+    existing: DataFrame, incoming: DataFrame, keys: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """J7+S14 composition: duplicate-key skip before an append-only
+    write (ImportOldInvoices.php:188-195 SQLSTATE-23000 swallow).
+    Returns (rows_to_append, skipped_duplicates) so callers can both
+    write and report the skip count (A2 metrics)."""
+    new_rows, _ = merge_ops.insert_dedup(existing, incoming, keys)
+    dupes = incoming.join(existing, keys, "left_semi")
+    return new_rows, dupes
+
+
+def overwrite_partition(
+    df: DataFrame, full: DataFrame, partition_col: str, partition_values: list
+) -> DataFrame:
+    """J3 on plain storage: rebuild a table replacing the given
+    partitions (delete+insert children semantics without Delta —
+    anti-filter the old partition, union the replacement)."""
+    kept = full.filter(~F.col(partition_col).isin(partition_values))
+    return kept.unionByName(df)

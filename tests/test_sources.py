@@ -1,0 +1,87 @@
+"""Unit tests for the sources layer (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_script_spark.sources import excel, readers, writers
+
+
+def test_sniff_encoding_utf8(tmp_path):
+    p = tmp_path / "a.csv"
+    p.write_text("x,y\n1,hello\n", encoding="utf-8")
+    assert readers.sniff_encoding(str(p)) == "utf-8"
+
+
+def test_sniff_encoding_bom(tmp_path):
+    p = tmp_path / "a.csv"
+    p.write_bytes(b"\xef\xbb\xbfx,y\n1,2\n")
+    assert readers.sniff_encoding(str(p)) == "utf-8-sig"
+
+
+def test_sniff_encoding_cp874(tmp_path):
+    p = tmp_path / "a.csv"
+    p.write_text("x,y\n1,ประเทศไทย\n", encoding="cp874")
+    assert readers.sniff_encoding(str(p)) == "cp874"
+
+
+def test_csv_fallback_mixed_encodings(spark, tmp_path):
+    (tmp_path / "u8.csv").write_text("k,v\n1,alpha\n", encoding="utf-8")
+    (tmp_path / "th.csv").write_text("k,v\n2,ไทย\n", encoding="cp874")
+    df = readers.read_csv_fallback(
+        spark, [str(tmp_path / "u8.csv"), str(tmp_path / "th.csv")], header=True
+    )
+    rows = {r["k"]: r["v"] for r in df.collect()}
+    assert rows == {"1": "alpha", "2": "ไทย"}
+
+
+def test_json_pointer_object(spark, tmp_path):
+    p = tmp_path / "d.json"
+    p.write_text('{"meta": 1, "records": [{"a": 1}, {"a": 2}]}', encoding="utf-8")
+    df = readers.read_json_records(spark, str(p), pointer="/records")
+    assert sorted(r["a"] for r in df.collect()) == [1, 2]
+
+
+def test_json_top_level_array(spark, tmp_path):
+    p = tmp_path / "d.json"
+    p.write_text('[{"a": 10}, {"a": 20}]', encoding="utf-8")
+    df = readers.read_json_records(spark, str(p))
+    assert sorted(r["a"] for r in df.collect()) == [10, 20]
+
+
+def test_excel_sniff_kinds():
+    assert excel.sniff_excel_kind(b"PK\x03\x04rest") == "xlsx"
+    assert excel.sniff_excel_kind(b"\xd0\xcf\x11\xe0rest") == "xls"
+    assert excel.sniff_excel_kind(b"<html><table>") == "html"
+
+
+def test_excel_gated_import_error(tmp_path):
+    """Without engines installed, the cascade raises a clear
+    ImportError (never a silent wrong parse)."""
+    payload = b"PK\x03\x04" + b"\x00" * 64
+    with pytest.raises(ImportError):
+        excel._parse_excel_bytes(payload, header=0, dtype_str=True)
+
+
+def test_union_files_with_lineage(spark):
+    a = spark.createDataFrame([(1, "x")], ["k", "v"])
+    b = spark.createDataFrame([(2,)], ["k"])  # missing column v
+    out = readers.union_files_with_lineage(spark, [("s1", a), ("s2", b)])
+    rows = {r["k"]: (r["v"], r["source_sheet"]) for r in out.collect()}
+    assert rows == {1: ("x", "s1"), 2: (None, "s2")}
+
+
+def test_insert_only_append_counts(spark):
+    existing = spark.createDataFrame([(1,), (2,)], ["k"])
+    incoming = spark.createDataFrame([(2, "b"), (3, "c")], ["k", "v"])
+    new_rows, dupes = writers.insert_only_append(existing, incoming, ["k"])
+    assert [r["k"] for r in new_rows.collect()] == [3]
+    assert dupes.count() == 1
+
+
+def test_overwrite_partition(spark):
+    full = spark.createDataFrame([(1, "old"), (2, "old")], ["p", "v"])
+    repl = spark.createDataFrame([(1, "new"), (1, "new2")], ["p", "v"])
+    out = writers.overwrite_partition(repl, full, "p", [1])
+    got = sorted((r["p"], r["v"]) for r in out.collect())
+    assert got == [(1, "new"), (1, "new2"), (2, "old")]

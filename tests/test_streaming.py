@@ -1,0 +1,64 @@
+"""Streaming unit tests (SURVEY.md §5.2 item 5): incremental file
+drops with Trigger.AvailableNow + checkpoint resume, and the
+foreachBatch insert-dedup sink."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_script_spark.streaming import ingest
+
+
+def _write_drop(spark, path, rows):
+    spark.createDataFrame(rows, ["k", "v"]).coalesce(1).write.mode("append").parquet(
+        path
+    )
+
+
+def test_available_now_incremental_with_checkpoint(spark, tmp_path):
+    """Two file drops; the second run processes ONLY the new file
+    (checkpointed offsets), and the insert-dedup sink skips keys
+    already accepted — the reference's monthly importer loop."""
+    drop_dir = str(tmp_path / "drops")
+    ckpt = str(tmp_path / "ckpt")
+    _write_drop(spark, drop_dir, [(1, "a"), (2, "b"), (2, "b2")])
+
+    acc: list = []
+    sink = ingest.foreach_batch_insert_dedup(acc, ["k"])
+
+    def run_once():
+        sdf = spark.readStream.schema("k long, v string").parquet(drop_dir)
+        q = (
+            sdf.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = sorted((r["k"], r["v"]) for r in acc[0].collect())
+    assert [k for k, _ in got1] == [1, 2]  # in-batch dup on k=2 collapsed
+
+    # second drop: k=2 is a duplicate (skipped), k=3 is new
+    _write_drop(spark, drop_dir, [(2, "late-dup"), (3, "c")])
+    run_once()
+    got2 = sorted((r["k"], r["v"]) for r in acc[0].collect())
+    assert [k for k, _ in got2] == [1, 2, 3]
+    assert ("2", "late-dup") not in got2
+
+
+def test_batch_stream_window_parity(spark, sf_dir):
+    """The tumbling plan produces identical rows in batch mode and in
+    a real streaming execution over the same static input."""
+    from etl_script_spark.plans.catalog import CATALOG
+
+    batch = CATALOG["st_tumbling_window"].spark(spark, sf_dir)
+    stream = CATALOG["st_stream_tumbling"].spark(spark, sf_dir)
+    b = {
+        (r["win_start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    s = {
+        (r["win_start"], r["event_type"]): r["n_events"] for r in stream.collect()
+    }
+    assert b == s
