@@ -145,3 +145,17 @@ def round_money(c: Column) -> Column:
 def round_qty(c: Column) -> Column:
     """F28: quantity rounding policy — 3 decimal places."""
     return F.round(c.cast("double"), 3)
+
+
+def int_if_integral(c: Column) -> Column:
+    """F14: integral floats render without the '.0' suffix in JSON
+    output ('5.0' → '5', '5.25' stays '5.25') — a string-formatting
+    policy, applied at sink time.
+
+    Ref: bs_processor.py:105-106, ic_processor.py:69-70.
+    """
+    d = c.cast("double")
+    return F.when(
+        d.isNotNull() & (d == F.floor(d)),
+        F.floor(d).cast("long").cast("string"),
+    ).otherwise(d.cast("string"))

@@ -161,3 +161,20 @@ def header_field_extract(text: Column, label_pattern: str) -> Column:
     """
     hit = F.regexp_extract(text.cast("string"), label_pattern, 1)
     return F.when(hit == "", F.lit(None).cast("string")).otherwise(F.trim(hit))
+
+
+# Thai combining marks (tone/vowel signs) that can never start a line —
+# OCR splits them onto a new line; the reference rejoins them.
+THAI_COMBINING = "ัิีึืฺุู็่้๊๋์ํ๎"
+
+
+def rejoin_combining_lines(text: Column) -> Column:
+    """F17: rejoin lines that OCR split immediately before a Thai
+    combining mark — a newline followed by a combining character is
+    deleted so the mark reattaches to its base character.
+
+    Ref: pdf_ocr_dbd_to_json.py:89-94.
+    """
+    return F.regexp_replace(
+        text.cast("string"), "\\n(?=[" + THAI_COMBINING + "])", ""
+    )

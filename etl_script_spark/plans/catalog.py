@@ -618,6 +618,7 @@ def union_with_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- register submodule catalogs (import side effect) ---------------
 from etl_script_spark.plans import (  # noqa: E402,F401
     catalog_functions,
+    catalog_misc,
     catalog_reshape,
     catalog_sources,
     catalog_streaming,

@@ -1,0 +1,325 @@
+"""Declared queries closing out the remaining SURVEY.md §2 inventory:
+fuzzy canonicalization (P2), strict-mode filter (P10), formatting
+functions (F14/F17), fixed-cell broadcast (F27), line-parse cascade
+(F31) and two-line merge (F32), OCR-pass dedup (D3), last-wins pivot
+(A6), and the multimodal plumbing (image features, frame sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_script_spark.functions import numerics, strings
+from etl_script_spark.operators import lineparse, multimodal, rowfilters
+from etl_script_spark.operators import merge as merge_ops
+from etl_script_spark.operators.canonicalize import fuzzy_rename_columns
+from etl_script_spark.plans.catalog import register, t
+
+
+@register(
+    "p2_fuzzy_canonicalize",
+    """
+    SELECT n_nationkey, n_name FROM nation
+    """,
+    ("P2", "P1"),
+)
+def p2_fuzzy_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: punctuation/space/case-insensitive column-key folding — the
+    variant spellings 'N Nation-Key' and 'N.Name' resolve to canonical
+    names (pdf_ocr_inv_to_json.py:141-170 _canon_key)."""
+    dirty = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("N Nation-Key"),
+        F.col("n_name").alias("N.Name"),
+    )
+    out = fuzzy_rename_columns(
+        dirty, {"nnationkey": "n_nationkey", "nname": "n_name"}
+    )
+    return out.select("n_nationkey", "n_name")
+
+
+@register(
+    "p10_strict_mode_filter",
+    """
+    SELECT o_orderkey,
+           'INV' || CAST(o_orderkey AS VARCHAR) AS invoice_no,
+           CAST(o_custkey AS VARCHAR) AS supplier_code
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    ("P10",),
+)
+def p10_strict_mode_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: strict-mode row filter — alpha-prefix+digits invoice
+    numbers and all-digit supplier codes survive; OCR junk drops."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 3
+    inv = (
+        F.when(k == 0, F.concat(F.lit("INV"), F.col("o_orderkey").cast("string")))
+        .when(k == 1, F.concat(F.lit("#"), F.col("o_orderkey").cast("string")))
+        .otherwise(F.lit("no-digits"))
+    )
+    sup = F.when(k == 2, F.lit("12a45")).otherwise(
+        F.col("o_custkey").cast("string")
+    )
+    df = o.select(
+        "o_orderkey", inv.alias("invoice_no"), sup.alias("supplier_code")
+    )
+    return rowfilters.strict_mode_filter(df, "invoice_no", "supplier_code")
+
+
+@register(
+    "f14_int_if_integral",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey * 5 AS VARCHAR)
+                ELSE CAST(o_orderkey * 5 AS VARCHAR) || '.5' END AS rendered
+    FROM orders
+    """,
+    ("F14",),
+)
+def f14_int_if_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: integral doubles render without '.0' (JSON cosmetics)."""
+    o = t(spark, sf_dir, "orders")
+    v = F.when(
+        F.col("o_orderkey") % 2 == 0, F.col("o_orderkey") * 5.0
+    ).otherwise(F.col("o_orderkey") * 5.0 + 0.5)
+    return o.select("o_orderkey", numerics.int_if_integral(v).alias("rendered"))
+
+
+@register(
+    "f17_combining_rejoin",
+    """
+    SELECT doc_id, 'บริษัท' || ' จำกัด' AS fixed FROM documents
+    """,
+    ("F17",),
+)
+def f17_combining_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17: a newline OCR-inserted before a Thai combining mark is
+    removed so the mark reattaches (บริษ\\nัท → บริษัท)."""
+    d = t(spark, sf_dir, "documents")
+    broken = F.lit("บริษ\nัท จำกัด")
+    return d.select(
+        "doc_id", strings.rejoin_combining_lines(broken).alias("fixed")
+    )
+
+
+@register(
+    "f27_fixed_cell_broadcast",
+    """
+    SELECT r_regionkey, r_name,
+           'BUYER_' || CAST(r_regionkey % 2 AS VARCHAR) AS buyer
+    FROM region
+    """,
+    ("F27",),
+)
+def f27_fixed_cell_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F27: per-file scalar header metadata (the B2 buyer cell)
+    broadcast onto every row of its file."""
+    r = t(spark, sf_dir, "region").withColumn(
+        "source_file",
+        F.concat(F.lit("file_"), (F.col("r_regionkey") % 2).cast("string")),
+    )
+    meta = {
+        "file_0": {"buyer": "BUYER_0"},
+        "file_1": {"buyer": "BUYER_1"},
+    }
+    out = lineparse.broadcast_file_metadata(r, "source_file", meta)
+    return out.select("r_regionkey", "r_name", "buyer")
+
+
+@register(
+    "f31_line_parse_cascade",
+    """
+    SELECT o_orderkey, 0 AS line_no,
+           'DOC' || CAST(o_orderkey AS VARCHAR) AS doc_no,
+           'BR01' AS branch,
+           CAST(o_orderkey % 1000 AS VARCHAR) || '.25' AS amount
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 1,
+           'DOC' || CAST(o_orderkey + 1 AS VARCHAR),
+           '0000',
+           CAST(o_orderkey % 997 AS VARCHAR) || '.50'
+    FROM orders
+    """,
+    ("F31",),
+)
+def f31_line_parse_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F31: ordered regex cascade over exploded page lines — strict
+    (with branch) → no-branch (branch defaults '0000'); garbage lines
+    fall out unmatched (pdf_ocr_rm_to_json.py:257-283 tiers)."""
+    o = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    l0 = F.concat(
+        F.lit("01/02/2024 BR01 PAY DOC"), key, F.lit(" REF"), key,
+        F.lit(" "), (F.col("o_orderkey") % 1000).cast("string"), F.lit(".25"),
+    )
+    l1 = F.concat(
+        F.lit("03/04/2024 PAY DOC"), (F.col("o_orderkey") + 1).cast("string"),
+        F.lit(" "), (F.col("o_orderkey") % 997).cast("string"), F.lit(".50"),
+    )
+    l2 = F.lit("หมายเหตุ: unparseable garbage ***")
+    pages = o.select("o_orderkey", F.concat_ws("\n", l0, l1, l2).alias("page_text"))
+    lines = lineparse.explode_lines(pages, "page_text", ["o_orderkey"])
+    parsed = lineparse.parse_line_cascade(
+        F.col("line"),
+        [
+            (
+                r"^(\d{2}/\d{2}/\d{4}) (BR\d+) ([A-Z]+) (DOC\d+) (REF\d+) ([0-9.]+)$",
+                ["date", "branch", "type", "doc_no", "ref_no", "amount"],
+            ),
+            (
+                r"^(\d{2}/\d{2}/\d{4}) ([A-Z]+) (DOC\d+) ([0-9.]+)$",
+                ["date", "type", "doc_no", "amount"],
+            ),
+        ],
+    )
+    return (
+        lines.withColumn("p", parsed)
+        .filter(F.col("p").isNotNull())
+        .select(
+            "o_orderkey",
+            "line_no",
+            F.col("p.doc_no").alias("doc_no"),
+            F.coalesce(F.col("p.branch"), F.lit("0000")).alias("branch"),
+            F.col("p.amount").alias("amount"),
+        )
+    )
+
+
+@register(
+    "f32_two_line_merge",
+    """
+    SELECT o_orderkey, 'REC' || CAST(o_orderkey AS VARCHAR)
+           || ' A +' || CAST(o_orderkey % 100 AS VARCHAR) AS line
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'REC' || CAST(o_orderkey AS VARCHAR) || ' B solo'
+    FROM orders
+    """,
+    ("F32",),
+)
+def f32_two_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F32: records spanning two physical lines — a record-start line
+    absorbs a following continuation line (lead() over the stamped
+    line order); standalone record lines pass through."""
+    o = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    l0 = F.concat(F.lit("REC"), key, F.lit(" A"))
+    l1 = F.concat(F.lit("+"), (F.col("o_orderkey") % 100).cast("string"))
+    l2 = F.concat(F.lit("REC"), key, F.lit(" B solo"))
+    pages = o.select("o_orderkey", F.concat_ws("\n", l0, l1, l2).alias("page_text"))
+    lines = lineparse.explode_lines(pages, "page_text", ["o_orderkey"])
+    merged = lineparse.merge_continuation_lines(
+        lines, ["o_orderkey"], start_pattern=r"^REC\d+", continuation_pattern=r"^\+"
+    )
+    return merged.select("o_orderkey", "line")
+
+
+@register(
+    "d3_multipass_text_dedup",
+    """
+    SELECT doc_id, 2 AS n_passes,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS n_unique
+    FROM documents
+    """,
+    ("D3",),
+)
+def d3_multipass_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: identical OCR passes of a page merge once
+    (array_distinct on collected pass texts)."""
+    d = t(spark, sf_dir, "documents")
+    passes = F.when(
+        F.col("doc_id") % 2 == 0, F.array(F.col("text"), F.col("text"))
+    ).otherwise(F.array(F.col("text"), F.concat(F.col("text"), F.lit(" v2"))))
+    return d.select(
+        "doc_id",
+        F.size(passes).alias("n_passes"),
+        F.size(F.array_distinct(passes)).alias("n_unique"),
+    )
+
+
+@register(
+    "a6_last_wins_pivot",
+    """
+    WITH long AS (
+      SELECT l_orderkey,
+             CASE WHEN l_linenumber % 2 = 0 THEN 'even' ELSE 'odd' END AS item,
+             CAST(l_quantity AS DOUBLE) AS amount,
+             l_linenumber,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey, l_linenumber % 2
+               ORDER BY l_linenumber DESC) AS rn
+      FROM lineitem
+    )
+    SELECT l_orderkey,
+           MAX(CASE WHEN item = 'even' AND rn = 1 THEN amount END) AS even,
+           MAX(CASE WHEN item = 'odd'  AND rn = 1 THEN amount END) AS odd
+    FROM long GROUP BY l_orderkey
+    """,
+    ("A6", "R2"),
+)
+def a6_last_wins_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: duplicate item rows overwrite — LAST in stamped order wins
+    — then pivot to declared columns (ImportDbdFinancial.php:196-204)."""
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("item"),
+        F.col("l_quantity").cast("double").alias("amount"),
+        "l_linenumber",
+    )
+    last = merge_ops.dedupe_last(l, ["l_orderkey", "item"], order_col="l_linenumber")
+    return (
+        last.groupBy("l_orderkey")
+        .pivot("item", ["even", "odd"])
+        .agg(F.first("amount"))
+    )
+
+
+@register(
+    "mm_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(UNNEST(generate_series(0, CAST(doc_id % 60 AS INT), 5)) AS BIGINT)
+               AS frame_ts
+    FROM documents
+    """,
+    ("LLM-multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: video frame-sampling plan — one row per frame
+    timestamp to decode (explode keeps per-task memory flat; the
+    decode itself is the stubbed step)."""
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("content"),
+        F.lit("video/mp4").alias("mime"),
+        F.create_map(
+            F.lit("duration_s"), (F.col("doc_id") % 60).cast("string")
+        ).alias("meta"),
+    )
+    out = multimodal.frame_sample_plan(media, every_n_seconds=5)
+    return out.select("media_id", F.col("frame_ts").cast("long").alias("frame_ts"))
+
+
+@register(
+    "mm_image_features",
+    None,  # stub-derived width/height/luma are not SQL-expressible
+    ("LLM-multimodal",),
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: binary image column → Arrow-batched feature
+    extraction (mapInPandas). Decode is the documented deterministic
+    stub; schema/batching/partitioning are the real contract."""
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.lit("image/png").alias("mime"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    return multimodal.extract_image_features(media)
