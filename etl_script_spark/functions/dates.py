@@ -32,7 +32,7 @@ def be_to_ce_year(year: Column, threshold: int = BE_THRESHOLD_DEFAULT) -> Column
     Ref: credit-prepare-api/inv_processor.py:5-21,
     script_read_dbd_balance.py:82-89, BolApiController.php:438-451.
     """
-    y = year.cast("int")
+    y = year.try_cast("int")  # ANSI-safe: non-numeric input → NULL
     return F.when(y >= threshold, y - 543).otherwise(y)
 
 

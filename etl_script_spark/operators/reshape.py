@@ -66,9 +66,17 @@ def unpivot_year_pairs(
 
     Ref: detect_year_pairs script_read_dbd_balance.py:171-194.
     """
+    import re as _re
+
+    def _year_of(col_name: str) -> str:
+        # 'y2566_amount' / '2566' / 'y1996' → the 4-digit year; other
+        # names pass through verbatim
+        m = _re.search(r"(\d{4})", str(col_name))
+        return m.group(1) if m else str(col_name).strip()
+
     structs = [
         F.struct(
-            F.lit(str(y).strip()).alias(year_name),
+            F.lit(_year_of(y)).alias(year_name),
             F.col(y).cast("double").alias(amount_name),
             (F.col(p).cast("double") if p else F.lit(None).cast("double")).alias(pct_name),
         )

@@ -1,0 +1,231 @@
+"""End-to-end pipeline fixtures (SURVEY.md §5.2 item 3): miniature
+B-fixture-shaped inputs → silver → gold → query, asserting golden
+outputs, and import-metrics golden checks (item 4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_script_spark.pipelines import bol_sync, dbd_financial, invoice_report, remittance
+
+
+# ---------------------------------------------------------------- DBD
+
+def _wide_balance(spark):
+    """B1 shape: BE year pair columns, accounting dirt, noise rows."""
+    cols = ["item_th", "y2566_amount", "y2566_pct", "y2567_amount", "y2567_pct", "_file"]
+    f = "1234567890123_balance.xlsx"
+    rows = [
+        ("สินทรัพย์รวม", "1,234.50", "5.0", "(2,000.00)", "-10.0", f),
+        ("หนี้สินรวม", "-", "", "500.25", "1.5", f),
+        ("หน่วย : บาท", "", "", "", "", f),  # noise row (P11)
+        ("ส่วนของผู้ถือหุ้น", "734.50", "", "‒1,000", "", f),
+    ]
+    return spark.createDataFrame(rows, cols)
+
+
+def test_dbd_silver_gold_query(spark):
+    wide = _wide_balance(spark)
+    silver = dbd_financial.silver_from_wide(
+        wide,
+        {"y2566_amount": "y2566_pct", "y2567_amount": "y2567_pct"},
+        dbd_financial.TH_TO_EN_BALANCE,
+    )
+    got = {
+        (r["fiscal_year"], r["item_en"]): (r["amount"], r["pct_change"])
+        for r in silver.collect()
+    }
+    assert len(got) == 6  # 3 items × 2 years (noise row dropped, P11)
+    assert all(r["tax_id"] == "1234567890123" for r in silver.collect())  # F26
+    # BE years in column names → CE (F1); F10 accounting cleans
+    assert got[(2023, "total_assets")] == (1234.5, 5.0)
+    assert got[(2024, "total_assets")] == (-2000.0, -10.0)   # parens negative
+    assert got[(2023, "total_liabilities")][0] == 0.0        # '-' → 0 (F15)
+
+
+def test_dbd_year_pair_years_from_headers(spark):
+    """Year-pair unpivot keyed by ACTUAL BE year headers → CE years."""
+    f = "9999999999999_balance.xls"
+    wide = spark.createDataFrame(
+        [("สินทรัพย์รวม", "100", "1.0", "200", "2.0", f)],
+        ["item_th", "2566", "pct_2566", "2567", "pct_2567"] + ["_file"],
+    )
+    silver = dbd_financial.silver_from_wide(
+        wide, {"2566": "pct_2566", "2567": "pct_2567"}, dbd_financial.TH_TO_EN_BALANCE
+    )
+    got = {r["fiscal_year"]: r["amount"] for r in silver.collect()}
+    assert got == {2023: 100.0, 2024: 200.0}
+
+    gold = dbd_financial.gold_pivot(silver, dbd_financial.BALANCE_ITEMS)
+    row = gold.filter(F.col("fiscal_year") == 2023).first()
+    assert row["total_assets"] == 100.0 and row["current_assets"] is None
+
+    q = dbd_financial.company_financial(
+        gold, "9999999999999", 2024, ["total_assets", "total_liabilities"]
+    )
+    r = q.first()
+    assert r["total_assets"] == 200.0 and r["total_liabilities"] is None
+
+
+def test_dbd_merge_and_gate(spark):
+    gold_t = spark.createDataFrame(
+        [("111", 2023, 1.0), ("111", 2024, 2.0)],
+        ["tax_id", "fiscal_year", "total_assets"],
+    )
+    incoming = spark.createDataFrame(
+        [("111", 2024, 99.0), ("222", 2024, 5.0)],
+        ["tax_id", "fiscal_year", "total_assets"],
+    )
+    merged = dbd_financial.merge_gold(gold_t, incoming)
+    got = {(r["tax_id"], r["fiscal_year"]): r["total_assets"] for r in merged.collect()}
+    assert got == {("111", 2023): 1.0, ("111", 2024): 99.0, ("222", 2024): 5.0}
+
+    parent = spark.createDataFrame([("111",)], ["registered_no"])
+    ok, skipped = dbd_financial.import_gate(incoming, parent)
+    assert [r["tax_id"] for r in ok.collect()] == ["111"]
+    assert [r["tax_id"] for r in skipped.collect()] == ["222"]
+
+
+# ------------------------------------------------------------ invoice
+
+def _raw_invoices(spark):
+    cols = [
+        "No", "Invoice No.", "Supplier Code", "Supplier Name", "Invoice Date",
+        "Invoice Received Date", "Related Document", "Amount", "Status",
+    ]
+    rows = [
+        ("1", "BLl23O45", "1001", "ACME  CO", "25/12/2568",
+         "2025-03-26 14:00:00", "PO:1013090869", "1,234.56", "Open"),
+        ("2", "IV100", "1002", "Beta Ltd", "2024-01-15",
+         "2025-26-03 15:30:00", "ref 12345678", "1.234.567", "Closed"),
+        ("No", "Invoice No.", "Supplier Code", "Supplier Name", "Invoice Date",
+         "Invoice Received Date", "Related Document", "Amount", "Status"),
+        ("3", "IV101", "1003", "Gamma", "bad-date",
+         "2025-05-01 09:00:00", "", "10", "Open"),
+        ("4", "IV100", "1004", "DupKey", "01/02/2025",
+         "2025-05-02 10:00:00", "", "20", "Open"),
+    ]
+    return spark.createDataFrame(rows, cols)
+
+
+def test_invoice_pipeline_clean_and_metrics(spark):
+    cleaned = invoice_report.clean_invoice_records(_raw_invoices(spark))
+    by_no = {r["no"]: r for r in cleaned.collect()}
+
+    r1 = by_no["1"]
+    # F18: greedy alpha prefix kept verbatim-uppercased, lookalikes
+    # fixed in the tail only (pdf_ocr_inv_to_json.py:196-220)
+    assert r1["invoice_no"] == "BLL23045"
+    assert r1["invoice_date"] == dt.date(2025, 12, 25)  # F1 BE year
+    assert r1["po_no"] == "1013090869"              # F20 digit run
+    assert r1["amount"] == 1234.56                  # F9 comma clean
+    assert r1["supplier_name"] == "ACME CO"         # F16 ws collapse
+
+    r2 = by_no["2"]
+    assert r2["invoice_received_date"] == dt.datetime(2025, 3, 26, 15, 30)  # F5 swap
+    assert r2["date_was_swapped"] is True
+    assert r2["amount"] == 1234.567                 # F13 multi-dot repair
+
+    existing = spark.createDataFrame([("IV100",)], ["invoice_no"])
+    table, rejected, m = invoice_report.import_invoices(existing, cleaned)
+    assert m["total"] == 4          # header echo row dropped
+    assert m["failed_validation"] == 1  # the bad-date row (IV101)
+    assert m["inserted"] == 1       # BLL23045 only
+    assert m["failed_duplicate"] == 2   # both IV100 rows hit the existing key
+    assert m["fixed_dates"] == 1
+    assert rejected.first()["fail_reason"] == "bad_date"
+    assert table.count() == 2       # 1 existing + 1 new
+
+
+# --------------------------------------------------------- remittance
+
+def _rm_pages(spark):
+    page1 = "\n".join([
+        "วันที่จ่ายเงิน: 01/10/2568",
+        "01/10/2568 FC1 IV DOC001 REF001 1,000.50",
+        "01/10/2568 IV DOC002 REF002 (250.25)",
+        "GRAND TOTAL Amount 750.25",
+    ])
+    page2 = "\n".join([
+        "01/10/2568 FC1 IV DOC001 REF001 1,000.50",  # dup across pages
+        "02/10/2568 W901 CN DOC003 REF003 500.00",
+        "GRAND TOTAL Amount 500.00",
+    ])
+    return spark.createDataFrame(
+        [(1, page1), (2, page2)], ["page_number", "text"]
+    )
+
+
+def test_remittance_parse_dedup_reconcile(spark):
+    tx = remittance.parse_remittance_lines(_rm_pages(spark))
+    rows = {r["doc_no"]: r for r in tx.collect()}
+    assert set(rows) == {"DOC001", "DOC002", "DOC003"}  # D1 cross-page dedup
+    assert rows["DOC001"]["branch"] == "FC01"           # F19 repair
+    assert rows["DOC001"]["amount"] == 1000.5
+    assert rows["DOC002"]["branch"] == "0000"           # no-branch default
+    assert rows["DOC002"]["amount"] == -250.25          # F10 parens negative
+
+    rec = remittance.reconcile(_rm_pages(spark))
+    ok = {r["page_number"]: r["ok"] for r in rec.collect()}
+    assert ok == {1: True, 2: True}
+
+
+def test_repair_branch_token_semantics(spark):
+    """F19 token-level cases straight from the reference's rules
+    (pdf_ocr_rm_to_json.py:126-161)."""
+    df = spark.createDataFrame(
+        [("F C 1",), ("F C 12",), ("W 9 0 1",), ("OOOO",), ("AB-7",)], ["b"]
+    )
+    got = [r["out"] for r in df.select(
+        remittance.repair_branch(F.col("b")).alias("out")
+    ).collect()]
+    assert got == ["FC01", "FC12", "W901", "0000", "AB7"]
+
+
+# ---------------------------------------------------------------- BOL
+
+def test_bol_company_and_directors_sync(spark):
+    payload = spark.createDataFrame(
+        [("0105561177671", "100000 - 500000", "15/03/2562")],
+        ["registrationNo", "companyCredit", "registeredDate"],
+    )
+    c = bol_sync.clean_company(payload).first()
+    assert c["credit_min"] == 100000.0 and c["credit_max"] == 500000.0  # F23
+    assert c["registered_date"] == dt.date(2019, 3, 15)                 # F1
+
+    incoming_raw = spark.createDataFrame(
+        [("A", "นางสาวสมศรี ใจดี"), ("A", "Mr. John Smith")],
+        ["registration_no", "name"],
+    )
+    incoming = bol_sync.clean_directors(incoming_raw)
+    got = {(r["prefix"], r["first_name"], r["last_name"]) for r in incoming.collect()}
+    assert ("นางสาว", "สมศรี", "ใจดี") in got   # F22 longest-prefix-first
+    assert ("Mr.", "John", "Smith") in got
+
+    current = spark.createDataFrame(
+        [("A", "นาย", "เก่า", "ออกแล้ว"), ("B", "นาง", "อื่น", "คงอยู่")],
+        ["registration_no", "prefix", "first_name", "last_name"],
+    )
+    synced = bol_sync.sync_directors(current, incoming)
+    by_co = {}
+    for r in synced.collect():
+        by_co.setdefault(r["registration_no"], set()).add(r["first_name"])
+    assert by_co["A"] == {"สมศรี", "John"}   # old A director deleted (J4)
+    assert by_co["B"] == {"อื่น"}            # untouched company survives
+
+
+def test_bol_financial_year_replace(spark):
+    current = spark.createDataFrame(
+        [("A", 2021, 1.0), ("A", 2022, 2.0), ("B", 2022, 9.0)],
+        ["registration_no", "fiscal_year", "revenue"],
+    )
+    incoming = spark.createDataFrame(
+        [("A", 2022, 20.0), ("A", 2023, 30.0)],
+        ["registration_no", "fiscal_year", "revenue"],
+    )
+    out = bol_sync.sync_financials(current, incoming)
+    got = {(r["registration_no"], r["fiscal_year"]): r["revenue"] for r in out.collect()}
+    # A's 2021 deleted (not re-sent, J5), 2022 updated, 2023 added; B kept
+    assert got == {("A", 2022): 20.0, ("A", 2023): 30.0, ("B", 2022): 9.0}
