@@ -25,13 +25,27 @@ from etl_script_spark.operators.merge import dedupe_first  # noqa: F401  (D1)
 def dedupe_ordered(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """D2: unique by key preserving FIRST-seen order.
 
+    Implemented as a ``min_by`` hash aggregate rather than a
+    row_number window: the aggregate gets map-side partial combine
+    (shuffle carries at most one row per key per mapper) and skips the
+    per-key sort — the shape that survives 100 TB, and measurably
+    faster at bench scale. Ties on order_col pick an arbitrary row,
+    same as a non-unique window sort.
+
     Ref: dedupe_list_str pdf_ocr_rm_to_json.py:447-452.
     """
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    payload_cols = [c for c in df.columns if c not in key_cols]
+    agg = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.min_by(
+            F.struct(*[F.col(c) for c in payload_cols]), F.col(order_col)
+        ).alias("__first")
+    )
+    # restore the original column order
+    return agg.select(
+        *[
+            F.col(c) if c in key_cols else F.col(f"__first.{c}").alias(c)
+            for c in df.columns
+        ]
     )
 
 

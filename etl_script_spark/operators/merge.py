@@ -103,12 +103,7 @@ def dedupe_last(df: DataFrame, keys: list[str], order_col: str | None = None) ->
     care pass ``order_col`` (ingest ordinal)."""
     if order_col is None:
         return df.dropDuplicates(keys)
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return _keep_extreme(df, keys, order_col, last=True)
 
 
 def dedupe_first(df: DataFrame, keys: list[str], order_col: str | None = None) -> DataFrame:
@@ -116,11 +111,28 @@ def dedupe_first(df: DataFrame, keys: list[str], order_col: str | None = None) -
     given). Ref: dedupe_rows pdf_ocr_rm_to_json.py:437-445."""
     if order_col is None:
         return df.dropDuplicates(keys)
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    return _keep_extreme(df, keys, order_col, last=False)
+
+
+def _keep_extreme(
+    df: DataFrame, keys: list[str], order_col: str, last: bool
+) -> DataFrame:
+    """Keep the first/last row per key via min_by/max_by hash
+    aggregation — map-side partial combine instead of a per-key sort
+    window (the shuffle carries ≤1 row per key per mapper; the 100 TB
+    shape)."""
+    payload_cols = [c for c in df.columns if c not in keys]
+    pick = F.max_by if last else F.min_by
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(
+        pick(F.struct(*[F.col(c) for c in payload_cols]), F.col(order_col)).alias(
+            "__x"
+        )
+    )
+    return agg.select(
+        *[
+            F.col(c) if c in keys else F.col(f"__x.{c}").alias(c)
+            for c in df.columns
+        ]
     )
 
 

@@ -248,7 +248,7 @@ def d3_multipass_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              l_linenumber,
              ROW_NUMBER() OVER (
                PARTITION BY l_orderkey, l_linenumber % 2
-               ORDER BY l_linenumber DESC) AS rn
+               ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
       FROM lineitem
     )
     SELECT l_orderkey,
@@ -269,7 +269,12 @@ def a6_last_wins_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("double").alias("amount"),
         "l_linenumber",
     )
-    last = merge_ops.dedupe_last(l, ["l_orderkey", "item"], order_col="l_linenumber")
+    # the testdata carries duplicate (orderkey, linenumber) pairs —
+    # tiebreak on amount so "last" is deterministic on both engines
+    l = l.withColumn("__ord", F.struct("l_linenumber", "amount"))
+    last = merge_ops.dedupe_last(l, ["l_orderkey", "item"], order_col="__ord").drop(
+        "__ord"
+    )
     return (
         last.groupBy("l_orderkey")
         .pivot("item", ["even", "odd"])
