@@ -134,6 +134,93 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+) -> list[list[float]]:
+    """Deterministic IVF "fit": the n_centroids lowest-id vectors act
+    as coarse centroids. A one-row-per-centroid driver collect — the
+    model-fit step; at 100 TB you'd k-means a sample, the serving path
+    below is unchanged."""
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(map(float, r[vec_col])) for r in rows]
+
+
+def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<score,double idx,int>> of cosine vs each centroid."""
+    entries = [
+        F.struct(
+            cosine(vec, F.array(*[F.lit(float(x)) for x in c])).alias("score"),
+            F.lit(i).alias("idx"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.array(*entries)
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Coarse-quantizer assignment: index of the max-cosine centroid."""
+    return F.array_max(_centroid_scores(vec, centroids))["idx"]
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate cosine top-k, IVF-style: corpus rows live in one
+    coarse cell each; every query probes its nprobe best cells and
+    reranks exactly inside them.
+
+    vs LSH: cells are data-adapted (centroid Voronoi) instead of
+    random-hyperplane buckets — better recall at equal compare count
+    on clustered data. The equi-join on cell id is the only shuffle;
+    corpus-side work drops by ~n_centroids/nprobe.
+    """
+    centroids = ivf_centroids(vectors, id_col, vec_col, n_centroids)
+    v = vectors.withColumn("__cell", ivf_assign(F.col(vec_col), centroids))
+    q_scored = queries.withColumn(
+        "__cells",
+        F.slice(
+            F.reverse(F.array_sort(_centroid_scores(F.col(query_vec_col), centroids))),
+            1,
+            nprobe,
+        ),
+    )
+    q = q_scored.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(F.col("__cells")["idx"]).alias("__cell"),
+    )
+    joined = v.join(F.broadcast(q), "__cell")
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     id_col: str = "vec_id",

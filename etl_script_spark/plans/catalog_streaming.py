@@ -179,3 +179,34 @@ def st_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_available_now(
         agg, f"st_stream_tumbling_{_tag(sf_dir)}", output_mode="complete"
     )
+
+
+@register(
+    "st_stateful_anomalies",
+    """
+    SELECT user_id, event_id,
+           CAST(trunc(value * 100) AS BIGINT) AS value_cents,
+           CAST(COALESCE(SUM(CAST(trunc(value * 100) AS BIGINT)) OVER w, 0)
+                AS BIGINT) AS prev_total_cents,
+           COUNT(*) OVER w AS n_prev,
+           COALESCE(CAST(trunc(value * 100) AS BIGINT) * (COUNT(*) OVER w)
+                    > 2 * SUM(CAST(trunc(value * 100) AS BIGINT)) OVER w,
+                    FALSE) AS is_anomaly
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+    ("streaming-stateful",),
+)
+def st_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the custom applyInPandasWithState
+    operator: per-user running-mean anomaly flags, state carried in
+    explicit GroupState. Exact-integer design makes even this
+    Python-stateful operator fully oracle-checkable."""
+    from etl_script_spark.streaming import stateful
+
+    sdf = ingest.stream_events(spark, sf_dir)
+    flagged = stateful.running_mean_anomalies(sdf, factor_num=2, factor_den=1)
+    return ingest.run_available_now(
+        flagged, f"st_stateful_anomalies_{_tag(sf_dir)}", output_mode="append"
+    )

@@ -232,3 +232,15 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", textstats.fingerprint_rolling(F.col("text")).alias("fp")
     )
+
+
+@register("ann_ivf_topk", None, ("LLM-similarity",))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (coarse centroid cells + nprobe
+    probing + exact in-cell rerank). Deterministic centroid fit; recall
+    vs the exact baseline asserted in tests/test_llm_ops.py."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_topk(e, queries, k=10, n_centroids=8, nprobe=3)

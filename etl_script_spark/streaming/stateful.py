@@ -1,0 +1,85 @@
+"""Custom stateful streaming operator (applyInPandasWithState).
+
+The built-in stateful ops (windowed aggs, dropDuplicates,
+session_window) cover the reference's needs; this module demonstrates
+the engine's extension point for semantics they CAN'T express — a
+per-key running aggregate consulted row-by-row (anomaly flag against
+the running mean of the user's PREVIOUS events), carried across
+micro-batches in explicit group state.
+
+Determinism contract: values are converted to integer cents by
+truncation of the same IEEE double on every engine, so running sums
+are exact integers and the batch-mode SQL oracle matches bit-for-bit.
+Rows within a group process in (ts, event_id) order.
+
+Scale: state is one (count, total) pair per user — O(distinct keys)
+memory, partitioned by the group key across executors; Arrow batches
+in/out. At 100 TB the shuffle on user_id is the only wide stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, event_id long, value_cents long, prev_total_cents long, "
+    "n_prev long, is_anomaly boolean"
+)
+STATE_SCHEMA = "n long, total_cents long"
+
+
+def _flag_anomalies(factor_num: int, factor_den: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (n, total) = state.get if state.exists else (0, 0)
+        user_id = key[0]
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                cents = int(r.value * 100)  # truncation of the IEEE double
+                # value > factor * running_mean  (integer cross-multiply;
+                # first event of a user can never be anomalous)
+                is_anom = n > 0 and cents * n * factor_den > factor_num * total
+                out.append((user_id, r.event_id, cents, total, n, bool(is_anom)))
+                n += 1
+                total += cents
+        state.update((n, total))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "event_id",
+                "value_cents",
+                "prev_total_cents",
+                "n_prev",
+                "is_anomaly",
+            ],
+        )
+
+    return fn
+
+
+def running_mean_anomalies(
+    events: DataFrame, factor_num: int = 2, factor_den: int = 1
+) -> DataFrame:
+    """Streaming (or batch-grouped) per-user anomaly flags: an event is
+    anomalous when value > (factor_num/factor_den) × mean of the
+    user's previous events. State = (count, total_cents) per user."""
+    src = events.select("user_id", "event_id", "ts", "value")
+    return src.groupBy("user_id").applyInPandasWithState(
+        _flag_anomalies(factor_num, factor_den),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

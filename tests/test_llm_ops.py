@@ -1,0 +1,46 @@
+"""Recall checks for the approximate similarity paths vs the exact
+brute-force baseline (the correctness contract an ANN operator has)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import similarity
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def _recall(approx, exact):
+    per_q = [
+        len(approx.get(q, set()) & hits) / len(hits) for q, hits in exact.items()
+    ]
+    return sum(per_q) / len(per_q)
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = _topk_sets(similarity.brute_force_topk(e, queries, k=10))
+
+    lsh4 = _topk_sets(similarity.lsh_topk(e, queries, dim=64, k=10, n_planes=4))
+    lsh2 = _topk_sets(similarity.lsh_topk(e, queries, dim=64, k=10, n_planes=2))
+    ivf = _topk_sets(
+        similarity.ivf_topk(e, queries, k=10, n_centroids=8, nprobe=3)
+    )
+    # self-match must always survive (query vectors are corpus rows)
+    for q, hits in exact.items():
+        assert q in lsh4.get(q, set())
+        assert q in ivf.get(q, set())
+    # random-plane recall on near-isotropic data ≈ (1-θ/π)^planes — low
+    # in absolute terms; the contract is non-zero recall AND the
+    # documented tunability: fewer planes ⇒ bigger buckets ⇒ recall up
+    assert _recall(lsh4, exact) >= 0.1
+    assert _recall(lsh2, exact) > _recall(lsh4, exact)
+    assert _recall(ivf, exact) >= 0.4  # data-adapted cells beat random planes
