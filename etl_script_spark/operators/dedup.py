@@ -34,19 +34,9 @@ def dedupe_ordered(df: DataFrame, key_cols: list[str], order_col: str) -> DataFr
 
     Ref: dedupe_list_str pdf_ocr_rm_to_json.py:447-452.
     """
-    payload_cols = [c for c in df.columns if c not in key_cols]
-    agg = df.groupBy(*[F.col(k) for k in key_cols]).agg(
-        F.min_by(
-            F.struct(*[F.col(c) for c in payload_cols]), F.col(order_col)
-        ).alias("__first")
-    )
-    # restore the original column order
-    return agg.select(
-        *[
-            F.col(c) if c in key_cols else F.col(f"__first.{c}").alias(c)
-            for c in df.columns
-        ]
-    )
+    from etl_script_spark.operators.merge import _keep_extreme
+
+    return _keep_extreme(df, key_cols, order_col, last=False)
 
 
 def normalize_text(c: Column) -> Column:
