@@ -29,6 +29,17 @@ HEADLINE = [
     "range_projection",
 ]
 
+# breadth sample (timed + reported, NOT counted into `value`, so the
+# headline total stays comparable across rounds)
+EXTRA = [
+    "st_tumbling_window",
+    "st_session_window",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "r2_pivot_event_types",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,6 +66,16 @@ def main() -> None:
         q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - start, 4)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        if name not in CATALOG:
+            continue
+        q = CATALOG[name]
+        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+        start = time.perf_counter()
+        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        extra[name] = round(time.perf_counter() - start, 4)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -63,6 +84,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
                 "sf": sf,
             }
         )

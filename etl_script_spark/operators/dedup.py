@@ -45,6 +45,15 @@ def normalize_text(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c.cast("string")), r"\s+", " "))
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a CPU-bound narrow stage across all cores. Shingling and
+    hashing are compute-heavy but their input bytes are tiny, so
+    Spark's size-based split gives ONE partition — without this, a
+    64-hash signature pass runs single-threaded no matter how many
+    cores exist. Round-robin repartition to default parallelism."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def exact_dedup(
     df: DataFrame, text_col: str, id_col: str, normalize: bool = True
 ) -> DataFrame:
@@ -80,17 +89,32 @@ def shingles(c: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for seed s in 0..k-1, min over shingles of
-    xxhash64(shingle, seed). array<bigint> length k. Deterministic,
-    JVM-side, O(|shingles| * k) per row."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda x: F.xxhash64(x, F.lit(s)))
-            )
-            for s in range(num_hashes)
-        ]
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as (id, sig array<bigint>[k]).
+
+    Shape: explode shingles to rows, then ONE hash aggregation with k
+    ``min(xxhash64(shingle, seed))`` aggregates. The shingle set is
+    computed exactly once per document (an inline array-of-k-transforms
+    version gets its shingle expression re-inlined k times by
+    CollapseProject — measured 70× slower), the partial mins combine
+    map-side, and the work parallelizes across the shuffle. O(shingles
+    × k) cheap JVM hashes, no UDF."""
+    ex = _fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(s))).alias(f"__h{s}")
+        for s in range(num_hashes)
+    ]
+    return ex.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[F.col(f"__h{s}") for s in range(num_hashes)]).alias("sig")
     )
 
 
@@ -114,13 +138,11 @@ def minhash_lsh_candidates(
     estimated Jaccard (signature agreement ratio).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # banded carries ONLY (id, band, bucket): the candidate self-join
+    # shuffles 3 small columns, not the 64-long signatures
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -140,23 +162,22 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    ).select("id", "bb.band", "bb.bucket")
     pairs = (
-        a.join(
-            b,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # signatures rejoin once per side for the agreement estimate
+    scored = (
+        pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     agree = F.size(
         F.filter(
@@ -164,7 +185,7 @@ def minhash_lsh_candidates(
             lambda v: v == 1,
         )
     )
-    return pairs.select(
+    return scored.select(
         "id_a", "id_b", (agree / F.lit(num_hashes)).alias("est_jaccard")
     )
 
@@ -175,20 +196,37 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     explode shingles → self-join on shingle → count shared / union.
 
     Scale shape: the join key is a single shingle hash; hot shingles
-    (stopword runs) should be pre-filtered by document frequency for
-    a real corpus (AQE handles residual skew locally).
+    (stopword runs) can be pre-filtered with ``max_df`` for a real
+    corpus — sum(df²) over surviving shingles bounds the join output.
+    The self-join is hinted shuffle-hash so both sides share ONE
+    shuffle exchange (ReuseExchange): the shingle table is computed
+    once, not once per side as a broadcast plan would.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-        F.size(shingles(F.col(text_col), n)).alias("n_sh"),
-    ).withColumn("shingle", F.xxhash64("shingle"))
-    a = sh.alias("a")
+    sh = (
+        _fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .withColumn("shingle", F.xxhash64("shingle"))
+    )
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = (
+            sh.join(dfreq.filter(F.col("__df") <= max_df), "shingle")
+            .drop("__df")
+        )
+    # per-doc set size AFTER any df-filter, so jaccard stays consistent
+    sh = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
+    a = sh.alias("a").hint("shuffle_hash")
     b = sh.alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
@@ -204,35 +242,42 @@ def ngram_jaccard_pairs(
     return shared.select("id_a", "id_b", jac).filter(F.col("jaccard") >= threshold)
 
 
-def simhash(c: Column, bits: int = 64) -> Column:
-    """SimHash fingerprint of a text column (bigint).
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """SimHash fingerprints as (id, fp bigint).
 
     Per word w with hash h: for each bit position, +1 if set else -1;
-    fingerprint bit = sign of the sum. Expressed with aggregate over
-    the word array — no UDF. O(words * bits) per row, embarrassingly
-    parallel.
+    fingerprint bit = sign of the vote sum. Shape: explode words to
+    rows, ONE hash aggregation with ``bits`` signed-vote sums, then
+    assemble the fingerprint from the votes. Same rationale as
+    minhash_signatures — the word array is computed once (an inline
+    per-bit array-aggregate version re-inlines the tokenization
+    ``bits`` times), partials combine map-side, work spreads across
+    cores. O(words × bits) cheap bit ops, no UDF.
     """
-    words = F.split(normalize_text(c), " ")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bit_cols = []
+    ex = _fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__w"),
+    ).withColumn("__h", F.xxhash64("__w"))
+    votes = [
+        F.sum(
+            F.when(
+                F.col("__h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"__v{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    fp = F.lit(0).cast("long")
     for i in range(bits):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(
-                h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
-            ).otherwise(-1),
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"__v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
         )
-        bit_cols.append(
-            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    out = bit_cols[0]
-    for bc in bit_cols[1:]:
-        out = out.bitwiseOR(bc)
-    return out
+    return agg.select("id", fp.alias("fp"))
 
 
 def simhash_near_dups(
@@ -242,7 +287,7 @@ def simhash_near_dups(
     ``bands`` chunks (pigeonhole: hamming<=k pairs share at least one
     of k+1 bands), equi-join per band, verify exact hamming distance.
     """
-    fp = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("fp"))
+    fp = simhash_fingerprints(df, id_col, text_col)
     width = 64 // bands
     banded = fp.select(
         "id",

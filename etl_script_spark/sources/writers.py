@@ -90,3 +90,34 @@ def overwrite_partition(
     anti-filter the old partition, union the replacement)."""
     kept = full.filter(~F.col(partition_col).isin(partition_values))
     return kept.unionByName(df)
+
+
+def http_push_sink(
+    df: DataFrame,
+    poster_factory,
+    batch_size: int = 500,
+) -> None:
+    """S15: HTTP push sink — POST rows to an API endpoint from every
+    partition in parallel (the reference POSTs processed records one
+    file at a time from the driver process: main.py:40-48,
+    send_dbd_company_supplier.py:85-143).
+
+    ``poster_factory`` is a zero-arg callable constructed ON THE
+    EXECUTOR (returns a ``post(list_of_row_dicts) -> None``) so
+    connections/sessions are per-partition, never pickled from the
+    driver. Rows batch up to ``batch_size`` per call — the HTTP twin
+    of the 1000-row JDBC chunk. Rate limiting lives in the poster.
+    """
+
+    def _push(rows) -> None:
+        post = poster_factory()
+        batch: list[dict] = []
+        for row in rows:
+            batch.append(row.asDict(recursive=True))
+            if len(batch) >= batch_size:
+                post(batch)
+                batch = []
+        if batch:
+            post(batch)
+
+    df.foreachPartition(_push)

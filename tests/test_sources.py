@@ -85,3 +85,33 @@ def test_overwrite_partition(spark):
     out = writers.overwrite_partition(repl, full, "p", [1])
     got = sorted((r["p"], r["v"]) for r in out.collect())
     assert got == [(1, "new"), (1, "new2"), (2, "old")]
+
+
+def test_http_push_sink_batches(spark, tmp_path):
+    """S15: every row is delivered exactly once, in executor-side
+    batches (poster writes to files — local mode shares the FS)."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    out_dir = str(tmp_path / "posts")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def poster_factory():
+        def post(batch):
+            p = f"{out_dir}/{uuid.uuid4().hex}.json"
+            with open(p, "w") as f:
+                json.dump(batch, f)
+        return post
+
+    df = spark.range(10).selectExpr("id", "id * 2 as v").repartition(3)
+    writers.http_push_sink(df, poster_factory, batch_size=2)
+
+    seen = []
+    for p in glob.glob(f"{out_dir}/*.json"):
+        with open(p) as f:
+            batch = json.load(f)
+        assert len(batch) <= 2
+        seen.extend(r["id"] for r in batch)
+    assert sorted(seen) == list(range(10))
