@@ -65,12 +65,19 @@ def exact_dedup(
     """
     t = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
     hashed = df.withColumn("__h", F.md5(t))
-    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
-    return (
-        hashed.withColumn("__rn", F.row_number().over(w))
-        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("__h")))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__h")
+    # one hash aggregation: min(struct(id, payload)) keeps the
+    # smallest-id row, count rides along — map-side combine collapses
+    # duplicate groups before the shuffle (vs a sort window's full-row
+    # shuffle + per-key sort)
+    payload = [c for c in df.columns if c != id_col]
+    agg = hashed.groupBy("__h").agg(
+        F.min(
+            F.struct(F.col(id_col), *[F.col(c) for c in payload])
+        ).alias("__first"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return agg.select(
+        *[F.col(f"__first.{c}").alias(c) for c in df.columns], "dup_count"
     )
 
 

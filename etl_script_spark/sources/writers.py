@@ -121,3 +121,28 @@ def http_push_sink(
             post(batch)
 
     df.foreachPartition(_push)
+
+
+def atomic_overwrite_parquet(df: DataFrame, table_dir: str) -> str:
+    """Write a new table snapshot and swap it in atomically — the
+    vanilla-parquet stand-in for a transactional table format: readers
+    resolve ``<table_dir>/current`` (a symlink) and never observe a
+    half-written directory. Each snapshot is a new versioned subdir;
+    old snapshots stay until vacuumed.
+
+    This is how the merge operators' returned snapshots (upsert,
+    replace_children, diff_sync) persist: compute new state → write →
+    swap. Returns the new snapshot path."""
+    import os
+    import tempfile
+
+    os.makedirs(table_dir, exist_ok=True)
+    snap = tempfile.mkdtemp(prefix="snap_", dir=table_dir)
+    df.write.mode("overwrite").parquet(snap)
+    current = os.path.join(table_dir, "current")
+    tmp_link = os.path.join(table_dir, ".current_tmp")
+    if os.path.lexists(tmp_link):
+        os.unlink(tmp_link)
+    os.symlink(snap, tmp_link)
+    os.replace(tmp_link, current)  # atomic on POSIX
+    return snap

@@ -44,3 +44,25 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert _recall(lsh4, exact) >= 0.1
     assert _recall(lsh2, exact) > _recall(lsh4, exact)
     assert _recall(ivf, exact) >= 0.4  # data-adapted cells beat random planes
+
+
+def test_embedding_near_dups_planted(spark, sf_dir):
+    """The synthetic corpus is isotropic noise (max pairwise cosine
+    ~0.48), so zero near-dups is the RIGHT answer there. Plant scaled
+    twins (cosine exactly 1.0, identical hyperplane signs → same LSH
+    bucket, so recall is guaranteed) and the operator must find every
+    planted pair and nothing above threshold besides them."""
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 20)
+        .select("vec_id", "embedding")
+    )
+    twins = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    dups = similarity.embedding_near_dups(
+        e.unionByName(twins), threshold=0.999, n_planes=4, dim=64
+    )
+    got = {(r["id_a"], r["id_b"]) for r in dups.collect()}
+    assert got == {(i, i + 100000) for i in range(20)}

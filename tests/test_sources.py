@@ -115,3 +115,13 @@ def test_http_push_sink_batches(spark, tmp_path):
         assert len(batch) <= 2
         seen.extend(r["id"] for r in batch)
     assert sorted(seen) == list(range(10))
+
+
+def test_atomic_overwrite_swap(spark, tmp_path):
+    """Two snapshot writes; `current` always resolves to a complete
+    table, and the second swap replaces the first."""
+    table = str(tmp_path / "gold")
+    writers.atomic_overwrite_parquet(spark.range(5), table)
+    assert spark.read.parquet(f"{table}/current").count() == 5
+    writers.atomic_overwrite_parquet(spark.range(9), table)
+    assert spark.read.parquet(f"{table}/current").count() == 9
