@@ -42,7 +42,9 @@ def repair_branch(c) -> F.Column:
     non-alnum noise, '0000' anywhere wins, FC+2 digits → FC##,
     FC+1 digit → FC0#, W+3 digits → W### (all tolerant of interior
     spaces: 'F C 1' → 'FC01', 'W 9 0 1' → 'W901')."""
-    s = F.upper(F.translate(c.cast("string"), "oOiI", "0011"))
+    # reference order matters: replace UPPERCASE O/I only, THEN
+    # uppercase — a lowercase 'o' survives as a letter ('fc1o'→'FC1O')
+    s = F.upper(F.translate(c.cast("string"), "OI", "01"))
     s_clean = F.regexp_replace(s, r"[^A-Z0-9 ]", "")
     fc1 = F.regexp_extract(s_clean, _FC_RX, 1)
     fc2 = F.regexp_extract(s_clean, _FC_RX, 2)
@@ -113,3 +115,105 @@ def reconcile(pages: DataFrame) -> DataFrame:
     return quality.reconcile_totals(
         tx, ["page_number"], "amount", totals, "grand_total"
     )
+
+
+def fix_ocr_o0i1(c) -> F.Column:
+    """F19 base rule: O→0, I→1, L stays, lowercase untouched
+    (pdf_ocr_rm_to_json.py:118-124; the reference also NFKC-folds —
+    OCR doc tokens are ASCII after the fold, so translate suffices)."""
+    return F.translate(c.cast("string"), "OI", "01")
+
+
+def normalize_docref_token(c) -> F.Column:
+    """F19: document/reference token normalizer
+    (pdf_ocr_rm_to_json.py:164-197): the CONSIGN family first
+    (C0NS1GN / CONS1GN-00 → CONSIGN[-NN]), else O→0/I→1 with the
+    1V→IV repair."""
+    raw = F.trim(c.cast("string"))
+    tail2 = F.regexp_extract(raw, r"(\d\d)$", 1)
+    consign = F.when(
+        tail2 != "", F.concat(F.lit("CONSIGN-"), tail2)
+    ).otherwise(F.lit("CONSIGN"))
+    t = fix_ocr_o0i1(raw)
+    default = F.when(
+        F.upper(t).rlike(r"^1V"), F.concat(F.lit("I"), F.substring(t, 2, 1000000))
+    ).otherwise(t)
+    return F.when(
+        raw.rlike(r"(?i)^C[O0]NS[1I]GN(-?\d\d)?$"), consign
+    ).otherwise(default)
+
+
+_TOKEN_CANDID_RX = (
+    r"(?i)[A-Za-z0-9]{2,}-?[A-Za-z0-9]{2,}|[A-Za-z]{1,3}\s*-?\s*\d{4,}"
+)
+
+
+def _longest_first(arr) -> F.Column:
+    """First-longest element of a string array (Python max(key=len)
+    tiebreak: first wins)."""
+    return F.aggregate(
+        arr,
+        F.lit("").cast("string"),
+        lambda acc, x: F.when(F.length(x) > F.length(acc), x).otherwise(acc),
+    )
+
+
+def extract_best_token(c) -> F.Column:
+    """F19: pull the most plausible doc/ref token out of a noisy OCR
+    cell like 'เน?NV68071' (pdf_ocr_rm_to_json.py:199-217): candidate
+    regex → first-longest, else any [A-Za-z0-9-]{5,} run → normalize."""
+    s = c.cast("string")
+    cands = F.regexp_extract_all(s, F.lit(_TOKEN_CANDID_RX), 0)
+    fallback = F.regexp_extract_all(s, F.lit(r"[A-Za-z0-9\-]{5,}"), 0)
+    best = F.when(F.size(cands) > 0, _longest_first(cands)).otherwise(
+        F.when(F.size(fallback) > 0, _longest_first(fallback))
+    )
+    cleaned = F.regexp_replace(best, r"\s+", "")
+    return F.when(best.isNull() | (best == ""), F.lit(None).cast("string")).otherwise(
+        normalize_docref_token(cleaned)
+    )
+
+
+def repair_ref_from_doc(doc, ref) -> F.Column:
+    """F19: reference repaired from the document number when they share
+    a prefix (pdf_ocr_rm_to_json.py:219-229): common prefix ≥ 6 → use
+    doc; ref ≥ 6 chars and doc startswith(ref) → doc; null on either
+    side → the other; else keep ref."""
+    d = doc.cast("string")
+    r = ref.cast("string")
+    common6 = (
+        (F.length(d) >= 6)
+        & (F.length(r) >= 6)
+        & (F.substring(d, 1, 6) == F.substring(r, 1, 6))
+    )
+    starts = (F.length(r) >= 6) & d.startswith(r)
+    return (
+        F.when(r.isNull() | (r == ""), d)
+        .when(d.isNull() | (d == ""), r)
+        .when(common6 | starts, d)
+        .otherwise(r)
+    )
+
+
+def normalize_crossdock_pair(doc, ref) -> F.Column:
+    """F19: CROSS/DOCK folding (pdf_ocr_rm_to_json.py:231-254) —
+    any spelling of crossdock in either token, or the split pair
+    CROSS + DOCK, folds to ('CROSS DOCK', 'Crossdock'). Returns
+    struct(doc_no, ref_no)."""
+    dz = F.upper(F.regexp_replace(F.coalesce(doc.cast("string"), F.lit("")), r"\s+", ""))
+    rz = F.upper(F.regexp_replace(F.coalesce(ref.cast("string"), F.lit("")), r"\s+", ""))
+    is_cd = lambda z: z.isin("CROSSDOCK", "CROSS-DOCK")  # noqa: E731
+    pairwise = (
+        ((dz == "CROSS") & (rz == "DOCK"))
+        | ((dz == "DOCK") & (rz == "CROSS"))
+        | (dz.isin("CROSS", "DOCK") & (rz == ""))
+        | (rz.isin("CROSS", "DOCK") & (dz == ""))
+    )
+    folded = F.struct(
+        F.lit("CROSS DOCK").alias("doc_no"), F.lit("Crossdock").alias("ref_no")
+    )
+    keep = F.struct(
+        F.trim(F.coalesce(doc.cast("string"), F.lit(""))).alias("doc_no"),
+        F.trim(F.coalesce(ref.cast("string"), F.lit(""))).alias("ref_no"),
+    )
+    return F.when(is_cd(dz) | is_cd(rz) | pairwise, folded).otherwise(keep)

@@ -229,3 +229,98 @@ def test_bol_financial_year_replace(spark):
     got = {(r["registration_no"], r["fiscal_year"]): r["revenue"] for r in out.collect()}
     # A's 2021 deleted (not re-sent, J5), 2022 updated, 2023 added; B kept
     assert got == {("A", 2022): 20.0, ("A", 2023): 30.0, ("B", 2022): 9.0}
+
+
+def test_docref_token_semantics(spark):
+    """F19 doc/ref token cases straight from the reference rules
+    (pdf_ocr_rm_to_json.py:164-254)."""
+    from etl_script_spark.pipelines.remittance import (
+        extract_best_token,
+        normalize_docref_token,
+        repair_ref_from_doc,
+    )
+
+    df = spark.createDataFrame(
+        [("C0NS1GN-00",), ("CONS1GN",), ("1V68071",), ("IV680O1",), ("AB-12",)],
+        ["t"],
+    )
+    got = [r["o"] for r in df.select(normalize_docref_token(F.col("t")).alias("o")).collect()]
+    # row 4: I→1 damages the IV prefix to 1V, then the ^1V repair
+    # restores it — the reference applies the 1V check to the FIXED
+    # string (pdf_ocr_rm_to_json.py:190-195)
+    assert got == ["CONSIGN-00", "CONSIGN", "IV68071", "IV68001", "AB-12"]
+
+    noisy = spark.createDataFrame([("เน?NV68071",), ("?!",)], ["t"])
+    best = [r["o"] for r in noisy.select(extract_best_token(F.col("t")).alias("o")).collect()]
+    assert best == ["NV68071", None]
+
+    pairs = spark.createDataFrame(
+        [("IV250001-XYZ", "IV2500"), ("IV250001", "CN999999"), ("DOC1", None)],
+        ["d", "r"],
+    )
+    fixed = [
+        r["o"]
+        for r in pairs.select(
+            repair_ref_from_doc(F.col("d"), F.col("r")).alias("o")
+        ).collect()
+    ]
+    assert fixed == ["IV250001-XYZ", "CN999999", "DOC1"]
+
+
+def test_crossdock_folding(spark):
+    from etl_script_spark.pipelines.remittance import normalize_crossdock_pair
+
+    df = spark.createDataFrame(
+        [
+            ("CROSSDOCK", "x"),
+            ("CROSS", "DOCK"),
+            ("DOCK", "CROSS"),
+            ("CROSS", None),
+            ("IV1", "RF1"),
+        ],
+        ["d", "r"],
+    )
+    out = df.select(normalize_crossdock_pair(F.col("d"), F.col("r")).alias("p")).collect()
+    got = [(r["p"]["doc_no"], r["p"]["ref_no"]) for r in out]
+    assert got[:4] == [("CROSS DOCK", "Crossdock")] * 4
+    assert got[4] == ("IV1", "RF1")
+
+
+# ------------------------------------------------------------- BS/IC
+
+def test_bs_pipeline_end_to_end(spark, tmp_path):
+    """§3.3: headerless CSV exports → one typed row per (company,
+    year); years from row 0, values from the fixed block, junk → 0."""
+    from etl_script_spark.pipelines import bs_ic
+
+    h = ["total_assets", "total_liabilities", "equity"]
+    f1 = tmp_path / "BS_1001_AcmeCo.csv"
+    f1.write_text(
+        ",,,Year 2022,Year 2023\n"      # row 0: years at cols 3,4
+        "junk,,,x,y\n"
+        "junk,,,x,y\n"
+        "Total assets,,,\"1,500.5\",2000\n"   # block row 0
+        "Total liabilities,,,500,abc\n"        # block row 1 (abc→0)
+        "Equity,,,1000.5,2000\n",              # block row 2
+        encoding="latin1",
+    )
+    f2 = tmp_path / "BS_1002_BetaLtd.csv"
+    f2.write_text(
+        ",,,2021\njunk,,,x\njunk,,,x\nA,,,10\nB,,,20\nC,,,30\n",
+        encoding="cp1252",
+    )
+    rows = bs_ic.csv_rows_with_order(spark, [str(f1), str(f2)])
+    out = bs_ic.process_statements(rows, h)
+    got = {
+        (r["company_id"], r["year"]): (
+            r["total_assets"], r["total_liabilities"], r["equity"]
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        ("1001", 2022): (1500.5, 500.0, 1000.5),
+        ("1001", 2023): (2000.0, 0.0, 2000.0),   # 'abc' coerced to 0
+        ("1002", 2021): (10.0, 20.0, 30.0),
+    }
+    names = {r["company_id"]: r["company_name"] for r in out.collect()}
+    assert names == {"1001": "AcmeCo", "1002": "BetaLtd"}
