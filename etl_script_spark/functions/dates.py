@@ -215,12 +215,14 @@ def be_dotted_to_iso(c: Column, threshold: int = BE_THRESHOLD_DEFAULT) -> Column
     return safe_make_date(be_to_ce_year(yy, threshold), mm, dd)
 
 
-def dayfirst_normalize(c: Column, threshold: int = BE_THRESHOLD_STRICT) -> Column:
+def dayfirst_normalize(c: Column, threshold: int = BE_THRESHOLD_DEFAULT) -> Column:
     """F8: Thai day-first date normalization — unify separators to '-',
-    detect Y-m-d vs d-m-Y, 2-digit year → 2000+, BE−543, day-first
-    parse with month-first fallback.
+    detect Y-m-d vs d-m-Y, 2-digit year → 2000+, BE−543 when year ≥
+    threshold (the cited call site uses 2400; pipelines needing the
+    strict >2500 policy pass BE_THRESHOLD_STRICT per SURVEY §7.4.2),
+    day-first parse with month-first fallback.
 
-    Ref: po_old_processor.py:28-69.
+    Ref: services/po_old_processor.py:28-69.
     """
     s = F.regexp_replace(F.trim(c.cast("string")), r"[./]", "-")
     # Y-m-d branch (4-digit leading year)
@@ -232,8 +234,7 @@ def dayfirst_normalize(c: Column, threshold: int = BE_THRESHOLD_STRICT) -> Colum
     dmy_m = (F.regexp_extract(s, r"^(\d{1,2})-(\d{1,2})-(\d{2,4})$", 2)).try_cast("int")
     dmy_y_raw = (F.regexp_extract(s, r"^(\d{1,2})-(\d{1,2})-(\d{2,4})$", 3)).try_cast("int")
     dmy_y = F.when(dmy_y_raw < 100, dmy_y_raw + 2000).otherwise(dmy_y_raw)
-    # BE adjust (strict >2500 policy per supplier_processor.py:73-74)
-    fix = lambda y: F.when(y > threshold, y - 543).otherwise(y)  # noqa: E731
+    fix = lambda y: F.when(y >= threshold, y - 543).otherwise(y)  # noqa: E731
     ymd = safe_make_date(fix(ymd_y), ymd_m, ymd_d)
     # day-first, with month-first fallback when day-first is invalid
     dmy = F.coalesce(

@@ -231,14 +231,22 @@ def embedding_near_dups(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH self-join (bucket
-    equi-join, id_a < id_b), exact cosine verify >= threshold."""
+    equi-join, id_a < id_b), exact cosine verify >= threshold.
+
+    The self-join is hinted shuffle-hash so both sides share ONE
+    shuffle exchange (ReuseExchange) — the bucket computation (HOF dot
+    products per plane) runs once, not once per side as a broadcast
+    plan would; input fans out across cores first (compute-bound
+    narrow stage on few bytes)."""
     planes = random_hyperplanes(dim, n_planes, seed)
-    v = vectors.select(
+    v = vectors.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
-    a, b = v.alias("a"), v.alias("b")
+    a, b = v.alias("a").hint("shuffle_hash"), v.alias("b")
     cand = a.join(
         b,
         (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.id") < F.col("b.id")),

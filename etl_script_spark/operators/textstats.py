@@ -108,11 +108,17 @@ def fingerprint_md5(c: Column) -> Column:
     return F.md5(normalize_text(c))
 
 
-def fingerprint_rolling(c: Column, base: int = 257, mod: int = (1 << 61) - 1) -> Column:
+def fingerprint_rolling(c: Column, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
     """Polynomial rolling hash over normalized-text words (bigint) —
     an order-sensitive fingerprint (md5 twin is order-sensitive too
     but opaque; this one supports windowed substring matching).
-    Computed with aggregate — no UDF."""
+    Computed with aggregate — no UDF.
+
+    ``mod`` must satisfy mod * base + term < 2^63 or the multiply
+    overflows ANSI int64 (a 2^61-1 modulus blows up on real data —
+    caught at sf0.1); the Mersenne prime 2^31-1 keeps the accumulator
+    at ~2^39."""
+    assert mod * base < (1 << 62), "mod*base must fit int64"
     ws = words(c)
     return F.aggregate(
         ws,

@@ -324,3 +324,51 @@ def test_bs_pipeline_end_to_end(spark, tmp_path):
     }
     names = {r["company_id"]: r["company_name"] for r in out.collect()}
     assert names == {"1001": "AcmeCo", "1002": "BetaLtd"}
+
+
+# ------------------------------------------------------------------ PO
+
+def test_po_old_pipeline(spark):
+    """B5: legacy PO cleanup — F8 date forms, F25 derived measure."""
+    from etl_script_spark.pipelines import po_report
+
+    raw = spark.createDataFrame(
+        [
+            ("Acme", "P1", "1/2/68", "0", "7", "107", "30"),
+            ("Beta", "P2", "2568-02-01", "100", "7", "107", "45"),
+            ("Gamma", "P3", "01.02.2568", "50", "3.5", "53.5", None),
+        ],
+        ["# Supplier Name", "PO No.", "PO Date", "PO Amount (Exclude VAT)",
+         "PO VAT Amount", "PO Net Amount (Include VAT)", "PO Payment Term"],
+    )
+    out = {r["po_no"]: r for r in po_report.clean_po_old_records(raw).collect()}
+    # '1/2/68' → 2000+68=2068, below the 2400 BE bar → stays 2068
+    # (reference normalize_th_date rule; FIXTURES.md's '→2025' gloss
+    # contradicts the cited code, and the code wins)
+    assert str(out["P1"]["po_date"]) == "2068-02-01"
+    assert str(out["P2"]["po_date"]) == "2025-02-01"   # BE 2568 → CE
+    assert str(out["P3"]["po_date"]) == "2025-02-01"   # dotted BE form
+    assert out["P1"]["amount_excl_vat"] == 100.0       # F25: 107-7
+    assert out["P2"]["amount_excl_vat"] == 100.0       # nonzero kept
+    assert out["P1"]["payment_term"] == 30
+
+
+def test_po_report_pipeline(spark):
+    """B4: header-echo drop, 12h AM/PM repair incl. 12 AM → 00."""
+    from etl_script_spark.pipelines import po_report
+
+    raw = spark.createDataFrame(
+        [
+            ("PO No.", "B", "S", "Order Date", "Send Date", "Amount (PO Include VAT)", "St"),
+            ("P10", "B1", "S1", "15/03/2568", "3/20/2025 12:05:00 AM", "1,000", "Open"),
+            ("P11", "B1", "S2", "01/04/2568", "4/2/2025 02:30:00 PM", "2,500.50", "Closed"),
+        ],
+        ["PO No.", "Buyer Code", "Supplier Code", "Order Date", "Send Date",
+         "Amount (PO Include VAT)", "Status"],
+    )
+    out = {r["po_no"]: r for r in po_report.clean_po_records(raw).collect()}
+    assert set(out) == {"P10", "P11"}                   # header echo dropped
+    assert str(out["P10"]["order_date"]) == "2025-03-15"
+    assert str(out["P10"]["send_date"]) == "2025-03-20 00:05:00"  # 12 AM → 00
+    assert str(out["P11"]["send_date"]) == "2025-04-02 14:30:00"
+    assert out["P11"]["amount_incl_vat"] == 2500.5
