@@ -372,3 +372,98 @@ def test_po_report_pipeline(spark):
     assert str(out["P10"]["send_date"]) == "2025-03-20 00:05:00"  # 12 AM → 00
     assert str(out["P11"]["send_date"]) == "2025-04-02 14:30:00"
     assert out["P11"]["amount_incl_vat"] == 2500.5
+
+
+# ------------------------------------------------------- rm report
+
+def test_rm_report_fixed_format(spark):
+    """B7: fixed-format remittance advice — one-line and two-line
+    records, glued 10-digit prefix, '16:18:12 PM' time kept verbatim
+    minus the suffix (pdf_ocr_rm_report_to_json.py:80-158)."""
+    from etl_script_spark.pipelines import rm_report
+
+    page = "\n".join([
+        "REMITTANCE ADVICE REPORT",
+        # one-line record, name+branch
+        "1234567890 Acme Trading FC01 01/10/2025 02/10/2025 16:18:12 PM 1,500.25 Open 7 72195 03/10/2025",
+        # two-line record (name wraps), glued prefix
+        "2345678901Banana Society",
+        "W901 05/10/2025 06/10/2025 09:05:00 AM 250.00 Closed 8 81000 07/10/2025",
+        "999 not a record",
+    ])
+    out = rm_report.parse_rm_report(
+        spark.createDataFrame([(1, page)], ["page_number", "text"])
+    )
+    rows = {r["remittance_no"]: r for r in out.collect()}
+    assert set(rows) == {"1234567890", "2345678901"}
+
+    r1 = rows["1234567890"]
+    assert r1["supplier_name"] == "Acme Trading"
+    assert r1["branch"] == "FC01"
+    assert r1["remittance_date"] == "2025-10-01"
+    assert r1["sent_date"] == "2025-10-02 16:18:12"   # PM suffix dropped
+    assert r1["amount"] == 1500.25
+    assert r1["sequence"] == 7
+    assert r1["supplier_code"] == "72195"
+    assert r1["pay_date"] == "2025-10-03"
+
+    r2 = rows["2345678901"]                            # two-line merge
+    assert r2["supplier_name"] == "Banana Society"
+    assert r2["branch"] == "W901"
+    assert r2["sent_date"] == "2025-10-06 09:05:00"
+
+
+# ------------------------------------------------------------ company
+
+def test_company_structured_pipeline(spark):
+    """B9/§3.1 step 3: nested company JSON → entity row + title-card
+    enrichment + directors replace-sync."""
+    from etl_script_spark.pipelines import company
+
+    payload = spark.createDataFrame(
+        [
+            (
+                "105561177671",  # 12 digits → left-pad to 13 (F21)
+                "บริษัทจำกัด",
+                "ยังดำเนินกิจการอยู่",
+                "5000000",
+                None,  # address missing → filled from title card
+                ("46443", "ขายส่ง"),
+                ["2565", "2566"],
+                [(1, "นายสมชาย ใจดี"), (2, "นางสาวสมศรี รักไทย")],
+            )
+        ],
+        "registration_number string, entity_type string, status string, "
+        "registered_capital_baht string, address string, "
+        "business_section_latest struct<code:string,description:string>, "
+        "financial_filing_years_th array<string>, "
+        "directors array<struct<no:int,name:string>>",
+    )
+    ent = company.map_company_entity(payload)
+    r = ent.first()
+    assert r["registered_no"] == "0105561177671"       # F21 pad
+    assert r["financial_filing_years"] == [2022, 2023]  # F1
+    assert r["num_director"] == 2                       # A4
+
+    titles = spark.createDataFrame(
+        [("0105561177671", "99 Main Rd, Bangkok")], ["registered_no", "address"]
+    )
+    enriched = company.enrich_with_title_card(ent, titles, ["address"])
+    assert enriched.first()["address"] == "99 Main Rd, Bangkok"  # J1 fill
+
+    longd = company.directors_long(ent)
+    got = {(x["director_no"], x["prefix"], x["first_name"], x["last_name"])
+           for x in longd.collect()}
+    assert got == {(1, "นาย", "สมชาย", "ใจดี"), (2, "นางสาว", "สมศรี", "รักไทย")}
+
+    current = spark.createDataFrame(
+        [("0105561177671", 9, None, "เก่า", "ออก"), ("OTHER", 1, None, "คน", "อื่น")],
+        "registered_no string, director_no int, prefix string, "
+        "first_name string, last_name string",
+    )
+    synced = company.sync_directors(current, longd)
+    by_co = {}
+    for x in synced.collect():
+        by_co.setdefault(x["registered_no"], set()).add(x["first_name"])
+    assert by_co["0105561177671"] == {"สมชาย", "สมศรี"}  # J3 replace
+    assert by_co["OTHER"] == {"คน"}                      # untouched
