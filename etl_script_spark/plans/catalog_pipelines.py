@@ -1,0 +1,166 @@
+"""End-to-end PIPELINE queries under the oracle (SURVEY.md §3): a
+deterministic dirty fixture is synthesized from driver tables, the
+full pipeline runs (clean → reshape → pivot / clean → type), and the
+DuckDB twin states the expected result from first principles — the
+whole composition is hash-checked, not just its operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_script_spark.pipelines import dbd_financial, invoice_report
+from etl_script_spark.plans.catalog import register, t
+
+_LABELS = list(dbd_financial.TH_TO_EN_BALANCE)  # 5 Thai item labels
+_ITEMS = dbd_financial.BALANCE_ITEMS
+
+
+@register(
+    "pipeline_dbd_financial_e2e",
+    f"""
+    WITH base AS (
+      SELECT lpad(CAST(c_custkey AS VARCHAR), 13, '0') AS tax_id,
+             i AS item_idx,
+             CASE WHEN (c_custkey + i) % 2 = 0
+                  THEN  (c_custkey * 10 + i) + 0.25
+                  ELSE -((c_custkey * 10 + i) + 0.25) END AS amt2566,
+             CAST(c_custkey % 100 AS DOUBLE) + i AS amt2567
+      FROM customer CROSS JOIN (SELECT UNNEST(generate_series(0, 4)) AS i)
+    )
+    SELECT tax_id, fiscal_year,
+           {", ".join(
+             f"MAX(CASE WHEN item_idx = {k} THEN amt END) AS {item}"
+             for k, item in enumerate(_ITEMS)
+           )}
+    FROM (
+      SELECT tax_id, 2023 AS fiscal_year, item_idx, amt2566 AS amt FROM base
+      UNION ALL
+      SELECT tax_id, 2024, item_idx, amt2567 FROM base
+    )
+    GROUP BY tax_id, fiscal_year
+    """,
+    ("R1", "R2", "F1", "F10", "F26", "P11", "pipeline-e2e"),
+)
+def pipeline_dbd_financial_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 end-to-end: per-company wide BE statements with accounting
+    dirt (thousands commas, parenthesized negatives, a noise row per
+    company) → silver_from_wide → gold_pivot. The oracle rebuilds the
+    expected gold table arithmetically — every cleaning/reshape step
+    must agree."""
+    c = t(spark, sf_dir, "customer")
+    labels = F.array(*[F.lit(x) for x in _LABELS])
+    rows = c.select(
+        "c_custkey",
+        F.concat(
+            F.lpad(F.col("c_custkey").cast("string"), 13, "0"),
+            F.lit("_balance.xlsx"),
+        ).alias("_file"),
+        F.explode(F.sequence(F.lit(0), F.lit(len(_LABELS) - 1))).alias("i"),
+    )
+    v66 = (F.col("c_custkey") * 10 + F.col("i")).cast("long")
+    # '12,345.25' grouping + parens for the negative half (F10 dirt)
+    body66 = F.concat(
+        F.format_number(v66, 0), F.lit(".25")
+    )
+    amt66 = F.when(
+        (F.col("c_custkey") + F.col("i")) % 2 == 0, body66
+    ).otherwise(F.concat(F.lit("("), body66, F.lit(")")))
+    amt67 = ((F.col("c_custkey") % 100) + F.col("i")).cast("string")
+    wide = rows.select(
+        F.element_at(labels, F.col("i") + 1).alias("item_th"),
+        amt66.alias("2566"),
+        F.lit(None).cast("string").alias("pct_2566"),
+        amt67.alias("2567"),
+        F.lit(None).cast("string").alias("pct_2567"),
+        "_file",
+    )
+    noise = c.select(
+        F.lit("หน่วย : บาท").alias("item_th"),
+        F.lit("").alias("2566"),
+        F.lit("").alias("pct_2566"),
+        F.lit("").alias("2567"),
+        F.lit("").alias("pct_2567"),
+        F.concat(
+            F.lpad(F.col("c_custkey").cast("string"), 13, "0"),
+            F.lit("_balance.xlsx"),
+        ).alias("_file"),
+    )
+    silver = dbd_financial.silver_from_wide(
+        wide.unionByName(noise),
+        {"2566": "pct_2566", "2567": "pct_2567"},
+        dbd_financial.TH_TO_EN_BALANCE,
+    )
+    return dbd_financial.gold_pivot(silver, _ITEMS)
+
+
+@register(
+    "pipeline_invoice_clean_e2e",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS no,
+           'IV9' || lpad(CAST(o_orderkey AS VARCHAR), 7, '0') AS invoice_no,
+           strftime(o_orderdate, '%Y-%m-%d') AS invoice_date_str,
+           lpad(CAST(o_custkey AS VARCHAR), 10, '0') AS po_no,
+           CAST(o_orderkey % 1000 AS DOUBLE)
+             + CAST(o_orderkey % 100 AS DOUBLE) / 100 AS amount
+    FROM orders
+    """,
+    ("F18", "F1", "F3", "F20", "F9", "P2", "pipeline-e2e"),
+)
+def pipeline_invoice_clean_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 end-to-end: dirty invoice records (lookalike-damaged
+    numbers, BE dates, PO-prefixed references, comma amounts) through
+    clean_invoice_records; the oracle states the expected clean row
+    for every order."""
+    o = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    body = F.concat(
+        (F.col("o_orderkey") % 1000).cast("string"),
+        F.lit("."),
+        F.lpad((F.col("o_orderkey") % 100).cast("string"), 2, "0"),
+    )
+    raw = o.select(
+        key.alias("No"),
+        # 'iv9' prefix: tail starts with a real digit so the greedy
+        # alpha prefix stops at 'iv'; lookalike damage (0→o, 1→l) in
+        # the padded tail repairs back (F18)
+        F.concat(
+            F.lit("iv9"),
+            F.translate(F.lpad(key, 7, "0"), "01", "ol"),
+        ).alias("Invoice No."),
+        F.col("o_custkey").cast("string").alias("Supplier Code"),
+        F.lit("Some  Name").alias("Supplier Name"),
+        # BE day-first date string (F1+F3); Feb 29 stays ISO/CE — a BE
+        # leap-day string like 29/02/2539 names a nonexistent date and
+        # the reference's cascade nulls it too (year+543 is rarely
+        # also a leap year), so it exercises the cascade's 2nd format
+        F.when(
+            (F.month("o_orderdate") == 2) & (F.dayofmonth("o_orderdate") == 29),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+        .otherwise(
+            F.concat(
+                F.date_format("o_orderdate", "dd/MM/"),
+                (F.year("o_orderdate") + 543).cast("string"),
+            )
+        )
+        .alias("Invoice Date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "Invoice Received Date"
+        ),
+        F.concat(
+            F.lit("PO:"), F.lpad(F.col("o_custkey").cast("string"), 10, "0")
+        ).alias("Related Document"),
+        body.alias("Amount"),
+        F.lit("Open").alias("Status"),
+    )
+    cleaned = invoice_report.clean_invoice_records(raw)
+    # invoice tail ol→01 restores the key digits; prefix 'iv' uppercases
+    return cleaned.select(
+        F.col("no"),
+        F.col("invoice_no"),
+        F.col("invoice_date").cast("string").alias("invoice_date_str"),
+        F.col("po_no"),
+        F.col("amount"),
+    )
