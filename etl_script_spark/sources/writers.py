@@ -146,3 +146,23 @@ def atomic_overwrite_parquet(df: DataFrame, table_dir: str) -> str:
     os.symlink(snap, tmp_link)
     os.replace(tmp_link, current)  # atomic on POSIX
     return snap
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join/
+    merge keys. Two tables bucketed identically join WITHOUT a shuffle
+    — the repeated-merge workload (nightly upserts into gold on
+    (tax_id, fiscal_year)) reads both sides pre-partitioned. This is
+    the at-rest answer to "co-locate the join"; pick n_buckets ≈
+    cluster cores × small multiple at the target SF."""
+    writer = df.write.format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode(mode).saveAsTable(table_name)

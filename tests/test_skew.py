@@ -1,0 +1,48 @@
+"""Skew utilities: salted join and two-phase aggregation must return
+exactly what their unsalted equivalents return."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import skew
+
+
+def _skewed_df(spark):
+    # one hot key (90% of rows) + long tail
+    return spark.range(2000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 'HOT' ELSE CONCAT('k', id) END AS key",
+        "id AS v",
+    )
+
+
+def test_salted_join_matches_plain(spark):
+    big = _skewed_df(spark)
+    dim = spark.createDataFrame(
+        [("HOT", "hot-dim"), ("k9", "nine"), ("k19", "nineteen")],
+        ["key", "label"],
+    )
+    plain = big.join(dim, "key").groupBy("key", "label").count()
+    salted = skew.salted_join(big, dim, "key").groupBy("key", "label").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_two_phase_agg_matches_plain(spark):
+    df = _skewed_df(spark)
+    plain = {
+        (r["key"]): (r["s"], r["n"])
+        for r in df.groupBy("key")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    two = {
+        (r["key"]): (r["sum_v"], r["cnt_v"])
+        for r in skew.two_phase_agg(
+            df,
+            ["key"],
+            {"sum_v": F.sum("v"), "cnt_v": F.count(F.lit(1))},
+        ).collect()
+    }
+    assert plain == two

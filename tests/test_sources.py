@@ -125,3 +125,24 @@ def test_atomic_overwrite_swap(spark, tmp_path):
     assert spark.read.parquet(f"{table}/current").count() == 5
     writers.atomic_overwrite_parquet(spark.range(9), table)
     assert spark.read.parquet(f"{table}/current").count() == 9
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key join with ZERO exchanges —
+    the physical plan proof that bucketing co-locates the join."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
+        writers.write_bucketed_table(a, "bt_a", ["k"], n_buckets=4)
+        writers.write_bucketed_table(b, "bt_b", ["k"], n_buckets=4)
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
