@@ -214,3 +214,24 @@ def s16_file_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write(r["r_name"].encode("utf-8"))
     meta = readers.read_files_with_meta(spark, f"{d}/*.bin")
     return meta.select("file_name", "file_size", "md5")
+
+
+_SHARED_SQL = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100
+               AS total_value
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+@register("sql_surface_shared", _SHARED_SQL, ("SQL-surface",))
+def sql_surface_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql surface: the driver tables registered as temp
+    views and ONE ANSI SQL string executed verbatim by BOTH engines
+    (the oracle is the identical text) — users of the reference's
+    query endpoints can speak SQL directly to this engine."""
+    for name in ("orders",):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SHARED_SQL)

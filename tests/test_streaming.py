@@ -62,3 +62,42 @@ def test_batch_stream_window_parity(spark, sf_dir):
         (r["win_start"], r["event_type"]): r["n_events"] for r in stream.collect()
     }
     assert b == s
+
+
+def test_stream_to_atomic_snapshot(spark, tmp_path):
+    """Incremental drops → foreachBatch insert-dedup → atomic parquet
+    snapshot: readers always see a complete gold table, and the second
+    drop's duplicates are skipped on disk too."""
+    from etl_script_spark.sources import writers as w
+
+    drop_dir = str(tmp_path / "drops")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "gold")
+    acc: list = []
+    base_sink = ingest.foreach_batch_insert_dedup(acc, ["k"])
+
+    def sink(batch_df, batch_id):
+        base_sink(batch_df, batch_id)
+        w.atomic_overwrite_parquet(acc[0], table)
+
+    def run_once():
+        sdf = spark.readStream.schema("k long, v string").parquet(drop_dir)
+        q = (
+            sdf.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_drop(spark, drop_dir, [(1, "a"), (2, "b")])
+    run_once()
+    assert spark.read.parquet(f"{table}/current").count() == 2
+
+    _write_drop(spark, drop_dir, [(2, "dup"), (3, "c")])
+    run_once()
+    got = {
+        (r["k"], r["v"])
+        for r in spark.read.parquet(f"{table}/current").collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
