@@ -65,18 +65,24 @@ def run_available_now(
     that table as a batch DataFrame. This is the test/oracle bridge:
     the driver's correctness gate gets a plain DataFrame out of a REAL
     streaming execution (stateful operators, watermarks and all)."""
+    import uuid
+
     spark = sdf.sparkSession
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
+    # unique per invocation: a repeated call (the driver may run the
+    # same declared query twice in one session) must not collide with
+    # the previous run's memory table or checkpoint
+    unique = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{unique}_")
     q = (
         sdf.writeStream.format("memory")
-        .queryName(query_name)
+        .queryName(unique)
         .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout_s)
-    return spark.table(query_name)
+    return spark.table(unique)
 
 
 def foreach_batch_insert_dedup(
