@@ -467,3 +467,34 @@ def test_company_structured_pipeline(spark):
         by_co.setdefault(x["registered_no"], set()).add(x["first_name"])
     assert by_co["0105561177671"] == {"สมชาย", "สมศรี"}  # J3 replace
     assert by_co["OTHER"] == {"คน"}                      # untouched
+
+
+# ----------------------------------------------------------- supplier
+
+def test_supplier_master_dual_calendar(spark):
+    """B8: BOTH calendar policies on one sheet — registration serials
+    decode with the BE-subtracting variant, effective dates use the
+    strict >2500 string policy (supplier_processor.py:53-97)."""
+    from etl_script_spark.pipelines import supplier_master
+
+    # the reference subtracts 543 from the DECODED year (its serials
+    # came from BE-calendar spreadsheets); assert that exact shift
+    serial_2024 = (dt.date(2024, 3, 15) - dt.date(1899, 12, 30)).days
+    raw = spark.createDataFrame(
+        [
+            ("S1", "Acme", "123", str(serial_2024), "01/02/2568", "50000"),
+            ("S2", "Beta", "456", str(serial_2024), str(serial_2024), ""),
+        ],
+        ["รหัสผู้ขาย", "ชื่อผู้ขาย", "เลขประจำตัวผู้เสียภาษี",
+         "วันที่จดทะเบียน", "วันที่เริ่มใช้", "วงเงินเครดิต"],
+    )
+    out = {r["supplier_code"]: r for r in
+           supplier_master.clean_supplier_master(raw).collect()}
+    # BE-adjust variant: decoded 2024 → minus 543 → 1481
+    assert str(out["S1"]["registration_date"]) == "1481-03-15"
+    # strict string policy: BE 2568 → 2025 (d/m/Y)
+    assert str(out["S1"]["start_effective_date"]) == "2025-02-01"
+    # serial branch of the mixed policy: plain decode, no BE shift
+    assert str(out["S2"]["start_effective_date"]) == "2024-03-15"
+    assert out["S1"]["credit_limit"] == 50000.0
+    assert out["S2"]["credit_limit"] is None
