@@ -26,20 +26,29 @@ def safe_make_date(y: Column, m: Column, d: Column) -> Column:
     return F.try_to_timestamp(s, F.lit("y-M-d")).cast("date")
 
 
-def be_to_ce_year(year: Column, threshold: int = BE_THRESHOLD_DEFAULT) -> Column:
-    """F1: Buddhist→Gregorian year: year >= threshold → year - 543.
+def be_to_ce_year(
+    year: Column, threshold: int = BE_THRESHOLD_DEFAULT, inclusive: bool = False
+) -> Column:
+    """F1: Buddhist→Gregorian year: year > threshold → year - 543.
 
-    Ref: credit-prepare-api/inv_processor.py:5-21,
-    script_read_dbd_balance.py:82-89, BolApiController.php:438-451.
+    The default comparison is STRICT (>), matching
+    services/inv_processor.py:9, services/po_old_processor.py:10
+    (fix_buddhist_year) and supplier_processor.py:73 (> 2500).
+    ``inclusive=True`` gives the >= variant used by
+    pdf_ocr_inv_to_json.py:70 and script_read_dbd_balance.py:85
+    (2400 <= y <= 2600). Ref also: BolApiController.php:438-451.
     """
     y = year.try_cast("int")  # ANSI-safe: non-numeric input → NULL
-    return F.when(y >= threshold, y - 543).otherwise(y)
+    hit = (y >= threshold) if inclusive else (y > threshold)
+    return F.when(hit, y - 543).otherwise(y)
 
 
-def be_date_fix(d: Column, threshold: int = BE_THRESHOLD_DEFAULT) -> Column:
+def be_date_fix(
+    d: Column, threshold: int = BE_THRESHOLD_DEFAULT, inclusive: bool = False
+) -> Column:
     """F1 on a DateType column: rebuild the date with the CE year."""
     return F.make_date(
-        be_to_ce_year(F.year(d), threshold), F.month(d), F.dayofmonth(d)
+        be_to_ce_year(F.year(d), threshold, inclusive), F.month(d), F.dayofmonth(d)
     )
 
 
@@ -53,7 +62,11 @@ def excel_serial_to_date(
     RESULT (supplier_processor.py:91-97). Ref: inv_processor.py:17-19,
     read_rem_detail_to_json.py:53-57.
     """
-    serial = (n.cast("string")).try_cast("double").cast("int")
+    # try_cast both hops: a digit string exceeding int32 range (e.g. a
+    # 13-digit tax id landing in the serial column) must become NULL,
+    # not an ANSI CAST_OVERFLOW abort — the documented failure→NULL
+    # contract (reference returns NaT, po_old_processor.py:17-21).
+    serial = (n.cast("string")).try_cast("double").try_cast("int")
     d = F.date_add(F.to_date(F.lit("1899-12-30")), serial)
     if be_adjust:
         d = F.make_date(F.year(d) - 543, F.month(d), F.dayofmonth(d))
@@ -218,7 +231,8 @@ def be_dotted_to_iso(c: Column, threshold: int = BE_THRESHOLD_DEFAULT) -> Column
 def dayfirst_normalize(c: Column, threshold: int = BE_THRESHOLD_DEFAULT) -> Column:
     """F8: Thai day-first date normalization — unify separators to '-',
     detect Y-m-d vs d-m-Y, 2-digit year → 2000+, BE−543 when year ≥
-    threshold (the cited call site uses 2400; pipelines needing the
+    threshold — INCLUSIVE >=, exactly as the cited call site's
+    ``if y >= 2400`` (po_old_processor.py:55; pipelines needing the
     strict >2500 policy pass BE_THRESHOLD_STRICT per SURVEY §7.4.2),
     day-first parse with month-first fallback.
 

@@ -143,9 +143,18 @@ def minhash_lsh_candidates(
 
     Returns distinct candidate pairs (id_a < id_b) with their
     estimated Jaccard (signature agreement ratio).
+
+    The signature table feeds THREE consumers (banding + both sides of
+    the agreement rejoin) — it is persisted so the explode+k-aggregate
+    signature pipeline runs exactly once (recomputing it 3× at 100 TB
+    is days of cluster time; Spark evicts the cache LRU, and callers
+    running many corpora can ``spark.catalog.clearCache()`` between
+    them). The banded self-join is hinted shuffle_hash so both sides
+    reuse ONE exchange (same lesson as embedding_near_dups /
+    ngram_jaccard_pairs).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     # banded carries ONLY (id, band, bucket): the candidate self-join
     # shuffles 3 small columns, not the 64-long signatures
     banded = sig.select(
@@ -172,6 +181,7 @@ def minhash_lsh_candidates(
     ).select("id", "bb.band", "bb.bucket")
     pairs = (
         banded.alias("a")
+        .hint("shuffle_hash")
         .join(
             banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
@@ -203,17 +213,23 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     explode shingles → self-join on shingle → count shared / union.
 
     Scale shape: the join key is a single shingle hash; hot shingles
-    (stopword runs) can be pre-filtered with ``max_df`` for a real
-    corpus — sum(df²) over surviving shingles bounds the join output.
-    The self-join is hinted shuffle-hash so both sides share ONE
-    shuffle exchange (ReuseExchange): the shingle table is computed
-    once, not once per side as a broadcast plan would.
+    (stopword runs, boilerplate) are pre-filtered with ``max_df`` —
+    sum(df²) over surviving shingles bounds the join output, and
+    without a cap ONE boilerplate sentence shared by 1M docs yields
+    10¹² pairs. The default (1000) keeps the blowup bounded at
+    ~max_df× the corpus size; pass ``max_df=None`` ONLY for corpora
+    known to have no hot shingles. Dropping a shingle from ALL docs
+    that share it shifts Jaccard identically on both sides, so
+    near-dup pairs still surface. The self-join is hinted shuffle-hash
+    so both sides share ONE shuffle exchange (ReuseExchange): the
+    shingle table is computed once, not once per side as a broadcast
+    plan would.
     """
     sh = (
         _fan_out(df)

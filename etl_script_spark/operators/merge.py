@@ -19,14 +19,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+def upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
     """J6: keyed updateOrCreate — source rows win on key collision,
     unmatched target rows survive.
+
+    ``order_col`` (e.g. a stamped ingest ordinal) resolves intra-batch
+    duplicate keys last-write-wins, matching the reference's sequential
+    updateOrCreate loop (ImportDbdFinancial.php:196-204). Without it,
+    duplicate keys resolve arbitrarily (dropDuplicates) — fine only
+    when the batch is already key-unique.
 
     Ref: PublicApiController.php:159-165 (company_id, year),
     ImportDbdFinancial.php:209-212, BolApiController.php:332-336.
     """
-    src = dedupe_last(source, keys)
+    src = dedupe_last(source, keys, order_col)
+    if order_col is not None and order_col not in target.columns:
+        src = src.drop(order_col)  # transient ingest stamp, not table data
     return target.join(src, keys, "left_anti").unionByName(src)
 
 
@@ -58,21 +71,50 @@ def replace_children(
 
 
 def diff_sync(
-    target: DataFrame, source: DataFrame, keys: list[str]
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+    soft_delete_col: str | None = None,
+    delete_stamp: Column | None = None,
 ) -> DataFrame:
     """J4: full-outer diff-sync — upsert incoming rows, DELETE target
     rows whose natural key is absent from source (MERGE ... WHEN NOT
     MATCHED BY SOURCE THEN DELETE semantics).
 
-    Ref: BolApiController.php:201-249 (directors), :252-303
-    (shareholders).
+    With ``soft_delete_col`` (the reference's ``deleted_at``), deletes
+    become SOFT: target rows missing from source keep their row but get
+    ``delete_stamp`` in that column (preserving an earlier stamp if
+    already soft-deleted), and matched/new source rows are RESTORED
+    (column set to NULL) — exactly the updateOrCreate-restores /
+    soft-delete-missing behavior of BolApiController.php:201-249
+    (directors), :252-303 (shareholders). ``delete_stamp`` is a caller-
+    supplied Column (the reference uses now(); pass an explicit
+    timestamp literal for deterministic output).
+
+    Without ``soft_delete_col`` the delete is hard and the result is
+    simply the deduped source (the end-state for hard rows).
     """
-    src = dedupe_last(source, keys)
-    return src  # target rows not in source are dropped; source wins on match
+    src = dedupe_last(source, keys, order_col)
+    if soft_delete_col is None:
+        return src  # hard delete: target rows not in source are dropped
+    if delete_stamp is None:
+        delete_stamp = F.current_timestamp()
+    stamp_type = target.schema[soft_delete_col].dataType
+    live = src.withColumn(soft_delete_col, F.lit(None).cast(stamp_type))
+    gone = target.join(src.select(*keys), keys, "left_anti").withColumn(
+        soft_delete_col,
+        F.coalesce(F.col(soft_delete_col), delete_stamp.cast(stamp_type)),
+    )
+    return live.unionByName(gone, allowMissingColumns=True)
 
 
 def diff_sync_scoped(
-    target: DataFrame, source: DataFrame, scope_key: str, keys: list[str]
+    target: DataFrame,
+    source: DataFrame,
+    scope_key: str,
+    keys: list[str],
+    order_col: str | None = None,
 ) -> DataFrame:
     """J4/J5 scoped: within each scope (e.g. company), source is the
     new truth (delete-missing + upsert); rows of scopes NOT present in
@@ -83,24 +125,32 @@ def diff_sync_scoped(
     """
     scopes = source.select(scope_key).distinct()
     untouched = target.join(scopes, scope_key, "left_anti")
-    return untouched.unionByName(dedupe_last(source, keys), allowMissingColumns=True)
+    return untouched.unionByName(
+        dedupe_last(source, keys, order_col), allowMissingColumns=True
+    )
 
 
 def keyed_replace_all(
-    target: DataFrame, source: DataFrame, scope_key: str, sub_key: str
+    target: DataFrame,
+    source: DataFrame,
+    scope_key: str,
+    sub_key: str,
+    order_col: str | None = None,
 ) -> DataFrame:
     """J5: keyed-year replace-all — upsert the (scope, sub) rows seen
     in the payload AND delete target rows of those scopes whose sub-key
     was not seen. Alias of diff_sync_scoped with explicit naming."""
-    return diff_sync_scoped(target, source, scope_key, [scope_key, sub_key])
+    return diff_sync_scoped(
+        target, source, scope_key, [scope_key, sub_key], order_col
+    )
 
 
 def dedupe_last(df: DataFrame, keys: list[str], order_col: str | None = None) -> DataFrame:
     """Keep the LAST row per key (reference overwrite semantics,
-    ImportDbdFinancial.php:196-204). With no order column, uses an
-    arbitrary-but-deterministic max over remaining columns via
-    row_number on all columns descending is overkill — callers that
-    care pass ``order_col`` (ingest ordinal)."""
+    ImportDbdFinancial.php:196-204). Without ``order_col`` this is
+    dropDuplicates — an ARBITRARY keep, not last-write-wins; pass a
+    stamped ingest ordinal whenever intra-batch duplicates are
+    possible (upsert/diff_sync thread it through)."""
     if order_col is None:
         return df.dropDuplicates(keys)
     return _keep_extreme(df, keys, order_col, last=True)

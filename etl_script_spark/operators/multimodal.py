@@ -63,35 +63,43 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary image columns.
 
     mapInPandas: each batch arrives as a pandas DataFrame with the
-    binary payloads materialized once; the stub decode runs per row
-    INSIDE the batch (vectorizable when the real library lands).
+    binary payloads materialized once. The batch body is column-wise
+    pandas (Series.map over the payload column — no iterrows, no
+    per-row dict building); a real decoder slots into the same
+    ``_decode`` closure, or replaces it with a true vectorized call
+    (e.g. a batched GPU decode) without touching the plumbing.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        def _decode(payload):
+            try:
+                return decode_image_stub(payload)
+            except NotImplementedError:
+                return (None, None, None)
+
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r["content"]
-                try:
-                    w, h, luma = decode_image_stub(payload)
-                except NotImplementedError:
-                    w = h = None
-                    luma = None
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "n_bytes": len(payload) if payload is not None else None,
-                        "sha_prefix": hashlib.sha256(payload).hexdigest()[:16]
-                        if payload is not None
-                        else None,
-                        "width": w,
-                        "height": h,
-                        "mean_luma": luma,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
+            payloads = pdf["content"]
+            decoded = payloads.map(_decode)
+            # object-dtype Series (ints/strings + None) — Arrow maps
+            # None→null directly, no float-NaN round trip
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": payloads.map(
+                        lambda p: None if p is None else len(p)
+                    ).astype(object),
+                    "sha_prefix": payloads.map(
+                        lambda p: None
+                        if p is None
+                        else hashlib.sha256(p).hexdigest()[:16]
+                    ).astype(object),
+                    "width": decoded.map(lambda d: d[0]).astype(object),
+                    "height": decoded.map(lambda d: d[1]).astype(object),
+                    "mean_luma": decoded.map(lambda d: d[2]).astype(object),
+                }
+            )
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         _extract, IMAGE_FEATURES_SCHEMA

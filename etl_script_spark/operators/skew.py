@@ -28,7 +28,16 @@ def salted_join(
     The other side replicates n_salts× — use when it is much smaller
     than the hot partitions it breaks up (else broadcast it outright).
     Salt is derived from stable row content (xxhash64 of all columns),
-    not rand(), so retried tasks produce identical output."""
+    not rand(), so retried tasks produce identical output.
+
+    Only ``inner`` and ``left`` are supported: under ``right``/``full``
+    every UNMATCHED row of the replicated side would survive once per
+    salt, silently duplicating output n_salts×."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "right/full would emit each unmatched replicated row once per salt"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     a = skewed.withColumn("__salt", salt)
     b = other.withColumn(

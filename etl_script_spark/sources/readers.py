@@ -23,6 +23,7 @@ Reference semantics reproduced:
 
 from __future__ import annotations
 
+import codecs
 import glob as _glob
 import os
 
@@ -56,13 +57,23 @@ def sniff_encoding(
     is distinguished from utf-8 by the BOM."""
     with open(path, "rb") as f:
         head = f.read(PROBE_BYTES)
+    truncated = len(head) == PROBE_BYTES
     if head.startswith(b"\xef\xbb\xbf") and "utf-8-sig" in encodings:
         return "utf-8-sig"
     for enc in encodings:
         if enc == "utf-8-sig":
             continue
         try:
-            head.decode(enc)
+            if truncated:
+                # the 64 KiB boundary may split a multibyte sequence —
+                # decode incrementally with final=False so a truncated
+                # tail doesn't fail the probe and silently demote a
+                # valid utf-8 file to cp874 (mojibake for Thai text)
+                codecs.getincrementaldecoder(enc)(errors="strict").decode(
+                    head, final=False
+                )
+            else:
+                head.decode(enc)
             return enc
         except (UnicodeDecodeError, LookupError):
             continue

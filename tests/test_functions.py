@@ -21,13 +21,27 @@ def _eval(spark, col, rows, in_type="string"):
 # ---------------- dates ----------------
 
 def test_be_to_ce_year(spark):
-    out = _eval(spark, dates.be_to_ce_year, ["2568", "1997", "2399", "2400"])
-    assert out == [2025, 1997, 2399, 1857]
+    # strict > threshold (inv_processor.py:9): exactly 2400 stays put
+    out = _eval(spark, dates.be_to_ce_year, ["2568", "1997", "2399", "2400", "2401"])
+    assert out == [2025, 1997, 2399, 2400, 1858]
+    # inclusive >= variant (pdf_ocr_inv_to_json.py:70)
+    out = _eval(
+        spark,
+        lambda c: dates.be_to_ce_year(c, inclusive=True),
+        ["2400", "2399"],
+    )
+    assert out == [1857, 2399]
+    # ANSI overflow guard: a 13-digit id in the year column → NULL
+    out = _eval(spark, dates.be_to_ce_year, ["1234567890123"])
+    assert out == [None]
 
 
 def test_excel_serial_to_date(spark):
-    out = _eval(spark, dates.excel_serial_to_date, ["45000", "0", "60001"])
-    assert out == [dt.date(2023, 3, 15), None, None]
+    # 13-digit id reaching the serial column: NULL, not CAST_OVERFLOW
+    out = _eval(
+        spark, dates.excel_serial_to_date, ["45000", "0", "60001", "1234567890123"]
+    )
+    assert out == [dt.date(2023, 3, 15), None, None, None]
     out = _eval(
         spark,
         lambda c: dates.excel_serial_to_date(c, be_adjust=True),

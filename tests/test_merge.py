@@ -1,0 +1,66 @@
+"""Merge-operator semantics: soft-delete diff-sync and ordered
+last-write-wins upsert (SURVEY.md §2.6 J4/J6)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import merge
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_diff_sync_hard_delete_is_source(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    source = spark.createDataFrame([(2, "B"), (3, "C")], ["k", "v"])
+    out = merge.diff_sync(target, source, ["k"])
+    assert _rows(out, "k", "v") == [(2, "B"), (3, "C")]
+
+
+def test_diff_sync_soft_delete_restore_and_stamp(spark):
+    """BolApiController.php:201-249: matched/new rows are upserted with
+    deleted_at restored to NULL; target rows missing from the payload
+    are soft-deleted (stamped), keeping an earlier stamp if present."""
+    old_stamp = dt.datetime(2020, 1, 1)
+    target = spark.createDataFrame(
+        [
+            (1, "a", None),        # missing from source → stamped
+            (2, "b", old_stamp),   # missing + already deleted → keeps stamp
+            (3, "c", old_stamp),   # matched while soft-deleted → restored
+        ],
+        "k long, v string, deleted_at timestamp",
+    )
+    source = spark.createDataFrame(
+        [(3, "C"), (4, "D")], "k long, v string"
+    )
+    stamp = dt.datetime(2024, 6, 1)
+    out = merge.diff_sync(
+        target,
+        source,
+        ["k"],
+        soft_delete_col="deleted_at",
+        delete_stamp=F.lit(stamp),
+    )
+    got = {r["k"]: (r["v"], r["deleted_at"]) for r in out.collect()}
+    assert got == {
+        1: ("a", stamp),       # newly soft-deleted
+        2: ("b", old_stamp),   # earlier stamp preserved
+        3: ("C", None),        # restored on match, payload wins
+        4: ("D", None),        # inserted live
+    }
+
+
+def test_upsert_order_col_last_write_wins(spark):
+    """Intra-batch duplicate keys resolve by the stamped ingest ordinal
+    (ImportDbdFinancial.php:196-204 sequential updateOrCreate)."""
+    target = spark.createDataFrame([(1, "old")], ["k", "v"])
+    source = spark.createDataFrame(
+        [(1, "first", 10), (1, "last", 20), (2, "x", 5)],
+        ["k", "v", "ord"],
+    )
+    out = merge.upsert(target, source, ["k"], order_col="ord")
+    assert _rows(out, "k", "v") == [(1, "last"), (2, "x")]

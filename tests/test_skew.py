@@ -29,6 +29,16 @@ def test_salted_join_matches_plain(spark):
     )
 
 
+def test_salted_join_rejects_right_full(spark):
+    import pytest
+
+    big = _skewed_df(spark)
+    dim = spark.createDataFrame([("HOT", "x")], ["key", "label"])
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            skew.salted_join(big, dim, "key", how=how)
+
+
 def test_two_phase_agg_matches_plain(spark):
     df = _skewed_df(spark)
     plain = {

@@ -25,6 +25,17 @@ def test_sniff_encoding_cp874(tmp_path):
     assert readers.sniff_encoding(str(p)) == "cp874"
 
 
+def test_sniff_encoding_probe_boundary_splits_multibyte(tmp_path):
+    """A valid utf-8 file whose 64 KiB probe boundary lands mid-
+    character must still sniff as utf-8 (not fall through to cp874
+    and mojibake the Thai text)."""
+    p = tmp_path / "big.csv"
+    # place a 3-byte Thai char straddling the probe boundary
+    filler = b"a" * (readers.PROBE_BYTES - 1)
+    p.write_bytes(filler + "ไทยไทยไทย".encode("utf-8") + b"\n")
+    assert readers.sniff_encoding(str(p)) == "utf-8"
+
+
 def test_csv_fallback_mixed_encodings(spark, tmp_path):
     (tmp_path / "u8.csv").write_text("k,v\n1,alpha\n", encoding="utf-8")
     (tmp_path / "th.csv").write_text("k,v\n2,ไทย\n", encoding="cp874")
