@@ -283,6 +283,52 @@ def a6_last_wins_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j4_diff_sync_soft_delete",
+    """
+    WITH target AS (
+      SELECT c_custkey AS k, c_name AS v,
+             CASE WHEN c_custkey % 5 = 0
+                  THEN TIMESTAMP '2020-01-01 00:00:00' END AS deleted_at
+      FROM customer
+    ), source AS (
+      SELECT c_custkey AS k, c_mktsegment AS v
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT s.k, s.v, CAST(NULL AS TIMESTAMP) AS deleted_at FROM source s
+    UNION ALL
+    SELECT t.k, t.v, COALESCE(t.deleted_at, TIMESTAMP '2024-06-01 00:00:00')
+    FROM target t WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.k = t.k)
+    """,
+    ("J4",),
+)
+def j4_diff_sync_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 with the reference's soft-delete fidelity: payload rows are
+    upserted AND restored (deleted_at → NULL, even if previously
+    soft-deleted); target rows missing from the payload are soft-
+    deleted with a stamp, preserving an earlier stamp
+    (BolApiController.php:201-249)."""
+    c = t(spark, sf_dir, "customer")
+    target = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("v"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.lit("2020-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("deleted_at"),
+    )
+    source = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("v")
+    )
+    return merge_ops.diff_sync(
+        target,
+        source,
+        ["k"],
+        soft_delete_col="deleted_at",
+        delete_stamp=F.lit("2024-06-01 00:00:00").cast("timestamp_ntz"),
+    )
+
+
+@register(
     "mm_frame_sample",
     """
     SELECT doc_id AS media_id,

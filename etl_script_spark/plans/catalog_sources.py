@@ -216,6 +216,102 @@ def s16_file_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("file_name", "file_size", "md5")
 
 
+@register(
+    "s4_pdf_table_extract",
+    """
+    SELECT 'r_' || CAST(r_regionkey AS VARCHAR) || '.pdf' AS path,
+           'table-camelot-lattice' AS mode,
+           r_name AS region_name,
+           CAST(r_regionkey AS VARCHAR) AS region_key
+    FROM region
+    """,
+    ("S4",),
+)
+def s4_pdf_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: the distributed table-extraction path (binary files →
+    mapInPandas engine cascade → header-promoted records), driven by a
+    deterministic fake lattice engine since the real camelot/tabula
+    libs are absent — the batching/envelope/normalization contract is
+    what's proven (pdf_ocr_inv_to_json.py:387-421 run_table)."""
+    from etl_script_spark.extract import extract_pdf_tables
+
+    files = t(spark, sf_dir, "region").select(
+        F.concat(
+            F.lit("r_"), F.col("r_regionkey").cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.encode(
+            F.concat_ws("|", F.col("r_name"), F.col("r_regionkey").cast("string")),
+            "utf-8",
+        ).alias("content"),
+    )
+
+    def fake_lattice(content: bytes):
+        name, key = bytes(content).decode("utf-8").split("|")
+        # positional-digit keys: normalize promotes the first row to header
+        return [[{"0": "Region", "1": "Key"}, {"0": name, "1": key}]]
+
+    out = extract_pdf_tables(files, extractors={"camelot-lattice": fake_lattice})
+    return out.select(
+        "path",
+        "mode",
+        F.col("fields")["Region"].alias("region_name"),
+        F.col("fields")["Key"].alias("region_key"),
+    )
+
+
+@register(
+    "s5_pdf_text_ocr_cascade",
+    """
+    SELECT 'n_' || CAST(n.n_nationkey AS VARCHAR) || '.pdf' AS path,
+           md5(n.n_name || '|' || CAST(n.n_nationkey AS VARCHAR)) AS file_md5,
+           CASE WHEN n.n_nationkey % 2 = 0 THEN 'text-pdfminer'
+                ELSE 'ocr-tesseract' END AS engine,
+           CASE WHEN n.n_nationkey % 2 = 0 THEN 2 ELSE 1 END AS num_pages,
+           CAST(p.p AS INT) AS page_number,
+           CASE WHEN n.n_nationkey % 2 <> 0 THEN 'OCR-' || n.n_name
+                WHEN p.p = 1 THEN n.n_name
+                ELSE 'p2-' || n.n_name END AS text
+    FROM nation n CROSS JOIN (SELECT UNNEST([1, 2]) AS p) p
+    WHERE n.n_nationkey % 2 = 0 OR p.p = 1
+    """,
+    ("S5", "S6", "S16"),
+)
+def s5_pdf_text_ocr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6: text-layer → OCR cascade with per-page fan-out and the
+    md5 provenance envelope. Even-keyed files have a text layer (two
+    pages); odd-keyed files have an EMPTY layer and must fall through
+    to the OCR engine (pdf_ocr_dbd_to_json.py:434-456 lifecycle),
+    driven by deterministic fakes."""
+    from etl_script_spark.extract import extract_pdf_text
+
+    files = t(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lit("n_"), F.col("n_nationkey").cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.encode(
+            F.concat_ws("|", F.col("n_name"), F.col("n_nationkey").cast("string")),
+            "utf-8",
+        ).alias("content"),
+    )
+
+    def fake_miner(content: bytes):
+        name, key = bytes(content).decode("utf-8").split("|")
+        if int(key) % 2 == 0:
+            return [name, f"p2-{name}"]
+        return ["", ""]  # scanned: layer present but empty → cascade
+
+    def fake_tess(content: bytes):
+        name, _ = bytes(content).decode("utf-8").split("|")
+        return [f"OCR-{name}"]
+
+    out = extract_pdf_text(
+        files, extractors={"pdfminer": fake_miner, "tesseract": fake_tess}
+    )
+    return out.select(
+        "path", "file_md5", "engine", "num_pages", "page_number", "text"
+    )
+
+
 _SHARED_SQL = """
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,

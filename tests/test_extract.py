@@ -1,0 +1,149 @@
+"""Extraction sidecar (S4-S6): cascade, envelope, header promotion,
+and page fan-out — exercised with injected fake engines (the real
+camelot/tabula/pdfminer/tesseract deps are absent in this container;
+their import-gated factories must degrade to None, never raise)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_script_spark.extract import (
+    available_table_engines,
+    available_text_engines,
+    extract_pdf_tables,
+    extract_pdf_text,
+    normalize_table_records,
+)
+
+
+def _files_df(spark, files):
+    return spark.createDataFrame(
+        [(p, bytearray(c)) for p, c in files], "path string, content binary"
+    )
+
+
+def test_engine_registry_degrades_without_deps():
+    # no extraction libs in this container: factories return None (not raise)
+    assert available_table_engines() == []
+    assert available_text_engines() == []
+
+
+def test_normalize_header_promotion():
+    # camelot positional-digit keys: first row IS the header
+    tables = [
+        [
+            {"0": "Invoice No", "1": " Amount "},
+            {"0": "INV001", "1": "1,000.50"},
+            {"0": "INV002", "1": "2,000.00"},
+        ],
+        [{"0": "Invoice No", "1": "Amount"}, {"0": "INV003", "1": "5"}],
+    ]
+    recs = normalize_table_records(tables)
+    assert recs[0] == {
+        "Invoice No": "INV001",
+        "Amount": "1,000.50",
+        "_table_index": "0",
+    }
+    # header promotion uses table 0's header; rows keep their table tag
+    assert [r["_table_index"] for r in recs] == ["0", "0", "1", "1"]
+
+
+def test_normalize_named_keys_passthrough():
+    tables = [[{" Invoice  No ": " INV9 ", "Amount": "7"}]]
+    recs = normalize_table_records(tables)
+    assert recs == [
+        {"Invoice No": "INV9", "Amount": "7", "_table_index": "0"}
+    ]
+
+
+def test_pdf_tables_cascade_and_envelope(spark):
+    """First engine fails on one file, second succeeds; a third file
+    extracts nowhere and must surface as a null-fields row."""
+
+    def lattice(content: bytes):
+        if b"lattice-ok" in content:
+            return [[{"0": "H", "1": "K"}, {"0": "a", "1": "b"}]]
+        return None
+
+    def stream(content: bytes):
+        if b"stream-ok" in content:
+            return [[{"Col": "x"}, {"Col": "y"}]]
+        return None
+
+    files = _files_df(
+        spark,
+        [
+            ("f1.pdf", b"lattice-ok"),
+            ("f2.pdf", b"stream-ok"),
+            ("f3.pdf", b"scanned garbage"),
+        ],
+    )
+    out = extract_pdf_tables(
+        files,
+        extractors={"camelot-lattice": lattice, "camelot-stream": stream},
+    ).collect()
+    by_path = {}
+    for r in out:
+        by_path.setdefault(r["path"], []).append(r)
+    assert [r["mode"] for r in by_path["f1.pdf"]] == ["table-camelot-lattice"]
+    assert by_path["f1.pdf"][0]["fields"] == {"H": "a", "K": "b"}
+    assert {r["mode"] for r in by_path["f2.pdf"]} == {"table-camelot-stream"}
+    # row_index preserves file order for P7/O5 downstream
+    assert [r["row_index"] for r in by_path["f2.pdf"]] == [0, 1]
+    assert by_path["f3.pdf"][0]["mode"] is None
+    assert by_path["f3.pdf"][0]["fields"] is None
+
+
+def test_pdf_text_layer_then_ocr_fallback(spark):
+    """Empty text layer (scanned PDF) must cascade to OCR; page rows
+    carry md5/size provenance and the combining-mark rejoin runs."""
+
+    def miner(content: bytes):
+        if b"has-layer" in content:
+            # newline splits a Thai combining mark — must be rejoined
+            return ["บริษ\nัท one", "page two"]
+        return ["", ""]  # present but empty layer → cascade
+
+    def tess(content: bytes):
+        return ["ocr text"]
+
+    files = _files_df(
+        spark, [("a.pdf", b"has-layer"), ("b.pdf", b"scanned")]
+    )
+    rows = extract_pdf_text(
+        files, extractors={"pdfminer": miner, "tesseract": tess}
+    ).collect()
+    a = sorted(
+        (r for r in rows if r["path"] == "a.pdf"), key=lambda r: r["page_number"]
+    )
+    b = [r for r in rows if r["path"] == "b.pdf"]
+    assert [r["engine"] for r in a] == ["text-pdfminer"] * 2
+    assert a[0]["text"].startswith("บริษัท")
+    assert a[0]["num_pages"] == 2 and a[1]["page_number"] == 2
+    import hashlib
+
+    assert a[0]["file_md5"] == hashlib.md5(b"has-layer").hexdigest()
+    assert a[0]["file_size"] == len(b"has-layer")
+    assert [r["engine"] for r in b] == ["ocr-tesseract"]
+    assert b[0]["text"] == "ocr text"
+
+
+def test_pdf_text_ocr_only_mode(spark):
+    calls = []
+
+    def miner(content):
+        calls.append("miner")
+        return ["layer"]
+
+    def tess(content):
+        calls.append("tess")
+        return ["ocr"]
+
+    files = _files_df(spark, [("x.pdf", b"anything")])
+    rows = extract_pdf_text(
+        files,
+        prefer_text_layer=False,
+        extractors={"pdfminer": miner, "tesseract": tess},
+    ).collect()
+    assert rows[0]["engine"] == "ocr-tesseract"
+    assert "miner" not in calls
