@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_script_spark.pipelines import dbd_financial, invoice_report
+from etl_script_spark.pipelines import dbd_financial, invoice_report, sale_report
 from etl_script_spark.plans.catalog import register, t
 
 _LABELS = list(dbd_financial.TH_TO_EN_BALANCE)  # 5 Thai item labels
@@ -163,4 +163,98 @@ def pipeline_invoice_clean_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("invoice_date").cast("string").alias("invoice_date_str"),
         F.col("po_no"),
         F.col("amount"),
+    )
+
+
+@register(
+    "pipeline_sale_report_e2e",
+    """
+    SELECT 'DOC' || CAST(o_orderkey AS VARCHAR) AS doc_no,
+           'IV' || CAST(o_orderkey AS VARCHAR) AS invoice_no,
+           strftime(o_orderdate, '%Y-%m-%d') AS invoice_date,
+           CAST(NULL AS VARCHAR) AS po_no,
+           CAST(o_orderkey AS VARCHAR) AS cn_ref_doc,
+           CAST(NULL AS VARCHAR) AS assignment,
+           CAST(FLOOR((o_orderkey + 1000000) / 1000) * 1000
+                + (o_orderkey + 1000000) % 1000 AS DOUBLE)
+             + CAST(o_orderkey % 100 AS DOUBLE) / 100 AS amount,
+           0.0 AS vat, 0.0 AS net_amount,
+           '2025-03-01' AS start_round_date,
+           '2025-03-15' AS end_round_date,
+           'SUPP' || CAST(o_custkey AS VARCHAR) AS supplier_name,
+           CAST(o_custkey AS VARCHAR) AS supplier_code
+    FROM orders
+    UNION ALL
+    SELECT 'DOCX' || CAST(o_orderkey AS VARCHAR), '',
+           CAST(NULL AS VARCHAR), NULL, NULL, NULL,
+           0.0, 0.0, 0.0, '2025-03-01', '2025-03-15',
+           'SUPP' || CAST(o_custkey AS VARCHAR), CAST(o_custkey AS VARCHAR)
+    FROM orders
+    """,
+    ("S7", "S8", "F6", "F7", "F28", "F29", "P6", "pipeline-e2e"),
+)
+def pipeline_sale_report_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8 end-to-end: one synthetic LLM-OCR HTML document per order
+    (header table with a ragged second row, a total row that must be
+    dropped, an empty-ลำดับที่ row that must be dropped, Thai-month
+    round dates and a Vendor header), through the full HTML→records→
+    metadata-enrichment→DB-key pipeline. The oracle states every
+    expected DB row from first principles."""
+    o = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    v = F.col("o_orderkey") + 1000000
+    amount_str = F.concat(
+        F.floor(v / 1000).cast("long").cast("string"),
+        F.lit(","),
+        F.lpad((v % 1000).cast("string"), 3, "0"),
+        F.lit("."),
+        F.lpad((F.col("o_orderkey") % 100).cast("string"), 2, "0"),
+    )
+    be_date = F.concat(
+        F.date_format("o_orderdate", "dd.MM."),
+        (F.year("o_orderdate") + 543).cast("string"),
+    )
+    td = lambda c: F.concat(F.lit("<td>"), c, F.lit("</td>"))  # noqa: E731
+    html = F.concat(
+        F.lit(
+            "<html><p>รายงานการขายสินค้า - แยกตาม Invoice</p>"
+            "<p>รอบวันที่ 1 - 15 มีนาคม 2568</p><p>#Vendor "
+        ),
+        F.col("o_custkey").cast("string"),
+        F.lit(" / SUPP"),
+        F.col("o_custkey").cast("string"),
+        F.lit(
+            " (1)</p><table>"
+            "<tr><th>ลำดับที่</th><th>เลขที่เอกสาร</th><th>Invoice no.</th>"
+            "<th>วันที่เอกสาร</th><th>จำนวนเงิน</th><th>CN. Ref. Doc.</th></tr>"
+            "<tr>"
+        ),
+        td(F.lit("1")),
+        td(F.concat(F.lit("DOC"), key)),
+        td(F.concat(F.lit("IV"), key)),
+        td(be_date),
+        td(amount_str),
+        td(F.concat(key, F.lit(".0"))),
+        # ragged second row: trailing cells missing, must pad to width
+        F.lit("</tr><tr>"),
+        td(F.lit("2")),
+        td(F.concat(F.lit("DOCX"), key)),
+        # empty-ลำดับที่ row: dropped by the sequence filter
+        F.lit("</tr><tr><td></td><td>ZZZ</td></tr>"),
+        # total row: dropped by the P6 filter
+        F.lit("<tr><td>Total</td><td></td><td></td><td></td><td>999</td><td></td></tr>"
+              "</table></html>"),
+    )
+    docs = o.select(F.col("o_orderkey").alias("doc_key"), html.alias("html"))
+    records = sale_report.sale_invoice_records(docs, "html", ["doc_key"])
+    out = sale_report.sale_invoice_db_rows(records)
+    # dates as ISO strings: DuckDB DATE surfaces as pandas Timestamp
+    # in the comparator, Spark DATE as datetime.date — strings align
+    return out.select(
+        *[
+            F.col(c).cast("string").alias(c)
+            if c in ("invoice_date", "start_round_date", "end_round_date")
+            else F.col(c)
+            for c in out.columns
+        ]
     )
