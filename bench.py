@@ -76,19 +76,35 @@ def main() -> None:
         q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         extra[name] = round(time.perf_counter() - start, 4)
 
+    # Full per-query manifest: EVERY catalog query timed once (single
+    # pass, no warm-up — attribution data for round-over-round
+    # regressions, not the headline metric). Headline/extra queries
+    # reuse their steady-state numbers.
+    manifest: dict[str, float] = {**timings, **extra}
+    errors: dict[str, str] = {}
+    for name, q in CATALOG.items():
+        if name in manifest:
+            continue
+        try:
+            start = time.perf_counter()
+            q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            manifest[name] = round(time.perf_counter() - start, 4)
+        except Exception as e:  # one bad query must not kill the bench
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra_queries": extra,
+        "manifest": manifest,
+        "sf": sf,
+    }
+    if errors:
+        out["manifest_errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -217,6 +217,41 @@ def s16_file_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s2_excel_roundtrip",
+    """
+    SELECT n_nationkey, n_name FROM nation
+    """,
+    ("S2",),
+)
+def s2_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: xlsx written with the stdlib writer, read back through the
+    DISTRIBUTED excel source (binaryFile + mapInPandas engine cascade,
+    which lands on the stdlib OOXML engine in this container) — a full
+    write→read round-trip of the Excel path with zero optional deps."""
+    from etl_script_spark.sources import excel
+
+    d = _workdir(sf_dir, "s2")
+    rows = sorted(
+        t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect(),
+        key=lambda r: r["n_nationkey"],
+    )  # 25-row dim — driver-side fixture build is the point
+    data = [["n_nationkey", "n_name"]] + [
+        [r["n_nationkey"], r["n_name"]] for r in rows
+    ]
+    excel.write_xlsx_simple(data, f"{d}/nation.xlsx")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.StringType()),
+            T.StructField("n_name", T.StringType()),
+        ]
+    )
+    df = excel.read_excel_distributed(spark, f"{d}/nation.xlsx", schema)
+    return df.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    )
+
+
+@register(
     "s4_pdf_table_extract",
     """
     SELECT 'r_' || CAST(r_regionkey AS VARCHAR) || '.pdf' AS path,

@@ -67,11 +67,79 @@ def test_excel_sniff_kinds():
 
 
 def test_excel_gated_import_error(tmp_path):
-    """Without engines installed, the cascade raises a clear
-    ImportError (never a silent wrong parse)."""
+    """A corrupt payload still raises a clear ImportError (never a
+    silent wrong parse) — the stdlib xlsx floor rejects non-zip
+    bytes, and legacy .xls has no engine in this container."""
     payload = b"PK\x03\x04" + b"\x00" * 64
     with pytest.raises(ImportError):
         excel._parse_excel_bytes(payload, header=0, dtype_str=True)
+    with pytest.raises(ImportError):
+        excel._parse_excel_bytes(
+            b"\xd0\xcf\x11\xe0" + b"\x00" * 64, header=0, dtype_str=True
+        )
+
+
+def test_xlsx_stdlib_roundtrip_driver(spark, tmp_path):
+    """write_xlsx_simple → read_excel_driver with NO optional engine
+    installed: the stdlib OOXML floor makes S2 real in this container.
+    Dates round-trip as Excel serials (F2's input contract)."""
+    p = tmp_path / "book.xlsx"
+    excel.write_xlsx_simple(
+        [
+            ["id", "name", "เมือง", "serial"],
+            [1, "alpha", "กรุงเทพ", 45000],
+            [2, "beta", None, 45001.5],
+        ],
+        str(p),
+    )
+    df = excel.read_excel_driver(spark, [str(p)])
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert [r["name"] for r in rows] == ["alpha", "beta"]
+    assert rows[0]["เมือง"] == "กรุงเทพ" and rows[1]["เมือง"] is None
+    assert rows[0]["serial"] == "45000"  # raw serial literal
+    assert rows[0]["source_sheet"] == "Sheet1"
+
+
+def test_xlsx_stdlib_shared_strings_and_gaps():
+    """Hand-built workbook using sharedStrings + sparse cell refs:
+    gaps become None, shared strings resolve, header=None stays
+    positional."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" xmlns:r="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships">'
+            '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+            'relationships"><Relationship Id="rId1" Type="t" '
+            'Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst xmlns="{ns}"><si><t>hello</t></si>'
+            "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>",
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c></row>'
+            '<row r="3"><c r="B3"><v>7.5</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    sheets = excel.parse_xlsx_stdlib(buf.getvalue(), header=None)
+    assert len(sheets) == 1
+    pdf = sheets[0][1]
+    assert pdf.iloc[0].tolist() == ["hello", None, "rich"]  # A1, gap, rich text C1
+    assert pdf.iloc[1].isna().all()  # skipped row r=2
+    assert pdf.iloc[2].tolist() == [None, "7.5", None]  # sparse B3
 
 
 def test_union_files_with_lineage(spark):
