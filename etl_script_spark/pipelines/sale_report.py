@@ -19,15 +19,21 @@ fetch half stays driver-side tooling / an ``extract`` engine), then:
 
 Spark-first: the OCR API emits machine-generated, well-formed HTML,
 so the table parse is a pure Column-expression regex pipeline
-(regexp_extract_all + posexplode) â€” no BeautifulSoup, no UDF, fully
-codegen'd and distributed. Header/row raggedness is resolved with one
-window per table. Map access uses try_element_at throughout (ANSI
-mode: [] on a missing map key throws).
+(regexp_extract_all + higher-order functions) â€” no BeautifulSoup, no
+UDF, fully codegen'd and distributed. The whole documentâ†’records
+lifecycle is a NARROW map: header promotion, ragged-row padding and
+the per-document metadata all happen inside per-row expressions, so
+there is no window shuffle and no join â€” at 100 TB the only exchange
+is whatever the caller's scan already has. Expensive intermediates
+(the parsed cell matrix, the tag-stripped text) are let-bound via a
+single-element ``transform`` so CollapseProject cannot re-inline them
+per consumer. Map access uses try_element_at throughout (ANSI mode:
+[] on a missing map key throws).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_script_spark.functions import dates, strings
@@ -44,6 +50,17 @@ _TOTAL_LINE_RE = r"(?i)(\btotal\b|grand\s*total|à¸£à¸§à¸¡à¸¢à¸­à¸”à¸—à¸±à¹‰à¸‡à¸
 
 def _strip_tags(c: Column) -> Column:
     return strings.norm_ws(F.regexp_replace(c, r"<[^>]+>", " "))
+
+
+def _let(value: Column, body) -> Column:
+    """Bind an expensive expression ONCE inside a single projection.
+
+    ``transform(array(value), v -> body(v))`` evaluates ``value``
+    exactly once however many times ``body`` references ``v`` â€”
+    Catalyst's CollapseProject re-inlines a plain column alias into
+    every consumer (the round-1 512 s MinHash lesson), but a lambda
+    variable is bound, not substituted."""
+    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def parse_html_tables(
@@ -84,45 +101,111 @@ def _clean_cell(c: Column) -> Column:
     )
 
 
-def html_rows_to_records(
-    rows: DataFrame, id_cols: list[str]
-) -> DataFrame:
-    """Header-promote + normalize the exploded table rows to records.
-
-    Per (document, table): pad/trim every row to the table's max width
-    (normalize_columns :96-106; empty header slots become col_<i>),
-    drop blank rows and total lines (:108-110), clean each cell, and
-    emit ``fields map<string,string>`` + the stamped row order. The
-    ``à¸¥à¸³à¸”à¸±à¸šà¸—à¸µà¹ˆ`` non-empty filter (:153-154) applies when that column
-    exists."""
-    w = Window.partitionBy(*id_cols, "table_index")
-    padded_w = F.greatest(F.max(F.size("cells")).over(w), F.lit(1))
-    df = rows.withColumn("__width", padded_w)
-    pad = F.concat(
-        F.col("cells"),
-        F.array_repeat(F.lit(""), F.col("__width") - F.size("cells")),
+def _pad_to(cells: Column, width: Column) -> Column:
+    """Pad a ragged row with '' up to the table width
+    (normalize_columns :96-106)."""
+    return F.slice(
+        F.concat(cells, F.array_repeat(F.lit(""), width - F.size(cells))),
+        1,
+        width,
     )
-    df = df.withColumn("__cells", F.slice(pad, 1, F.col("__width")))
-    header = F.first(
-        F.when(F.col("row_index") == 0, F.col("__cells")), ignorenulls=True
-    ).over(w)
-    df = df.withColumn(
-        "__header",
-        F.transform(
-            header,
-            lambda h, i: F.when(h == "", F.concat(F.lit("col_"), (i + 1).cast("string"))).otherwise(h),
+
+
+def table_records(tbody: Column) -> Column:
+    """One table body â†’ ``array<struct<row_index int,
+    fields map<string,string>>>`` as a single narrow expression.
+
+    Header promotion from row 0 (empty slots become col_<i>),
+    pad/trim every row to the table's max width (normalize_columns
+    :96-106), drop blank rows and total lines (:108-110), clean each
+    cell (:116-121). The original row position is preserved as
+    ``row_index`` (header = 0). Each regex pass happens exactly once
+    per table: the parsed cell matrix, the width/header pair and the
+    named header are all let-bound â€” no window, no shuffle."""
+    cells2d = F.transform(
+        F.regexp_extract_all(tbody, F.lit(_TR_RE), 1),
+        lambda r: F.transform(
+            F.regexp_extract_all(r, F.lit(_CELL_RE), 1), _strip_tags
         ),
     )
-    data = df.filter(F.col("row_index") > 0)
-    joined = F.lower(F.array_join("__cells", " "))
-    data = data.filter(F.exists("__cells", lambda c: c != "")).filter(
-        ~joined.rlike(_TOTAL_LINE_RE)
+    return _let(
+        cells2d,
+        lambda cs: _let(
+            F.struct(
+                F.greatest(
+                    F.array_max(F.transform(cs, F.size)), F.lit(1)
+                ).alias("w"),
+                F.coalesce(
+                    F.try_element_at(cs, F.lit(1)),
+                    F.array().cast("array<string>"),
+                ).alias("h"),
+            ),
+            lambda wh: _let(
+                F.transform(
+                    _pad_to(wh["h"], wh["w"]),
+                    lambda h, i: F.when(
+                        h == "",
+                        F.concat(F.lit("col_"), (i + 1).cast("string")),
+                    ).otherwise(h),
+                ),
+                lambda hdr: F.transform(
+                    F.filter(
+                        F.transform(
+                            F.slice(
+                                cs, 2, F.greatest(F.size(cs) - 1, F.lit(0))
+                            ),
+                            lambda cells, i: F.struct(
+                                (i + 1).alias("row_index"),
+                                cells.alias("cells"),
+                            ),
+                        ),
+                        lambda r: F.exists(r["cells"], lambda c: c != "")
+                        & ~F.lower(F.array_join(r["cells"], " ")).rlike(
+                            _TOTAL_LINE_RE
+                        ),
+                    ),
+                    lambda r: F.struct(
+                        r["row_index"].alias("row_index"),
+                        F.map_from_arrays(
+                            hdr,
+                            F.transform(
+                                _pad_to(r["cells"], wh["w"]), _clean_cell
+                            ),
+                        ).alias("fields"),
+                    ),
+                ),
+            ),
+        ),
     )
-    fields = F.map_from_arrays(
-        "__header", F.transform("__cells", _clean_cell)
+
+
+def html_table_records(
+    docs: DataFrame, html_col: str, id_cols: list[str], *, carry: list[str] = ()
+) -> DataFrame:
+    """Documents â†’ normalized table records, zero shuffles.
+
+    Output: ``id_colsâ€¦, carryâ€¦, table_index, row_index, fields`` with
+    the ``à¸¥à¸³à¸”à¸±à¸šà¸—à¸µà¹ˆ`` non-empty filter (:153-154) applied when that
+    column exists. ``carry`` names per-document columns to thread
+    through the explode (scale note: per-document attributes ride the
+    narrow pipeline instead of joining back â€” a join keyed by document
+    id would broadcast/shuffle a table as large as the input)."""
+    tables = F.regexp_extract_all(F.col(html_col), F.lit(_TABLE_RE), 1)
+    per_table = docs.select(
+        *id_cols, *carry, F.posexplode(tables).alias("table_index", "__tbody")
     )
-    out = data.select(
-        *id_cols, "table_index", "row_index", fields.alias("fields")
+    recs = per_table.select(
+        *id_cols,
+        *carry,
+        "table_index",
+        F.explode(table_records(F.col("__tbody"))).alias("rec"),
+    )
+    out = recs.select(
+        *id_cols,
+        *carry,
+        "table_index",
+        F.col("rec.row_index").alias("row_index"),
+        F.col("rec.fields").alias("fields"),
     )
     seq = F.try_element_at("fields", F.lit("à¸¥à¸³à¸”à¸±à¸šà¸—à¸µà¹ˆ"))
     return out.filter(seq.isNull() | (F.trim(seq) != ""))
@@ -140,38 +223,49 @@ _TH_MONTH_NUM = {
 }
 
 
-def parse_sale_metadata(docs: DataFrame, html_col: str, id_cols: list[str]) -> DataFrame:
+def sale_metadata_struct(html: Column) -> Column:
     """Topic, round-date range (``à¸£à¸­à¸šà¸§à¸±à¸™à¸—à¸µà¹ˆ d - d <thai month> <BE year>``
     â†’ ``dd.MM.yyyy`` strings), vendor number + name â€” parsed from the
-    document text OUTSIDE the tables."""
-    no_tables = F.regexp_replace(F.col(html_col), _TABLE_RE, " ")
-    text = _strip_tags(no_tables)
-    topic = F.regexp_extract(
-        text, r"(à¸£à¸²à¸¢à¸‡à¸²à¸™à¸à¸²à¸£à¸‚à¸²à¸¢à¸ªà¸´à¸™à¸„à¹‰à¸²\s*-\s*à¹à¸¢à¸à¸•à¸²à¸¡\s*Invoice)", 1
-    )
-    rng = r"à¸£à¸­à¸šà¸§à¸±à¸™à¸—à¸µà¹ˆ\s*(\d{1,2})\s*-\s*(\d{1,2})\s*([à¸-à¹™]+)\s*(\d{4})"
-    d1 = F.regexp_extract(text, rng, 1)
-    d2 = F.regexp_extract(text, rng, 2)
-    mth = F.regexp_extract(text, rng, 3)
-    yr = F.regexp_extract(text, rng, 4)
-    mnum = F.coalesce(
-        F.create_map(*[F.lit(x) for kv in _TH_MONTH_NUM.items() for x in kv])[
-            F.trim(mth)
-        ],
-        F.lit("00"),
-    )
-    mk = lambda d: F.when(  # noqa: E731
-        d != "", F.concat(F.lpad(d, 2, "0"), F.lit("."), mnum, F.lit("."), yr)
-    ).otherwise(F.lit(""))
-    vendor = r"#?\s*Vendor\s*(\d+)\s*/\s*([^\(]+)"
+    document text OUTSIDE the tables, as one struct. The stripped
+    text is let-bound so the five extracts share one computation."""
+    no_tables = F.regexp_replace(html, _TABLE_RE, " ")
+
+    def build(text: Column) -> Column:
+        topic = F.regexp_extract(
+            text, r"(à¸£à¸²à¸¢à¸‡à¸²à¸™à¸à¸²à¸£à¸‚à¸²à¸¢à¸ªà¸´à¸™à¸„à¹‰à¸²\s*-\s*à¹à¸¢à¸à¸•à¸²à¸¡\s*Invoice)", 1
+        )
+        rng = r"à¸£à¸­à¸šà¸§à¸±à¸™à¸—à¸µà¹ˆ\s*(\d{1,2})\s*-\s*(\d{1,2})\s*([à¸-à¹™]+)\s*(\d{4})"
+        d1 = F.regexp_extract(text, rng, 1)
+        d2 = F.regexp_extract(text, rng, 2)
+        mth = F.regexp_extract(text, rng, 3)
+        yr = F.regexp_extract(text, rng, 4)
+        mnum = F.coalesce(
+            F.create_map(
+                *[F.lit(x) for kv in _TH_MONTH_NUM.items() for x in kv]
+            )[F.trim(mth)],
+            F.lit("00"),
+        )
+        mk = lambda d: F.when(  # noqa: E731
+            d != "",
+            F.concat(F.lpad(d, 2, "0"), F.lit("."), mnum, F.lit("."), yr),
+        ).otherwise(F.lit(""))
+        vendor = r"#?\s*Vendor\s*(\d+)\s*/\s*([^\(]+)"
+        return F.struct(
+            topic.alias("topic"),
+            mk(d1).alias("start_round_date"),
+            mk(d2).alias("end_round_date"),
+            F.trim(F.regexp_extract(text, vendor, 2)).alias("supplier_name"),
+            F.regexp_extract(text, vendor, 1).alias("supplier_num"),
+        )
+
+    return _let(_strip_tags(no_tables), build)
+
+
+def parse_sale_metadata(docs: DataFrame, html_col: str, id_cols: list[str]) -> DataFrame:
+    """DataFrame wrapper over :func:`sale_metadata_struct`."""
     return docs.select(
-        *id_cols,
-        topic.alias("topic"),
-        mk(d1).alias("start_round_date"),
-        mk(d2).alias("end_round_date"),
-        F.trim(F.regexp_extract(text, vendor, 2)).alias("supplier_name"),
-        F.regexp_extract(text, vendor, 1).alias("supplier_num"),
-    )
+        *id_cols, sale_metadata_struct(F.col(html_col)).alias("__m")
+    ).select(*id_cols, "__m.*")
 
 
 # --------------------------------------------------------------------
@@ -211,11 +305,30 @@ def _round_date_iso(c: Column) -> Column:
 
 def sale_invoice_records(docs: DataFrame, html_col: str, id_cols: list[str]) -> DataFrame:
     """Full S8 lifecycle: HTML â†’ normalized table records enriched
-    with per-document metadata, money and date columns typed."""
-    rows = parse_html_tables(docs, html_col, id_cols)
-    records = html_rows_to_records(rows, id_cols)
-    meta = parse_sale_metadata(docs, html_col, id_cols)
-    enriched = records.join(F.broadcast(meta), id_cols, "left")
+    with per-document metadata, money and date columns typed.
+
+    The metadata struct is computed per document BEFORE the explode
+    and carried through it â€” the round-1 design joined it back with
+    ``broadcast(meta)``, but ``meta`` has one row per document, i.e.
+    the same cardinality as the input: at 100 TB that broadcast is a
+    driver OOM. Carrying five small columns through a narrow explode
+    costs nothing and eliminates the join entirely."""
+    staged = docs.select(
+        *id_cols,
+        F.col(html_col).alias(html_col),
+        sale_metadata_struct(F.col(html_col)).alias("__meta"),
+    )
+    enriched = html_table_records(
+        staged, html_col, id_cols, carry=["__meta"]
+    ).select(
+        *[c for c in ("__meta", "table_index", "row_index", "fields")],
+        *id_cols,
+        F.col("__meta.topic").alias("topic"),
+        F.col("__meta.start_round_date").alias("start_round_date"),
+        F.col("__meta.end_round_date").alias("end_round_date"),
+        F.col("__meta.supplier_name").alias("supplier_name"),
+        F.col("__meta.supplier_num").alias("supplier_num"),
+    )
     g = lambda k: F.try_element_at("fields", F.lit(k))  # noqa: E731
     return enriched.select(
         *id_cols,

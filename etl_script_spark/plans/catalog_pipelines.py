@@ -200,7 +200,13 @@ def pipeline_sale_report_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     round dates and a Vendor header), through the full HTML→records→
     metadata-enrichment→DB-key pipeline. The oracle states every
     expected DB row from first principles."""
-    o = t(spark, sf_dir, "orders")
+    # The sf0.1 orders file is one split → the whole regex-parse
+    # narrow stage would run on one core (small-file trap). A real
+    # 100 TB scan arrives already split; locally we fan out the tiny
+    # pre-HTML rows (not the built documents) across all cores.
+    o = t(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     key = F.col("o_orderkey").cast("string")
     v = F.col("o_orderkey") + 1000000
     amount_str = F.concat(

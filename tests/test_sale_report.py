@@ -36,8 +36,9 @@ def test_parse_html_tables_cells(spark):
 
 
 def test_records_filters_and_cell_repair(spark):
-    rows = sale_report.parse_html_tables(_docs(spark), "html", ["doc_key"])
-    recs = sale_report.html_rows_to_records(rows, ["doc_key"]).collect()
+    recs = sale_report.html_table_records(
+        _docs(spark), "html", ["doc_key"]
+    ).collect()
     by_seq = {r["fields"]["ลำดับที่"]: r["fields"] for r in recs}
     # \btotal\b row and empty-seq row dropped; 'Subtotal' row survives
     # is_total_line (no word boundary) exactly like the reference
