@@ -100,6 +100,11 @@ def main() -> None:
         "queries": timings,
         "extra_queries": extra,
         "manifest": manifest,
+        "manifest_semantics": (
+            "headline+extra are steady-state (after warm-up); all other "
+            "manifest entries are a SINGLE COLD pass each (JIT/codegen "
+            "compile included) - regression attribution, not throughput"
+        ),
         "sf": sf,
     }
     if errors:

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from etl_script_spark.functions.exprs import let
 from etl_script_spark.operators.dedup import normalize_text
 
 # Minimal per-language stopword marker sets (function words with high
@@ -59,48 +60,87 @@ def stopword_ratio(c: Column, lang: str = "en") -> Column:
 def detect_language(c: Column) -> Column:
     """Language-ID heuristic: script detection (Thai/CJK character
     ranges) first, then argmax stopword-hit ratio over the marker sets;
-    ties/no-hits → 'und'."""
-    s = normalize_text(c)
-    thai = F.length(F.regexp_replace(s, r"[^฀-๿]", ""))
-    cjk = F.length(F.regexp_replace(s, r"[^一-鿿]", ""))
-    total = F.greatest(F.length(s), F.lit(1))
-    scores = [(lang, stopword_ratio(c, lang)) for lang in STOPWORDS]
-    best_lang = F.lit("und")
-    best_score = F.lit(0.0)
-    for lang, score in scores:
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return (
-        F.when(thai / total > 0.25, F.lit("th"))
-        .when(cjk / total > 0.25, F.lit("zh"))
-        .otherwise(best_lang)
-    )
+    ties/no-hits → 'und'.
+
+    The normalized text and the token array are each let-bound: the
+    naive per-language ``when``-chain argmax duplicates every earlier
+    score expression into each comparison (2^k growth), re-running the
+    normalize+split regexes dozens of times per row — measured 3.5 s
+    steady-state at sf0.1, ~1 s after binding. The argmax itself is an
+    ``array_max`` over (score, -order, lang) structs: field-by-field
+    struct ordering keeps the first-listed language on exact ties,
+    matching the replace-only-if-strictly-greater loop it replaces."""
+
+    def scored(s: Column) -> Column:
+        thai = F.length(F.regexp_replace(s, r"[^฀-๿]", ""))
+        cjk = F.length(F.regexp_replace(s, r"[^一-鿿]", ""))
+        total = F.greatest(F.length(s), F.lit(1))
+
+        def argmax(ws: Column) -> Column:
+            n = F.greatest(F.size(ws), F.lit(1))
+            entries = []
+            for i, lang in enumerate(STOPWORDS):
+                sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+                hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+                entries.append(
+                    F.struct(
+                        (hits / n).alias("s"),
+                        F.lit(-i).alias("ni"),
+                        F.lit(lang).alias("l"),
+                    )
+                )
+            return let(
+                F.array_max(F.array(*entries)),
+                lambda best: F.when(best["s"] > 0.0, best["l"]).otherwise(
+                    F.lit("und")
+                ),
+            )
+
+        return (
+            F.when(thai / total > 0.25, F.lit("th"))
+            .when(cjk / total > 0.25, F.lit("zh"))
+            .otherwise(let(F.split(s, " "), argmax))
+        )
+
+    return let(normalize_text(c), scored)
 
 
 def quality_score(c: Column) -> Column:
     """Document quality heuristic in [0,1]: blends length band,
     punctuation density, alpha ratio, mean word length band, and
     repetition (distinct-word ratio). Deterministic arithmetic —
-    identical results on any engine."""
-    s = normalize_text(c)
-    n_chars = F.greatest(F.length(s), F.lit(1))
-    ws = words(c)
-    n_words = F.greatest(F.size(ws), F.lit(1))
-    punct = F.length(F.regexp_replace(s, r"[^.,;:!?]", "")) / n_chars
-    alpha = F.length(F.regexp_replace(s, r"[^\p{L} ]", "")) / n_chars
-    mean_wlen = (F.length(F.regexp_replace(s, " ", "")) / n_words).cast("double")
-    distinct_ratio = F.size(F.array_distinct(ws)) / n_words
-    len_band = F.when(n_chars < 50, 0.2).when(n_chars > 10000, 0.5).otherwise(1.0)
-    wlen_band = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 1.0).otherwise(0.5)
-    raw = (
-        len_band * 0.25
-        + wlen_band * 0.15
-        + alpha * 0.25
-        + (1.0 - F.least(punct * 5.0, F.lit(1.0))) * 0.15
-        + distinct_ratio * 0.20
-    )
-    return F.round(raw.cast("double"), 6)
+    identical results on any engine. Normalized text and token array
+    are let-bound (five regex re-evaluations → one)."""
+
+    def scored(s: Column) -> Column:
+        n_chars = F.greatest(F.length(s), F.lit(1))
+        punct = F.length(F.regexp_replace(s, r"[^.,;:!?]", "")) / n_chars
+        alpha = F.length(F.regexp_replace(s, r"[^\p{L} ]", "")) / n_chars
+        len_band = (
+            F.when(n_chars < 50, 0.2).when(n_chars > 10000, 0.5).otherwise(1.0)
+        )
+
+        def blended(ws: Column) -> Column:
+            n_words = F.greatest(F.size(ws), F.lit(1))
+            mean_wlen = (
+                F.length(F.regexp_replace(s, " ", "")) / n_words
+            ).cast("double")
+            distinct_ratio = F.size(F.array_distinct(ws)) / n_words
+            wlen_band = F.when(
+                (mean_wlen >= 3.0) & (mean_wlen <= 10.0), 1.0
+            ).otherwise(0.5)
+            raw = (
+                len_band * 0.25
+                + wlen_band * 0.15
+                + alpha * 0.25
+                + (1.0 - F.least(punct * 5.0, F.lit(1.0))) * 0.15
+                + distinct_ratio * 0.20
+            )
+            return F.round(raw.cast("double"), 6)
+
+        return let(F.split(s, " "), blended)
+
+    return let(normalize_text(c), scored)
 
 
 def fingerprint_md5(c: Column) -> Column:

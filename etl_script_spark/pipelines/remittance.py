@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_script_spark.functions import numerics, strings
+from etl_script_spark.functions.exprs import let
 from etl_script_spark.operators import lineparse, quality
 from etl_script_spark.operators import merge as merge_ops
 
@@ -168,9 +169,13 @@ def extract_best_token(c) -> F.Column:
     best = F.when(F.size(cands) > 0, _longest_first(cands)).otherwise(
         F.when(F.size(fallback) > 0, _longest_first(fallback))
     )
-    cleaned = F.regexp_replace(best, r"\s+", "")
-    return F.when(best.isNull() | (best == ""), F.lit(None).cast("string")).otherwise(
-        normalize_docref_token(cleaned)
+    # let-bound: `best` (two extract-alls + an aggregate) is consumed
+    # three times below; unbound, CollapseProject would inline it 3×
+    return let(
+        best,
+        lambda b: F.when(
+            b.isNull() | (b == ""), F.lit(None).cast("string")
+        ).otherwise(normalize_docref_token(F.regexp_replace(b, r"\s+", ""))),
     )
 
 

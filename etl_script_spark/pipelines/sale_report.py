@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_script_spark.functions import dates, strings
+from etl_script_spark.functions.exprs import let
 
 # --------------------------------------------------------------------
 # S8: HTML table parse (pdf_ocr_sale_invoice_to_json.py:168-215)
@@ -52,15 +53,7 @@ def _strip_tags(c: Column) -> Column:
     return strings.norm_ws(F.regexp_replace(c, r"<[^>]+>", " "))
 
 
-def _let(value: Column, body) -> Column:
-    """Bind an expensive expression ONCE inside a single projection.
-
-    ``transform(array(value), v -> body(v))`` evaluates ``value``
-    exactly once however many times ``body`` references ``v`` —
-    Catalyst's CollapseProject re-inlines a plain column alias into
-    every consumer (the round-1 512 s MinHash lesson), but a lambda
-    variable is bound, not substituted."""
-    return F.element_at(F.transform(F.array(value), body), 1)
+_let = let  # shared let-binding helper (functions/exprs.py)
 
 
 def parse_html_tables(

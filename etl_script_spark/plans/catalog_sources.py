@@ -252,6 +252,43 @@ def s2_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s2_xls_roundtrip",
+    """
+    SELECT r_regionkey, r_name FROM region
+    """,
+    ("S2",),
+)
+def s2_xls_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (legacy .xls): region written as a BIFF8 workbook inside a
+    CFB container by the fixture writer, read back through the
+    DISTRIBUTED excel source — the cascade sniffs the OLE2 magic and
+    lands on the from-scratch stdlib BIFF engine
+    (sources/xls_biff.py), proving the .xls half of
+    script_read_dbd_balance.py:98-150 with zero optional deps."""
+    from etl_script_spark.sources import excel, xls_biff
+
+    d = _workdir(sf_dir, "s2_xls")
+    rows = sorted(
+        t(spark, sf_dir, "region").select("r_regionkey", "r_name").collect(),
+        key=lambda r: r["r_regionkey"],
+    )  # 5-row dim — driver-side fixture build is the point
+    data = [["r_regionkey", "r_name"]] + [
+        [r["r_regionkey"], r["r_name"]] for r in rows
+    ]
+    xls_biff.write_xls_simple(data, f"{d}/region.xls")
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.StringType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    df = excel.read_excel_distributed(spark, f"{d}/region.xls", schema)
+    return df.select(
+        F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name"
+    )
+
+
+@register(
     "s4_pdf_table_extract",
     """
     SELECT 'r_' || CAST(r_regionkey AS VARCHAR) || '.pdf' AS path,

@@ -13,11 +13,11 @@ No native Spark Excel source exists; two shapes are provided:
    file contents.
 
 Engine libraries (openpyxl/xlrd/calamine) are OPTIONAL — every import
-is try-gated. For .xlsx the cascade ends in a STDLIB engine
-(``parse_xlsx_stdlib``: zipfile + ElementTree over the OOXML parts),
-so xlsx reads work with zero optional dependencies; only legacy .xls
-(OLE2/BIFF8 binary) still requires xlrd/calamine. The sniff/cascade
-logic itself is dependency-free and unit-tested.
+is try-gated, and BOTH binary formats end in a STDLIB floor: .xlsx in
+``parse_xlsx_stdlib`` (zipfile + ElementTree over the OOXML parts),
+legacy .xls in ``xls_biff.parse_xls_stdlib`` (CFB container + BIFF8
+records from scratch) — so S2 works with zero optional dependencies.
+The sniff/cascade logic itself is dependency-free and unit-tested.
 """
 
 from __future__ import annotations
@@ -85,6 +85,13 @@ def _parse_excel_bytes(payload: bytes, header: int | None, dtype_str: bool):
             return parse_xlsx_stdlib(payload, header=header)
         except Exception as e:
             errors.append(f"stdlib: {type(e).__name__} {e}")
+    if kind == "xls":
+        try:
+            from etl_script_spark.sources.xls_biff import parse_xls_stdlib
+
+            return parse_xls_stdlib(payload, header=header)
+        except Exception as e:
+            errors.append(f"stdlib-biff: {type(e).__name__} {e}")
     raise ImportError(
         f"no usable excel engine for {kind}; tried: {'; '.join(errors)}"
     )

@@ -88,3 +88,77 @@ def test_excel_serial_roundtrip(spark, date_list):
     ).collect()
     for r in got:
         assert r["got"] == r["expected"]
+
+
+# --------------------------------------------------------------------
+# S8 HTML table parse: for ANY ragged cell grid, table_records must
+# promote the header, pad to the max width, and preserve row indices.
+# --------------------------------------------------------------------
+
+_CELL_TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_characters="<>& ",
+        exclude_categories=("Cs", "Cc", "Zs", "Zl", "Zp"),
+    ),
+    max_size=8,
+).filter(
+    # cells the pipeline would transform are excluded: this property
+    # pins the STRUCTURAL contract (header/pad/index), the repair
+    # semantics have their own example tests
+    lambda s: "total" not in s.lower()
+    and s.strip() == s
+    and "รวมยอดทั้งหมด" not in s
+)
+
+_GRID = st.lists(
+    st.lists(_CELL_TEXT, min_size=1, max_size=5),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_GRID)
+def test_table_records_structural(spark, grid):
+    """Header = row 0 (empty names become col_<i>), every surviving
+    data row is padded to the grid's max width, and row_index is the
+    original table position regardless of dropped rows."""
+    from etl_script_spark.pipelines import sale_report
+
+    html = "<table>" + "".join(
+        "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>" for row in grid
+    ) + "</table>"
+    docs = spark.createDataFrame([(1, html)], ["doc_key", "html"])
+    recs = sale_report.html_table_records(docs, "html", ["doc_key"]).collect()
+
+    width = max(len(r) for r in grid)
+    header = grid[0] + [""] * (width - len(grid[0]))
+    named = [h if h != "" else f"col_{i + 1}" for i, h in enumerate(header)]
+    # a duplicate header name would make map_from_arrays throw; the
+    # strategy rarely generates one — skip those draws
+    if len(set(named)) != len(named):
+        return
+
+    expected = {}
+    for idx, row in enumerate(grid[1:], start=1):
+        if all(c == "" for c in row):
+            continue  # blank-row filter
+        padded = row + [""] * (width - len(row))
+        fields = dict(zip(named, padded))
+        seq = fields.get("ลำดับที่")
+        if seq is not None and seq.strip() == "":
+            continue  # empty-sequence filter
+        expected[idx] = fields
+
+    got = {r["row_index"]: dict(r["fields"]) for r in recs}
+    # _clean_cell may rewrite two-number cells; compare only cells it
+    # passes through untouched
+    for idx, fields in expected.items():
+        assert idx in got, f"row {idx} missing"
+        for k, v in fields.items():
+            import re
+            if re.search(r"\d+(?:\.\d+)?\s+\d+(?:\.\d+)?", v):
+                continue
+            assert got[idx][k] == v, (idx, k, v, got[idx][k])
+    assert set(got) == set(expected)

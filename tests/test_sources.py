@@ -142,6 +142,138 @@ def test_xlsx_stdlib_shared_strings_and_gaps():
     assert pdf.iloc[2].tolist() == [None, "7.5", None]  # sparse B3
 
 
+def test_xls_stdlib_roundtrip_driver(spark, tmp_path):
+    """write_xls_simple → read_excel_driver with NO optional engine:
+    the from-scratch CFB+BIFF8 floor makes legacy .xls real in this
+    container. Thai strings (16-bit SST chars) and serial literals
+    round-trip identically to the xlsx path."""
+    from etl_script_spark.sources import xls_biff
+
+    p = tmp_path / "book.xls"
+    xls_biff.write_xls_simple(
+        [
+            ["id", "name", "เมือง", "serial"],
+            [1, "alpha", "กรุงเทพ", 45000],
+            [2, "beta", None, 45001.5],
+        ],
+        str(p),
+    )
+    with open(p, "rb") as f:
+        assert excel.sniff_excel_kind(f.read(8)) == "xls"
+    df = excel.read_excel_driver(spark, [str(p)])
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert [r["name"] for r in rows] == ["alpha", "beta"]
+    assert rows[0]["เมือง"] == "กรุงเทพ" and rows[1]["เมือง"] is None
+    assert rows[0]["serial"] == "45000"  # raw serial literal
+    assert rows[1]["serial"] == "45001.5"
+    assert rows[0]["source_sheet"] == "Sheet1"
+
+
+def test_xls_biff_records(tmp_path):
+    """Hand-built BIFF8 stream exercising every cell-record decoder:
+    RK in all four encodings, MULRK runs, FORMULA cached number /
+    string / bool results, BOOLERR, and an SST string split across a
+    CONTINUE boundary with a grbit flip (compressed → 16-bit)."""
+    import struct
+
+    from etl_script_spark.sources import xls_biff as xb
+
+    def rec(op, data):
+        return xb._rec(op, data)
+
+    def bof(dt):
+        return rec(
+            xb._BOF, struct.pack("<HHHHII", 0x0600, dt, 0, 0, 1, 0x0600)
+        )
+
+    # SST with 2 strings; the second splits mid-string at a CONTINUE
+    # whose continuation restarts 16-bit (grbit=1)
+    s0 = "plain"
+    sst_data = struct.pack("<II", 2, 2)
+    sst_data += struct.pack("<HB", len(s0), 0) + s0.encode("latin-1")
+    #   second string: cch=6, starts compressed with "ab", continues
+    #   utf-16 with "cดef"
+    sst_data += struct.pack("<HB", 6, 0) + b"ab"
+    cont = bytes([1]) + "cดef".encode("utf-16-le")
+    sst = rec(xb._SST, sst_data) + rec(xb._CONTINUE, cont)
+
+    cells = b""
+    r = 0
+    # RK: int30, int30/100, double-bits, double-bits/100
+    for rk, want in [
+        ((7 << 2) | 2, "7"),
+        ((1250 << 2) | 3, "12.5"),
+        (struct.unpack("<I", struct.pack("<d", 2.5)[4:])[0] & 0xFFFFFFFC, "2.5"),
+        ((struct.unpack("<I", struct.pack("<d", 250.0)[4:])[0] & 0xFFFFFFFC) | 1, "2.5"),
+    ]:
+        cells += rec(xb._RK, struct.pack("<HHHI", r, 0, 15, rk))
+        r += 1
+    # MULRK: two RKs in one record (cols 1-2 of row 0)
+    cells += rec(
+        xb._MULRK,
+        struct.pack("<HH", 0, 1)
+        + struct.pack("<HI", 15, (3 << 2) | 2)
+        + struct.pack("<HI", 15, (45 << 2) | 3)
+        + struct.pack("<H", 2),
+    )
+    # LABELSST both strings
+    cells += rec(xb._LABELSST, struct.pack("<HHHI", 4, 0, 15, 0))
+    cells += rec(xb._LABELSST, struct.pack("<HHHI", 4, 1, 15, 1))
+    # FORMULA cached number
+    cells += rec(
+        xb._FORMULA,
+        struct.pack("<HHH", 5, 0, 15) + struct.pack("<d", 9.25) + b"\x00" * 6,
+    )
+    # FORMULA cached string (STRING record follows)
+    cells += rec(
+        xb._FORMULA,
+        struct.pack("<HHH", 5, 1, 15)
+        + b"\x00" * 6
+        + b"\xff\xff"
+        + b"\x00" * 6,
+    )
+    cells += rec(
+        xb._STRING, struct.pack("<HB", 3, 0) + b"fml"
+    )
+    # FORMULA cached bool TRUE
+    cells += rec(
+        xb._FORMULA,
+        struct.pack("<HHH", 5, 2, 15)
+        + bytes([1, 0, 1])
+        + b"\x00" * 3
+        + b"\xff\xff"
+        + b"\x00" * 6,
+    )
+    # BOOLERR false + error (error cell stays empty)
+    cells += rec(xb._BOOLERR, struct.pack("<HHHBB", 6, 0, 15, 0, 0))
+    cells += rec(xb._BOOLERR, struct.pack("<HHHBB", 6, 1, 15, 0x17, 1))
+
+    sheet = bof(0x0010) + cells + rec(xb._EOF, b"")
+    name = b"S"
+    bs_rec_len = 4 + 6 + 2 + len(name)  # header + IBB + BB + name
+    globals_len = len(bof(0x0005)) + bs_rec_len + len(sst) + 4
+    bs = rec(
+        xb._BOUNDSHEET,
+        struct.pack("<IBB", globals_len, 0, 0)
+        + struct.pack("<BB", len(name), 0)
+        + name,
+    )
+    workbook = bof(0x0005) + bs + sst + rec(xb._EOF, b"") + sheet
+    if len(workbook) < 4096:
+        workbook += rec(0x0897, b"\x00" * (4096 - len(workbook) - 4))
+
+    sheets = xb.parse_xls_stdlib(xb._cfb_wrap(workbook), header=None)
+    assert len(sheets) == 1 and sheets[0][0] == "S"
+    pdf = sheets[0][1]
+    assert pdf.iloc[0].tolist() == ["7", "3", "0.45"]
+    assert pdf.iloc[1, 0] == "12.5"
+    assert pdf.iloc[2, 0] == "2.5"
+    assert pdf.iloc[3, 0] == "2.5"
+    assert pdf.iloc[4].tolist()[:2] == ["plain", "abcดef"]
+    assert pdf.iloc[5].tolist()[:3] == ["9.25", "fml", "True"]
+    assert pdf.iloc[6].tolist()[:2] == ["False", None]
+
+
 def test_union_files_with_lineage(spark):
     a = spark.createDataFrame([(1, "x")], ["k", "v"])
     b = spark.createDataFrame([(2,)], ["k"])  # missing column v
