@@ -309,8 +309,15 @@ def simhash_near_dups(
     """SimHash near-dup pairs: band the 64-bit fingerprint into
     ``bands`` chunks (pigeonhole: hamming<=k pairs share at least one
     of k+1 bands), equi-join per band, verify exact hamming distance.
+
+    The fingerprint table feeds both sides of the banded self-join —
+    persisted so the explode+64-vote pipeline runs exactly once, and
+    the join is hinted shuffle_hash so both sides reuse ONE exchange
+    (same lesson as minhash_lsh_candidates; without it Spark
+    broadcasts one side and recomputes the full fingerprint plan for
+    each). The join shuffles four 8-byte columns per banded row.
     """
-    fp = simhash_fingerprints(df, id_col, text_col)
+    fp = simhash_fingerprints(df, id_col, text_col).persist()
     width = 64 // bands
     banded = fp.select(
         "id",
@@ -331,7 +338,8 @@ def simhash_near_dups(
     ).select("id", "fp", "bb.band", "bb.chunk")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.chunk") == F.col("b.chunk"))
