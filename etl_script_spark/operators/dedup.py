@@ -229,7 +229,10 @@ def ngram_jaccard_pairs(
     near-dup pairs still surface. The self-join is hinted shuffle-hash
     so both sides share ONE shuffle exchange (ReuseExchange): the
     shingle table is computed once, not once per side as a broadcast
-    plan would.
+    plan would. The df cap itself is a COUNT window over the shingle
+    key — one exchange of the table it had to shuffle anyway, versus
+    the groupBy+join formulation which re-derives the exploded table
+    for the aggregate branch and adds a join stage.
     """
     sh = (
         _fan_out(df)
@@ -240,9 +243,11 @@ def ngram_jaccard_pairs(
         .withColumn("shingle", F.xxhash64("shingle"))
     )
     if max_df is not None:
-        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         sh = (
-            sh.join(dfreq.filter(F.col("__df") <= max_df), "shingle")
+            sh.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("__df") <= max_df)
             .drop("__df")
         )
     # per-doc set size AFTER any df-filter, so jaccard stays consistent
