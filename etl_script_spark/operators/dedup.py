@@ -362,3 +362,83 @@ def simhash_near_dups(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs:
+    (id, cluster_id) where cluster_id is the MIN id in the component.
+
+    Min-label propagation: every node starts labelled with its own id;
+    each round a node takes the min of its label and its neighbours'
+    labels. Rounds needed = component diameter — near-dup clusters are
+    short chains/cliques in practice, and ``max_iter`` caps
+    pathological inputs (the loop also stops as soon as a round
+    changes nothing).
+
+    Scale shape: the edge list is shuffled on src once per round
+    (equi-join with the label table) plus a map-side-combined min
+    aggregate — no driver-side graph. Labels are persisted per round
+    and the previous round unpersisted, cutting lineage so round k
+    does not recompute rounds 1..k-1. Convergence is detected with a
+    1-row sum aggregate (labels only ever decrease, so an unchanged
+    sum is a fixpoint).
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nmin, labels.id == nmin.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def near_dup_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Keep ONE document per near-duplicate cluster (the min-id
+    member) plus every unclustered document — the final step of a
+    training-data dedup pipeline (pairs from minhash/simhash/ngram/
+    embedding candidates, grouped transitively by
+    connected_components).
+
+    The non-canonical member set is an anti-join key list — tiny
+    relative to the corpus (only docs in some near-dup pair), so AQE
+    broadcasts it and the corpus never shuffles.
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    losers = cc.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

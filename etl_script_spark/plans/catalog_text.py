@@ -66,6 +66,74 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+_JACCARD_PAIRS = f"""
+    SELECT id_a, id_b FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) * 1.0
+               / (any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*)) AS jaccard
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ) WHERE jaccard >= 0.5
+"""
+
+_SH_CTE = f"""sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle, len({_SHINGLES}) AS n_sh
+      FROM documents
+    )"""
+
+_CC_CTES = f"""WITH RECURSIVE
+    {_SH_CTE},
+    pairs AS ({_JACCARD_PAIRS}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)"""
+
+
+@register(
+    "dedup_cc_clusters",
+    f"""
+    {_CC_CTES}
+    SELECT id, cluster_id FROM cc
+    """,
+    ("LLM-dedup",),
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: n-gram-Jaccard pairs grouped by
+    iterative min-label connected components (the oracle replays the
+    same closure with a recursive CTE)."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_ops.connected_components(pairs)
+
+
+@register(
+    "dedup_near_canonical",
+    f"""
+    {_CC_CTES}
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+    """,
+    ("LLM-dedup",),
+)
+def dedup_near_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final dedup step: one canonical (min-id) document per near-dup
+    cluster, all unclustered documents untouched — the corpus a
+    training pipeline actually keeps."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_ops.near_dup_canonical(
+        d.select("doc_id", "n_chars"), pairs, "doc_id"
+    )
+
+
 @register("dedup_minhash_lsh", None, ("LLM-dedup",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) candidate pairs with estimated

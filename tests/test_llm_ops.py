@@ -66,3 +66,40 @@ def test_embedding_near_dups_planted(spark, sf_dir):
     )
     got = {(r["id_a"], r["id_b"]) for r in dups.collect()}
     assert got == {(i, i + 100000) for i in range(20)}
+
+
+def test_connected_components_shapes(spark):
+    """Chain, clique, and isolated pair must each collapse to their
+    min id; singletons (no pairs) never appear in the label table."""
+    from etl_script_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (transitive), clique 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_near_dup_canonical_keeps_one_per_cluster(spark):
+    from etl_script_spark.operators.dedup import near_dup_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (6, 7)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in near_dup_canonical(docs, pairs, "doc_id").collect()
+    )
+    # cluster {1,2,5} -> keep 1; cluster {6,7} -> keep 6; 0,3,4 untouched
+    assert kept == [0, 1, 3, 4, 6]
