@@ -186,18 +186,40 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 8,
+    sample_size: int = 1024,
+    iters: int = 5,
 ) -> list[list[float]]:
-    """Deterministic IVF "fit": the n_centroids lowest-id vectors act
-    as coarse centroids. A one-row-per-centroid driver collect — the
-    model-fit step; at 100 TB you'd k-means a sample, the serving path
-    below is unchanged."""
+    """Deterministic IVF "fit": k-means (Lloyd) on a bounded sample,
+    driver-side. The sample is the ``sample_size`` lowest-id vectors —
+    a top-n heap per partition (TakeOrdered), never a full sort — and
+    init is the first ``n_centroids`` of them, so the fit is exactly
+    reproducible. ``iters`` Lloyd rounds run in numpy on at most
+    sample_size x dim floats: the model-fit step is O(sample) driver
+    work by design; the distributed serving path (cell assignment +
+    nprobe probing) is unchanged. Empty cells keep their previous
+    centroid."""
+    import numpy as np
+
     rows = (
         vectors.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
+        .limit(max(sample_size, n_centroids))
         .collect()
     )
-    return [list(map(float, r[vec_col])) for r in rows]
+    x = np.asarray([list(map(float, r[vec_col])) for r in rows], dtype=np.float64)
+    cents = x[:n_centroids].copy()
+    for _ in range(iters):
+        # cosine assignment (matches the serving path): normalize rows
+        # once, score against norm-scaled centroids
+        cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+        assign = np.argmax(x @ cn.T, axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cents]
 
 
 def _centroid_scores(vec_sql: str, centroids: list[list[float]]) -> Column:
