@@ -40,22 +40,43 @@ def _flag_anomalies(factor_num: int, factor_den: int):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (n, total) = state.get if state.exists else (0, 0)
         user_id = key[0]
-        out: list[tuple] = []
+        frames: list[pd.DataFrame] = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            for r in pdf.itertuples(index=False):
-                cents = int(r.value * 100)  # truncation of the IEEE double
-                # value > factor * running_mean  (integer cross-multiply;
-                # first event of a user can never be anomalous)
-                is_anom = n > 0 and cents * n * factor_den > factor_num * total
-                out.append((user_id, r.event_id, cents, total, n, bool(is_anom)))
-                n += 1
-                total += cents
+            # vectorized running state: prev_total/n_prev for row i are
+            # the carried-in state plus the shifted cumulative sums of
+            # this batch — no per-row Python. int64 cast truncates the
+            # IEEE double toward zero exactly like int() (values are
+            # non-negative cents; cross-multiplies stay far below 2^63
+            # for realistic counts x amounts).
+            cents = (pdf["value"].to_numpy() * 100).astype(np.int64)
+            csum = np.cumsum(cents)
+            prev_total = total + np.concatenate(([0], csum[:-1]))
+            n_prev = n + np.arange(len(cents), dtype=np.int64)
+            is_anom = (n_prev > 0) & (
+                cents * n_prev * factor_den > factor_num * prev_total
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(len(cents), user_id, dtype=np.int64),
+                        "event_id": pdf["event_id"].to_numpy(),
+                        "value_cents": cents,
+                        "prev_total_cents": prev_total,
+                        "n_prev": n_prev,
+                        "is_anomaly": is_anom,
+                    }
+                )
+            )
+            if len(cents):
+                n = int(n_prev[-1]) + 1
+                total = int(prev_total[-1]) + int(cents[-1])
         state.update((n, total))
-        yield pd.DataFrame(
-            out,
+        yield pd.concat(frames) if frames else pd.DataFrame(
             columns=[
                 "user_id",
                 "event_id",
@@ -63,7 +84,7 @@ def _flag_anomalies(factor_num: int, factor_den: int):
                 "prev_total_cents",
                 "n_prev",
                 "is_anomaly",
-            ],
+            ]
         )
 
     return fn
