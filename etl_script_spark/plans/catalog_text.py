@@ -23,6 +23,25 @@ _SHINGLES = (
 )
 
 
+_QUALITY_EXPR = f"""round(
+        (CASE WHEN greatest(length({_NORM}),1) < 50 THEN 0.2
+              WHEN greatest(length({_NORM}),1) > 10000 THEN 0.5 ELSE 1.0 END) * 0.25
+        + (CASE WHEN length(regexp_replace({_NORM}, ' ', '', 'g'))
+                     / greatest(len({_WS}),1) >= 3.0
+               AND length(regexp_replace({_NORM}, ' ', '', 'g'))
+                     / greatest(len({_WS}),1) <= 10.0
+              THEN 1.0 ELSE 0.5 END) * 0.15
+        + (length(regexp_replace({_NORM}, '[^\\p{{L}} ]', '', 'g'))
+             / greatest(length({_NORM}),1)) * 0.25
+        + (1.0 - least((length(regexp_replace({_NORM}, '[^.,;:!?]', '', 'g'))
+             / greatest(length({_NORM}),1)) * 5.0, 1.0)) * 0.15
+        + (len(list_distinct({_WS})) / greatest(len({_WS}),1)) * 0.20
+      , 6)"""
+
+_LANG_EXPR = f"""CASE WHEN len(list_filter({_WS}, w -> w IN
+                  ('the','and','of','to','a','in','is','that','it','for'))) > 0
+                THEN 'en' ELSE 'und' END"""
+
 @register(
     "dedup_exact_text",
     f"""
@@ -132,6 +151,72 @@ def dedup_near_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.near_dup_canonical(
         d.select("doc_id", "n_chars"), pairs, "doc_id"
     )
+
+
+@register(
+    "pipeline_llm_prep_e2e",
+    f"""
+    WITH RECURSIVE
+    scored AS (
+      SELECT doc_id, text,
+             {_QUALITY_EXPR} AS quality,
+             {_LANG_EXPR} AS lang,
+             CAST(len({_WS}) AS INTEGER) AS n_tokens
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.87 AND lang = 'en'),
+    exact AS (
+      SELECT doc_id, text, quality, lang, n_tokens FROM (
+        SELECT kept.*, ROW_NUMBER() OVER (
+          PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle,
+             len({_SHINGLES}) AS n_sh
+      FROM exact
+    ),
+    pairs AS ({_JACCARD_PAIRS}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, lang, quality, n_tokens FROM exact
+    WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+    """,
+    ("LLM-dedup", "LLM-text"),
+)
+def pipeline_llm_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM training-data prep pipeline, composed end-to-end:
+    quality-score filter -> language-ID filter -> exact dedup (128-bit
+    content hash, keep min id) -> transitive near-dup removal (n-gram
+    Jaccard pairs + connected components, keep the canonical member)
+    -> per-doc token counts. Every stage is the same operator the
+    standalone catalog queries exercise; the oracle replays the whole
+    pipeline in one recursive-CTE SQL statement."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        textstats.quality_score(F.col("text")).alias("quality"),
+        textstats.detect_language(F.col("text")).alias("lang"),
+        textstats.token_count_ws(F.col("text")).alias("n_tokens"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.87) & (F.col("lang") == "en"))
+    survivors = dedup_ops.exact_dedup(kept, "text", "doc_id").drop("dup_count")
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        survivors, "doc_id", "text", n=3, threshold=0.5
+    )
+    final = dedup_ops.near_dup_canonical(survivors, pairs, "doc_id")
+    return final.select("doc_id", "lang", "quality", "n_tokens")
 
 
 @register("dedup_minhash_lsh", None, ("LLM-dedup",))
