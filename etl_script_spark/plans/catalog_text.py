@@ -275,7 +275,50 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(e, queries, k=10, dim=64)
 
 
-@register("ann_lsh_topk", None, ("LLM-similarity",))
+def _bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """DuckDB SQL for the LSH bucket id — the hyperplanes are
+    LCG-deterministic (similarity.random_hyperplanes), so the oracle
+    embeds the SAME plane literals and replays the sign-bit packing."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_sql}, "
+        f"[{', '.join(repr(float(x)) for x in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return " + ".join(terms)
+
+
+_PLANES4 = similarity.random_hyperplanes(64, 4, 42)
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, vec, {_bucket_sql('vec', _PLANES4)} AS bucket FROM v
+    ), q AS (
+      SELECT vec_id AS query_id, vec AS qvec, bucket FROM b WHERE vec_id < 5
+    )
+    SELECT query_id, vec_id, cosine_sim FROM (
+      SELECT q.query_id, b.vec_id,
+             {_COS.format(a='b.vec', b='q.qvec')} AS cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {_COS.format(a='b.vec', b='q.qvec')} DESC, b.vec_id
+             ) AS rn
+      FROM b JOIN q ON b.bucket = q.bucket
+    ) WHERE rn <= 10
+    """,
+    ("LLM-similarity",),
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the scale path: compare count
     divided by ~2^planes). Deterministic hyperplanes; recall vs the
@@ -287,7 +330,24 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(e, queries, dim=64, k=10, n_planes=4)
 
 
-@register("embedding_near_dups", None, ("LLM-dedup", "LLM-similarity"))
+@register(
+    "embedding_near_dups",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, vec, {_bucket_sql('vec', _PLANES4)} AS bucket FROM v
+    )
+    SELECT id_a, id_b, cosine_sim FROM (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             {_COS.format(a='a.vec', b='b2.vec')} AS cosine_sim
+      FROM b a JOIN b b2
+        ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ) WHERE cosine_sim >= 0.95
+    """,
+    ("LLM-dedup", "LLM-similarity"),
+)
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH self-join + exact verify
     >= 0.95)."""
