@@ -1,0 +1,87 @@
+"""As-of (most-recent-at-or-before) join.
+
+Spark has no ASOF JOIN operator; the naive encodings are a range
+cross-join (quadratic blowup) or a per-key collect (driver-bound).
+This implements the scale shape: TAG + UNION + one window —
+
+    union(left tagged 1, right tagged 0)
+    window PARTITION BY key ORDER BY (ts, tag)
+    last(right-payload-struct, ignorenulls) over
+        rows unbounded preceding .. current row
+    keep tag=1 rows
+
+One shuffle on the join key, a per-key sort (any time-series op pays
+it), zero row amplification. Right rows sort BEFORE left rows at equal
+timestamps, giving `left.ts >= right.ts` match semantics — the same
+inequality DuckDB's ASOF JOIN uses, which is the oracle for the
+catalog query. The payload rides in a STRUCT so a matched right row
+whose payload fields are NULL still counts as a match (last+ignorenulls
+on bare columns would skip past it — different semantics).
+
+At 100 TB: partition the union by key ranges and this is exactly the
+merge phase of a sort-merge join; no state beyond the sort buffer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    matched_ts: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row gets the payload of the most
+    recent right row with ``right_ts <= left_ts`` for the same ``on``
+    key (NULLs when no right row precedes it).
+
+    payload maps right-column -> output-column. ``matched_ts`` names
+    an optional output column carrying the matched right timestamp.
+    Ties on (key, ts) between multiple RIGHT rows resolve to the
+    last in (ts) order plus struct comparison — pre-dedupe the right
+    side if that matters (the catalog query's right side is unique per
+    (key, ts))."""
+    out_cols = list(left.columns)
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__rts"),
+        F.struct(
+            F.col(right_ts).alias("__mts"),
+            *[F.col(src).alias(dst) for src, dst in payload.items()],
+        ).alias("__p"),
+    )
+    # align schemas for the union: right rows carry NULL left columns
+    for c in out_cols:
+        if c != on:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    l = left.select(
+        *out_cols,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+    )
+    r = r.select(
+        *out_cols,
+        F.col("__rts").alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.col("__p"),
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+    res = matched.filter(F.col("__tag") == 1).select(
+        *out_cols,
+        *[F.col(f"__m.{dst}").alias(dst) for dst in payload.values()],
+        *( [F.col("__m.__mts").alias(matched_ts)] if matched_ts else [] ),
+    )
+    return res

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_script_spark.functions import numerics, strings
-from etl_script_spark.operators import lineparse, multimodal, rowfilters
+from etl_script_spark.operators import asof, lineparse, multimodal, rowfilters
 from etl_script_spark.operators import merge as merge_ops
 from etl_script_spark.operators.canonicalize import fuzzy_rename_columns
 from etl_script_spark.plans.catalog import register, t
@@ -374,3 +374,33 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(F.lit("src"), F.col("source")).alias("meta"),
     )
     return multimodal.extract_image_features(media)
+
+@register(
+    "j_asof_last_purchase",
+    """
+    SELECT l.event_id, l.user_id, l.event_type,
+           r.value AS last_purchase_value, r.ts AS last_purchase_ts
+    FROM events l ASOF LEFT JOIN (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    ("X-asof-join",),
+)
+def j_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event annotated with the user's most recent
+    purchase at-or-before its timestamp (tag+union+window — one
+    shuffle, no range cross-join). Oracle = DuckDB's native ASOF
+    LEFT JOIN."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof.asof_join(
+        e.select("event_id", "user_id", "event_type", "ts"),
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"value": "last_purchase_value"},
+        matched_ts="last_purchase_ts",
+    ).drop("ts")

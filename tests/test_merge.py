@@ -64,3 +64,46 @@ def test_upsert_order_col_last_write_wins(spark):
     )
     out = merge.upsert(target, source, ["k"], order_col="ord")
     assert _rows(out, "k", "v") == [(1, "last"), (2, "x")]
+
+
+def test_asof_join_semantics(spark):
+    """Edge cases: no preceding right row -> NULLs; equal timestamps
+    match (>= semantics); a matched right row with a NULL payload
+    field still counts as a match (struct carrier, not bare-column
+    last+ignorenulls)."""
+    from datetime import datetime
+
+    from etl_script_spark.operators.asof import asof_join
+
+    TS = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, 10, TS("2024-01-01T00:00:00")),  # before any right row
+            (2, 10, TS("2024-01-02T00:00:00")),  # == right ts (matches)
+            (3, 10, TS("2024-01-04T00:00:00")),  # after both right rows
+            (4, 20, TS("2024-01-05T00:00:00")),  # key with NULL payload
+            (5, 30, TS("2024-01-05T00:00:00")),  # key with no right rows
+        ],
+        "event_id long, k long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, TS("2024-01-02T00:00:00"), 100.0),
+            (10, TS("2024-01-03T00:00:00"), 200.0),
+            (20, TS("2024-01-01T00:00:00"), None),
+        ],
+        "k long, ts timestamp_ntz, v double",
+    )
+    got = {
+        r["event_id"]: (r["v_out"], r["mts"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            payload={"v": "v_out"}, matched_ts="mts",
+        ).collect()
+    }
+    assert got[1] == (None, None)
+    assert got[2] == (100.0, TS("2024-01-02T00:00:00"))
+    assert got[3] == (200.0, TS("2024-01-03T00:00:00"))
+    # NULL payload field, but the row itself matched
+    assert got[4] == (None, TS("2024-01-01T00:00:00"))
+    assert got[5] == (None, None)
