@@ -85,3 +85,36 @@ def asof_join(
         *( [F.col("__m.__mts").alias(matched_ts)] if matched_ts else [] ),
     )
     return res
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization: assign a session ordinal per key where a
+    new session starts whenever the gap to the previous event exceeds
+    ``gap_seconds``.
+
+    Two stacked window expressions over ONE (key)-partitioned sort —
+    lag to mark session starts, running sum to number them. The two
+    Window nodes are adjacent in the physical plan and share the same
+    exchange + sort (verified: no Exchange/Sort between them), so the
+    cost is one shuffle + one per-key sort, the same as any
+    time-series pass. The batch twin of the streaming session_window
+    aggregation (streaming/windows.py).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    prev = F.lag(F.col(ts)).over(w)
+    # timestamp arithmetic, not epoch flooring: exact to the microsecond
+    # and identical in any SQL engine used as an oracle
+    gap = F.expr(f"INTERVAL '{int(gap_seconds)}' SECOND")
+    is_start = F.when(prev.isNull() | (F.col(ts) - prev > gap), 1).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(is_start).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

@@ -391,15 +391,27 @@ def connected_components(
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
-    edges = e.union(
+    edges0 = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # size the iteration to the graph, not the session default: near-dup
+    # edge lists are a tiny fraction of the corpus, and a handful of
+    # rows spread over 32+ shuffle partitions makes every round pay
+    # dozens of empty-task overheads. Partitioning edges by dst ONCE
+    # also pre-aligns the per-round join so only the (small) label
+    # table shuffles each round.
+    n_edges = edges0.count()
+    sc = pairs.sparkSession.sparkContext
+    nparts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
+    edges = edges0.repartition(nparts, "dst").persist()
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
+        .repartition(nparts, "id")
         .withColumn("label", F.col("id"))
         .persist()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    edges0.unpersist()  # repartitioned copy is materialized by now
     for _ in range(max_iter):
         nmin = (
             edges.join(labels, edges.dst == labels.id)

@@ -404,3 +404,27 @@ def j_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload={"value": "last_purchase_value"},
         matched_ts="last_purchase_ts",
     ).drop("ts")
+
+@register(
+    "sessionize_events",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(is_start) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 1800 SECOND
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events)
+    """,
+    ("X-sessionize",),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-minute-gap session ordinals per user
+    (lag + running-sum in ONE window pass; the batch twin of the
+    streaming session_window query)."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return asof.sessionize(e, key="user_id", ts="ts", gap_seconds=1800).drop("ts")

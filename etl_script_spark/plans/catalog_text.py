@@ -211,7 +211,11 @@ def pipeline_llm_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.token_count_ws(F.col("text")).alias("n_tokens"),
     )
     kept = scored.filter((F.col("quality") >= 0.87) & (F.col("lang") == "en"))
-    survivors = dedup_ops.exact_dedup(kept, "text", "doc_id").drop("dup_count")
+    # survivors feeds BOTH the pair generation and the final anti-join;
+    # persist so the score+filter+exact-dedup chain runs once
+    survivors = (
+        dedup_ops.exact_dedup(kept, "text", "doc_id").drop("dup_count").persist()
+    )
     pairs = dedup_ops.ngram_jaccard_pairs(
         survivors, "doc_id", "text", n=3, threshold=0.5
     )
