@@ -118,3 +118,57 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def range_join_broadcast(
+    facts: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """Range join, small-interval-side shape: every fact row matched to
+    the intervals containing its value (lo <= v < hi).
+
+    The intervals side is explicitly broadcast, so the plan is a
+    BroadcastNestedLoopJoin — the RIGHT physical strategy when one
+    side is a dimension of bands/tiers: the fact side never shuffles
+    and the per-row work is a scan of the (tiny) broadcast list.
+    Use range_join_bucketed when BOTH sides are large."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(intervals), cond, "inner")
+
+
+def range_join_bucketed(
+    facts: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Range join, large-large shape: quantize the value axis into
+    fixed-width grid cells; each interval row is exploded to every
+    cell it overlaps, facts map to their single cell, the join becomes
+    an EQUI-join on the cell id (shuffle on a long key — the only wide
+    stage), and the exact lo <= v < hi predicate refines inside the
+    matched cells.
+
+    Row amplification is interval_span / bucket_width per interval
+    row — pick bucket_width near the typical interval length so each
+    interval lands in O(1) cells. This is the standard scale shape
+    (Spark has no native range-join optimizer); a cross join or a
+    nested-loop over two large sides is the thing this avoids."""
+    cell = lambda c: F.floor(c / F.lit(float(bucket_width))).cast("long")  # noqa: E731
+    iv = intervals.withColumn(
+        "__cell",
+        F.explode(F.sequence(cell(F.col(lo_col)), cell(F.col(hi_col)))),
+    )
+    fx = facts.withColumn("__cell", cell(F.col(value_col)))
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return (
+        fx.hint("shuffle_hash")
+        .join(iv, "__cell")
+        .filter(cond)
+        .drop("__cell")
+    )

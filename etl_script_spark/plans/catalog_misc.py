@@ -428,3 +428,52 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming session_window query)."""
     e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     return asof.sessionize(e, key="user_id", ts="ts", gap_seconds=1800).drop("ts")
+
+_BANDS_SQL = """bands AS (
+      SELECT n_nationkey AS band_id,
+             CAST(800 + n_nationkey * 50 AS DOUBLE) AS lo,
+             CAST(920 + n_nationkey * 50 AS DOUBLE) AS hi
+      FROM nation)"""
+
+_RANGE_ORACLE = f"""
+    WITH {_BANDS_SQL}
+    SELECT p.p_partkey, b.band_id, p.p_retailprice
+    FROM part p JOIN bands b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    """
+
+
+def _price_bands(spark: SparkSession, sf_dir: str):
+    n = t(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.lit(800) + F.col("n_nationkey") * 50).cast("double").alias("lo"),
+        (F.lit(920) + F.col("n_nationkey") * 50).cast("double").alias("hi"),
+    )
+
+
+@register("j_range_price_bands", _RANGE_ORACLE, ("X-range-join",))
+def j_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, broadcast shape: parts matched to every overlapping
+    price band (lo <= price < hi). The band dimension broadcasts; the
+    fact side never shuffles (BroadcastNestedLoopJoin is the right
+    plan for a tiny interval side)."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    out = asof.range_join_broadcast(
+        p, _price_bands(spark, sf_dir), "p_retailprice", "lo", "hi"
+    )
+    return out.select("p_partkey", "band_id", "p_retailprice")
+
+
+@register("j_range_bucketed", _RANGE_ORACLE, ("X-range-join",))
+def j_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, large-large shape: both sides quantized to 120-wide
+    grid cells, equi-join on cell id (the only shuffle), exact
+    predicate refined in-cell. Same result set as the broadcast shape
+    — the same oracle checks both."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    out = asof.range_join_bucketed(
+        p, _price_bands(spark, sf_dir), "p_retailprice", "lo", "hi",
+        bucket_width=120.0,
+    )
+    return out.select("p_partkey", "band_id", "p_retailprice")

@@ -107,3 +107,35 @@ def test_asof_join_semantics(spark):
     # NULL payload field, but the row itself matched
     assert got[4] == (None, TS("2024-01-01T00:00:00"))
     assert got[5] == (None, None)
+
+
+def test_range_join_shapes_and_plans(spark):
+    """Boundary semantics (lo inclusive, hi exclusive), agreement of
+    the broadcast and bucketed shapes, and the intended physical
+    plans: nested-loop over a broadcast dim vs an equi shuffle join."""
+    from etl_script_spark.operators.asof import (
+        range_join_broadcast,
+        range_join_bucketed,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, 10.0), (2, 19.999), (3, 20.0), (4, 35.0), (5, 100.0)],
+        "id long, v double",
+    )
+    iv = spark.createDataFrame(
+        [(100, 10.0, 20.0), (200, 15.0, 40.0)], "band long, lo double, hi double"
+    )
+    expect = {(1, 100), (2, 100), (2, 200), (3, 200), (4, 200)}
+    b = range_join_broadcast(facts, iv, "v", "lo", "hi")
+    got_b = {(r["id"], r["band"]) for r in b.collect()}
+    assert got_b == expect
+    for width in (5.0, 12.5, 100.0):
+        k = range_join_bucketed(facts, iv, "v", "lo", "hi", bucket_width=width)
+        assert {(r["id"], r["band"]) for r in k.collect()} == expect
+    bplan = b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in bplan
+    kplan = (
+        range_join_bucketed(facts, iv, "v", "lo", "hi", bucket_width=5.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in kplan or "SortMergeJoin" in kplan
