@@ -21,12 +21,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["q1_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
 
 
-# Queries that already earned a driver CORRECTNESS row in round 1
-# (CORRECTNESS_r01.json). The driver samples queries() in dict order,
-# so entries NOT yet driver-checked are listed first — across rounds
-# every catalog query earns a driver-green row.
-_R01_CHECKED = frozenset(
+# Queries that already earned a GREEN driver CORRECTNESS row in rounds
+# 1-2 (CORRECTNESS_r01.json + CORRECTNESS_r02.json). The driver samples
+# queries() in dict order, so entries NOT yet driver-checked are listed
+# first — across rounds every catalog query earns a driver-green row.
+# a5_collect_by_year (err in r02) and mm_image_features (no_oracle in
+# r02) are intentionally NOT listed: both were fixed this round and
+# should be re-sampled.
+_CHECKED = frozenset(
     {
+        # --- round 1 ---
         "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
         "point_lookup", "range_projection", "keep_list_projection",
         "semi_join_exists", "anti_join_missing", "upsert_keyed",
@@ -45,14 +49,33 @@ _R01_CHECKED = frozenset(
         "f31_line_parse_cascade", "f32_two_line_merge",
         "p2_fuzzy_canonicalize", "p10_strict_mode_filter",
         "d3_multipass_text_dedup",
+        # --- round 2 ---
+        "a6_last_wins_pivot", "j4_diff_sync_soft_delete", "mm_frame_sample",
+        "j_asof_last_purchase", "sessionize_events", "j_range_price_bands",
+        "j_range_bucketed", "pipeline_dbd_financial_e2e",
+        "pipeline_invoice_clean_e2e", "pipeline_sale_report_e2e",
+        "r1_unpivot_measures", "r1_unpivot_year_pairs",
+        "r2_pivot_event_types", "r3_year_projection", "r4_positional_extract",
+        "r5_ffill", "p5_header_row_filter", "p6_total_row_filter",
+        "p7_trailing_trim", "p9_validation_split", "p9_validation_metrics",
+        "p11_noise_label_filter", "p8_drop_all_null", "a3_count_and_page",
+        "a4_array_size", "a5_ordered_group_stats",
+        "s1_csv_encoding_fallback", "s11_json_pointer", "s12_json_roundtrip",
+        "s13_csv_roundtrip", "s14_jdbc_batch_roundtrip", "s16_file_meta",
+        "s2_excel_roundtrip", "s2_xls_roundtrip", "s4_pdf_table_extract",
+        "s5_pdf_text_ocr_cascade", "sql_surface_shared",
+        "st_tumbling_window", "st_sliding_window", "st_session_window",
+        "st_stream_dedup", "st_stream_tumbling", "st_stateful_anomalies",
+        "dedup_exact_text", "dedup_ngram_jaccard", "dedup_cc_clusters",
+        "dedup_near_canonical", "pipeline_llm_prep_e2e",
     }
 )
 
 
 def _ordered() -> list[str]:
     names = list(CATALOG)
-    return [n for n in names if n not in _R01_CHECKED] + [
-        n for n in names if n in _R01_CHECKED
+    return [n for n in names if n not in _CHECKED] + [
+        n for n in names if n in _CHECKED
     ]
 
 

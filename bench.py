@@ -72,6 +72,9 @@ def main() -> None:
             continue
         q = CATALOG[name]
         q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+        # eager operators leave their (documented) result cached; clear
+        # so the timed pass measures recompute, not a cache scan
+        spark.catalog.clearCache()
         start = time.perf_counter()
         q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         extra[name] = round(time.perf_counter() - start, 4)
@@ -86,6 +89,7 @@ def main() -> None:
         if name in manifest:
             continue
         try:
+            spark.catalog.clearCache()
             start = time.perf_counter()
             q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             manifest[name] = round(time.perf_counter() - start, 4)
@@ -93,24 +97,35 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 4)
-    out = {
-        "metric": "headline_queries_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "extra_queries": extra,
+    # Full manifest goes to a FILE (the driver's stdout capture keeps
+    # only the tail, so a giant single line would swallow the headline);
+    # stdout gets one compact JSON line, printed LAST.
+    full = {
         "manifest": manifest,
         "manifest_semantics": (
             "headline+extra are steady-state (after warm-up); all other "
             "manifest entries are a SINGLE COLD pass each (JIT/codegen "
             "compile included) - regression attribution, not throughput"
         ),
-        "sf": sf,
     }
     if errors:
-        out["manifest_errors"] = errors
-    print(json.dumps(out))
+        full["manifest_errors"] = errors
+    manifest_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_MANIFEST.json")
+    with open(manifest_path, "w") as f:
+        json.dump(full, f, indent=1)
+    print(f"manifest ({len(manifest)} queries, {len(errors)} errors) -> "
+          f"{manifest_path}", file=sys.stderr)
     spark.stop()
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra_queries": extra,
+        "sf": sf,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

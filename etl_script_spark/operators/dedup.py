@@ -106,21 +106,42 @@ def minhash_signatures(
     """MinHash signatures as (id, sig array<bigint>[k]).
 
     Shape: explode shingles to rows, then ONE hash aggregation with k
-    ``min(xxhash64(shingle, seed))`` aggregates. The shingle set is
+    ``min`` aggregates over a k-column projection. The shingle set is
     computed exactly once per document (an inline array-of-k-transforms
     version gets its shingle expression re-inlined k times by
     CollapseProject — measured 70× slower), the partial mins combine
-    map-side, and the work parallelizes across the shuffle. O(shingles
-    × k) cheap JVM hashes, no UDF."""
+    map-side, and the work parallelizes across the shuffle. No UDF.
+
+    Hash family: the two-hash trick — only TWO full string hashes per
+    shingle (``xxhash64(sh)`` and a seeded variant), then k derived
+    functions ``h1 XOR rotl(h2, s)``; rotate+xor instead of the
+    classic ``h1 + s·h2`` because long add/multiply overflow THROWS
+    under ANSI mode, while shifts/xor wrap silently. Per shingle row
+    that is O(k) single-cycle long ops instead of O(k) string hashes —
+    the dominant cost of signature generation at corpus scale. Codegen
+    subexpression elimination evaluates the two shared xxhash64 calls
+    once per row (verified: doubling k does not re-hash)."""
     ex = _fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(s))).alias(f"__h{s}")
-        for s in range(num_hashes)
-    ]
-    return ex.groupBy("id").agg(*aggs).select(
+    h1 = F.xxhash64("__sh")
+    h2 = F.xxhash64("__sh", F.lit(-1640531527))  # golden-ratio seed
+
+    def _rotl(c: Column, r: int) -> Column:
+        if r == 0:
+            return c
+        return F.shiftleft(c, r).bitwiseOR(F.shiftrightunsigned(c, 64 - r))
+
+    proj = ex.select(
+        "id",
+        *[
+            h1.bitwiseXOR(_rotl(h2, s % 64)).alias(f"__x{s}")
+            for s in range(num_hashes)
+        ],
+    )
+    aggs = [F.min(f"__x{s}").alias(f"__h{s}") for s in range(num_hashes)]
+    return proj.groupBy("id").agg(*aggs).select(
         "id", F.array(*[F.col(f"__h{s}") for s in range(num_hashes)]).alias("sig")
     )
 
@@ -132,6 +153,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    eager: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs.
 
@@ -144,14 +166,23 @@ def minhash_lsh_candidates(
     Returns distinct candidate pairs (id_a < id_b) with their
     estimated Jaccard (signature agreement ratio).
 
-    The signature table feeds THREE consumers (banding + both sides of
-    the agreement rejoin) — it is persisted so the explode+k-aggregate
-    signature pipeline runs exactly once (recomputing it 3× at 100 TB
-    is days of cluster time; Spark evicts the cache LRU, and callers
-    running many corpora can ``spark.catalog.clearCache()`` between
-    them). The banded self-join is hinted shuffle_hash so both sides
-    reuse ONE exchange (same lesson as embedding_near_dups /
-    ngram_jaccard_pairs).
+    Exchange economy: the signature table feeds THREE consumers
+    (banding + both sides of the agreement rejoin) — it is persisted
+    so the explode+k-aggregate signature pipeline runs exactly once
+    (recomputing it 3× at 100 TB is days of cluster time). The banded
+    self-join is hinted shuffle_hash so both sides reuse ONE exchange;
+    pair dedup is a repartition(id_a)+aggregate (hash clustering on a
+    KEY PREFIX satisfies the groupBy distribution AND the id_a
+    agreement join, so neither adds an exchange); both agreement
+    rejoins shuffle the raw persisted ``sig`` subtree, which
+    ReuseExchange collapses to one shuffle.
+
+    ``eager=True`` (default) materializes the (small) pair table into
+    the returned persisted DataFrame and unpersists the signature
+    intermediate before returning — a catalog sweep leaves no dead
+    cache behind. Call ``.unpersist()`` on the result when done. With
+    ``eager=False`` everything stays lazy and the signature cache is
+    released only by ``spark.catalog.clearCache()``.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
@@ -189,12 +220,26 @@ def minhash_lsh_candidates(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        # dropDuplicates' partial aggregate dedups candidate pairs
+        # map-side BEFORE the exchange — a pair appears once per
+        # agreeing band (≤16×), so pre-shuffle combining beats saving
+        # an exchange with repartition(id_a) (measured 10× worse: the
+        # full duplicated pair stream shuffles and the aggregate loses
+        # its map-side combine)
         .dropDuplicates(["id_a", "id_b"])
     )
-    # signatures rejoin once per side for the agreement estimate
+    # agreement rejoins keep the persisted sig subtree intact on the
+    # build side (rename AFTER the join) so ReuseExchange collapses
+    # the two sig shuffles into one
+    j1 = (
+        pairs.hint("shuffle_hash")
+        .join(sig, pairs["id_a"] == sig["id"])
+        .select("id_a", "id_b", F.col("sig").alias("sig_a"))
+    )
     scored = (
-        pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
-        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        j1.hint("shuffle_hash")
+        .join(sig, j1["id_b"] == sig["id"])
+        .select("id_a", "id_b", "sig_a", F.col("sig").alias("sig_b"))
     )
     agree = F.size(
         F.filter(
@@ -202,9 +247,14 @@ def minhash_lsh_candidates(
             lambda v: v == 1,
         )
     )
-    return scored.select(
+    out = scored.select(
         "id_a", "id_b", (agree / F.lit(num_hashes)).alias("est_jaccard")
     )
+    if eager:
+        out = out.persist()
+        out.count()
+        sig.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -309,7 +359,12 @@ def simhash_fingerprints(
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    eager: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit fingerprint into
     ``bands`` chunks (pigeonhole: hamming<=k pairs share at least one
@@ -321,6 +376,11 @@ def simhash_near_dups(
     (same lesson as minhash_lsh_candidates; without it Spark
     broadcasts one side and recomputes the full fingerprint plan for
     each). The join shuffles four 8-byte columns per banded row.
+
+    ``eager=True`` (default) materializes the (small) pair table into
+    the returned persisted DataFrame and unpersists the fingerprint
+    intermediate — no dead cache after a catalog sweep; call
+    ``.unpersist()`` on the result when done.
     """
     fp = simhash_fingerprints(df, id_col, text_col).persist()
     width = 64 // bands
@@ -359,9 +419,14 @@ def simhash_near_dups(
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+    out = cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    if eager:
+        out = out.persist()
+        out.count()
+        fp.unpersist()
+    return out
 
 
 def connected_components(
@@ -383,11 +448,21 @@ def connected_components(
     Scale shape: the edge list is shuffled on src once per round
     (equi-join with the label table) plus a map-side-combined min
     aggregate — no driver-side graph. Labels are persisted per round
-    and the previous round unpersisted, cutting lineage so round k
-    does not recompute rounds 1..k-1. Convergence is detected with a
+    and the previous round unpersisted, cutting RECOMPUTE lineage so
+    round k does not re-execute rounds 1..k-1; every
+    ``checkpoint_every`` rounds the label table is additionally
+    localCheckpoint-ed, truncating the LOGICAL plan too (persist alone
+    leaves the nested plan growing, so Catalyst re-analysis turns
+    quadratic on high-diameter graphs). Convergence is detected with a
     1-row sum aggregate (labels only ever decrease, so an unchanged
     sum is a fixpoint).
+
+    The returned label table is localCheckpoint-materialized and every
+    loop cache is released before returning — a catalog sweep leaves
+    no cache-manager entries behind (checkpoint blocks are freed by
+    the ContextCleaner once the result is garbage-collected).
     """
+    checkpoint_every = 5
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
@@ -412,28 +487,34 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     edges0.unpersist()  # repartitioned copy is materialized by now
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nmin = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(nmin, labels.id == nmin.src, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-            )
-            .persist()
+        new_labels = labels.join(nmin, labels.id == nmin.src, "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
         )
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
+        if (i + 1) % checkpoint_every == 0:
+            # truncate the logical plan: round k's plan otherwise nests
+            # every previous round and analysis time grows quadratically
+            new_labels = new_labels.localCheckpoint(eager=True)
+            cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        else:
+            new_labels = new_labels.persist()
+            cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()  # no-op on checkpointed rounds (not cached)
         labels = new_labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    out = labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    out = out.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 def near_dup_canonical(

@@ -586,3 +586,184 @@ def f30_header_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             page_text, r"วันที่จ่ายเงิน\s*:\s*(\S+)"
         ).alias("pay_date"),
     )
+
+
+@register(
+    "f19_token_repairs",
+    r"""
+    WITH base AS (
+      SELECT o_orderkey,
+        CASE o_orderkey % 6
+          WHEN 0 THEN '1V' || CAST(o_orderkey AS VARCHAR)
+          WHEN 1 THEN 'C0NS1GN-' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+          WHEN 2 THEN 'cons1gn'
+          WHEN 3 THEN 'IO-' || CAST(o_orderkey AS VARCHAR)
+          WHEN 4 THEN 'เน?NV' || CAST(o_orderkey AS VARCHAR)
+          ELSE 'CROSS' END AS doc_raw,
+        CASE o_orderkey % 6
+          WHEN 0 THEN '1V' || CAST(o_orderkey AS VARCHAR)
+          WHEN 1 THEN ''
+          WHEN 2 THEN 'R-' || CAST(o_orderkey AS VARCHAR)
+          WHEN 3 THEN NULL
+          WHEN 4 THEN 'NV' || CAST(o_orderkey AS VARCHAR)
+          ELSE 'DOCK' END AS ref_raw,
+        CASE o_orderkey % 5
+          WHEN 0 THEN 'F C 1' WHEN 1 THEN 'W 9 0 1' WHEN 2 THEN 'x0000y'
+          WHEN 3 THEN 'FC12' ELSE 'o0 02' END AS branch_raw
+      FROM orders
+    ),
+    toks AS (
+      SELECT o_orderkey, branch_raw,
+        regexp_extract_all(doc_raw, '(?i)[A-Za-z0-9]{2,}-?[A-Za-z0-9]{2,}|[A-Za-z]{1,3}\s*-?\s*\d{4,}', 0) AS dc,
+        regexp_extract_all(doc_raw, '[A-Za-z0-9\-]{5,}', 0) AS dfb,
+        regexp_extract_all(ref_raw, '(?i)[A-Za-z0-9]{2,}-?[A-Za-z0-9]{2,}|[A-Za-z]{1,3}\s*-?\s*\d{4,}', 0) AS rc,
+        regexp_extract_all(ref_raw, '[A-Za-z0-9\-]{5,}', 0) AS rfb
+      FROM base
+    ),
+    best AS (
+      SELECT o_orderkey, branch_raw,
+        CASE WHEN len(dc) > 0 THEN list_reduce(dc, (a, x) -> CASE WHEN len(x) > len(a) THEN x ELSE a END)
+             WHEN len(dfb) > 0 THEN list_reduce(dfb, (a, x) -> CASE WHEN len(x) > len(a) THEN x ELSE a END)
+             ELSE NULL END AS bd,
+        CASE WHEN len(rc) > 0 THEN list_reduce(rc, (a, x) -> CASE WHEN len(x) > len(a) THEN x ELSE a END)
+             WHEN len(rfb) > 0 THEN list_reduce(rfb, (a, x) -> CASE WHEN len(x) > len(a) THEN x ELSE a END)
+             ELSE NULL END AS br
+      FROM toks
+    ),
+    norm AS (
+      SELECT o_orderkey, branch_raw,
+        CASE WHEN bd IS NULL OR bd = '' THEN NULL ELSE
+          CASE WHEN regexp_matches(regexp_replace(bd, '\s+', '', 'g'), '(?i)^C[O0]NS[1I]GN(-?\d\d)?$')
+               THEN CASE WHEN regexp_extract(regexp_replace(bd, '\s+', '', 'g'), '(\d\d)$', 1) <> ''
+                         THEN 'CONSIGN-' || regexp_extract(regexp_replace(bd, '\s+', '', 'g'), '(\d\d)$', 1)
+                         ELSE 'CONSIGN' END
+               ELSE CASE WHEN upper(translate(regexp_replace(bd, '\s+', '', 'g'), 'OI', '01')) LIKE '1V%'
+                         THEN 'I' || substring(translate(regexp_replace(bd, '\s+', '', 'g'), 'OI', '01'), 2)
+                         ELSE translate(regexp_replace(bd, '\s+', '', 'g'), 'OI', '01') END
+          END END AS nd,
+        CASE WHEN br IS NULL OR br = '' THEN NULL ELSE
+          CASE WHEN regexp_matches(regexp_replace(br, '\s+', '', 'g'), '(?i)^C[O0]NS[1I]GN(-?\d\d)?$')
+               THEN CASE WHEN regexp_extract(regexp_replace(br, '\s+', '', 'g'), '(\d\d)$', 1) <> ''
+                         THEN 'CONSIGN-' || regexp_extract(regexp_replace(br, '\s+', '', 'g'), '(\d\d)$', 1)
+                         ELSE 'CONSIGN' END
+               ELSE CASE WHEN upper(translate(regexp_replace(br, '\s+', '', 'g'), 'OI', '01')) LIKE '1V%'
+                         THEN 'I' || substring(translate(regexp_replace(br, '\s+', '', 'g'), 'OI', '01'), 2)
+                         ELSE translate(regexp_replace(br, '\s+', '', 'g'), 'OI', '01') END
+          END END AS nr
+      FROM best
+    ),
+    reffix AS (
+      SELECT o_orderkey, branch_raw, nd,
+        CASE WHEN nr IS NULL OR nr = '' THEN nd
+             WHEN nd IS NULL OR nd = '' THEN nr
+             WHEN (len(nd) >= 6 AND len(nr) >= 6 AND substring(nd, 1, 6) = substring(nr, 1, 6))
+               OR (len(nr) >= 6 AND starts_with(nd, nr)) THEN nd
+             ELSE nr END AS nr2
+      FROM norm
+    ),
+    cd AS (
+      SELECT o_orderkey, branch_raw, nd, nr2,
+        upper(regexp_replace(coalesce(nd, ''), '\s+', '', 'g')) AS dz,
+        upper(regexp_replace(coalesce(nr2, ''), '\s+', '', 'g')) AS rz
+      FROM reffix
+    ),
+    pairfix AS (
+      SELECT o_orderkey, branch_raw,
+        CASE WHEN dz IN ('CROSSDOCK', 'CROSS-DOCK') OR rz IN ('CROSSDOCK', 'CROSS-DOCK')
+               OR (dz = 'CROSS' AND rz = 'DOCK') OR (dz = 'DOCK' AND rz = 'CROSS')
+               OR (dz IN ('CROSS', 'DOCK') AND rz = '')
+               OR (rz IN ('CROSS', 'DOCK') AND dz = '')
+             THEN 'CROSS DOCK' ELSE trim(coalesce(nd, '')) END AS doc_no,
+        CASE WHEN dz IN ('CROSSDOCK', 'CROSS-DOCK') OR rz IN ('CROSSDOCK', 'CROSS-DOCK')
+               OR (dz = 'CROSS' AND rz = 'DOCK') OR (dz = 'DOCK' AND rz = 'CROSS')
+               OR (dz IN ('CROSS', 'DOCK') AND rz = '')
+               OR (rz IN ('CROSS', 'DOCK') AND dz = '')
+             THEN 'Crossdock' ELSE trim(coalesce(nr2, '')) END AS ref_no
+      FROM cd
+    ),
+    br AS (
+      SELECT o_orderkey,
+        regexp_replace(upper(translate(branch_raw, 'OI', '01')), '[^A-Z0-9 ]', '', 'g') AS sc
+      FROM pairfix
+    )
+    SELECT p.o_orderkey,
+      CASE WHEN b.sc LIKE '%0000%' THEN '0000'
+           WHEN regexp_extract(b.sc, 'F\s*C[^0-9]*([0-9])[^0-9]*([0-9])?', 1) <> '' THEN
+             CASE WHEN regexp_extract(b.sc, 'F\s*C[^0-9]*([0-9])[^0-9]*([0-9])?', 2) <> ''
+                  THEN 'FC' || regexp_extract(b.sc, 'F\s*C[^0-9]*([0-9])[^0-9]*([0-9])?', 1)
+                            || regexp_extract(b.sc, 'F\s*C[^0-9]*([0-9])[^0-9]*([0-9])?', 2)
+                  ELSE 'FC0' || regexp_extract(b.sc, 'F\s*C[^0-9]*([0-9])[^0-9]*([0-9])?', 1) END
+           WHEN regexp_extract(b.sc, 'W[^0-9]*([0-9])[^0-9]*([0-9])[^0-9]*([0-9])', 1) <> ''
+           THEN 'W' || regexp_extract(b.sc, 'W[^0-9]*([0-9])[^0-9]*([0-9])[^0-9]*([0-9])', 1)
+                    || regexp_extract(b.sc, 'W[^0-9]*([0-9])[^0-9]*([0-9])[^0-9]*([0-9])', 2)
+                    || regexp_extract(b.sc, 'W[^0-9]*([0-9])[^0-9]*([0-9])[^0-9]*([0-9])', 3)
+           ELSE trim(b.sc) END AS branch,
+      p.doc_no, p.ref_no
+    FROM pairfix p JOIN br b USING (o_orderkey)
+    """,
+    ("F19",),
+)
+def f19_token_repairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19: the remittance OCR token-repair family end-to-end —
+    branch-code repair (O/I folding, FC##/W### reconstruction, 0000
+    wins), best-token extraction from noisy OCR cells, CONSIGN-family
+    and 1V→IV normalization, ref-repaired-from-doc prefix logic, and
+    CROSS/DOCK pair folding — applied to deterministic key-derived
+    dirty tokens so the DuckDB oracle can replay every rule.
+
+    Ref: pdf_ocr_rm_to_json.py:118-254 (fix_ocr_o0i1, branch repairs,
+    normalize/best-token, repair_ref_from_doc, crossdock folding).
+    """
+    from etl_script_spark.pipelines import remittance as rm
+
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    doc_raw = (
+        F.when(k % 6 == 0, F.concat(F.lit("1V"), ks))
+        .when(k % 6 == 1, F.concat(F.lit("C0NS1GN-"), F.lpad((k % 100).cast("string"), 2, "0")))
+        .when(k % 6 == 2, F.lit("cons1gn"))
+        .when(k % 6 == 3, F.concat(F.lit("IO-"), ks))
+        .when(k % 6 == 4, F.concat(F.lit("เน?NV"), ks))
+        .otherwise(F.lit("CROSS"))
+    )
+    ref_raw = (
+        F.when(k % 6 == 0, F.concat(F.lit("1V"), ks))
+        .when(k % 6 == 1, F.lit(""))
+        .when(k % 6 == 2, F.concat(F.lit("R-"), ks))
+        .when(k % 6 == 3, F.lit(None).cast("string"))
+        .when(k % 6 == 4, F.concat(F.lit("NV"), ks))
+        .otherwise(F.lit("DOCK"))
+    )
+    branch_raw = (
+        F.when(k % 5 == 0, F.lit("F C 1"))
+        .when(k % 5 == 1, F.lit("W 9 0 1"))
+        .when(k % 5 == 2, F.lit("x0000y"))
+        .when(k % 5 == 3, F.lit("FC12"))
+        .otherwise(F.lit("o0 02"))
+    )
+    base = o.select(
+        "o_orderkey",
+        doc_raw.alias("doc_raw"),
+        ref_raw.alias("ref_raw"),
+        branch_raw.alias("branch_raw"),
+    )
+    step = base.select(
+        "o_orderkey",
+        rm.extract_best_token(F.col("doc_raw")).alias("doc1"),
+        rm.extract_best_token(F.col("ref_raw")).alias("ref1"),
+        rm.repair_branch(F.col("branch_raw")).alias("branch"),
+    )
+    step2 = step.select(
+        "o_orderkey",
+        "branch",
+        "doc1",
+        rm.repair_ref_from_doc(F.col("doc1"), F.col("ref1")).alias("ref2"),
+    )
+    pair = rm.normalize_crossdock_pair(F.col("doc1"), F.col("ref2"))
+    return step2.select(
+        "o_orderkey",
+        "branch",
+        pair["doc_no"].alias("doc_no"),
+        pair["ref_no"].alias("ref_no"),
+    )

@@ -358,13 +358,21 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_image_features",
-    None,  # stub-derived width/height/luma are not SQL-expressible
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           substr(sha256(text), 1, 16) AS sha_prefix
+    FROM documents
+    """,
     ("LLM-multimodal",),
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary image column → Arrow-batched feature
     extraction (mapInPandas). Decode is the documented deterministic
-    stub; schema/batching/partitioning are the real contract."""
+    stub; schema/batching/partitioning are the real contract. The
+    driver query projects the byte-derived features (n_bytes,
+    sha_prefix) that an oracle can recompute — DuckDB sha256 over the
+    same UTF-8 bytes; stub width/height/luma stay unit-test-covered."""
     d = t(spark, sf_dir, "documents")
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -373,7 +381,9 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image/png").alias("mime"),
         F.create_map(F.lit("src"), F.col("source")).alias("meta"),
     )
-    return multimodal.extract_image_features(media)
+    return multimodal.extract_image_features(media).select(
+        "media_id", "n_bytes", "sha_prefix"
+    )
 
 @register(
     "j_asof_last_purchase",

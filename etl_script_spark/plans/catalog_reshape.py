@@ -423,12 +423,33 @@ def a5_ordered_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a5_collect_by_year", None, ("A5", "O5"))
+@register(
+    "a5_collect_by_year",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+           to_json(list(struct_pack(
+               o_orderkey := o_orderkey,
+               o_totalprice := printf('%.2f', o_totalprice)
+           ) ORDER BY o_orderkey)) AS rows_json
+    FROM orders GROUP BY 1
+    """,
+    ("A5", "O5"),
+)
 def a5_collect_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: the actual year-keyed {"year": [rows…]} shape with
-    source-order-preserving collect (nested output → rows-only check;
-    the flattened twin above is the oracle-checked evidence)."""
-    o = t(spark, sf_dir, "orders").withColumn("__ord", F.col("o_orderkey"))
-    return reshape.collect_by_year(
-        o, F.year("o_orderdate").alias("year"), "__ord", ["o_orderkey", "o_totalprice"]
+    source-order-preserving collect. The collected array<struct> is
+    serialized with to_json so the output is a flat string column the
+    harness can sort/hash (both engines emit the same compact JSON);
+    prices are printf-formatted so float rendering is engine-neutral."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .withColumn("__ord", F.col("o_orderkey"))
+        .withColumn("o_totalprice", F.format_string("%.2f", "o_totalprice"))
     )
+    out = reshape.collect_by_year(
+        o,
+        F.year("o_orderdate").cast("long").alias("year"),
+        "__ord",
+        ["o_orderkey", "o_totalprice"],
+    )
+    return out.select("year", F.to_json("rows").alias("rows_json"))

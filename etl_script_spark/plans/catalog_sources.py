@@ -403,3 +403,118 @@ def sql_surface_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("orders",):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_SHARED_SQL)
+
+
+def _fake_bol_transport(url: str, form: dict, headers: dict) -> dict:
+    """Injected S10 transport: a deterministic in-process stand-in for
+    the BOL API (login/getdata/logout), exercising the client's full
+    token lifecycle without a network. Top-level so mapInPandas can
+    pickle it to executors."""
+    if "login" in url:
+        return {"access_token": "tok-fake", "token_type": "Bearer"}
+    if "logout" in url:
+        return {}
+    if headers.get("Authorization") != "Bearer tok-fake":
+        raise RuntimeError("getdata without login token")
+    reg = form["registrationId"]
+    return {
+        "searchResults": [
+            {"companyName": "CO-" + reg, "status": "1"},
+            {"companyName": "BR-" + reg, "status": "2"},
+        ]
+    }
+
+
+@register(
+    "s10_rest_bol_fetch",
+    """
+    SELECT lpad(CAST(n_nationkey AS VARCHAR), 13, '0') AS registration_no,
+           'CO-' || lpad(CAST(n_nationkey AS VARCHAR), 13, '0') AS company_name,
+           '1' AS status
+    FROM nation
+    UNION ALL
+    SELECT lpad(CAST(n_nationkey AS VARCHAR), 13, '0'),
+           'BR-' || lpad(CAST(n_nationkey AS VARCHAR), 13, '0'), '2'
+    FROM nation
+    """,
+    ("S10",),
+)
+def s10_rest_bol_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: REST acquisition source end-to-end — distributed fetch
+    (one login per partition, token reuse, logout) through the
+    injectable transport, raw-archive bronze envelope, then the
+    searchResults explode to silver. The oracle restates the fake
+    API's deterministic payload per registration id.
+
+    Ref: BolApiController.php:92-128 (login/getdata/logout),
+    :62-71 (raw archive + searchResults unwrap).
+    """
+    from etl_script_spark.sources import rest
+
+    regs = t(spark, sf_dir, "nation").select(
+        F.lpad(F.col("n_nationkey").cast("string"), 13, "0").alias(
+            "registration_no"
+        )
+    )
+    cfg = rest.BolApiConfig(
+        login_url="fake://login",
+        getdata_url="fake://getdata",
+        logout_url="fake://logout",
+        username="u",
+        password="p",
+    )
+    raw = rest.fetch_raw_archive_distributed(
+        regs.repartition(4), cfg, _fake_bol_transport
+    )
+    parsed = rest.parse_search_results(raw)
+    return parsed.select(
+        "registration_no",
+        parsed["result"]["companyName"].alias("company_name"),
+        parsed["result"]["status"].alias("status"),
+    )
+
+
+@register(
+    "s15_http_push_roundtrip",
+    "SELECT n_nationkey, n_name FROM nation",
+    ("S15",),
+)
+def s15_http_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: HTTP push sink round-trip — every partition POSTs its rows
+    in batches through a per-partition poster (here a loopback that
+    records each batch as JSON lines, the in-container stand-in for
+    the API endpoint); the recorded stream is read back and must equal
+    the source table. Exercises batching (batch_size < rows),
+    executor-side poster construction, and the foreachPartition fanout.
+
+    Ref: main.py:40-48, send_dbd_company_supplier.py:85-143.
+    """
+    from etl_script_spark.sources import writers as w
+
+    d = _workdir(sf_dir, "s15")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    src = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def poster_factory():
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        path = f"{d}/recv-{_os.getpid()}-{_uuid.uuid4().hex}.jsonl"
+
+        def post(batch: list[dict]) -> None:
+            with open(path, "a", encoding="utf-8") as f:
+                for rec in batch:
+                    f.write(_json.dumps(rec, ensure_ascii=False) + "\n")
+
+        return post
+
+    w.http_push_sink(src, poster_factory, batch_size=7)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(f"{d}/recv-*.jsonl")

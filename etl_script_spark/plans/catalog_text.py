@@ -212,9 +212,14 @@ def pipeline_llm_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = scored.filter((F.col("quality") >= 0.87) & (F.col("lang") == "en"))
     # survivors feeds BOTH the pair generation and the final anti-join;
-    # persist so the score+filter+exact-dedup chain runs once
+    # localCheckpoint (not persist) so the score+filter+exact-dedup
+    # chain runs once AND no cache-manager entry outlives the query —
+    # checkpoint blocks are freed by the ContextCleaner when the
+    # result is garbage-collected
     survivors = (
-        dedup_ops.exact_dedup(kept, "text", "doc_id").drop("dup_count").persist()
+        dedup_ops.exact_dedup(kept, "text", "doc_id")
+        .drop("dup_count")
+        .localCheckpoint(eager=True)
     )
     pairs = dedup_ops.ngram_jaccard_pairs(
         survivors, "doc_id", "text", n=3, threshold=0.5

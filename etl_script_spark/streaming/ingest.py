@@ -16,41 +16,36 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos under nanosAsLong
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming source over the events parquet with the nano→micro
-    timestamp rebuild applied. FileStreamSource requires a DIRECTORY —
-    the sf dir is the base path, filtered to the events file; in
-    production this is the drop directory new monthly files land in."""
+    """Streaming source over the events parquet. FileStreamSource
+    requires a DIRECTORY — the sf dir is the base path, filtered to
+    the events file; in production this is the drop directory new
+    monthly files land in.
+
+    The stream schema is taken from a batch footer read, so the source
+    adapts to the generator's timestamp physical type: TIMESTAMP(NANOS)
+    arrives as int64 (legacy nanosAsLong) and is rebuilt to micros;
+    TIMESTAMP(MICROS) arrives as timestamp_ntz and is cast directly."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     # TIMESTAMP (ltz), not NTZ: Spark's watermark/event-time ops only
     # accept TIMESTAMP. Session tz is pinned UTC so values agree with
     # the batch path's NTZ rebuild; outputs cast back to NTZ.
-    return raw.withColumn(
-        "ts",
-        F.expr(
-            "timestampadd(MICROSECOND, ts div 1000,"
-            " TIMESTAMP '1970-01-01 00:00:00')"
-        ),
-    )
+    if dict(batch.dtypes).get("ts") == "bigint":  # nanos-as-long file
+        return raw.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP '1970-01-01 00:00:00')"
+            ),
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_available_now(

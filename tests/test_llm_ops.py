@@ -103,3 +103,88 @@ def test_near_dup_canonical_keeps_one_per_cluster(spark):
     )
     # cluster {1,2,5} -> keep 1; cluster {6,7} -> keep 6; 0,3,4 untouched
     assert kept == [0, 1, 3, 4, 6]
+
+
+def _cache_manager_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_cache_discipline_minhash_simhash_cc(spark, sf_dir):
+    """Eager operators must leave NO cache-manager entry behind except
+    the returned (documented) result, released by .unpersist() — a
+    catalog sweep must not accumulate dead signature/fingerprint
+    caches (round-2 verdict item 6)."""
+    from etl_script_spark.operators import dedup as dedup_ops
+
+    spark.catalog.clearCache()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    mh = dedup_ops.minhash_lsh_candidates(d, "doc_id", "text")
+    assert mh.count() >= 0
+    mh.unpersist()
+    assert _cache_manager_empty(spark), "minhash left dead cache"
+
+    sh = dedup_ops.simhash_near_dups(d, "doc_id", "text")
+    assert sh.count() >= 0
+    sh.unpersist()
+    assert _cache_manager_empty(spark), "simhash left dead cache"
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    cc = dedup_ops.connected_components(pairs)
+    assert cc.count() == 5
+    assert _cache_manager_empty(spark), "connected_components left dead cache"
+
+
+def test_cc_high_diameter_flat_planning(spark):
+    """A 50-round path graph must converge with bounded per-round
+    planning time: localCheckpoint every 5 rounds truncates the
+    logical plan, so analysis cost stays flat instead of nesting all
+    previous rounds (round-2 verdict item 7)."""
+    import time
+
+    from etl_script_spark.operators.dedup import connected_components
+
+    n = 52
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    start = time.perf_counter()
+    got = connected_components(pairs, max_iter=60).collect()
+    elapsed = time.perf_counter() - start
+    assert {(r["id"], r["cluster_id"]) for r in got} == {
+        (i, 0) for i in range(n)
+    }
+    # without plan truncation this path graph takes many minutes
+    # (quadratic re-analysis); with it, ~1s/round of loop overhead
+    # (52 rounds ≈ 51s measured standalone; headroom for shared
+    # sessions under load)
+    assert elapsed < 240, f"CC on 51-edge path took {elapsed:.1f}s"
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """MinHash(64, two-hash xor-rotate family) candidates at
+    est>=0.5 must recover >=90% of the exact n-gram Jaccard>=0.5
+    pairs with accurate estimates — guards the hash-family quality
+    (a degenerate family would pass rows-only checks silently)."""
+    from etl_script_spark.operators import dedup as dedup_ops
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup_ops.ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert len(exact) >= 10, "fixture should contain planted near-dups"
+    mh = dedup_ops.minhash_lsh_candidates(d, "doc_id", "text")
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in mh.filter(F.col("est_jaccard") >= 0.5).collect()
+    }
+    mh.unpersist()
+    hits = [k for k in exact if k in got]
+    assert len(hits) / len(exact) >= 0.9, (len(hits), len(exact))
+    errs = [abs(got[k] - exact[k]) for k in hits]
+    assert sum(errs) / len(errs) < 0.1, "estimates drifted"
