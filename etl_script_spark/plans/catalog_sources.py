@@ -518,3 +518,90 @@ def s15_http_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).json(f"{d}/recv-*.jsonl")
+
+
+@register(
+    "s9_scrape_card_parse",
+    """
+    SELECT s_suppkey,
+           s_name AS company_name,
+           '0' || lpad(CAST(s_suppkey AS VARCHAR), 12, '0') AS registration_no,
+           CAST(make_date(1988 + s_suppkey % 40,
+                          CAST(1 + s_suppkey % 12 AS INTEGER),
+                          CAST(1 + s_suppkey % 28 AS INTEGER))
+                AS TIMESTAMP) AS registered_date,
+           CAST((s_suppkey % 1000 + 1) AS BIGINT) * 100000 AS registered_capital,
+           CASE s_suppkey % 3 WHEN 0 THEN 'ยังดำเนินกิจการอยู่'
+                WHEN 1 THEN 'เสร็จการชำระบัญชี' ELSE 'ร้าง' END AS entity_status
+    FROM supplier
+    """,
+    ("S9",),
+)
+def s9_scrape_card_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 parse side: the company-info card a browser-automation
+    acquisition archives (ACQUISITION itself — Selenium navigation —
+    is out-of-engine tooling; the engine owns the page→typed-row
+    transform). Page text is generated per supplier row, then parsed
+    back with the scraper's exact repair semantics: label-prefix strip
+    for the company name, digit-run extraction (10-20 digits after
+    noise removal) for the registration number, Thai-abbreviated-month
+    + strict >2400 BE→CE date rebuild, comma-grouped capital, status
+    passthrough. Pure Column expressions — zero shuffles, zero UDFs;
+    the oracle restates the expected typed values from the table.
+
+    Ref: dbd_web_scraping.py:206-265 (norm_txt, cac-certified
+    name/registration extraction, thai_date_to_iso with year>2400).
+    """
+    from etl_script_spark.functions import dates
+
+    s = t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    months_th = F.array(
+        *[F.lit(m) for m in (
+            "ม.ค.", "ก.พ.", "มี.ค.", "เม.ย.", "พ.ค.", "มิ.ย.",
+            "ก.ค.", "ส.ค.", "ก.ย.", "ต.ค.", "พ.ย.", "ธ.ค.",
+        )]
+    )
+    be_year = (F.lit(2531) + k % 40).cast("int")
+    month = (F.lit(1) + k % 12).cast("int")
+    day = (F.lit(1) + k % 28).cast("int")
+    capital = ((k % 1000 + 1) * 100000).cast("long")
+    status = (
+        F.when(k % 3 == 0, F.lit("ยังดำเนินกิจการอยู่"))
+        .when(k % 3 == 1, F.lit("เสร็จการชำระบัญชี"))
+        .otherwise(F.lit("ร้าง"))
+    )
+    page = F.concat(
+        F.lit("ข้อมูลนิติบุคคล\nชื่อนิติบุคคล : "), F.col("s_name"),
+        F.lit("\nเลขทะเบียนนิติบุคคล : 0"),
+        F.lpad(k.cast("string"), 12, "0"),
+        F.lit("\nวันที่จดทะเบียน|"),
+        day.cast("string"), F.lit(" "),
+        F.element_at(months_th, month), F.lit(" "), be_year.cast("string"),
+        F.lit("\nทุนจดทะเบียน|"), F.format_number(capital, 0),
+        F.lit(" บาท\nสถานะ|"), status,
+    )
+    raw = s.select("s_suppkey", page.alias("page"))
+    name_line = F.regexp_extract("page", r"ชื่อนิติบุคคล\s*[:：]\s*([^\n]+)", 1)
+    reg_line = F.regexp_extract("page", r"เลขทะเบียนนิติบุคคล\s*[:：]\s*([^\n]+)", 1)
+    reg_no = F.regexp_extract(
+        F.regexp_replace(reg_line, r"[^\d]", ""), r"(\d{10,20})", 1
+    )
+    date_txt = F.regexp_extract("page", r"วันที่จดทะเบียน\|([^\n]+)", 1)
+    parts = F.split(F.trim(date_txt), r"\s+")
+    reg_date = dates.safe_make_date(
+        dates.be_to_ce_year(parts[2].try_cast("int")),
+        dates.thai_month_num(parts[1]),
+        parts[0].try_cast("int"),
+    )
+    cap_txt = F.regexp_extract("page", r"ทุนจดทะเบียน\|([\d,]+) บาท", 1)
+    cap_val = F.regexp_replace(cap_txt, ",", "").try_cast("long")
+    status_txt = F.regexp_extract("page", r"สถานะ\|([^\n]+)", 1)
+    return raw.select(
+        "s_suppkey",
+        F.trim(name_line).alias("company_name"),
+        reg_no.alias("registration_no"),
+        reg_date.cast("timestamp_ntz").alias("registered_date"),
+        cap_val.alias("registered_capital"),
+        status_txt.alias("entity_status"),
+    )

@@ -210,3 +210,33 @@ def st_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_available_now(
         flagged, f"st_stateful_anomalies_{_tag(sf_dir)}", output_mode="append"
     )
+
+
+@register(
+    "anomalies_running_mean_jvm",
+    """
+    SELECT user_id, event_id,
+           CAST(trunc(value * 100) AS BIGINT) AS value_cents,
+           CAST(COALESCE(SUM(CAST(trunc(value * 100) AS BIGINT)) OVER w, 0)
+                AS BIGINT) AS prev_total_cents,
+           COUNT(*) OVER w AS n_prev,
+           COALESCE(CAST(trunc(value * 100) AS BIGINT) * (COUNT(*) OVER w)
+                    > 2 * SUM(CAST(trunc(value * 100) AS BIGINT)) OVER w,
+                    FALSE) AS is_anomaly
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+    ("streaming-stateful",),
+)
+def anomalies_running_mean_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT (batch/backfill) path for per-user running-mean
+    anomaly flags: a cumulative row window — whole-stage codegen, one
+    exchange on user_id, zero Python workers. Same output schema and
+    exact-integer semantics as the streaming Python-state twin
+    (st_stateful_anomalies), which remains the unbounded-stream
+    escape hatch."""
+    from etl_script_spark.streaming import stateful
+
+    e = t(spark, sf_dir, "events")
+    return stateful.running_mean_anomalies_jvm(e, factor_num=2, factor_den=1)

@@ -466,3 +466,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return similarity.ivf_topk(e, queries, k=10, n_centroids=8, nprobe=3, dim=64)
+
+
+@register(
+    "dedup_cc_alternating",
+    f"""
+    {_CC_CTES}
+    SELECT id, cluster_id FROM cc
+    """,
+    ("LLM-dedup",),
+)
+def dedup_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive-closure contract as dedup_cc_clusters, computed
+    with the alternating large-star/small-star contraction — O(log n)
+    rounds regardless of component diameter (the propagation operator
+    needs diameter rounds). The scale path for long-chain graphs."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_ops.connected_components_alternating(pairs)

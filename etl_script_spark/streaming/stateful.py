@@ -1,11 +1,17 @@
-"""Custom stateful streaming operator (applyInPandasWithState).
+"""Per-user running-mean anomaly flags: JVM window path + custom
+stateful streaming extension point (applyInPandasWithState).
 
-The built-in stateful ops (windowed aggs, dropDuplicates,
-session_window) cover the reference's needs; this module demonstrates
-the engine's extension point for semantics they CAN'T express — a
-per-key running aggregate consulted row-by-row (anomaly flag against
-the running mean of the user's PREVIOUS events), carried across
-micro-batches in explicit group state.
+``running_mean_anomalies_jvm`` is the DEFAULT: for batch and backfill
+the semantics are a plain cumulative window (ROWS UNBOUNDED PRECEDING
+AND 1 PRECEDING) — whole-stage-codegen, one exchange on user_id, no
+Python workers. Use it whenever the input is a bounded DataFrame.
+
+``running_mean_anomalies`` (applyInPandasWithState) exists for the
+case the JVM path cannot express: UNBOUNDED streams, where row-order
+windows are unsupported and the running (count, total) must be carried
+across micro-batches in explicit group state. It pays the Python
+worker round-trip by design — the documented escape hatch, not the
+hot-path default.
 
 Determinism contract: values are converted to integer cents by
 truncation of the same IEEE double on every engine, so running sums
@@ -103,4 +109,43 @@ def running_mean_anomalies(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_mean_anomalies_jvm(
+    events: DataFrame, factor_num: int = 2, factor_den: int = 1
+) -> DataFrame:
+    """Batch/backfill path for the running-mean anomaly flag: a
+    cumulative row window per user — pure whole-stage codegen, one
+    exchange on user_id, no Python workers. Output schema and integer
+    semantics are identical to ``running_mean_anomalies`` (cents by
+    double truncation; comparison cross-multiplied so no division).
+
+    This is the plan you want at 100 TB when the input is bounded
+    (daily batch, backfill, reprocessing): the Python-state operator
+    exists only for unbounded streams, where row-order windows are
+    unsupported.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cents = (F.col("value") * 100).cast("long")  # double→long truncates
+    prev_total = F.coalesce(F.sum(cents).over(w), F.lit(0)).cast("long")
+    n_prev = F.count(F.lit(1)).over(w)
+    is_anom = F.coalesce(
+        cents * n_prev * F.lit(factor_den)
+        > F.lit(factor_num) * prev_total,
+        F.lit(False),
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        cents.alias("value_cents"),
+        prev_total.alias("prev_total_cents"),
+        n_prev.alias("n_prev"),
+        is_anom.alias("is_anomaly"),
     )

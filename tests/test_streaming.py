@@ -101,3 +101,31 @@ def test_stream_to_atomic_snapshot(spark, tmp_path):
         for r in spark.read.parquet(f"{table}/current").collect()
     }
     assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_jvm_anomaly_twin_matches_python_state(spark, sf_dir):
+    """The JVM window path and the Python-state streaming operator
+    must produce identical rows (same exact-integer semantics), and
+    the JVM plan must contain no Python eval nodes and exactly one
+    exchange — it is the batch/backfill default; Python state is the
+    unbounded-stream escape hatch."""
+    from etl_script_spark.plans.catalog import t
+    from etl_script_spark.streaming import ingest, stateful
+
+    e = t(spark, sf_dir, "events")
+    jvm = stateful.running_mean_anomalies_jvm(e)
+    plan = jvm._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    sdf = ingest.stream_events(spark, sf_dir)
+    py = ingest.run_available_now(
+        stateful.running_mean_anomalies(sdf),
+        "jvm_twin_parity",
+        output_mode="append",
+    )
+    cols = ["user_id", "event_id", "value_cents", "prev_total_cents",
+            "n_prev", "is_anomaly"]
+    a = {tuple(r) for r in jvm.select(cols).collect()}
+    b = {tuple(r) for r in py.select(cols).collect()}
+    assert a == b
