@@ -487,3 +487,99 @@ def j_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=120.0,
     )
     return out.select("p_partkey", "band_id", "p_retailprice")
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT o_orderkey, o_custkey, c_nationkey
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    ("skew",),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew tooling, driver-checked: the explicit salted equi-join —
+    the skewed (fact) side salts on a per-row hash, the dim side
+    explodes into every salt, the join key becomes (key, salt) so one
+    hot customer spreads over n_salts reducers. Semantically identical
+    to the plain join (the oracle), by construction.
+
+    The mitigation for the hot-key layouts AQE can't re-plan
+    (SURVEY §4 scale posture)."""
+    from etl_script_spark.operators import skew
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    return skew.salted_join(o, c, "o_custkey", n_salts=8, how="inner")
+
+
+@register(
+    "skew_two_phase_agg",
+    """
+    SELECT o_custkey,
+           COUNT(*) AS cnt_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders GROUP BY o_custkey
+    """,
+    ("skew",),
+)
+def skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew tooling, driver-checked: hot-key aggregation in two phases
+    — partial aggregate on (key, salt) spreads each hot key over
+    n_salts reducers, final combine on the key. Exact integer cents so
+    the two-phase result is bitwise-equal to the single-phase oracle."""
+    from etl_script_spark.operators import skew
+    from etl_script_spark.plans.catalog import cents
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return skew.two_phase_agg(
+        o,
+        ["o_custkey"],
+        {
+            "cnt_orders": F.count(F.lit(1)),
+            "sum_cents": F.sum(cents(F.col("o_totalprice"))),
+        },
+        n_salts=8,
+    )
+
+
+@register(
+    "bucketed_join_zero_shuffle",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_nationkey
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    ("bucketing",),
+)
+def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-at-rest join, driver-checked: both sides are persisted
+    bucketed by the join key, then joined from the saved tables — the
+    sort-merge join reads both sides pre-partitioned, no Exchange on
+    either side (asserted in tests/test_skew.py). The at-rest answer
+    to repeated merges on the same key at 100 TB."""
+    import re as _re
+
+    from etl_script_spark.sources import writers as w
+
+    tag = _re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))
+    ot, ct = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # a managed table's location can survive from a previous session
+    # whose catalog is gone — drop both layers before rewriting
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in (ot, ct):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+    w.write_bucketed_table(o, ot, ["o_custkey"], n_buckets=8)
+    w.write_bucketed_table(c, ct, ["c_custkey"], n_buckets=8)
+    bo, bc = spark.table(ot), spark.table(ct)
+    return bo.join(bc, bo["o_custkey"] == bc["c_custkey"]).select(
+        "o_orderkey", "o_custkey", "c_nationkey"
+    )

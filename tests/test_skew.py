@@ -56,3 +56,15 @@ def test_two_phase_agg_matches_plain(spark):
         ).collect()
     }
     assert plain == two
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """Both sides bucketed by the join key at rest → the sort-merge
+    join runs with ZERO Exchange nodes (the at-rest co-location
+    answer for repeated merges)."""
+    from etl_script_spark.plans.catalog import CATALOG
+
+    df = CATALOG["bucketed_join_zero_shuffle"].spark(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
