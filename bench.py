@@ -38,6 +38,9 @@ EXTRA = [
     "ann_cosine_topk",
     "text_quality_score",
     "r2_pivot_event_types",
+    "anomalies_running_mean_jvm",
+    "dedup_cc_alternating",
+    "skew_two_phase_agg",
 ]
 
 

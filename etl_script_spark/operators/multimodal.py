@@ -138,3 +138,31 @@ def pack_binary_partitions(
     total = stats["total"] or 0
     n_parts = max(1, int(total / target_bytes) + 1)
     return sized.repartition(n_parts).drop("__sz")
+
+
+def audio_chunk_plan(
+    media: DataFrame, chunk_ms: int = 10_000, sample_rate: int = 16_000
+) -> DataFrame:
+    """Audio chunking PLAN: expands each audio row into fixed-length
+    chunk descriptors (chunk start/end in ms, expected sample count) —
+    the explode-then-decode shape an ASR/feature pipeline feeds to its
+    (stubbed here) decoder, one chunk per row so per-task memory stays
+    flat no matter how long the source audio is. Duration comes from
+    typed metadata; the decode step slots in behind mapInPandas
+    exactly like ``extract_image_features``."""
+    dur = F.coalesce(
+        F.element_at(F.col("meta"), "duration_ms").try_cast("long"), F.lit(0)
+    )
+    starts = F.sequence(F.lit(0).cast("long"), dur - 1, F.lit(chunk_ms))
+    out = media.filter(F.col("kind") == "audio").select(
+        "media_id", dur.alias("__dur"), F.explode(starts).alias("start_ms")
+    )
+    end = F.least(F.col("start_ms") + chunk_ms, F.col("__dur"))
+    return out.select(
+        "media_id",
+        "start_ms",
+        end.alias("end_ms"),
+        ((end - F.col("start_ms")) * sample_rate / 1000)
+        .cast("long")
+        .alias("n_samples"),
+    )

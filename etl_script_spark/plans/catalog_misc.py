@@ -583,3 +583,34 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bo.join(bc, bo["o_custkey"] == bc["c_custkey"]).select(
         "o_orderkey", "o_custkey", "c_nationkey"
     )
+
+
+@register(
+    "mm_audio_chunks",
+    """
+    SELECT d.doc_id AS media_id,
+           g.g AS start_ms,
+           least(g.g + 10000, d.dur) AS end_ms,
+           (least(g.g + 10000, d.dur) - g.g) * 16 AS n_samples
+    FROM (SELECT doc_id, (doc_id % 300 + 1) * 1000 AS dur FROM documents) d
+    CROSS JOIN LATERAL (
+      SELECT unnest(generate_series(0, d.dur - 1, 10000)) AS g
+    ) g
+    """,
+    ("LLM-multimodal",),
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: audio chunking plan — each (fake) audio document
+    expands into fixed 10 s chunk descriptors with expected sample
+    counts at 16 kHz; the decode stays a stub, the explode shape and
+    chunk math are the real, oracle-checked contract."""
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.create_map(
+            F.lit("duration_ms"),
+            ((F.col("doc_id") % 300 + 1) * 1000).cast("string"),
+        ).alias("meta"),
+    )
+    return multimodal.audio_chunk_plan(media, chunk_ms=10_000, sample_rate=16_000)

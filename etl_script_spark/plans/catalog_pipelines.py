@@ -264,3 +264,60 @@ def pipeline_sale_report_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in out.columns
         ]
     )
+
+
+@register(
+    "pipeline_remittance_e2e",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             (o_orderkey % 100000) + 0.25 AS a0,
+             -((o_orderkey % 997) + 0.50) AS a1
+      FROM orders
+    )
+    SELECT o_orderkey AS page_number,
+           a0 + a1 AS computed_total,
+           a0 + a1 AS expected_total,
+           0.0 AS difference,
+           TRUE AS ok
+    FROM base
+    """,
+    ("F31", "F19", "F10", "D1", "A1"),
+)
+def pipeline_remittance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remittance OCR-lines lifecycle end-to-end: page text (strict and
+    no-branch transaction lines, comma-grouped accounting amounts with
+    paren negatives, printed GRAND TOTAL) → fixed-format regex cascade
+    → branch/token repairs → accounting parse → composite-key dedup →
+    per-page grand-total reconciliation. Amounts are exact 2-decimal
+    doubles, so recomputed and printed totals agree bitwise and the
+    oracle states the reconciliation from first principles.
+
+    Ref: pdf_ocr_rm_to_json.py:257-445 (line tiers, totals kept
+    alongside transactions, reconciliation).
+    """
+    from etl_script_spark.pipelines import remittance
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    a0 = (k % 100000).cast("double") + 0.25
+    a1 = -((k % 997).cast("double") + 0.50)
+    line0 = F.concat(
+        F.lit("01/02/2024 BR01 IV DOC"), k.cast("string"),
+        F.lit(" REF"), k.cast("string"),
+        F.lit(" "), F.format_number(a0, 2),
+    )
+    line1 = F.concat(
+        F.lit("03/04/2024 CN DOC"), (k + 1).cast("string"),
+        F.lit(" REF"), (k + 1).cast("string"),
+        F.lit(" ("), F.format_number(-a1, 2), F.lit(")"),
+    )
+    total_line = F.concat(
+        F.lit("GRAND TOTAL Amount "), F.format_number(a0 + a1, 2)
+    )
+    noise = F.lit("หมายเหตุ: ไม่ใช่รายการ ***")
+    pages = o.select(
+        k.alias("page_number"),
+        F.concat_ws("\n", line0, line1, noise, total_line).alias("text"),
+    )
+    return remittance.reconcile(pages)

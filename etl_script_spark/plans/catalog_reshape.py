@@ -453,3 +453,55 @@ def a5_collect_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey", "o_totalprice"],
     )
     return out.select("year", F.to_json("rows").alias("rows_json"))
+
+
+@register(
+    "a7_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    ("A5", "analytics"),
+)
+def a7_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group — Spark's
+    ``percentile`` matches DuckDB's ``quantile_cont`` bitwise. At
+    100 TB switch to ``percentile_approx`` (t-digest sketch, map-side
+    mergeable, no per-group sort buffer) when the consumer tolerates
+    rank error; the exact form is the oracle-able contract."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+
+
+@register(
+    "a8_rollup_revenue",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    ("analytics",),
+)
+def a8_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in ONE pass: ROLLUP emits (priority, status),
+    per-priority, and grand-total rows from a single shuffle — the
+    replacement for the reference's repeated per-level re-aggregation.
+    Exact integer cents keep every level bitwise-equal to the oracle."""
+    from etl_script_spark.plans.catalog import cents
+
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

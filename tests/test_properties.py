@@ -162,3 +162,83 @@ def test_table_records_structural(spark, grid):
                 continue
             assert got[idx][k] == v, (idx, k, v, got[idx][k])
     assert set(got) == set(expected)
+
+
+EDGE_IDS = st.integers(min_value=0, max_value=80)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(EDGE_IDS, EDGE_IDS), min_size=5, max_size=60))
+def test_cc_algorithms_agree(spark, edge_list):
+    """For ANY random undirected edge list, alternating star
+    contraction and min-label propagation must produce the same
+    (id → component-min) labelling."""
+    from etl_script_spark.operators.dedup import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    edges = [(a, b) for a, b in edge_list if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components_alternating(pairs).collect()
+    }
+    b = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs, max_iter=90).collect()
+    }
+    assert a == b
+
+
+TOKENS = st.text(
+    alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789- ",
+    min_size=0,
+    max_size=18,
+)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(TOKENS, min_size=30, max_size=30, unique=True))
+def test_docref_normalize_idempotent(spark, tokens):
+    """F19 token normalization is idempotent: repairing an
+    already-repaired doc/ref token changes nothing (O→0/I→1 folding,
+    1V→IV, CONSIGN family are all fixpoints of themselves)."""
+    from etl_script_spark.pipelines.remittance import normalize_docref_token
+
+    df = spark.createDataFrame([(v,) for v in tokens], ["tok"])
+    out = df.select(
+        normalize_docref_token(F.col("tok")).alias("once"),
+        normalize_docref_token(
+            normalize_docref_token(F.col("tok"))
+        ).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r["once"] == r["twice"], (r["once"], r["twice"])
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.integers(0, 10**6)),
+             min_size=10, max_size=80)
+)
+def test_salted_join_equals_plain_join(spark, rows):
+    """salted_join is semantically invisible: for ANY fact table (with
+    hot keys by construction) the salted inner join equals the plain
+    inner join."""
+    from etl_script_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [(k, v) for k, v in rows], "k long, payload long"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(0, 21, 2)], "k long, name string"
+    )
+    got = {
+        tuple(r)
+        for r in salted_join(facts, dim, "k", n_salts=4).collect()
+    }
+    exp = {tuple(r) for r in facts.join(dim, "k").collect()}
+    assert got == exp
