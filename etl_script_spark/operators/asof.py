@@ -172,3 +172,37 @@ def range_join_bucketed(
         .filter(cond)
         .drop("__cell")
     )
+
+
+def gap_fill(
+    agg: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    step: str,
+    fill: dict | None = None,
+) -> DataFrame:
+    """Densify a per-key bucketed time series: emit EVERY step-spaced
+    bucket between each key's min and max bucket, left-joining the
+    sparse aggregate and filling the holes (``fill`` maps column →
+    constant; unfilled columns stay NULL for a downstream ffill).
+
+    Scale shape: the per-key (min, max) is one map-side-combined
+    aggregate; the dense grid is sequence+explode — generated, never
+    shuffled as input; the fill join is co-partitioned on
+    (key, bucket) with the aggregate it densifies. Row amplification
+    is bounded by the real time span of each key, not the global
+    span (a key active for one day never expands to the full year).
+    """
+    bounds = agg.groupBy(*key_cols).agg(
+        F.min(bucket_col).alias("__b0"), F.max(bucket_col).alias("__b1")
+    )
+    grid = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence("__b0", "__b1", F.expr(f"INTERVAL {step}"))
+        ).alias(bucket_col),
+    )
+    out = grid.join(agg, [*key_cols, bucket_col], "left")
+    if fill:
+        out = out.fillna(fill)
+    return out

@@ -614,3 +614,42 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return multimodal.audio_chunk_plan(media, chunk_ms=10_000, sample_rate=16_000)
+
+
+@register(
+    "ts_gap_fill_hourly",
+    """
+    WITH agg AS (
+      SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+      FROM agg GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    )
+    SELECT g.user_id, g.bucket, COALESCE(a.n_events, 0) AS n_events
+    FROM grid g LEFT JOIN agg a USING (user_id, bucket)
+    """,
+    ("X-timeseries",),
+)
+def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: hourly per-user event counts with
+    every silent hour inside the user's own active span emitted as an
+    explicit zero row — the gap-fill operator Spark lacks natively
+    (sequence+explode grid, co-partitioned fill join; see
+    operators/asof.py:gap_fill for the scale shape)."""
+    from etl_script_spark.operators import asof as asof_ops
+
+    e = t(spark, sf_dir, "events")
+    agg = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return asof_ops.gap_fill(
+        agg, ["user_id"], "bucket", "1 HOUR", fill={"n_events": 0}
+    )

@@ -240,3 +240,58 @@ def anomalies_running_mean_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "events")
     return stateful.running_mean_anomalies_jvm(e, factor_num=2, factor_den=1)
+
+
+@register(
+    "st_stream_upsert_latest",
+    """
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    ("streaming-window", "J6"),
+)
+def st_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming foreachBatch upsert: each micro-batch merges
+    into an accumulated last-write-wins snapshot (one row per user,
+    the event with max (ts, event_id)). Keep-latest is associative, so
+    the final state is identical however the stream is micro-batched —
+    which is what makes an exact oracle possible. In production the
+    accumulator is a MERGE into the gold table; the keep-extreme
+    aggregate is the same.
+
+    Ref: the updateOrCreate ingestion loops (ImportDbdFinancial
+    .php:196-212) re-expressed as stream → snapshot."""
+    import tempfile
+    import uuid
+
+    from etl_script_spark.operators.merge import _keep_extreme
+
+    sdf = ingest.stream_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    acc: list[DataFrame] = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.withColumn("__ord", F.struct("ts", "event_id"))
+        u = acc[0].unionByName(b) if acc else b
+        latest = _keep_extreme(u, ["user_id"], "__ord", last=True)
+        acc[:] = [latest.localCheckpoint()]
+
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_upsert_{uuid.uuid4().hex[:6]}_")
+    q = (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return acc[0].select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
