@@ -96,6 +96,21 @@ def shingles(c: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def char_shingles(c: Column, n: int = 5) -> Column:
+    """Character n-gram shingle set (array<string>, distinct) of the
+    normalized text. The unit for scripts that do not delimit words
+    with whitespace (Thai, CJK) — word shingles over such text
+    degenerate to one giant token and near-dup detection goes blind.
+    Character positions, not bytes, so multibyte scripts are safe."""
+    txt = normalize_text(c)
+    k = F.length(txt) - F.lit(n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(F.sequence(F.lit(1), k), lambda i: txt.substr(i, F.lit(n))),
+    ).otherwise(F.array(txt))
+    return F.array_distinct(grams)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -267,9 +282,13 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = 1000,
+    unit: str = "word",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     explode shingles → self-join on shingle → count shared / union.
+    ``unit='word'`` (default) shingles on word n-grams; ``unit='char'``
+    on character n-grams — required for scripts without word
+    delimiters (Thai, CJK), where word shingling goes blind.
 
     Scale shape: the join key is a single shingle hash; hot shingles
     (stopword runs, boilerplate) are pre-filtered with ``max_df`` —
@@ -287,11 +306,12 @@ def ngram_jaccard_pairs(
     the groupBy+join formulation which re-derives the exploded table
     for the aggregate branch and adds a join stage.
     """
+    shingle_fn = char_shingles if unit == "char" else shingles
     sh = (
         _fan_out(df)
         .select(
             F.col(id_col).alias("id"),
-            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+            F.explode(shingle_fn(F.col(text_col), n)).alias("shingle"),
         )
         .withColumn("shingle", F.xxhash64("shingle"))
     )

@@ -484,3 +484,41 @@ def dedup_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     pairs = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
     return dedup_ops.connected_components_alternating(pairs)
+
+
+_CHAR_SHINGLES = (
+    f"CASE WHEN length({_NORM}) < 5 THEN [{_NORM}] "
+    f"ELSE list_distinct([substr({_NORM}, i, 5) "
+    f"for i in range(1, length({_NORM}) - 3)]) END"
+)
+
+
+@register(
+    "dedup_ngram_jaccard_char",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_CHAR_SHINGLES}) AS shingle,
+             len({_CHAR_SHINGLES}) AS n_sh
+      FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) * 1.0
+               / (any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*)) AS jaccard
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+    ("LLM-dedup",),
+)
+def dedup_ngram_jaccard_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup pairs — the shingle unit for
+    scripts without word delimiters (Thai, CJK), where word shingling
+    degenerates to one token per document. Same inverted-index shape
+    as the word variant; max_df=None here because char shingles on the
+    small fixture have no hot boilerplate (production Thai corpora
+    still want the cap)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=5, threshold=0.5, max_df=None, unit="char"
+    )

@@ -256,3 +256,30 @@ def test_cc_alternating_path_graph_log_rounds(spark):
     # ~8 rounds of star ops (measured 8.5s standalone) vs 52 rounds of
     # propagation (~51s); generous bound for loaded shared sessions
     assert elapsed < 60, f"alternating CC took {elapsed:.1f}s"
+
+
+def test_char_shingles_catch_thai_near_dups(spark):
+    """Word shingling goes blind on scripts without word delimiters;
+    character shingles must still surface the planted Thai near-dup
+    pair (docs 1 and 2 share all but the last word)."""
+    from etl_script_spark.operators import dedup as dedup_ops
+
+    thai = spark.createDataFrame(
+        [
+            (1, "บริษัทจำกัดมหาชนแห่งประเทศไทยดำเนินกิจการค้าปลีก"),
+            (2, "บริษัทจำกัดมหาชนแห่งประเทศไทยดำเนินกิจการค้าส่ง"),
+            (3, "ร้านอาหารริมทางกรุงเทพมหานครเปิดทุกวัน"),
+        ],
+        "doc_id long, text string",
+    )
+    char_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ops.ngram_jaccard_pairs(
+            thai, "doc_id", "text", n=5, threshold=0.5, unit="char"
+        ).collect()
+    }
+    word_pairs = dedup_ops.ngram_jaccard_pairs(
+        thai, "doc_id", "text", n=3, threshold=0.5, unit="word"
+    ).collect()
+    assert char_pairs == {(1, 2)}
+    assert word_pairs == []
