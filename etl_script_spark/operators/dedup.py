@@ -117,6 +117,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 64,
     shingle_n: int = 3,
+    unit: str = "word",
 ) -> DataFrame:
     """MinHash signatures as (id, sig array<bigint>[k]).
 
@@ -136,9 +137,10 @@ def minhash_signatures(
     the dominant cost of signature generation at corpus scale. Codegen
     subexpression elimination evaluates the two shared xxhash64 calls
     once per row (verified: doubling k does not re-hash)."""
+    shingle_fn = char_shingles if unit == "char" else shingles
     ex = _fan_out(df).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+        F.explode(shingle_fn(F.col(text_col), shingle_n)).alias("__sh"),
     )
     h1 = F.xxhash64("__sh")
     h2 = F.xxhash64("__sh", F.lit(-1640531527))  # golden-ratio seed
@@ -169,8 +171,11 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     eager: bool = True,
+    unit: str = "word",
 ) -> DataFrame:
-    """MinHash+LSH near-duplicate candidate pairs.
+    """MinHash+LSH near-duplicate candidate pairs. ``unit='char'``
+    switches to character shingles for undelimited scripts (Thai,
+    CJK) — see ``char_shingles``.
 
     shingle → minhash signature → split into ``bands`` bands of
     ``num_hashes/bands`` rows → hash each band → equi-join on
@@ -203,7 +208,9 @@ def minhash_lsh_candidates(
     released only by ``spark.catalog.clearCache()``.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, unit=unit
+    ).persist()
     # banded carries ONLY (id, band, bucket): the candidate self-join
     # shuffles 3 small columns, not the 64-long signatures
     banded = sig.select(

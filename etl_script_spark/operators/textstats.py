@@ -166,3 +166,21 @@ def fingerprint_rolling(c: Column, base: int = 257, mod: int = (1 << 31) - 1) ->
         lambda acc, w: (acc * base + F.abs(F.xxhash64(w)) % F.lit(1000003))
         % F.lit(mod),
     )
+
+
+def hash_sample(
+    df, key_col: str, fraction: float, seed: str = ""
+) -> "DataFrame":
+    """Deterministic content-hash sampling: keep a row iff the first 8
+    hex chars of md5(seed || key) fall below the fraction threshold.
+    Unlike rand()-based sampling this is REPRODUCIBLE across runs,
+    cluster sizes, and engines (the DuckDB oracle computes the same
+    md5) — the property a training-data pipeline needs so a 10%
+    curation subsample is the same 10% every rerun. Selection is a
+    pure per-row predicate: no shuffle, pushes into the scan stage.
+    """
+    threshold = format(int(fraction * 16**8), "08x")
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8
+    )
+    return df.filter(h < F.lit(threshold))

@@ -522,3 +522,20 @@ def dedup_ngram_jaccard_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_pairs(
         d, "doc_id", "text", n=5, threshold=0.5, max_df=None, unit="char"
     )
+
+
+@register(
+    "sample_hash_deterministic",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+    """,
+    ("LLM-sampling",),
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 25% curation subsample by content-hash predicate —
+    the same 25% on every run, engine, and cluster size (rand()-based
+    sampling is none of those). Pure per-row filter: no shuffle, runs
+    inside the scan stage."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return textstats.hash_sample(d, "doc_id", 0.25, seed="s1")

@@ -283,3 +283,28 @@ def test_char_shingles_catch_thai_near_dups(spark):
     ).collect()
     assert char_pairs == {(1, 2)}
     assert word_pairs == []
+
+
+def test_char_unit_minhash_thai(spark):
+    """MinHash with unit='char' recovers the Thai near-dup pair with
+    an accurate estimate (exact char-5-gram Jaccard is 0.85)."""
+    from etl_script_spark.operators import dedup as dedup_ops
+
+    thai = spark.createDataFrame(
+        [
+            (1, "บริษัทจำกัดมหาชนแห่งประเทศไทยดำเนินกิจการค้าปลีก"),
+            (2, "บริษัทจำกัดมหาชนแห่งประเทศไทยดำเนินกิจการค้าส่ง"),
+            (3, "ร้านอาหารริมทางกรุงเทพมหานครเปิดทุกวัน"),
+        ],
+        "doc_id long, text string",
+    )
+    mh = dedup_ops.minhash_lsh_candidates(
+        thai, "doc_id", "text", shingle_n=5, unit="char"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in mh.filter(F.col("est_jaccard") >= 0.5).collect()
+    }
+    mh.unpersist()
+    assert set(got) == {(1, 2)}
+    assert abs(got[(1, 2)] - 0.85) < 0.15

@@ -1,0 +1,59 @@
+"""Plan-shape regression tests: the scale posture is a CONTRACT, not
+an accident — pushdown, pruning, broadcast choice, hint honoring, and
+zero-Python pipelines are asserted so a refactor that silently
+regresses the physical plan fails CI even while answers stay right."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_script_spark.plans.catalog import CATALOG
+
+
+def _executed_plan(spark, name, sf_dir):
+    df = CATALOG[name].spark(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_projection_pushdown(spark, sf_dir):
+    plan = _executed_plan(spark, "range_projection", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual" in plan
+    # column pruning: the 16-column lineitem scan reads only 5 columns
+    assert "l_comment" not in plan
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    plan = _executed_plan(spark, "q5_local_supplier_volume", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_honors_shuffle_hash_hint(spark, sf_dir):
+    from etl_script_spark.operators.dedup import minhash_lsh_candidates
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = minhash_lsh_candidates(d, "doc_id", "text", eager=False)
+    out.write.mode("overwrite").format("noop").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan          # hint honored
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_python_nodes_in_scalar_function_queries(spark, sf_dir):
+    """The scalar-function family is all native Column expressions —
+    a Python eval node appearing in any of them is a regression."""
+    for name in ("f19_token_repairs", "s9_scrape_card_parse",
+                 "text_quality_score", "pipeline_invoice_clean_e2e"):
+        if name not in CATALOG:
+            continue
+        plan = _executed_plan(spark, name, sf_dir)
+        assert "EvalPython" not in plan, name
+        assert "ArrowEval" not in plan, name
+
+
+def test_asof_join_no_range_explosion(spark, sf_dir):
+    plan = _executed_plan(spark, "j_asof_last_purchase", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
