@@ -351,22 +351,31 @@ def ngram_jaccard_pairs(
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64,
+    unit: str = "word",
 ) -> DataFrame:
     """SimHash fingerprints as (id, fp bigint).
 
-    Per word w with hash h: for each bit position, +1 if set else -1;
-    fingerprint bit = sign of the vote sum. Shape: explode words to
-    rows, ONE hash aggregation with ``bits`` signed-vote sums, then
-    assemble the fingerprint from the votes. Same rationale as
-    minhash_signatures — the word array is computed once (an inline
-    per-bit array-aggregate version re-inlines the tokenization
+    Per feature w with hash h: for each bit position, +1 if set else
+    -1; fingerprint bit = sign of the vote sum. Shape: explode
+    features to rows, ONE hash aggregation with ``bits`` signed-vote
+    sums, then assemble the fingerprint from the votes. Same rationale
+    as minhash_signatures — the feature array is computed once (an
+    inline per-bit array-aggregate version re-inlines the tokenization
     ``bits`` times), partials combine map-side, work spreads across
-    cores. O(words × bits) cheap bit ops, no UDF.
+    cores. O(features × bits) cheap bit ops, no UDF.
+
+    ``unit='word'`` (default) votes over whitespace words;
+    ``unit='char'`` over character 4-grams for undelimited scripts
+    (Thai, CJK).
     """
+    feats = (
+        char_shingles(F.col(text_col), 4)
+        if unit == "char"
+        else F.split(normalize_text(F.col(text_col)), " ")
+    )
     ex = _fan_out(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__w"),
+        F.col(id_col).alias("id"), F.explode(feats).alias("__w")
     ).withColumn("__h", F.xxhash64("__w"))
     votes = [
         F.sum(
@@ -395,6 +404,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     bands: int = 4,
     eager: bool = True,
+    unit: str = "word",
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit fingerprint into
     ``bands`` chunks (pigeonhole: hamming<=k pairs share at least one
@@ -412,7 +422,7 @@ def simhash_near_dups(
     intermediate — no dead cache after a catalog sweep; call
     ``.unpersist()`` on the result when done.
     """
-    fp = simhash_fingerprints(df, id_col, text_col).persist()
+    fp = simhash_fingerprints(df, id_col, text_col, unit=unit).persist()
     width = 64 // bands
     banded = fp.select(
         "id",
