@@ -553,3 +553,35 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the scan stage."""
     d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return textstats.hash_sample(d, "doc_id", 0.25, seed="s1")
+
+
+@register(
+    "text_lang_id_multi",
+    f"""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 1 THEN 'th'
+             WHEN 2 THEN 'zh'
+             ELSE {_LANG_EXPR}
+           END AS lang
+    FROM documents
+    """,
+    ("LLM-text",),
+)
+def text_lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID across scripts: every third document is rewritten
+    as Thai / CJK body text (script-ratio detection fires before the
+    stopword argmax); the rest keep the English/und fixture text. The
+    oracle states the script labels directly and replays the stopword
+    rule for the Latin remainder — proving the full cascade, not just
+    the English path."""
+    d = t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 3).cast("int")
+    txt = (
+        F.when(k == 1, F.lit("บริษัทจำกัดดำเนินกิจการค้าปลีกในประเทศไทย"))
+        .when(k == 2, F.lit("本公司在泰国经营零售业务多年经验丰富"))
+        .otherwise(F.col("text"))
+    )
+    return d.select(
+        "doc_id", textstats.detect_language(txt).alias("lang")
+    )
