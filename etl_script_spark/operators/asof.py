@@ -206,3 +206,44 @@ def gap_fill(
     if fill:
         out = out.fillna(fill)
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_range: tuple[str, str],
+    right_range: tuple[str, str],
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-overlap join: pair every left interval with every
+    right interval it overlaps (``l.lo <= r.hi AND r.lo <= l.hi``,
+    inclusive) — session overlap, booking conflicts, validity-window
+    matching.
+
+    Scale shape: both sides explode onto a fixed-width grid of cells,
+    the join becomes an EQUI-join on the cell id, the exact overlap
+    predicate refines inside cells, and duplicate hits (a pair can
+    share several cells) collapse via dropDuplicates over the joined
+    row — same grid family as range_join_bucketed, generalized to
+    interval×interval. Pick bucket_width near the typical interval
+    length so each side lands in O(1) cells; a naive theta join here
+    is a cross join, which this exists to avoid.
+
+    Only ``inner`` is supported: outer variants would need the
+    unmatched sides re-derived after the grid dedup.
+    """
+    if how != "inner":
+        raise ValueError("interval_overlap_join supports how='inner' only")
+    llo, lhi = left_range
+    rlo, rhi = right_range
+    cell = lambda c: F.floor(c / F.lit(float(bucket_width))).cast("long")  # noqa: E731
+    lb = left.withColumn(
+        "__cell", F.explode(F.sequence(cell(F.col(llo)), cell(F.col(lhi))))
+    )
+    rb = right.withColumn(
+        "__cell", F.explode(F.sequence(cell(F.col(rlo)), cell(F.col(rhi))))
+    )
+    overlap = (F.col(llo) <= F.col(rhi)) & (F.col(rlo) <= F.col(lhi))
+    out = lb.join(rb, "__cell").where(overlap).drop("__cell")
+    return out.dropDuplicates(out.columns)

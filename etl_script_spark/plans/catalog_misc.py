@@ -653,3 +653,51 @@ def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_ops.gap_fill(
         agg, ["user_id"], "bucket", "1 HOUR", fill={"n_events": 0}
     )
+
+
+@register(
+    "j_interval_overlap",
+    """
+    WITH l AS (
+      SELECT o_orderkey AS l_id,
+             CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS l_lo,
+             CAST(epoch(o_orderdate) / 86400 AS BIGINT)
+               + CAST(o_orderkey % 5 AS BIGINT) AS l_hi
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    r AS (
+      SELECT o_orderkey AS r_id,
+             CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS r_lo,
+             CAST(epoch(o_orderdate) / 86400 AS BIGINT)
+               + CAST(o_orderkey % 7 AS BIGINT) AS r_hi
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT l_id, r_id FROM l JOIN r
+    ON l.l_lo <= r.r_hi AND r.r_lo <= l.l_hi
+    """,
+    ("X-interval-join",),
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join on the weekly grid: a sampled set of
+    order validity windows paired with every overlapping window from a
+    denser set. The grid-bucket equi-join shape keeps this a single
+    long-key shuffle (the oracle is the plain theta join it must
+    equal)."""
+    from etl_script_spark.operators import asof as asof_ops
+
+    o = t(spark, sf_dir, "orders")
+    days = (F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    left = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("l_id"),
+        days.alias("l_lo"),
+        (days + F.col("o_orderkey") % 5).alias("l_hi"),
+    )
+    right = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("r_id"),
+        days.alias("r_lo"),
+        (days + F.col("o_orderkey") % 7).alias("r_hi"),
+    )
+    out = asof_ops.interval_overlap_join(
+        left, right, ("l_lo", "l_hi"), ("r_lo", "r_hi"), bucket_width=7.0
+    )
+    return out.select("l_id", "r_id")
