@@ -222,28 +222,43 @@ def interval_overlap_join(
     matching.
 
     Scale shape: both sides explode onto a fixed-width grid of cells,
-    the join becomes an EQUI-join on the cell id, the exact overlap
-    predicate refines inside cells, and duplicate hits (a pair can
-    share several cells) collapse via dropDuplicates over the joined
-    row — same grid family as range_join_bucketed, generalized to
-    interval×interval. Pick bucket_width near the typical interval
-    length so each side lands in O(1) cells; a naive theta join here
-    is a cross join, which this exists to avoid.
+    the join becomes an EQUI-join on the cell id, and the exact
+    overlap predicate refines inside cells. A pair can share several
+    cells; instead of a dedup pass, each pair is emitted ONLY from its
+    canonical cell (the first cell both intervals cover) — no extra
+    exchange, and genuinely duplicate input rows produce duplicate
+    matches exactly like the theta join this replaces. Same grid
+    family as range_join_bucketed, generalized to interval×interval.
+    Pick bucket_width near the typical interval length so each side
+    lands in O(1) cells; a naive theta join here is a cross join,
+    which this exists to avoid.
 
-    Only ``inner`` is supported: outer variants would need the
-    unmatched sides re-derived after the grid dedup.
+    Malformed intervals (hi < lo) produce no matches (empty cell
+    list), never a job abort. Only ``inner`` is supported: outer
+    variants would need the unmatched sides re-derived.
     """
     if how != "inner":
         raise ValueError("interval_overlap_join supports how='inner' only")
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"left and right share column names {sorted(clash)}; "
+            "rename before joining so the output is unambiguous"
+        )
     llo, lhi = left_range
     rlo, rhi = right_range
     cell = lambda c: F.floor(c / F.lit(float(bucket_width))).cast("long")  # noqa: E731
-    lb = left.withColumn(
-        "__cell", F.explode(F.sequence(cell(F.col(llo)), cell(F.col(lhi))))
-    )
-    rb = right.withColumn(
-        "__cell", F.explode(F.sequence(cell(F.col(rlo)), cell(F.col(rhi))))
-    )
+
+    def cells(lo: str, hi: str):
+        return F.when(
+            F.col(hi) >= F.col(lo),
+            F.sequence(cell(F.col(lo)), cell(F.col(hi))),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    lb = left.withColumn("__cell", F.explode(cells(llo, lhi)))
+    rb = right.withColumn("__cell", F.explode(cells(rlo, rhi)))
     overlap = (F.col(llo) <= F.col(rhi)) & (F.col(rlo) <= F.col(lhi))
-    out = lb.join(rb, "__cell").where(overlap).drop("__cell")
-    return out.dropDuplicates(out.columns)
+    canonical = F.col("__cell") == F.greatest(
+        cell(F.col(llo)), cell(F.col(rlo))
+    )
+    return lb.join(rb, "__cell").where(overlap & canonical).drop("__cell")

@@ -137,6 +137,12 @@ def minhash_signatures(
     the dominant cost of signature generation at corpus scale. Codegen
     subexpression elimination evaluates the two shared xxhash64 calls
     once per row (verified: doubling k does not re-hash)."""
+    if num_hashes > 64:
+        raise ValueError(
+            f"num_hashes={num_hashes}: the two-hash rotate family has 64 "
+            "distinct members; k>64 would silently repeat functions "
+            "(s % 64) and carry no extra information"
+        )
     shingle_fn = char_shingles if unit == "char" else shingles
     ex = _fan_out(df).select(
         F.col(id_col).alias("id"),

@@ -153,7 +153,11 @@ def audio_chunk_plan(
     dur = F.coalesce(
         F.element_at(F.col("meta"), "duration_ms").try_cast("long"), F.lit(0)
     )
-    starts = F.sequence(F.lit(0).cast("long"), dur - 1, F.lit(chunk_ms))
+    # missing/zero/negative duration → EMPTY chunk list for that row
+    # (explode drops it), never sequence(0, -1) which aborts the job
+    starts = F.when(
+        dur > 0, F.sequence(F.lit(0).cast("long"), dur - 1, F.lit(chunk_ms))
+    ).otherwise(F.array().cast("array<bigint>"))
     out = media.filter(F.col("kind") == "audio").select(
         "media_id", dur.alias("__dur"), F.explode(starts).alias("start_ms")
     )

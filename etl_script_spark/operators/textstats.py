@@ -179,6 +179,10 @@ def hash_sample(
     curation subsample is the same 10% every rerun. Selection is a
     pure per-row predicate: no shuffle, pushes into the scan stage.
     """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return df  # keep-all: a hex-string threshold can't express it
     threshold = format(int(fraction * 16**8), "08x")
     h = F.substring(
         F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8

@@ -580,8 +580,13 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     w.write_bucketed_table(o, ot, ["o_custkey"], n_buckets=8)
     w.write_bucketed_table(c, ct, ["c_custkey"], n_buckets=8)
     bo, bc = spark.table(ot), spark.table(ct)
-    return bo.join(bc, bo["o_custkey"] == bc["c_custkey"]).select(
-        "o_orderkey", "o_custkey", "c_nationkey"
+    # force sort-merge: at bench scale the planner would pick broadcast
+    # (disabling bucketed reads) and the zero-shuffle claim would go
+    # untested; MERGE is what a 100 TB fact-fact merge runs anyway
+    return (
+        bo.hint("merge")
+        .join(bc, bo["o_custkey"] == bc["c_custkey"])
+        .select("o_orderkey", "o_custkey", "c_nationkey")
     )
 
 

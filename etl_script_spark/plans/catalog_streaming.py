@@ -288,7 +288,12 @@ def st_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300) or not acc:
+        q.stop()
+        raise TimeoutError(
+            "st_stream_upsert_latest: stream did not drain within 300 s; "
+            "refusing to return a partial snapshot"
+        )
     return acc[0].select(
         "user_id",
         "event_id",

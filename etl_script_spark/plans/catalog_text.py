@@ -233,19 +233,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) candidate pairs with estimated
     Jaccard >= 0.5. xxhash64-based (no DuckDB twin) → rows-only check;
     its recall against the exact-Jaccard oracle pairs is asserted in
-    tests/test_llm_ops.py."""
+    tests/test_llm_ops.py. The eager operator result is re-homed to a
+    localCheckpoint and unpersisted so a catalog sweep leaves no
+    cache-manager entry behind (checkpoint blocks free on GC)."""
     d = t(spark, sf_dir, "documents")
-    return dedup_ops.minhash_lsh_candidates(d, "doc_id", "text").filter(
-        F.col("est_jaccard") >= 0.5
-    )
+    cand = dedup_ops.minhash_lsh_candidates(d, "doc_id", "text")
+    out = cand.filter(F.col("est_jaccard") >= 0.5).localCheckpoint(eager=True)
+    cand.unpersist()
+    return out
 
 
 @register("dedup_simhash", None, ("LLM-dedup",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64) near-dup pairs at hamming<=3 via banded pigeonhole
-    join. xxhash64-based → rows-only check + recall test."""
+    join. xxhash64-based → rows-only check + recall test. Result
+    re-homed to a localCheckpoint and unpersisted (no cache-manager
+    residue per sweep)."""
     d = t(spark, sf_dir, "documents")
-    return dedup_ops.simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+    cand = dedup_ops.simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+    out = cand.localCheckpoint(eager=True)
+    cand.unpersist()
+    return out
 
 
 @register(

@@ -60,11 +60,15 @@ def test_two_phase_agg_matches_plain(spark):
 
 def test_bucketed_join_no_exchange(spark, sf_dir):
     """Both sides bucketed by the join key at rest → the sort-merge
-    join runs with ZERO Exchange nodes (the at-rest co-location
-    answer for repeated merges)."""
+    join runs with ZERO Exchange nodes AND actually reads the buckets
+    (a broadcast plan would skip bucketing and pass the exchange
+    assertion vacuously)."""
     from etl_script_spark.plans.catalog import CATALOG
 
     df = CATALOG["bucketed_join_zero_shuffle"].spark(spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+    assert "Bucketed: true" in plan
+    assert "BroadcastHashJoin" not in plan
