@@ -46,8 +46,16 @@ def asof_join(
     Ties on (key, ts) between multiple RIGHT rows resolve to the
     last in (ts) order plus struct comparison — pre-dedupe the right
     side if that matters (the catalog query's right side is unique per
-    (key, ts))."""
+    (key, ts)).
+
+    Right rows with a NULL timestamp are DROPPED: ``l.ts >= NULL`` is
+    no-match (DuckDB ASOF semantics, the catalog oracle). Without the
+    filter they sort first under ASC NULLS FIRST and last(ignorenulls)
+    would hand their payload to every left row that precedes the first
+    real right row — null timestamps are routine here (try_* parse
+    failures), so this is a correctness filter, not hygiene."""
     out_cols = list(left.columns)
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__rts"),

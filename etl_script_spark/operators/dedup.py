@@ -63,17 +63,30 @@ def exact_dedup(
 
     Returns the surviving rows with ``dup_count``.
     """
+    from etl_script_spark.operators.merge import _contains_map
+
     t = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
     hashed = df.withColumn("__h", F.md5(t))
     # one hash aggregation: min(struct(id, payload)) keeps the
     # smallest-id row, count rides along — map-side combine collapses
     # duplicate groups before the shuffle (vs a sort window's full-row
-    # shuffle + per-key sort)
+    # shuffle + per-key sort). Struct min needs orderable fields; a
+    # map-typed payload column (anywhere in the nesting) routes to
+    # min_by keyed on the id alone instead of failing analysis.
     payload = [c for c in df.columns if c != id_col]
+    orderable = not any(
+        _contains_map(f.dataType) for f in df.schema.fields if f.name in payload
+    )
+    keeper = (
+        F.min(F.struct(F.col(id_col), *[F.col(c) for c in payload]))
+        if orderable
+        else F.min_by(
+            F.struct(F.col(id_col), *[F.col(c) for c in payload]),
+            F.col(id_col),
+        )
+    )
     agg = hashed.groupBy("__h").agg(
-        F.min(
-            F.struct(F.col(id_col), *[F.col(c) for c in payload])
-        ).alias("__first"),
+        keeper.alias("__first"),
         F.count(F.lit(1)).alias("dup_count"),
     )
     return agg.select(
@@ -137,7 +150,7 @@ def minhash_signatures(
     the dominant cost of signature generation at corpus scale. Codegen
     subexpression elimination evaluates the two shared xxhash64 calls
     once per row (verified: doubling k does not re-hash)."""
-    if num_hashes > 64:
+    if not 1 <= num_hashes <= 64:
         raise ValueError(
             f"num_hashes={num_hashes}: the two-hash rotate family has 64 "
             "distinct members; k>64 would silently repeat functions "
@@ -213,6 +226,13 @@ def minhash_lsh_candidates(
     ``eager=False`` everything stays lazy and the signature cache is
     released only by ``spark.catalog.clearCache()``.
     """
+    if not 1 <= bands <= num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: "
+            "bands > num_hashes makes every band hash the EMPTY slice "
+            "(all documents collide in every bucket — a full cross "
+            "join); a non-divisor silently drops the trailing hashes"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n, unit=unit
@@ -428,6 +448,19 @@ def simhash_near_dups(
     intermediate — no dead cache after a catalog sweep; call
     ``.unpersist()`` on the result when done.
     """
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} < max_hamming+1={max_hamming + 1}: the "
+            "pigeonhole guarantee (a hamming<=k pair shares at least "
+            "one of k+1 bands) would silently fail — pairs within the "
+            "threshold could be missed"
+        )
+    if 64 % bands != 0 or bands < 2:
+        raise ValueError(
+            f"bands={bands} must divide 64 and be >= 2: a non-divisor "
+            "leaves trailing fingerprint bits unbanded (silent recall "
+            "loss); bands=1 is a full cross join"
+        )
     fp = simhash_fingerprints(df, id_col, text_col, unit=unit).persist()
     width = 64 // bands
     banded = fp.select(
@@ -475,6 +508,21 @@ def simhash_near_dups(
     return out
 
 
+def _require_numeric_ids(pairs: DataFrame, id_a: str, id_b: str) -> None:
+    """Connected components cast ids to long; a string id column would
+    throw CAST_INVALID_INPUT under ANSI (or silently become NULL and
+    no-op the whole clustering without it). Fail fast with guidance."""
+    from pyspark.sql.types import NumericType
+
+    for c in (id_a, id_b):
+        if not isinstance(pairs.schema[c].dataType, NumericType):
+            raise TypeError(
+                f"connected components need numeric ids; column {c!r} is "
+                f"{pairs.schema[c].dataType.simpleString()} — derive a "
+                "numeric id first (e.g. xxhash64(id)) and map back after"
+            )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -509,6 +557,7 @@ def connected_components(
     the ContextCleaner once the result is garbage-collected).
     """
     checkpoint_every = 5
+    _require_numeric_ids(pairs, id_a, id_b)
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
@@ -531,7 +580,12 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # decimal(38) sum: labels are raw long ids (xxhash64-derived ids
+    # reach ~2^62) and an int64 sum overflows — ANSI mode would abort
+    # the job, non-ANSI could wrap to a FALSE fixpoint. Decimal is
+    # exact, and labels only decrease, so equal sums ⇔ converged.
+    _lsum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_lsum).collect()[0][0]
     edges0.unpersist()  # repartitioned copy is materialized by now
     for i in range(max_iter):
         nmin = (
@@ -547,10 +601,10 @@ def connected_components(
             # truncate the logical plan: round k's plan otherwise nests
             # every previous round and analysis time grows quadratically
             new_labels = new_labels.localCheckpoint(eager=True)
-            cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            cur_sum = new_labels.agg(_lsum).collect()[0][0]
         else:
             new_labels = new_labels.persist()
-            cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            cur_sum = new_labels.agg(_lsum).collect()[0][0]
         labels.unpersist()  # no-op on checkpointed rounds (not cached)
         labels = new_labels
         if cur_sum == prev_sum:
@@ -647,6 +701,7 @@ def connected_components_alternating(
     plan stays flat. Returns (id, cluster_id=min id of component),
     the same contract as ``connected_components``.
     """
+    _require_numeric_ids(pairs, id_a, id_b)
     e0 = pairs.select(
         F.col(id_a).cast("long").alias("src"),
         F.col(id_b).cast("long").alias("dst"),

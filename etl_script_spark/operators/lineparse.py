@@ -87,8 +87,14 @@ def merge_continuation_lines(
     staged = lines.withColumn("__nxt", F.lead(F.col(line_col)).over(w)).withColumn(
         "__prev", F.lag(F.col(line_col)).over(w)
     )
+    # a successor matching BOTH patterns is a record start, not a
+    # continuation — absorbing it while absorbed_by_prev keeps it
+    # (via ~is_start) would duplicate its content into two rows
     absorbs = (
-        is_start & F.col("__nxt").isNotNull() & F.col("__nxt").rlike(continuation_pattern)
+        is_start
+        & F.col("__nxt").isNotNull()
+        & F.col("__nxt").rlike(continuation_pattern)
+        & ~F.col("__nxt").rlike(start_pattern)
     )
     absorbed_by_prev = (
         F.col("__prev").isNotNull()

@@ -164,6 +164,21 @@ def dedupe_first(df: DataFrame, keys: list[str], order_col: str | None = None) -
     return _keep_extreme(df, keys, order_col, last=False)
 
 
+def _contains_map(dtype) -> bool:
+    """True when a MapType lurks anywhere in the nesting (top level,
+    array element, struct field) — any of which makes a value
+    unorderable for struct-min/max comparison."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return True
+    if isinstance(dtype, ArrayType):
+        return _contains_map(dtype.elementType)
+    if isinstance(dtype, StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    return False
+
+
 def _keep_extreme(
     df: DataFrame, keys: list[str], order_col: str, last: bool
 ) -> DataFrame:
@@ -175,13 +190,11 @@ def _keep_extreme(
     argmin with a plain aggregate buffer, ~30% faster than min_by's
     buffered comparator at bench scale, and deterministic on order
     ties (payload breaks them). Falls back to min_by/max_by when a
-    payload column is unorderable (maps), since struct comparison
-    requires orderable fields."""
-    from pyspark.sql.types import MapType
-
+    payload column is unorderable (maps, at ANY nesting depth), since
+    struct comparison requires orderable fields."""
     payload_cols = [c for c in df.columns if c not in keys]
     orderable = not any(
-        isinstance(f.dataType, MapType)
+        _contains_map(f.dataType)
         for f in df.schema.fields
         if f.name in payload_cols
     )

@@ -115,7 +115,11 @@ def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:
     duration = F.coalesce(
         F.element_at(F.col("meta"), "duration_s").try_cast("int"), F.lit(0)
     )
-    ts = F.sequence(F.lit(0), duration, F.lit(every_n_seconds))
+    # negative duration (unknown-length sentinel) → empty frame list,
+    # not a sequence(0,-1) job abort; duration 0 still samples frame 0
+    ts = F.when(
+        duration >= 0, F.sequence(F.lit(0), duration, F.lit(every_n_seconds))
+    ).otherwise(F.array().cast("array<int>"))
     return (
         media.filter(F.col("kind") == "video")
         .select("media_id", F.explode(ts).alias("frame_ts"))

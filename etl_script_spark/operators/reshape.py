@@ -94,37 +94,55 @@ def pivot_items(
     item_col: str,
     value_col: str,
     items: list[str],
+    order_col: str | None = None,
 ) -> DataFrame:
     """R2: long→wide pivot — item rows → columns restricted to the
-    declared column list (last value wins on duplicates, mirroring the
-    reference's overwrite-on-duplicate).
+    declared column list. With ``order_col`` (a stamped ingest
+    ordinal) duplicates resolve last-write-wins DETERMINISTICALLY
+    (max_by); without it, ``F.last`` picks whichever duplicate its
+    partition order delivers — fine only when (keys, item) is unique,
+    which is why call sites that can carry an ordinal should.
 
     Passing the explicit ``items`` list skips Spark's extra
     distinct-values job — at 100 TB that's one full scan saved.
 
-    Ref: ImportDbdFinancial.php:185-288.
+    Ref: ImportDbdFinancial.php:185-288 (overwrite-on-duplicate).
     """
-    return (
-        df.groupBy(*key_cols)
-        .pivot(item_col, items)
-        .agg(F.last(F.col(value_col), ignorenulls=True))
+    agg = (
+        F.max_by(F.col(value_col), F.col(order_col))
+        if order_col
+        else F.last(F.col(value_col), ignorenulls=True)
     )
+    return df.groupBy(*key_cols).pivot(item_col, items).agg(agg)
 
 
 def pivoted_year_map(
-    df: DataFrame, key_col: str, year_col: str, value_cols: list[str]
+    df: DataFrame,
+    key_col: str,
+    year_col: str,
+    value_cols: list[str],
+    order_col: str | None = None,
 ) -> DataFrame:
     """R3: per-key map year→struct(projected cols) — the all-years
     financial response shape.
 
+    Duplicate (key, year) rows are collapsed BEFORE the map is built:
+    map_from_entries throws DUPLICATE_MAP_KEY at runtime otherwise
+    (default mapKeyDedupPolicy=EXCEPTION). With ``order_col`` the
+    winner is last-write-wins deterministic; without it the pick is
+    arbitrary (dropDuplicates) — never a crash.
+
     Ref: PublicApiController.php:910-975.
     """
+    from etl_script_spark.operators.merge import dedupe_last
+
+    deduped = dedupe_last(df, [key_col, year_col], order_col)
     entry = F.struct(
         F.col(year_col).cast("string").alias("key"),
         F.struct(*[F.col(c).cast("double").alias(c) for c in value_cols]).alias("value"),
     )
     return (
-        df.groupBy(key_col)
+        deduped.groupBy(key_col)
         .agg(F.map_from_entries(F.sort_array(F.collect_list(entry))).alias("years"))
     )
 
