@@ -46,8 +46,11 @@ def be_to_ce_year(
 def be_date_fix(
     d: Column, threshold: int = BE_THRESHOLD_DEFAULT, inclusive: bool = False
 ) -> Column:
-    """F1 on a DateType column: rebuild the date with the CE year."""
-    return F.make_date(
+    """F1 on a DateType column: rebuild the date with the CE year.
+    safe_make_date, not make_date: a BE leap-day (29 Feb of a
+    proleptic-leap BE year) whose CE year is NOT leap must become
+    NULL per the failure→NULL contract, not an ANSI abort."""
+    return safe_make_date(
         be_to_ce_year(F.year(d), threshold, inclusive), F.month(d), F.dayofmonth(d)
     )
 
@@ -69,7 +72,9 @@ def excel_serial_to_date(
     serial = (n.cast("string")).try_cast("double").try_cast("int")
     d = F.date_add(F.to_date(F.lit("1899-12-30")), serial)
     if be_adjust:
-        d = F.make_date(F.year(d) - 543, F.month(d), F.dayofmonth(d))
+        # a serial decoding to 29 Feb whose BE-shifted year is not
+        # leap must yield NULL, not an ANSI make_date abort
+        d = safe_make_date(F.year(d) - 543, F.month(d), F.dayofmonth(d))
     return F.when((serial > 0) & (serial <= max_serial), d)
 
 

@@ -56,7 +56,11 @@ def clean_po_records(
     dates (F3/F8) and 12h AM/PM send timestamps (F4), attach per-file
     fixed-cell metadata (F27)."""
     df = fuzzy_rename_columns(raw, PO_CANON)
-    df = df.filter(F.lower(F.col("po_no")) != "po no.")
+    # coalesce: NULL != 'po no.' is NULL and would silently DROP rows
+    # with a missing PO number instead of letting validation see them
+    df = df.filter(
+        F.coalesce(F.lower(F.col("po_no")) != "po no.", F.lit(True))
+    )
     send_24h = dates.twelve_to_24h(
         F.regexp_extract(F.col("send_date"), r"(\d{1,2}:\d{2}(:\d{2})?\s*[AP]M)", 1)
     )

@@ -65,9 +65,17 @@ def repair_branch(c) -> F.Column:
     )
 
 
-def parse_remittance_lines(pages: DataFrame) -> DataFrame:
+def parse_remittance_lines(
+    pages: DataFrame, dedup_scope: str = "global"
+) -> DataFrame:
     """pages(page_number, text) → typed transaction rows with page
-    provenance, deduped on the composite key across pages."""
+    provenance, deduped on the composite key.
+
+    ``dedup_scope='global'`` (default) removes repeats across pages —
+    the multi-OCR-pass D1 semantics. ``'page'`` scopes the key to the
+    page, which is what per-page reconciliation needs: a transaction
+    legitimately printed on two pages must count into BOTH pages'
+    sums, or the second page's reconciliation fails spuriously."""
     lines = lineparse.explode_lines(pages, "text", ["page_number"])
     parsed = lineparse.parse_line_cascade(F.col("line"), LINE_PATTERNS)
     tx = (
@@ -91,11 +99,10 @@ def parse_remittance_lines(pages: DataFrame) -> DataFrame:
     tx = tx.withColumn(
         "__ord", F.struct(F.col("page_number"), F.col("line_no"))
     )
-    deduped = merge_ops.dedupe_first(
-        tx,
-        ["tx_date", "branch", "doc_type", "doc_no", "ref_no", "amount"],
-        order_col="__ord",
-    )
+    key = ["tx_date", "branch", "doc_type", "doc_no", "ref_no", "amount"]
+    if dedup_scope == "page":
+        key = ["page_number", *key]
+    deduped = merge_ops.dedupe_first(tx, key, order_col="__ord")
     return deduped.drop("__ord")
 
 
@@ -109,9 +116,16 @@ def extract_grand_totals(pages: DataFrame) -> DataFrame:
     ).filter(F.col("grand_total").isNotNull())
 
 
-def reconcile(pages: DataFrame) -> DataFrame:
-    """A1: recomputed per-page transaction sums vs printed totals."""
-    tx = parse_remittance_lines(pages)
+def reconcile(pages: DataFrame, dedup_scope: str = "global") -> DataFrame:
+    """A1: recomputed per-page transaction sums vs printed totals.
+
+    Default scope is GLOBAL, matching the reference: a transaction
+    repeated across pages is a multi-OCR-pass ghost the printed totals
+    do not count, so it must not inflate the second page's sum
+    (pdf_ocr_rm_to_json.py:437-445 dedupes before :474 keeps totals).
+    Pass ``dedup_scope='page'`` for report formats whose carried-over
+    lines ARE counted into each page's printed total."""
+    tx = parse_remittance_lines(pages, dedup_scope=dedup_scope)
     totals = extract_grand_totals(pages)
     return quality.reconcile_totals(
         tx, ["page_number"], "amount", totals, "grand_total"

@@ -134,14 +134,28 @@ def table_records(tbody: Column) -> Column:
                 ).alias("h"),
             ),
             lambda wh: _let(
-                F.transform(
-                    _pad_to(wh["h"], wh["w"]),
-                    lambda h, i: F.when(
-                        h == "",
-                        F.concat(F.lit("col_"), (i + 1).cast("string")),
-                    ).otherwise(h),
-                ),
-                lambda hdr: F.transform(
+                _pad_to(wh["h"], wh["w"]),
+                # empty header cells become col_<i>; duplicate NON-empty
+                # names get a positional suffix — map_from_arrays throws
+                # DUPLICATE_MAP_KEY on repeated keys (routine in OCR
+                # tables that repeat a column heading)
+                lambda ph: _let(
+                    F.transform(
+                        ph,
+                        lambda h, i: F.when(
+                            h == "",
+                            F.concat(F.lit("col_"), (i + 1).cast("string")),
+                        )
+                        .when(
+                            F.size(
+                                F.filter(F.slice(ph, 1, i), lambda y: y == h)
+                            )
+                            > 0,
+                            F.concat(h, F.lit("_"), (i + 1).cast("string")),
+                        )
+                        .otherwise(h),
+                    ),
+                    lambda hdr: F.transform(
                     F.filter(
                         F.transform(
                             F.slice(
@@ -166,6 +180,7 @@ def table_records(tbody: Column) -> Column:
                             ),
                         ).alias("fields"),
                     ),
+                ),
                 ),
             ),
         ),

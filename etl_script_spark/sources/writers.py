@@ -76,10 +76,13 @@ def insert_only_append(
     """J7+S14 composition: duplicate-key skip before an append-only
     write (ImportOldInvoices.php:188-195 SQLSTATE-23000 swallow).
     Returns (rows_to_append, skipped_duplicates) so callers can both
-    write and report the skip count (A2 metrics)."""
+    write and report the skip count (A2 metrics). Skips cover BOTH
+    existing-key collisions AND intra-batch duplicates, so
+    appended + skipped == incoming row-for-row (exceptAll keeps
+    duplicate multiplicity)."""
     new_rows, _ = merge_ops.insert_dedup(existing, incoming, keys)
-    dupes = incoming.join(existing, keys, "left_semi")
-    return new_rows, dupes
+    skipped = incoming.exceptAll(new_rows)
+    return new_rows, skipped
 
 
 def overwrite_partition(

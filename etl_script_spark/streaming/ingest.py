@@ -76,7 +76,15 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    # awaitTermination(timeout) returns False on timeout (and raises on
+    # query failure): returning the memory table mid-write would hand
+    # the oracle a silently PARTIAL result
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"{query_name}: AvailableNow stream did not drain within "
+            f"{timeout_s}s; refusing to return a partial table"
+        )
     return spark.table(unique)
 
 

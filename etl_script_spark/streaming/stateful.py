@@ -58,20 +58,29 @@ def _flag_anomalies(factor_num: int, factor_den: int):
             # this batch — no per-row Python. int64 cast truncates the
             # IEEE double toward zero exactly like int() (values are
             # non-negative cents; cross-multiplies stay far below 2^63
-            # for realistic counts x amounts).
-            cents = (pdf["value"].to_numpy() * 100).astype(np.int64)
-            csum = np.cumsum(cents)
+            # for realistic counts x amounts). NULL/NaN values mirror
+            # the JVM twin exactly: NULL cents, excluded from the
+            # running total, still counted in n_prev, never anomalous —
+            # a raw astype would smuggle INT64_MIN into the state.
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            nanmask = np.isnan(vals)
+            cents = np.where(nanmask, 0.0, vals * 100).astype(np.int64)
+            csum = np.cumsum(np.where(nanmask, 0, cents))
             prev_total = total + np.concatenate(([0], csum[:-1]))
             n_prev = n + np.arange(len(cents), dtype=np.int64)
-            is_anom = (n_prev > 0) & (
-                cents * n_prev * factor_den > factor_num * prev_total
+            is_anom = (
+                ~nanmask
+                & (n_prev > 0)
+                & (cents * n_prev * factor_den > factor_num * prev_total)
             )
             frames.append(
                 pd.DataFrame(
                     {
                         "user_id": np.full(len(cents), user_id, dtype=np.int64),
                         "event_id": pdf["event_id"].to_numpy(),
-                        "value_cents": cents,
+                        "value_cents": pd.array(
+                            np.where(nanmask, None, cents), dtype="Int64"
+                        ),
                         "prev_total_cents": prev_total,
                         "n_prev": n_prev,
                         "is_anomaly": is_anom,
@@ -80,7 +89,9 @@ def _flag_anomalies(factor_num: int, factor_den: int):
             )
             if len(cents):
                 n = int(n_prev[-1]) + 1
-                total = int(prev_total[-1]) + int(cents[-1])
+                total = int(prev_total[-1]) + (
+                    0 if nanmask[-1] else int(cents[-1])
+                )
         state.update((n, total))
         yield pd.concat(frames) if frames else pd.DataFrame(
             columns=[
