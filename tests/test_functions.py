@@ -199,3 +199,24 @@ def test_filename_extract(spark):
         ["/data/1234567890123_income.xlsx", "/data/other.xlsx"],
     )
     assert out == ["1234567890123", None]
+
+
+def test_be_leap_day_null_not_abort(spark):
+    """A BE date whose CE-shifted year is not leap must become NULL
+    (failure→NULL contract), never an ANSI make_date abort — both for
+    parsed BE dates and BE-adjusted Excel serials."""
+    from pyspark.sql import functions as F
+
+    from etl_script_spark.functions import dates
+
+    df = spark.createDataFrame([("29/02/2568",), ("01/03/2568",)], ["s"])
+    got = df.select(
+        dates.be_date_fix(dates.parse_date_cascade(F.col("s"))).alias("d")
+    ).collect()
+    assert [str(r["d"]) for r in got] == ["None", "2025-03-01"]
+
+    # serial 45351 = 2024-02-29; BE shift -> year 1481, not leap
+    e = spark.createDataFrame([(45351,)], ["n"]).select(
+        dates.excel_serial_to_date(F.col("n"), be_adjust=True).alias("d")
+    ).collect()
+    assert e[0]["d"] is None

@@ -63,3 +63,17 @@ def test_metadata_and_db_rows(spark):
     d1 = [r for r in db if r["doc_no"] == "DOC1"][0]
     assert d1["amount"] == 1000.5 and d1["supplier_code"] == "4042"
     assert str(d1["start_round_date"]) == "2025-03-01"
+
+
+def test_duplicate_header_names_suffixed(spark):
+    """An OCR table repeating a column heading must parse (suffix the
+    later duplicates) instead of dying on DUPLICATE_MAP_KEY."""
+    from etl_script_spark.pipelines.sale_report import html_table_records
+
+    doc = spark.createDataFrame(
+        [(1, "<table><tr><th>amt</th><th>amt</th></tr>"
+             "<tr><td>1</td><td>2</td></tr></table>")],
+        "doc_id long, html string",
+    )
+    r = html_table_records(doc, "html", ["doc_id"]).collect()
+    assert r[0]["fields"] == {"amt": "1", "amt_2": "2"}

@@ -357,3 +357,17 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_insert_only_append_counts_intra_batch_dupes(spark):
+    """appended + skipped must equal incoming row-for-row: intra-batch
+    duplicates count as skips, not silent disappearances."""
+    from etl_script_spark.sources.writers import insert_only_append
+
+    ex = spark.createDataFrame([(1, "a")], "k long, v string")
+    inc = spark.createDataFrame(
+        [(2, "b"), (2, "b2"), (1, "dup")], "k long, v string"
+    )
+    new, skipped = insert_only_append(ex, inc, ["k"])
+    assert new.count() == 1
+    assert skipped.count() == 2
