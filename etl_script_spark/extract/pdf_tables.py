@@ -64,8 +64,21 @@ def normalize_table_records(
     first = flat[0]
     numeric_keys = all(k.isdigit() for k in first if k != "_table_index")
     if numeric_keys:
-        max_idx = max((int(k) for k in first if k.isdigit()), default=-1)
-        headers = [_norm_ws(first.get(str(i), "")) for i in range(max_idx + 1)]
+        # width = widest row across ALL tables, not just the header
+        # row — a later, wider table must not silently lose columns
+        max_idx = max(
+            (int(k) for row in flat for k in row if k.isdigit()),
+            default=-1,
+        )
+        headers: list[str] = []
+        seen: set[str] = set()
+        for i in range(max_idx + 1):
+            h = _norm_ws(first.get(str(i), ""))
+            name = h if h else f"col_{i + 1}"
+            if name in seen:  # duplicate header cells must not collapse
+                name = f"{name}_{i + 1}"
+            seen.add(name)
+            headers.append(name)
         return [
             {
                 **{
@@ -111,6 +124,14 @@ def extract_pdf_tables(
     when no engine extracted anything, so un-extractable files stay
     visible to the caller, matching run_table's empty-records note).
     """
+    known = set(_engines.TABLE_ENGINE_ORDER) | set(extractors or ())
+    if engine != "auto" and engine not in known:
+        # fail on the DRIVER: deferring to the workers turns a typo
+        # into distributed task retries or silent all-null output
+        raise ValueError(
+            f"unknown table engine {engine!r}; known: "
+            f"{sorted(known)} or 'auto'"
+        )
     order = (
         _engines.TABLE_ENGINE_ORDER
         if engine == "auto"
@@ -120,6 +141,10 @@ def extract_pdf_tables(
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if extractors is not None:
             resolved = [(n, extractors[n]) for n in order if n in extractors]
+            if engine == "auto":  # custom names cascade after the known order
+                resolved += [
+                    (n, fn) for n, fn in extractors.items() if n not in order
+                ]
         else:
             resolved = [
                 (n, e)
@@ -132,7 +157,9 @@ def extract_pdf_tables(
             for path, content in zip(pdf["path"], pdf["content"]):
                 tables = None
                 won = None
-                for name, eng in resolved:
+                # null payloads can't be staged to a temp file — the
+                # null-fields row below keeps the file visible
+                for name, eng in (resolved if content is not None else []):
                     tables = eng(content)
                     if tables:
                         won = f"table-{name}"

@@ -76,7 +76,13 @@ def extract_pdf_text(
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if extractors is not None:
+            # cascade order first, then any CUSTOM names in insertion
+            # order — an injected engine outside the known registry
+            # must run, not be silently filtered into all-null rows
             resolved = [(n, extractors[n]) for n in order if n in extractors]
+            resolved += [
+                (n, fn) for n, fn in extractors.items() if n not in order
+            ]
         else:
             resolved = [
                 (n, e)
@@ -91,11 +97,19 @@ def extract_pdf_text(
                 size = len(content) if content is not None else None
                 pages = None
                 won = None
-                for name, eng in resolved:
+                # a null payload can't be staged to a temp file — emit
+                # the null-text envelope row instead of crashing the
+                # worker inside the first real engine
+                for name, eng in (resolved if content is not None else []):
                     pages = eng(content)
                     # a text layer that is present but EMPTY on every
-                    # page means a scanned PDF — keep cascading to OCR
-                    if pages and any(p.strip() for p in pages):
+                    # page means a scanned PDF — keep cascading; the
+                    # LAST engine's successful-but-blank read is kept
+                    # (a blank page OCR'd correctly is not a failure)
+                    if pages and (
+                        any(p.strip() for p in pages)
+                        or name == resolved[-1][0]
+                    ):
                         won = ("ocr-" if name in _OCR else "text-") + name
                         break
                     pages = None

@@ -22,10 +22,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_script_spark.functions import dates, numerics, strings
 from etl_script_spark.operators import dedup as dedup_ops
 from etl_script_spark.operators import merge as merge_ops
-from etl_script_spark.operators import reshape, rowfilters, similarity, textstats
 
 DEC = "decimal(18,6)"  # exact intermediate for double aggregation
 TABLES = (

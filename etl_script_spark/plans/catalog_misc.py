@@ -6,7 +6,7 @@ functions (F14/F17), fixed-cell broadcast (F27), line-parse cascade
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_script_spark.functions import numerics, strings

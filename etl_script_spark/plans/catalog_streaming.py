@@ -268,7 +268,7 @@ def st_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from etl_script_spark.operators.merge import _keep_extreme
+    from etl_script_spark.operators.merge import dedupe_last
 
     sdf = ingest.stream_events(spark, sf_dir).select(
         "user_id", "event_id", "ts", "value"
@@ -278,7 +278,7 @@ def st_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.withColumn("__ord", F.struct("ts", "event_id"))
         u = acc[0].unionByName(b) if acc else b
-        latest = _keep_extreme(u, ["user_id"], "__ord", last=True)
+        latest = dedupe_last(u, ["user_id"], order_col="__ord")
         acc[:] = [latest.localCheckpoint()]
 
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_upsert_{uuid.uuid4().hex[:6]}_")

@@ -375,10 +375,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_lang_id",
     f"""
-    SELECT doc_id,
-           CASE WHEN len(list_filter({_WS}, w -> w IN
-                  ('the','and','of','to','a','in','is','that','it','for'))) > 0
-                THEN 'en' ELSE 'und' END AS lang_pred
+    SELECT doc_id, {_LANG_EXPR} AS lang_pred
     FROM documents
     """,
     ("LLM-text",),
@@ -416,20 +413,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_score",
     f"""
-    SELECT doc_id, round(
-        (CASE WHEN greatest(length({_NORM}),1) < 50 THEN 0.2
-              WHEN greatest(length({_NORM}),1) > 10000 THEN 0.5 ELSE 1.0 END) * 0.25
-        + (CASE WHEN length(regexp_replace({_NORM}, ' ', '', 'g'))
-                     / greatest(len({_WS}),1) >= 3.0
-               AND length(regexp_replace({_NORM}, ' ', '', 'g'))
-                     / greatest(len({_WS}),1) <= 10.0
-              THEN 1.0 ELSE 0.5 END) * 0.15
-        + (length(regexp_replace({_NORM}, '[^\\p{{L}} ]', '', 'g'))
-             / greatest(length({_NORM}),1)) * 0.25
-        + (1.0 - least((length(regexp_replace({_NORM}, '[^.,;:!?]', '', 'g'))
-             / greatest(length({_NORM}),1)) * 5.0, 1.0)) * 0.15
-        + (len(list_distinct({_WS})) / greatest(len({_WS}),1)) * 0.20
-      , 6) AS quality
+    SELECT doc_id, {_QUALITY_EXPR} AS quality
     FROM documents
     """,
     ("LLM-text",),

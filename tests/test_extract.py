@@ -147,3 +147,48 @@ def test_pdf_text_ocr_only_mode(spark):
     ).collect()
     assert rows[0]["engine"] == "ocr-tesseract"
     assert "miner" not in calls
+
+
+def test_extract_null_content_and_custom_engine(spark):
+    """A null payload must yield the null-text envelope row (not a
+    worker crash inside an engine), and an injected CUSTOM engine name
+    outside the known cascade must actually run."""
+    from etl_script_spark.extract.pdf_text import extract_pdf_text
+
+    files = spark.createDataFrame(
+        [("a.pdf", bytearray(b"%PDF fake")), ("b.pdf", None)],
+        "path string, content binary",
+    )
+    out = extract_pdf_text(
+        files, extractors={"myengine": lambda b: ["hello page"]}
+    ).collect()
+    rows = {r["path"]: r for r in out}
+    assert rows["a.pdf"]["engine"] == "text-myengine"
+    assert rows["a.pdf"]["text"] == "hello page"
+    assert rows["b.pdf"]["engine"] is None and rows["b.pdf"]["text"] is None
+
+
+def test_table_header_promotion_wider_later_table():
+    """A later table wider than the header row must not silently lose
+    its extra columns; duplicate/empty header cells get unique names."""
+    from etl_script_spark.extract.pdf_tables import normalize_table_records
+
+    tables = [
+        [{"0": "amt", "1": "amt"}, {"0": "1", "1": "2"}],
+        [{"0": "3", "1": "4", "2": "5"}],
+    ]
+    recs = normalize_table_records(tables)
+    assert recs[0] == {"amt": "1", "amt_2": "2", "col_3": "", "_table_index": "0"}
+    assert recs[1] == {"amt": "3", "amt_2": "4", "col_3": "5", "_table_index": "1"}
+
+
+def test_table_engine_typo_fails_on_driver(spark):
+    from etl_script_spark.extract.pdf_tables import extract_pdf_tables
+
+    files = spark.createDataFrame(
+        [("a.pdf", bytearray(b"x"))], "path string, content binary"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown table engine"):
+        extract_pdf_tables(files, engine="camelot")
