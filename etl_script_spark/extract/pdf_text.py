@@ -103,12 +103,16 @@ def extract_pdf_text(
                 for name, eng in (resolved if content is not None else []):
                     pages = eng(content)
                     # a text layer that is present but EMPTY on every
-                    # page means a scanned PDF — keep cascading; the
-                    # LAST engine's successful-but-blank read is kept
-                    # (a blank page OCR'd correctly is not a failure)
+                    # page means a scanned PDF — keep cascading; a
+                    # final OCR engine's successful-but-blank read is
+                    # kept (a blank page OCR'd correctly is not a
+                    # failure), but a blank TEXT-LAYER read at the end
+                    # of the cascade is a scanned PDF we failed to
+                    # extract — that falls through to the null-text
+                    # envelope so the miss is visible downstream
                     if pages and (
                         any(p.strip() for p in pages)
-                        or name == resolved[-1][0]
+                        or (name == resolved[-1][0] and name in _OCR)
                     ):
                         won = ("ocr-" if name in _OCR else "text-") + name
                         break

@@ -726,13 +726,28 @@ def connected_components_alternating(
         return (row["n"], row["x"])
 
     prev = _fingerprint(edges)
+    converged = False
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the fingerprint collect right below is the
+        # action that materializes it — one job per round, not two
+        # (eager-checkpoint + collect), halving the fixed per-round
+        # overhead that dominates at small scale
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _fingerprint(nxt)
         edges = nxt
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # the greatest/least star extraction below is only valid on a
+        # CONVERGED star graph — silently extracting labels from a
+        # partially contracted graph returns wrong cluster ids
+        raise RuntimeError(
+            f"connected_components_alternating did not reach the edge-set "
+            f"fixpoint within max_iter={max_iter} rounds; raise max_iter "
+            f"(rounds needed grow O(log n) in the largest component)"
+        )
     # converged star graph: every non-min node points at its component
     # min; component mins appear only as dst (or are isolated after
     # contraction) and label themselves

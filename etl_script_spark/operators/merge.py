@@ -44,15 +44,17 @@ def upsert(
 
 
 def insert_dedup(
-    target: DataFrame, source: DataFrame, keys: list[str]
+    target: DataFrame, source: DataFrame, keys: list[str],
+    order_col: str | None = None,
 ) -> tuple[DataFrame, Column]:
     """J7: insert-only with duplicate-key skip (SQLSTATE 23000 →
     silent skip). Returns (new rows to append, dup-count aggregate
-    expression usable with ``observe``).
+    expression usable with ``observe``). ``order_col`` (a stamped
+    ingest ordinal) makes the intra-batch keep-first deterministic.
 
     Ref: ImportOldInvoices.php:188-195, ImportInvoiceReport.php:203-217.
     """
-    src = dedupe_first(source, keys)
+    src = dedupe_first(source, keys, order_col)
     new_rows = src.join(target, keys, "left_anti")
     return new_rows, F.count(F.lit(1))
 

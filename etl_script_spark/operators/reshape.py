@@ -103,13 +103,24 @@ def pivot_items(
     partition order delivers — fine only when (keys, item) is unique,
     which is why call sites that can carry an ordinal should.
 
+    NULL duplicates are skipped in BOTH modes: the ordered path only
+    ranks rows whose value is non-null (a later NULL never clobbers an
+    earlier real value), matching ``last(ignorenulls=True)`` on the
+    unordered path — so adding an ordinal to a call site changes
+    determinism only, never NULL semantics.
+
     Passing the explicit ``items`` list skips Spark's extra
     distinct-values job — at 100 TB that's one full scan saved.
 
     Ref: ImportDbdFinancial.php:185-288 (overwrite-on-duplicate).
     """
     agg = (
-        F.max_by(F.col(value_col), F.col(order_col))
+        # null ordering keys are ignored by max_by, so masking the
+        # ordinal on null-valued rows == "rank non-null rows only"
+        F.max_by(
+            F.col(value_col),
+            F.when(F.col(value_col).isNotNull(), F.col(order_col)),
+        )
         if order_col
         else F.last(F.col(value_col), ignorenulls=True)
     )

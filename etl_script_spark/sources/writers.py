@@ -71,17 +71,51 @@ def read_jdbc(
 
 
 def insert_only_append(
-    existing: DataFrame, incoming: DataFrame, keys: list[str]
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """J7+S14 composition: duplicate-key skip before an append-only
     write (ImportOldInvoices.php:188-195 SQLSTATE-23000 swallow).
     Returns (rows_to_append, skipped_duplicates) so callers can both
     write and report the skip count (A2 metrics). Skips cover BOTH
     existing-key collisions AND intra-batch duplicates, so
-    appended + skipped == incoming row-for-row (exceptAll keeps
-    duplicate multiplicity)."""
-    new_rows, _ = merge_ops.insert_dedup(existing, incoming, keys)
-    skipped = incoming.exceptAll(new_rows)
+    appended + skipped == incoming row-for-row.
+
+    Both outputs derive from ONE tagged plan (row_number within key +
+    existing-key semi-mark), so writing ``appended`` and counting
+    ``skipped`` can never disagree on which duplicate won — the old
+    exceptAll formulation re-executed the dedup independently per
+    action and could pick different arbitrary winners (and threw on
+    map-typed payload columns, which this key-based form handles).
+    ``order_col`` makes keep-first deterministic; without it the
+    winner is arbitrary-but-pinned (lazy localCheckpoint materialized
+    by the first action, so both outputs still agree).
+
+    Shuffle shape: the window partitions the INCOMING batch by key —
+    incremental appends shuffle only the (small) batch, never the
+    existing table, whose keys arrive via a key-projected join that
+    Catalyst/AQE broadcasts or shuffles as sizes dictate."""
+    from pyspark.sql import Window
+
+    order = F.col(order_col).asc() if order_col else F.lit(1).asc()
+    w = Window.partitionBy(*keys).orderBy(order)
+    hits = (
+        existing.select(*keys)
+        .dropDuplicates(keys)
+        .withColumn("__hit", F.lit(True))
+    )
+    tagged = (
+        incoming.withColumn("__rn", F.row_number().over(w))
+        .join(hits, keys, "left")
+    )
+    if order_col is None:
+        tagged = tagged.localCheckpoint(eager=False)
+    keep = (F.col("__rn") == 1) & F.col("__hit").isNull()
+    cols = list(incoming.columns)  # join moved keys to the front
+    new_rows = tagged.filter(keep).select(*cols)
+    skipped = tagged.filter(~keep).select(*cols)
     return new_rows, skipped
 
 

@@ -192,3 +192,30 @@ def test_table_engine_typo_fails_on_driver(spark):
 
     with _pytest.raises(ValueError, match="unknown table engine"):
         extract_pdf_tables(files, engine="camelot")
+
+
+def test_blank_text_layer_without_ocr_is_failure(spark):
+    """ADVICE r3: a scanned PDF whose empty text layer parses must NOT
+    come back as a successful blank text row when no OCR engine is
+    available — the blank-result-is-success exception only applies to
+    OCR engines at the end of the cascade."""
+    from etl_script_spark.extract.pdf_text import extract_pdf_text
+
+    def miner(content: bytes):
+        return ["", ""]  # parses, but the layer is empty
+
+    def pypdf(content: bytes):
+        return ["", ""]
+
+    files = _files_df(spark, [("scan.pdf", b"scanned")])
+    rows = extract_pdf_text(
+        files, extractors={"pdfminer": miner, "pypdf": pypdf}
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["engine"] is None and rows[0]["text"] is None
+    # but a final OCR engine returning blank IS success (blank page)
+    rows2 = extract_pdf_text(
+        files, extractors={"pdfminer": miner, "tesseract": lambda b: [""]}
+    ).collect()
+    assert rows2[0]["engine"] == "ocr-tesseract"
+    assert rows2[0]["text"] == ""

@@ -308,3 +308,19 @@ def test_char_unit_minhash_thai(spark):
     mh.unpersist()
     assert set(got) == {(1, 2)}
     assert abs(got[(1, 2)] - 0.85) < 0.15
+
+
+def test_cc_alternating_raises_on_non_convergence(spark):
+    """ADVICE r3: exhausting max_iter before the edge fixpoint must
+    raise, not silently extract labels from a half-contracted graph."""
+    import pytest
+
+    from etl_script_spark.operators.dedup import (
+        connected_components_alternating,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not reach"):
+        connected_components_alternating(path, max_iter=1).collect()

@@ -498,3 +498,20 @@ def test_supplier_master_dual_calendar(spark):
     assert str(out["S2"]["start_effective_date"]) == "2024-03-15"
     assert out["S1"]["credit_limit"] == 50000.0
     assert out["S2"]["credit_limit"] is None
+
+
+def test_pivot_items_null_semantics_match_across_modes(spark):
+    """ADVICE r3: a later NULL duplicate must not clobber an earlier
+    real value in the ordered mode — both modes skip NULLs."""
+    from etl_script_spark.operators.reshape import pivot_items
+
+    df = spark.createDataFrame(
+        [("c1", "rev", 10.0, 1), ("c1", "rev", None, 2), ("c1", "cost", None, 1)],
+        "k string, item string, v double, ord long",
+    )
+    ordered = pivot_items(df, ["k"], "item", "v", ["rev", "cost"], order_col="ord")
+    r = ordered.collect()[0]
+    assert r["rev"] == 10.0 and r["cost"] is None
+    unordered = pivot_items(df, ["k"], "item", "v", ["rev", "cost"])
+    r2 = unordered.collect()[0]
+    assert r2["rev"] == 10.0 and r2["cost"] is None

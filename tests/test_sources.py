@@ -371,3 +371,43 @@ def test_insert_only_append_counts_intra_batch_dupes(spark):
     new, skipped = insert_only_append(ex, inc, ["k"])
     assert new.count() == 1
     assert skipped.count() == 2
+
+
+def test_insert_only_append_map_payload_and_agreement(spark):
+    """ADVICE r3: map-typed payload columns must work (the old
+    exceptAll formulation threw at analysis time), and appended +
+    skipped must partition the batch even when the intra-batch winner
+    is arbitrary — both outputs come from one pinned plan."""
+    from etl_script_spark.sources.writers import insert_only_append
+
+    ex = spark.createDataFrame([(1, {"a": "1"})], "k long, m map<string,string>")
+    inc = spark.createDataFrame(
+        [(1, {"x": "1"}), (2, {"y": "2"}), (2, {"z": "3"}), (3, {"w": "4"})],
+        "k long, m map<string,string>",
+    )
+    new, skipped = insert_only_append(ex, inc, ["k"])
+    new_rows = new.collect()
+    skip_rows = skipped.collect()
+    assert sorted(r["k"] for r in new_rows) == [2, 3]
+    assert sorted(r["k"] for r in skip_rows) == [1, 2]
+    # row-for-row partition: the k=2 winner appears exactly once across
+    # the two outputs and the loser in the other
+    k2 = sorted(
+        (dict(r["m"]) for r in new_rows + skip_rows if r["k"] == 2),
+        key=str,
+    )
+    assert k2 == [{"y": "2"}, {"z": "3"}]
+    assert new.columns == inc.columns
+
+
+def test_insert_only_append_order_col_deterministic(spark):
+    """With order_col, keep-first is by the stamped ordinal."""
+    from etl_script_spark.sources.writers import insert_only_append
+
+    ex = spark.createDataFrame([], "k long, v string, ord long")
+    inc = spark.createDataFrame(
+        [(1, "late", 9), (1, "early", 1)], "k long, v string, ord long"
+    )
+    new, skipped = insert_only_append(ex, inc, ["k"], order_col="ord")
+    assert [r["v"] for r in new.collect()] == ["early"]
+    assert [r["v"] for r in skipped.collect()] == ["late"]
