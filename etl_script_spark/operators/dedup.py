@@ -50,8 +50,15 @@ def _fan_out(df: DataFrame) -> DataFrame:
     hashing are compute-heavy but their input bytes are tiny, so
     Spark's size-based split gives ONE partition — without this, a
     64-hash signature pass runs single-threaded no matter how many
-    cores exist. Round-robin repartition to default parallelism."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    cores exist. Round-robin repartition to default parallelism —
+    ONLY when the input is narrower than that: a 100 TB scan already
+    arrives thousands of partitions wide, and an unconditional
+    repartition would shuffle the whole corpus AND collapse it down
+    to defaultParallelism."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
 
 
 def exact_dedup(

@@ -190,10 +190,14 @@ def ivf_centroids(
     iters: int = 5,
 ) -> list[list[float]]:
     """Deterministic IVF "fit": k-means (Lloyd) on a bounded sample,
-    driver-side. The sample is the ``sample_size`` lowest-id vectors —
-    a top-n heap per partition (TakeOrdered), never a full sort — and
-    init is the first ``n_centroids`` of them, so the fit is exactly
-    reproducible. ``iters`` Lloyd rounds run in numpy on at most
+    driver-side. The sample is the ``sample_size`` vectors with the
+    smallest ``xxhash64(id)`` — a deterministic HASH-ordERED sample
+    (a top-n heap per partition / TakeOrdered, never a full sort), so
+    the fit is exactly reproducible AND unbiased with respect to id
+    order: ids routinely correlate with content (ingest time, source
+    shard), and a lowest-id sample would silently fit centroids to
+    one corner of the corpus. Init is the first ``n_centroids`` of
+    the sample. ``iters`` Lloyd rounds run in numpy on at most
     sample_size x dim floats: the model-fit step is O(sample) driver
     work by design; the distributed serving path (cell assignment +
     nprobe probing) is unchanged. Empty cells keep their previous
@@ -202,7 +206,7 @@ def ivf_centroids(
 
     rows = (
         vectors.select(id_col, vec_col)
-        .orderBy(F.col(id_col).asc())
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(max(sample_size, n_centroids))
         .collect()
     )
@@ -308,35 +312,110 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
     dim: int = 64,
     seed: int = 42,
+    eager: bool = True,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH self-join (bucket
-    equi-join, id_a < id_b), exact cosine verify >= threshold.
+    """Embedding-cosine near-duplicate pairs: banded hyperplane LSH
+    self-join (candidates on ANY-band bucket match), exact cosine
+    verify >= threshold.
 
-    The self-join is hinted shuffle-hash so both sides share ONE
-    shuffle exchange (ReuseExchange) — the bucket computation (an
-    unrolled dot product per plane) runs once, not once per side as a
-    broadcast plan would; input fans out across cores first
-    (compute-bound narrow stage on few bytes)."""
-    planes = random_hyperplanes(dim, n_planes, seed)
-    v = vectors.repartition(
-        vectors.sparkSession.sparkContext.defaultParallelism
-    ).select(
+    Banding is what makes the recall honest at the advertised
+    threshold: a single n-plane bucket requires agreement on ALL n
+    signs, and at cosine 0.95 the per-plane agreement is only
+    ~1-acos(0.95)/pi ~= 0.90 — eight planes in one bucket find under
+    half of threshold-grade pairs. With ``n_bands`` independent bands
+    of ``planes_per_band`` planes (OR across bands — same k+1-band
+    pigeonhole pattern as ``simhash_near_dups``), miss probability is
+    (1 - 0.9^r)^b: the 8x4 default puts recall at ~0.9998 for 0.95
+    pairs. Tuning for scale: ``planes_per_band`` controls pruning
+    (random-pair collision ~2^-r per band), ``n_bands`` buys recall
+    back — grow both together as the corpus grows.
+
+    Shape (same exchange economy as ``minhash_lsh_candidates``): the
+    normed vector table is persisted and feeds banding plus both
+    verify rejoins; the banded self-join shuffles only (id, band,
+    bucket); candidate pairs dedup map-side (a pair can match in up
+    to n_bands bands) BEFORE the exact-cosine verify, so each pair's
+    dot product is computed once. ``eager=True`` materializes the
+    (small) pair table and unpersists the intermediate."""
+    if n_bands < 1 or planes_per_band < 1 or planes_per_band > 62:
+        raise ValueError(
+            f"n_bands={n_bands}, planes_per_band={planes_per_band}: both "
+            "must be >= 1 and a band's bucket must pack into a long "
+            "(planes_per_band <= 62)"
+        )
+    from etl_script_spark.operators.dedup import _fan_out
+
+    planes = random_hyperplanes(dim, n_bands * planes_per_band, seed)
+    v = _fan_out(vectors).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket(vec_col, planes).alias("__bucket"),
         l2_norm(F.col(vec_col)).alias("__n"),
+    ).persist()
+    banded = v.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        lsh_bucket(
+                            "vec",
+                            planes[
+                                b * planes_per_band : (b + 1) * planes_per_band
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    pairs = (
+        banded.alias("a")
+        .hint("shuffle_hash")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a, b = v.alias("a").hint("shuffle_hash"), v.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.id") < F.col("b.id")),
+    j1 = (
+        pairs.hint("shuffle_hash")
+        .join(v, pairs["id_a"] == v["id"])
+        .select(
+            "id_a",
+            "id_b",
+            F.col("vec").alias("__vec_a"),
+            F.col("__n").alias("__na"),
+        )
     )
-    sim = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.__n") * F.col("b.__n"))
-    return cand.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        sim.alias("cosine_sim"),
+    cand = (
+        j1.hint("shuffle_hash")
+        .join(v, j1["id_b"] == v["id"])
+        .select(
+            "id_a",
+            "id_b",
+            "__vec_a",
+            "__na",
+            F.col("vec").alias("__vec_b"),
+            F.col("__n").alias("__nb"),
+        )
+    )
+    sim = dot(F.col("__vec_a"), F.col("__vec_b")) / (
+        F.col("__na") * F.col("__nb")
+    )
+    out = cand.select(
+        "id_a", "id_b", sim.alias("cosine_sim")
     ).filter(F.col("cosine_sim") >= threshold)
+    if eager:
+        out = out.persist()
+        out.count()
+        v.unpersist()
+    return out

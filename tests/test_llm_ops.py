@@ -50,8 +50,9 @@ def test_embedding_near_dups_planted(spark, sf_dir):
     """The synthetic corpus is isotropic noise (max pairwise cosine
     ~0.48), so zero near-dups is the RIGHT answer there. Plant scaled
     twins (cosine exactly 1.0, identical hyperplane signs → same LSH
-    bucket, so recall is guaranteed) and the operator must find every
-    planted pair and nothing above threshold besides them."""
+    bucket in every band, so recall is guaranteed) and the operator
+    must find every planted pair and nothing above threshold besides
+    them."""
     e = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") < 20)
@@ -62,10 +63,46 @@ def test_embedding_near_dups_planted(spark, sf_dir):
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
     dups = similarity.embedding_near_dups(
-        e.unionByName(twins), threshold=0.999, n_planes=4, dim=64
+        e.unionByName(twins), threshold=0.999, dim=64
     )
     got = {(r["id_a"], r["id_b"]) for r in dups.collect()}
     assert got == {(i, i + 100000) for i in range(20)}
+
+
+def test_embedding_near_dups_recall_at_threshold(spark, sf_dir):
+    """VERDICT r3 #1: recall AT the advertised threshold, not just for
+    0.999-cosine twins. Plant pairs at cosine ~= 0.951 (barely above
+    the 0.95 threshold — exactly the pairs a single all-planes bucket
+    finds less than half of) and require recall >= 0.95; banding (8x4
+    OR-across-bands) puts the miss probability per pair at ~2e-4."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 20)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rng = np.random.default_rng(7)
+    cos_target = 0.951
+    data = []
+    for r in rows:
+        v = np.asarray(list(map(float, r["embedding"])))
+        vn = v / np.linalg.norm(v)
+        g = rng.standard_normal(len(v))
+        u = g - (g @ vn) * vn
+        u /= np.linalg.norm(u)
+        w = cos_target * vn + np.sqrt(1.0 - cos_target**2) * u
+        data.append((int(r["vec_id"]), [float(x) for x in v]))
+        data.append((int(r["vec_id"]) + 100000, [float(x) for x in w]))
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    dups = similarity.embedding_near_dups(df, threshold=0.95, dim=64)
+    got = {(r["id_a"], r["id_b"]) for r in dups.collect()}
+    planted = {(i, i + 100000) for i in range(20)}
+    found = len(got & planted)
+    assert found / len(planted) >= 0.95
+    # and nothing spurious: non-planted pairs are isotropic noise
+    assert got <= planted
 
 
 def test_connected_components_shapes(spark):
@@ -324,3 +361,30 @@ def test_cc_alternating_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not reach"):
         connected_components_alternating(path, max_iter=1).collect()
+
+
+def test_ivf_fit_sample_unbiased_under_adversarial_ids(spark):
+    """VERDICT r3 #5: ids assigned sorted-by-cluster (the adversarial
+    ingest-order case) must not bias the IVF fit — the hash-ordered
+    sample sees both blobs, so queries from the HIGH-id blob still
+    recall well. A lowest-id sample would fit every centroid inside
+    blob 1 (ids 0..1499 < sample_size cover only blob 1)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    c1, c2 = rng.standard_normal(64) * 5, rng.standard_normal(64) * 5
+    data = [
+        (i, (c1 + rng.standard_normal(64)).tolist()) for i in range(1500)
+    ] + [
+        (1500 + i, (c2 + rng.standard_normal(64)).tolist())
+        for i in range(1500)
+    ]
+    e = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    queries = e.filter(F.col("vec_id") >= 2995).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = _topk_sets(similarity.brute_force_topk(e, queries, k=10))
+    ivf = _topk_sets(
+        similarity.ivf_topk(e, queries, k=10, n_centroids=8, nprobe=3)
+    )
+    assert _recall(ivf, exact) >= 0.5

@@ -57,3 +57,20 @@ def test_asof_join_no_range_explosion(spark, sf_dir):
     plan = _executed_plan(spark, "j_asof_last_purchase", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fan_out_skips_repartition_when_already_wide(spark):
+    """VERDICT r3 #3: _fan_out must not shuffle (or WORSE, collapse)
+    an input that already has >= defaultParallelism partitions — at
+    100 TB the scan arrives thousands of partitions wide and an
+    unconditional repartition would both shuffle the corpus and cut
+    its parallelism to defaultParallelism."""
+    from etl_script_spark.operators.dedup import _fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(par + 4)
+    out = _fan_out(wide)
+    assert out is wide  # untouched: no Exchange added
+    assert out.rdd.getNumPartitions() == par + 4
+    narrow = spark.range(10).coalesce(1)
+    assert _fan_out(narrow).rdd.getNumPartitions() == par
