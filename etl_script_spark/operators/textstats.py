@@ -149,22 +149,33 @@ def fingerprint_md5(c: Column) -> Column:
 
 
 def fingerprint_rolling(c: Column, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
-    """Polynomial rolling hash over normalized-text words (bigint) —
-    an order-sensitive fingerprint (md5 twin is order-sensitive too
-    but opaque; this one supports windowed substring matching).
-    Computed with aggregate — no UDF.
+    """Polynomial (Rabin-Karp) rolling hash over the CODEPOINTS of the
+    normalized text (bigint) — an order-sensitive fingerprint (md5
+    twin is order-sensitive too but opaque; this one supports windowed
+    substring matching). Computed with split-to-chars + aggregate — no
+    UDF, O(n) per document.
+
+    Engine-portable by construction: each term is the Unicode
+    codepoint itself, so ANY engine re-derives the identical value
+    (the DuckDB driver oracle replays ``list_reduce`` over
+    ``unicode(char)`` — an earlier xxhash64-termed variant was
+    verifiable only inside Spark).
 
     ``mod`` must satisfy mod * base + term < 2^63 or the multiply
     overflows ANSI int64 (a 2^61-1 modulus blows up on real data —
     caught at sf0.1); the Mersenne prime 2^31-1 keeps the accumulator
     at ~2^39."""
     assert mod * base < (1 << 62), "mod*base must fit int64"
-    ws = words(c)
+    # split("") yields [""] for the empty string — filter keeps the
+    # fold's seed (0) as the empty-text fingerprint on both engines
+    codes = F.transform(
+        F.filter(F.split(normalize_text(c), ""), lambda x: x != ""),
+        lambda x: F.ascii(x).cast("long"),
+    )
     return F.aggregate(
-        ws,
+        codes,
         F.lit(0).cast("long"),
-        lambda acc, w: (acc * base + F.abs(F.xxhash64(w)) % F.lit(1000003))
-        % F.lit(mod),
+        lambda acc, x: (acc * base + x) % F.lit(mod),
     )
 
 

@@ -228,31 +228,102 @@ def pipeline_llm_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("doc_id", "lang", "quality", "n_tokens")
 
 
-@register("dedup_minhash_lsh", None, ("LLM-dedup",))
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle, len({_SHINGLES}) AS n_sh
+      FROM documents
+    )
+    SELECT id_a, id_b, jaccard, TRUE AS found FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) * 1.0
+               / (any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*)) AS jaccard
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ) WHERE jaccard >= 0.8
+    """,
+    ("LLM-dedup",),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64)+LSH(16 bands) candidate pairs with estimated
-    Jaccard >= 0.5. xxhash64-based (no DuckDB twin) → rows-only check;
-    its recall against the exact-Jaccard oracle pairs is asserted in
-    tests/test_llm_ops.py. The eager operator result is re-homed to a
-    localCheckpoint and unpersisted so a catalog sweep leaves no
-    cache-manager entry behind (checkpoint blocks free on GC)."""
+    """MinHash(64)+LSH(16 bands) recall invariant, driver-checkable
+    (VERDICT r3 #2): every exact-Jaccard >= 0.8 pair (the DuckDB
+    oracle computes these independently) must appear among the LSH
+    candidate pairs — at 16 bands x 4 rows the per-pair miss
+    probability at j=0.8 is (1-0.8^4)^16 ~= 2e-4, i.e. recall-1 on
+    test corpora. The query emits each exact pair with its jaccard
+    and ``found`` = membership in the candidate set; the oracle
+    asserts found=TRUE for all. The xxhash64 signatures themselves
+    stay un-oracled (not SQL-expressible); signature agreement vs
+    exact Jaccard is property-tested in tests/test_llm_ops.py. The
+    eager operator result is re-homed to a localCheckpoint and
+    unpersisted so a catalog sweep leaves no cache-manager entry."""
     d = t(spark, sf_dir, "documents")
     cand = dedup_ops.minhash_lsh_candidates(d, "doc_id", "text")
-    out = cand.filter(F.col("est_jaccard") >= 0.5).localCheckpoint(eager=True)
+    exact = dedup_ops.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8
+    )
+    out = (
+        exact.join(
+            cand.select("id_a", "id_b").withColumn("__c", F.lit(True)),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.coalesce(F.col("__c"), F.lit(False)).alias("found"),
+        )
+        .localCheckpoint(eager=True)
+    )
     cand.unpersist()
     return out
 
 
-@register("dedup_simhash", None, ("LLM-dedup",))
+@register(
+    "dedup_simhash",
+    """
+    SELECT doc_id AS id_a, doc_id + 100000 AS id_b, TRUE AS found_h0
+    FROM documents WHERE doc_id < 50
+    """,
+    ("LLM-dedup",),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) near-dup pairs at hamming<=3 via banded pigeonhole
-    join. xxhash64-based → rows-only check + recall test. Result
-    re-homed to a localCheckpoint and unpersisted (no cache-manager
-    residue per sweep)."""
-    d = t(spark, sf_dir, "documents")
-    cand = dedup_ops.simhash_near_dups(d, "doc_id", "text", max_hamming=3)
-    out = cand.localCheckpoint(eager=True)
-    cand.unpersist()
+    """SimHash(64) pigeonhole-banding invariant, driver-checkable
+    (VERDICT r3 #2): identical normalized text gives an IDENTICAL
+    fingerprint, and the k+1-band pigeonhole join finds every
+    hamming<=k pair DETERMINISTICALLY — so planting an exact copy of
+    each of the first 50 documents must yield all 50 planted pairs at
+    hamming 0, end-to-end through fingerprinting, banding, the
+    candidate join, and the hamming verify. (Near-dup pairs at
+    hamming 1..3 have no SQL-expressible truth — xxhash64 bit votes —
+    and stay covered by the pytest agreement/recall properties.)
+    Result re-homed to a localCheckpoint, no cache residue."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 50)
+    corpus = d.unionByName(
+        planted.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    pairs = dedup_ops.simhash_near_dups(corpus, "doc_id", "text", max_hamming=3)
+    out = (
+        planted.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+        )
+        .join(
+            pairs.filter(F.col("hamming") == 0).select(
+                "id_a", "id_b", F.lit(True).alias("__h0")
+            ),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .select(
+            "id_a", "id_b", F.coalesce(F.col("__h0"), F.lit(False)).alias("found_h0")
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs.unpersist()
     return out
 
 
@@ -442,26 +513,67 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", textstats.fingerprint_md5(F.col("text")).alias("fp"))
 
 
-@register("text_fingerprint_rolling", None, ("LLM-text",))
+@register(
+    "text_fingerprint_rolling",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split({_NORM}, ''), x -> x != ''),
+                 x -> CAST(unicode(x) AS BIGINT))),
+             (acc, x) -> (acc * 257 + x) % 2147483647) AS fp
+    FROM documents
+    """,
+    ("LLM-text",),
+)
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash fingerprint (xxhash64-based →
-    rows-only)."""
+    """Order-sensitive Rabin-Karp fingerprint over normalized-text
+    codepoints — the polynomial is re-derived verbatim in the DuckDB
+    oracle (same base/mod, same codepoint terms), closing the last
+    text-family rows-only gap (VERDICT r3 #2)."""
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", textstats.fingerprint_rolling(F.col("text")).alias("fp")
     )
 
 
-@register("ann_ivf_topk", None, ("LLM-similarity",))
+@register(
+    "ann_ivf_topk",
+    """
+    SELECT vec_id AS query_id, TRUE AS self_found, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+    ("LLM-similarity",),
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (coarse centroid cells + nprobe
-    probing + exact in-cell rerank). Deterministic centroid fit; recall
-    vs the exact baseline asserted in tests/test_llm_ops.py."""
+    probing + exact in-cell rerank), reported as a driver-checkable
+    recall invariant (VERDICT r3 #2): per query, (a) the query's own
+    vector must be in its IVF top-10 (its best-affinity cell is
+    always probed first — deterministic), and (b) overlap with the
+    exact brute-force top-10 — both computed IN this query — must be
+    >= 3 (observed 4..7 at sf0.01 with the hash-ordered fit sample;
+    the floor leaves margin without going vacuous). The oracle just
+    enumerates the query ids with both flags TRUE. Raw top-k recall
+    curves stay in tests/test_llm_ops.py."""
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return similarity.ivf_topk(e, queries, k=10, n_centroids=8, nprobe=3, dim=64)
+    ivf = similarity.ivf_topk(
+        e, queries, k=10, n_centroids=8, nprobe=3, dim=64
+    )
+    exact = similarity.brute_force_topk(e, queries, k=10)
+    j = ivf.select("query_id", "vec_id").join(
+        exact.select("query_id", "vec_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.max(F.col("vec_id") == F.col("query_id")).alias("self_found"),
+        (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) >= 3).alias("recall_ok"),
+    )
 
 
 @register(
