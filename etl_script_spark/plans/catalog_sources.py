@@ -605,3 +605,67 @@ def s9_scrape_card_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         cap_val.alias("registered_capital"),
         status_txt.alias("entity_status"),
     )
+
+
+@register(
+    "merge_partition_scoped",
+    """
+    WITH t AS (
+      SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             o_totalprice, o_orderpriority
+      FROM orders
+    )
+    SELECT o_orderkey, o_year, o_totalprice, o_orderpriority FROM (
+      SELECT o_orderkey, o_year,
+             CASE WHEN o_year = 2000 AND o_orderkey % 3 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM t
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_year, 1000.0 AS o_totalprice,
+             'NEW' AS o_orderpriority
+      FROM t WHERE o_year = 2000 AND o_orderkey % 7 = 0
+    )
+    """,
+    ("J6",),
+)
+def merge_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE (VERDICT r3 #4): upsert a single-year
+    batch into an orders table laid out ``partitionBy(o_year)`` —
+    only the touched partition is read (partition-pruned scan) and
+    rewritten (dynamic partition overwrite); the other six years'
+    files stay byte-identical on disk (asserted in
+    tests/test_sources.py). The batch doubles the totalprice of
+    year-2000 keys divisible by 3 and inserts fresh keys; the oracle
+    states the expected merged table straight from the orders view.
+    All batch values are FP-exact transforms (x2, literals), so the
+    row-level comparison is drift-free."""
+    d = _workdir(sf_dir, "merge_part")
+    table = f"{d}/orders_by_year"
+    shutil.rmtree(table, ignore_errors=True)
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    base.write.partitionBy("o_year").parquet(table)
+    y2000 = base.filter(F.col("o_year") == 2000)
+    batch = (
+        y2000.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            y2000.filter(F.col("o_orderkey") % 7 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_year",
+                F.lit(1000.0).alias("o_totalprice"),
+                F.lit("NEW").alias("o_orderpriority"),
+            )
+        )
+    )
+    writers.merge_into_partitioned(
+        spark, table, batch, keys=["o_orderkey"], partition_col="o_year"
+    )
+    return spark.read.parquet(table).select(
+        "o_orderkey", "o_year", "o_totalprice", "o_orderpriority"
+    )

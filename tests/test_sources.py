@@ -411,3 +411,65 @@ def test_insert_only_append_order_col_deterministic(spark):
     new, skipped = insert_only_append(ex, inc, ["k"], order_col="ord")
     assert [r["v"] for r in new.collect()] == ["early"]
     assert [r["v"] for r in skipped.collect()] == ["late"]
+
+
+def test_merge_into_partitioned_rewrites_only_touched(spark, tmp_path):
+    """VERDICT r3 #4: a partition-scoped upsert must leave untouched
+    partitions' files byte-identical (not rewritten), update/insert
+    within the touched partition, and leave a same-key row in an
+    UNtouched partition alone (key identity is scoped to the
+    partitions the batch names — the documented Delta-MERGE-like
+    contract)."""
+    import glob
+    import hashlib
+    import os
+
+    table = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, 1995 + i % 3, float(i)) for i in range(300)],
+        "k long, yr int, v double",
+    )
+    df.write.partitionBy("yr").parquet(table)
+
+    def snap(year):
+        return [
+            (os.path.basename(f), hashlib.md5(open(f, "rb").read()).hexdigest())
+            for f in sorted(glob.glob(f"{table}/yr={year}/*.parquet"))
+        ]
+
+    before_95, before_96 = snap(1995), snap(1996)
+    batch = spark.createDataFrame(
+        # k=2 lives in yr=1997 (update); k=10000 is new (insert);
+        # k=0 lives in yr=1995 — batch claims 1997, so 1995 keeps its row
+        [(2, 1997, 999.0), (10000, 1997, 5.0), (0, 1997, 111.0)],
+        "k long, yr int, v double",
+    )
+    parts = writers.merge_into_partitioned(spark, table, batch, ["k"], "yr")
+    assert parts == [1997]
+    assert snap(1995) == before_95
+    assert snap(1996) == before_96
+    out = {(r["k"], r["yr"]): r["v"] for r in spark.read.parquet(table).collect()}
+    assert out[(2, 1997)] == 999.0
+    assert out[(10000, 1997)] == 5.0
+    assert out[(0, 1997)] == 111.0
+    assert out[(0, 1995)] == 0.0  # untouched partition keeps its row
+    assert len(out) == 302
+
+
+def test_merge_into_partitioned_sync_strategy(spark, tmp_path):
+    """strategy='sync': the batch is the new truth for the partitions
+    it names — keys missing from the batch are deleted THERE, other
+    partitions keep every row."""
+    table = str(tmp_path / "tbl2")
+    df = spark.createDataFrame(
+        [(1, 1997, 1.0), (2, 1997, 2.0), (3, 1998, 3.0)],
+        "k long, yr int, v double",
+    )
+    df.write.partitionBy("yr").parquet(table)
+    batch = spark.createDataFrame([(1, 1997, 10.0)], "k long, yr int, v double")
+    parts = writers.merge_into_partitioned(
+        spark, table, batch, ["k"], "yr", strategy="sync"
+    )
+    assert parts == [1997]
+    out = {(r["k"], r["yr"]): r["v"] for r in spark.read.parquet(table).collect()}
+    assert out == {(1, 1997): 10.0, (3, 1998): 3.0}  # k=2 deleted in 1997
