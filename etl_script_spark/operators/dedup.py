@@ -713,17 +713,24 @@ def connected_components_alternating(
         F.col(id_a).cast("long").alias("src"),
         F.col(id_b).cast("long").alias("dst"),
     )
-    edges = _dedup_edges(e0)
+    # materialize the deduped edge list ONCE (lazy checkpoint — the
+    # sizing count below is the action that runs the upstream pair
+    # plan). Node extraction, sizing, repartitioning, and round 0 all
+    # read the materialized blocks; before this, each of them
+    # re-executed the full candidate-pair pipeline (~3x the input
+    # cost at bench scale, arbitrarily worse above it).
+    edges = _dedup_edges(e0).localCheckpoint(eager=False)
+    sc = pairs.sparkSession.sparkContext
+    n_edges = edges.count()
+    nparts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
+    edges = edges.repartition(nparts, "src").localCheckpoint(eager=False)
+    # lazy: reads the round-0 checkpoint when the final labelling join
+    # runs; holding the plan reference keeps those blocks alive
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    sc = pairs.sparkSession.sparkContext
-    n_edges = edges.count()
-    nparts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
-    edges = edges.repartition(nparts, "src").localCheckpoint(eager=True)
 
     def _fingerprint(e: DataFrame) -> tuple:
         row = e.agg(
