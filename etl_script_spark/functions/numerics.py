@@ -142,6 +142,21 @@ def round_money(c: Column) -> Column:
     return F.round(c.cast("double"), 2)
 
 
+def money_at_rest(c: Column) -> Column:
+    """Money at-rest type policy (SURVEY §1.2): amounts land in
+    storage as DECIMAL(15,2) — the reference's DDL type
+    (create_gec_inv_2024_table.php:20-22, Eloquent decimal:2 casts
+    GecInvoice.php:27-31) — while in-flight math stays double
+    (``round_money``). The decimal is built from integer CENTS
+    (round(x*100) as long), never by casting the double directly, so
+    the stored value is exact and engine-portable: a double→decimal
+    cast would bake the double's representation error into storage.
+    Overflow past 13 integer digits is a data bug and throws under
+    ANSI, matching the DDL's own range."""
+    cents = F.round(c.cast("double") * 100).cast("long")
+    return (cents.cast("decimal(15,2)") / 100).cast("decimal(15,2)")
+
+
 def round_qty(c: Column) -> Column:
     """F28: quantity rounding policy — 3 decimal places."""
     return F.round(c.cast("double"), 3)

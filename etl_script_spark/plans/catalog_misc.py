@@ -706,3 +706,56 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, ("l_lo", "l_hi"), ("r_lo", "r_hi"), bucket_width=7.0
     )
     return out.select("l_id", "r_id")
+
+
+@register(
+    "pipeline_skew_hot_company_e2e",
+    """
+    WITH f AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 7 ELSE o_custkey END
+               AS company_id,
+             o_totalprice
+      FROM orders
+    )
+    SELECT f.company_id, c.c_nationkey,
+           COUNT(*) AS cnt_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM f JOIN customer c ON f.company_id = c.c_custkey
+    GROUP BY f.company_id, c.c_nationkey
+    """,
+    ("skew", "pipeline"),
+)
+def pipeline_skew_hot_company_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew machinery inside one e2e pipeline (VERDICT r3 #8): company
+    7 is synthetically assigned HALF of all orders — the documented
+    100 TB pathology (one conglomerate holding most invoices) — then
+    the pipeline chains BOTH mitigations: salted_join to enrich the
+    hot fact side against the customer dim (hot key spreads over 8
+    salted reducers instead of melting one), and two_phase_agg for the
+    per-company totals (partial on (key, salt), final combine on key).
+    Exact integer cents, so the result is bitwise-equal to the plain
+    join+group-by oracle. The salt spread is plan-asserted in
+    tests/test_skew.py."""
+    from etl_script_spark.operators import skew
+    from etl_script_spark.plans.catalog import cents
+
+    o = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(7).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("company_id"),
+        "o_totalprice",
+    )
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("company_id"), "c_nationkey"
+    )
+    enriched = skew.salted_join(o, dim, "company_id", n_salts=8, how="inner")
+    return skew.two_phase_agg(
+        enriched,
+        ["company_id", "c_nationkey"],
+        {
+            "cnt_orders": F.count(F.lit(1)),
+            "sum_cents": F.sum(cents(F.col("o_totalprice"))),
+        },
+        n_salts=8,
+    )

@@ -669,3 +669,44 @@ def merge_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(table).select(
         "o_orderkey", "o_year", "o_totalprice", "o_orderpriority"
     )
+
+
+@register(
+    "decimal_money_at_rest",
+    """
+    WITH c AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey,
+           printf('%d.%02d', cents // 100, cents % 100) AS amount_str,
+           CAST(cents AS DOUBLE) / 100 AS amount_dbl
+    FROM c
+    """,
+    ("F28",),
+)
+def decimal_money_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal policy end-to-end (VERDICT r3 #9, SURVEY §1.2/§7.4.5):
+    money is written AT REST as DECIMAL(15,2) (``money_at_rest`` —
+    exact cents, the reference's DDL type), read back from parquet,
+    and routed through the in-flight money path (``round_money`` →
+    double). The oracle re-derives both renderings from integer cents:
+    ``amount_str`` proves the stored decimal's exact scale-2 value
+    (string cast preserves trailing zeros — '123.40', not '123.4'),
+    ``amount_dbl`` proves the decimal→double re-entry is drift-free."""
+    from etl_script_spark.functions import numerics
+
+    d = _workdir(sf_dir, "decimal_money")
+    path = f"{d}/amounts"
+    shutil.rmtree(path, ignore_errors=True)
+    t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        numerics.money_at_rest(F.col("o_totalprice")).alias("total_amount"),
+    ).write.parquet(path)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["total_amount"] == "decimal(15,2)"
+    return back.select(
+        "o_orderkey",
+        F.col("total_amount").cast("string").alias("amount_str"),
+        numerics.round_money(F.col("total_amount")).alias("amount_dbl"),
+    )

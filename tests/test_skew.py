@@ -72,3 +72,18 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     assert "Bucketed: true" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_skew_pipeline_plan_shows_salt_spread(spark, sf_dir):
+    """VERDICT r3 #8: the e2e hot-company pipeline's physical plan
+    must actually carry the salt — dim side exploded into all salts,
+    join and partial aggregate keyed on (key, __salt) — not collapse
+    back to a plain hot-key join."""
+    from etl_script_spark.plans.catalog import CATALOG
+
+    df = CATALOG["pipeline_skew_hot_company_e2e"].spark(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan          # per-row deterministic salt
+    assert "explode" in plan       # dim replicated into every salt
+    assert "__salt" in plan        # join/partial-agg keys carry it
