@@ -22,12 +22,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries that already earned a GREEN driver CORRECTNESS row in rounds
-# 1-2 (CORRECTNESS_r01.json + CORRECTNESS_r02.json). The driver samples
-# queries() in dict order, so entries NOT yet driver-checked are listed
-# first — across rounds every catalog query earns a driver-green row.
-# a5_collect_by_year (err in r02) and mm_image_features (no_oracle in
-# r02) are intentionally NOT listed: both were fixed this round and
-# should be re-sampled.
+# 1-3 (CORRECTNESS_r0{1,2,3}.json). The driver samples queries() in
+# dict order, so entries NOT yet driver-checked are listed first —
+# across rounds every catalog query earns a driver-green row. The four
+# r03 rows-only queries (dedup_minhash_lsh, dedup_simhash,
+# text_fingerprint_rolling, ann_ivf_topk) are intentionally NOT
+# listed: they gained invariant-style oracles this round and should be
+# re-sampled for a full hash check.
 _CHECKED = frozenset(
     {
         # --- round 1 ---
@@ -68,6 +69,18 @@ _CHECKED = frozenset(
         "st_stream_dedup", "st_stream_tumbling", "st_stateful_anomalies",
         "dedup_exact_text", "dedup_ngram_jaccard", "dedup_cc_clusters",
         "dedup_near_canonical", "pipeline_llm_prep_e2e",
+        # --- round 3 ---
+        "a5_collect_by_year", "a7_exact_percentiles", "a8_rollup_revenue",
+        "ann_cosine_topk", "ann_lsh_topk", "anomalies_running_mean_jvm",
+        "bucketed_join_zero_shuffle", "dedup_cc_alternating",
+        "dedup_ngram_jaccard_char", "embedding_near_dups",
+        "f19_token_repairs", "j_interval_overlap", "mm_audio_chunks",
+        "mm_image_features", "pipeline_remittance_e2e",
+        "s10_rest_bol_fetch", "s15_http_push_roundtrip",
+        "s9_scrape_card_parse", "sample_hash_deterministic",
+        "skew_salted_join", "skew_two_phase_agg", "st_stream_upsert_latest",
+        "text_fingerprint", "text_lang_id", "text_lang_id_multi",
+        "text_quality_score", "text_token_counts", "ts_gap_fill_hourly",
     }
 )
 

