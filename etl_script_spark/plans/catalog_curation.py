@@ -21,14 +21,15 @@ from etl_script_spark.plans.catalog import register, t
 
 # deterministic PII injection — the corpus fixture has no real PII, so
 # both engines append the same synthetic contacts derived from doc_id
-_INJ_SQL = (
-    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR)"
     " || '@example.com tel 08-123-'"
     " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
     " || ' id 1-2345-67890-12-3'"
     " || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.'"
     "         || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END"
 )
+_INJ_SQL = "text || " + _PII_SUFFIX_SQL
 
 _PII_REDACT_SQL = (
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
@@ -380,3 +381,177 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.chunk_text(
         d, "text", "doc_id", chunk_tokens=40, overlap=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Full curation pipeline (all six stages composed)
+# ---------------------------------------------------------------------------
+
+_BENCH_SUFFIX_SQL = (
+    "CASE WHEN doc_id % 10 = 3 THEN ' ' || "
+    "arr[CAST((doc_id // 10) % 3 AS INT) + 1] ELSE '' END"
+)
+
+#: corpus-tuned repetition thresholds for the word-salad fixture
+#: (median dup_word_frac is 0.54, p75 top-bigram 0.048) — Gopher's
+#: published 0.30/0.18 would drop everything / nothing here
+_REP_DUP_MAX = 0.60
+_REP_TOP_MAX = 0.05
+
+
+def _pii_suffix() -> F.Column:
+    """Spark twin of _PII_SUFFIX_SQL."""
+    return F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 08-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" id 1-2345-67890-12-3"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _bench_suffix() -> F.Column:
+    """Spark twin of _BENCH_SUFFIX_SQL (arr = sorted bench sentences)."""
+    arr = F.array(*[F.lit(s) for s in sorted(_BENCH)])
+    return F.when(
+        F.col("doc_id") % 10 == 3,
+        F.concat(
+            F.lit(" "),
+            F.element_at(
+                arr,
+                ((F.col("doc_id") / F.lit(10)).cast("long") % 3).cast("int")
+                + 1,
+            ),
+        ),
+    ).otherwise(F.lit(""))
+
+
+@register(
+    "pipeline_curation_e2e",
+    f"""
+    WITH bench(s) AS (VALUES {_BENCH_VALUES}),
+    bg AS (
+      SELECT flatten(list({_GRAMS8.format(ws="string_split(s, ' ')")})) AS grams
+      FROM bench
+    ),
+    sent AS (SELECT list(s ORDER BY s) AS arr FROM bench),
+    inj AS (
+      SELECT doc_id, source,
+             text || {_BENCH_SUFFIX_SQL} || {_PII_SUFFIX_SQL} AS text
+      FROM documents CROSS JOIN sent
+    ),
+    dc AS (  -- drop benchmark-contaminated docs
+      SELECT doc_id, source, text FROM inj CROSS JOIN bg
+      WHERE len(list_intersect(
+        {_GRAMS8.format(ws=f"string_split({_NORM}, ' ')")}, grams)) = 0
+    ),
+    repm AS (  -- repetition metrics at the corpus-tuned thresholds
+      SELECT doc_id, source, text,
+             1.0 - len(list_distinct(ws)) / greatest(len(ws), 1) AS dup,
+             coalesce(
+               list_max(list_transform(list_distinct(bgr),
+                        b -> len(list_filter(bgr, x -> x = b))))
+                 / greatest(len(bgr), 1), 0.0) AS top
+      FROM (
+        SELECT doc_id, source, text, ws,
+               CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE [ws[i] || ' ' || ws[i+1]
+                          for i in range(1, len(ws))]
+               END AS bgr
+        FROM (SELECT doc_id, source, text,
+                     string_split({_NORM}, ' ') AS ws FROM dc)
+      )
+    ),
+    rep AS (
+      SELECT doc_id, source, text FROM repm
+      WHERE NOT (dup > {_REP_DUP_MAX} OR top > {_REP_TOP_MAX})
+    ),
+    red AS (  -- PII scrub before anything ships
+      SELECT doc_id, source,
+             {_PII_REDACT_SQL.format(src='text')} AS text
+      FROM rep
+    ),
+    samp AS (  -- domain-mix sample
+      SELECT doc_id, source, text FROM red
+      WHERE substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        CASE source
+          WHEN 'src0' THEN 'g'
+          WHEN 'src1' THEN '80000000'
+          WHEN 'src2' THEN '40000000'
+          WHEN 'src3' THEN '19999999'
+          ELSE '0ccccccc'
+        END
+    ),
+    w AS (
+      SELECT doc_id, source, string_split({_NORM}, ' ') AS ws FROM samp
+    ),
+    nw AS (
+      SELECT doc_id, source, ws,
+             CAST(floor(greatest((len(ws) - 9) / 32.0 + 1, 1)) AS INT)
+               AS n_chunks
+      FROM w
+    ),
+    e AS (
+      SELECT doc_id, source,
+             unnest([{{'i': i,
+                       'c': array_to_string(ws[i*32+1:i*32+40], ' ')}}
+                     for i in range(0, n_chunks)]) AS u
+      FROM nw
+    )
+    SELECT doc_id, source, u.i AS chunk_idx, u.c AS chunk_text,
+           len(string_split(u.c, ' ')) AS n_tokens
+    FROM e
+    """,
+    ("LLM-curation", "pipeline"),
+)
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain composed end-to-end: benchmark
+    decontamination (drop) -> repetition filter -> PII redaction ->
+    stratified domain sampling -> training-window chunking. Every
+    stage is the same operator its standalone catalog query exercises;
+    the oracle replays the whole chain in one SQL statement.
+
+    Scale shape: decontam and repetition are the only shuffling
+    stages (broadcast gram join + the bigram count agg); redaction,
+    sampling, and chunking all fuse into projections/filters, so the
+    post-filter corpus streams from the repetition join straight to
+    the sink."""
+    d = t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), _bench_suffix(), _pii_suffix()).alias("text"),
+    )
+    bench = spark.createDataFrame([(s,) for s in sorted(_BENCH)], ["text"])
+    flagged = decontam.contamination_report(
+        corpus, bench, "text", "doc_id", n=8
+    )
+    dc = corpus.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    rep = textstats.repetition_metrics(
+        dc, "text", "doc_id",
+        dup_word_max=_REP_DUP_MAX, top_ngram_max=_REP_TOP_MAX,
+    )
+    kept = dc.join(
+        rep.filter(~F.col("repetitive")).select("doc_id"), "doc_id", "semi"
+    )
+    red = kept.select(
+        "doc_id", "source", redact.redact(F.col("text")).alias("text")
+    )
+    samp = textstats.stratified_hash_sample(
+        red, "doc_id", "source", _MIX_RATES, _MIX_DEFAULT, seed="mix1"
+    )
+    chunks = textstats.chunk_text(
+        samp.select("doc_id", "text"), "text", "doc_id",
+        chunk_tokens=40, overlap=8,
+    )
+    return chunks.join(
+        samp.select("doc_id", "source"), "doc_id", "inner"
+    ).select("doc_id", "source", "chunk_idx", "chunk_text", "n_tokens")

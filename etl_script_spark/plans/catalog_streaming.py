@@ -300,3 +300,32 @@ def st_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp_ntz").alias("ts"),
         "value",
     )
+
+
+@register(
+    "st_stream_static_enrich",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    ("streaming-enrich",),
+)
+def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of a stream-static enrichment: readStream
+    (events) → broadcast hash join against the static customer dim →
+    AvailableNow → memory sink. The canonical streaming-ETL shape —
+    stateless, so no watermark needed, and the dim is broadcast so a
+    100 TB/day stream never shuffles; the static side is re-read per
+    micro-batch which is what keeps slowly-changing dims fresh."""
+    sdf = ingest.stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    dim = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    joined = sdf.join(
+        F.broadcast(dim), sdf["user_id"] == dim["c_custkey"], "inner"
+    ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+    return ingest.run_available_now(
+        joined, f"st_stream_static_enrich_{_tag(sf_dir)}"
+    )
