@@ -419,3 +419,77 @@ def embedding_near_dups(
         out.count()
         v.unpersist()
     return out
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> tuple[list[list[float]], DataFrame]:
+    """Distributed Lloyd k-means over the FULL corpus (vs the bounded
+    sample fit in ``ivf_centroids``): assignment is a broadcast-
+    literal argmax evaluated inside the scan, the centroid update is
+    one posexplode + (cluster, dim) aggregation per round — shuffle
+    volume is rows x dim tiny floats, and the only driver traffic is
+    k x dim aggregated sums per round. That is the canonical
+    corpus-clustering shape at 100 TB: no vector ever crosses the
+    wire un-aggregated.
+
+    Engine-portable determinism, by construction:
+      - init = the k vectors with smallest (md5(id), id) — any engine
+        re-derives the same k rows;
+      - assignment = cosine-affinity argmax (ties -> larger cluster
+        idx, matching ``_centroid_scores`` struct ordering);
+      - update quantizes each element to 1e-6 BEFORE summing
+        (round(x*1e6) -> int64 sum -> /(1e6*n)): integer addition is
+        order-independent, so the new centroids are bit-identical no
+        matter the partitioning — and bit-identical across engines,
+        which is what lets a SQL oracle replay the whole iteration.
+        The 1e-6 quantization error is orders below any meaningful
+        cluster geometry.
+
+    Empty clusters keep their previous centroid. Returns (centroids,
+    assignments DataFrame (id_col, cluster)).
+    """
+    if k <= 0 or iters < 0:
+        raise ValueError(f"need k > 0 and iters >= 0, got k={k} iters={iters}")
+    init_rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init_rows)}")
+    cents = [[float(x) for x in r[vec_col]] for r in init_rows]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            ivf_assign(vec_col, cents).alias("cluster"),
+        )
+        sums = (
+            assigned.select(
+                "cluster",
+                F.posexplode(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                ).alias("pos", "val"),
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.round(F.col("val") * 1e6).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cluster -> keep old
+        for r in sums:
+            new_cents[r["cluster"]][r["pos"]] = r["s"] / (1e6 * r["n"])
+        cents = new_cents
+    out = vectors.select(
+        F.col(id_col), ivf_assign(vec_col, cents).alias("cluster")
+    )
+    return cents, out

@@ -402,3 +402,82 @@ def chunk_text(
         "chunk_text",
         F.size(F.split("chunk_text", " ")).alias("n_tokens"),
     )
+
+
+def token_vocab(df, text_col: str, min_count: int = 1) -> "DataFrame":
+    """Corpus token-frequency table — the input to tokenizer training
+    (BPE's initial word counts) and to frequency-based filters.
+
+    One explode + one count aggregation: map-side combine collapses
+    each partition's repeats before the shuffle, so shuffle volume is
+    bounded by (distinct tokens x partitions), not corpus size — the
+    Zipf head collapses almost entirely. ``min_count`` prunes the
+    hapax tail AFTER aggregation (it cannot be pushed below the
+    count, but it keeps the output table small).
+
+    Returns (token, n) rows.
+    """
+    toks = df.select(F.explode(words(F.col(text_col))).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    if min_count > 1:
+        vocab = vocab.filter(F.col("n") >= min_count)
+    return vocab
+
+
+def unigram_nll_scores(
+    df, text_col: str, id_col: str, alpha: float = 0.5
+) -> "DataFrame":
+    """CCNet-style fluency scoring against a self-trained unigram LM:
+    per-document mean negative log-likelihood of its tokens under the
+    corpus's own token distribution (add-alpha smoothed). Documents
+    full of rare / out-of-distribution tokens score high; the classic
+    head/middle/tail split thresholds on this score.
+
+    Two-pass shape: (1) token explode -> count aggregation (map-side
+    combined) builds the LM; (2) re-explode the corpus, join each
+    token against the LM, average per document. At 100 TB pass 2's
+    join keys on the token string — Zipf makes the LM table small
+    enough to broadcast in practice (a 10 M-type vocab is ~100 MB),
+    which is why the join side is marked broadcast-eligible rather
+    than forced; AQE picks shuffle-hash if the vocab outgrows the
+    hint.
+
+    Determinism: each token's nll is quantized to 1e-6 BEFORE the
+    per-document sum (round(-ln(p) * 1e6) -> int64), so the
+    aggregation is integer addition — order-independent across
+    partitionings and bit-identical across engines; the mean is then
+    one exact integer-by-double division. A float avg() here is NOT
+    reproducible: summation order shifts the low bits, and corpus
+    scores concentrate so tightly that those bits routinely straddle
+    rounding boundaries (observed at sf0.01).
+
+    Returns (id_col, n_tokens, avg_nll).
+    """
+    base = df.select(F.col(id_col), words(F.col(text_col)).alias("ws"))
+    toks = base.select(F.col(id_col), F.explode("ws").alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = vocab.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    # p(w) = (cnt + alpha) / (total + alpha * V); -ln p summed per doc
+    nll_q = F.round(
+        -F.log(
+            (F.col("cnt") + F.lit(alpha))
+            / (F.col("total") + F.lit(alpha) * F.col("v"))
+        )
+        * 1e6
+    ).cast("long")
+    scored = (
+        toks.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(nll_q).alias("s"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("s") / (F.lit(1e6) * F.col("n_tokens"))).alias("avg_nll"),
+    )

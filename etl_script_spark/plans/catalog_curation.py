@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_script_spark.operators import decontam, redact, textstats, urls
+from etl_script_spark.operators import decontam, redact, similarity, textstats, urls
+from etl_script_spark.operators import dedup as dedup_ops
 from etl_script_spark.plans.catalog import register, t
 
 # ---------------------------------------------------------------------------
@@ -555,3 +556,242 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.join(
         samp.select("doc_id", "source"), "doc_id", "inner"
     ).select("doc_id", "source", "chunk_idx", "chunk_text", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics / tokenizer prep / LM-based filtering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tok_vocab_counts",
+    f"""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    HAVING COUNT(*) >= 2
+    """,
+    ("LLM-curation",),
+)
+def tok_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table (min_count=2) — the word-count
+    input to BPE tokenizer training. One explode + one aggregation;
+    map-side combine collapses the Zipf head before the shuffle, so
+    shuffle volume tracks distinct-tokens-per-partition, not corpus
+    size."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.token_vocab(d, "text", min_count=2)
+
+
+@register(
+    "text_unigram_nll",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+      FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    stats AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM vocab)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           SUM(CAST(ROUND(-ln((cnt + 0.5) / (total + 0.5 * v))
+                          * 1000000.0) AS BIGINT))
+             / (1000000.0 * COUNT(*)) AS avg_nll
+    FROM toks JOIN vocab USING (token) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+    ("LLM-curation",),
+)
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency score: mean negative log-likelihood per
+    document under the corpus's own add-0.5-smoothed unigram LM. The
+    head/middle/tail quality split thresholds on exactly this value.
+    Reproducible to the bit: per-token nll is quantized to 1e-6
+    before an integer sum (see unigram_nll_scores) — a float avg()
+    straddled a 4-dp rounding boundary at sf0.01 the first time this
+    ran, which is exactly the drift the quantized sum removes."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.unigram_nll_scores(d, "text", "doc_id", alpha=0.5)
+
+
+@register(
+    "corpus_len_histogram",
+    """
+    SELECT CAST(floor(n_chars / 100) AS BIGINT) * 100 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    ("LLM-curation",),
+)
+def corpus_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (100-char buckets) with per-bucket
+    mean — the first corpus-health report every curation run prints.
+    Integer sum / count division is a single exact double op, so no
+    decimal policy needed."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            (F.floor(F.col("n_chars") / 100) * 100)
+            .cast("long")
+            .alias("bucket_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "avg_chars"
+            ),
+        )
+    )
+
+
+@register(
+    "dedup_incremental_ingest",
+    f"""
+    WITH store AS (
+      SELECT md5({_NORM}) AS fp FROM documents WHERE doc_id < 250
+    ),
+    batch AS (
+      SELECT b.doc_id,
+             CASE WHEN b.doc_id % 5 = 0 THEN s.text ELSE b.text END AS text
+      FROM documents b JOIN documents s ON s.doc_id = b.doc_id - 250
+      WHERE b.doc_id >= 250
+    ),
+    bf AS (SELECT doc_id, md5({_NORM}) AS fp FROM batch),
+    first AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM bf
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, fp FROM first
+    WHERE fp NOT IN (SELECT fp FROM store)
+    """,
+    ("LLM-curation", "LLM-dedup"),
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: dedupe a new batch within itself
+    (exact content hash, keep min id) AND against the fingerprint
+    store of everything already ingested — the shape a daily crawl
+    drop runs. The fixture plants true cross-batch duplicates (every
+    fifth batch doc reuses a stored doc's text). At 100 TB the store
+    side is fingerprints only (16 bytes/doc), and the anti-join keys
+    on the hash — the corpus text never re-shuffles."""
+    d = t(spark, sf_dir, "documents")
+    store = d.filter(F.col("doc_id") < 250).select(
+        textstats.fingerprint_md5(F.col("text")).alias("fp")
+    )
+    b = d.filter(F.col("doc_id") >= 250).alias("b")
+    s = d.alias("s")
+    batch = b.join(
+        s, F.col("s.doc_id") == F.col("b.doc_id") - 250, "inner"
+    ).select(
+        F.col("b.doc_id").alias("doc_id"),
+        F.when(
+            F.col("b.doc_id") % 5 == 0, F.col("s.text")
+        ).otherwise(F.col("b.text")).alias("text"),
+    )
+    fresh = (
+        dedup_ops.exact_dedup(batch, "text", "doc_id")
+        .select(
+            "doc_id", textstats.fingerprint_md5(F.col("text")).alias("fp")
+        )
+    )
+    return fresh.join(store, "fp", "left_anti").select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# Distributed corpus clustering (Lloyd k-means, full oracle replay)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+
+# one Lloyd round in SQL, parameterized by the incoming centroid CTE
+# name and the output CTE names. Replays the engine exactly: cosine
+# affinity dot(v,c)/||c|| (sequential fold, ties -> larger cluster),
+# then the 1e-6-quantized integer-sum centroid update.
+_KM_DOT = (
+    "list_reduce(list_prepend(0.0, "
+    "[ve[i] * {c}.ce[i] for i in range(1, {dim} + 1)]), (a, b) -> a + b)"
+)
+_KM_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, "
+    "[{c}.ce[i] * {c}.ce[i] for i in range(1, {dim} + 1)]), (a, b) -> a + b))"
+)
+
+
+def _km_assign_cte(cin: str, aout: str, dim: int = 64) -> str:
+    dot = _KM_DOT.format(c=cin, dim=dim)
+    norm = _KM_NORM.format(c=cin, dim=dim)
+    return f"""
+    {aout} AS (
+      SELECT vec_id, ve, cluster FROM (
+        SELECT v.vec_id, v.ve, {cin}.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {dot} * (1.0 / {norm}) DESC, {cin}.cluster DESC
+               ) AS rn
+        FROM v CROSS JOIN {cin}
+      ) WHERE rn = 1
+    )"""
+
+
+def _km_update_cte(ain: str, cin: str, cout: str, dim: int = 64) -> str:
+    return f"""
+    {cout}_u AS (
+      SELECT cluster, u.pos AS pos,
+             SUM(CAST(ROUND(u.val * 1000000.0) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM (SELECT cluster,
+                   unnest([{{'pos': i, 'val': ve[i]}}
+                           for i in range(1, {dim} + 1)]) AS u
+            FROM {ain})
+      GROUP BY cluster, u.pos
+    ),
+    {cout} AS (
+      SELECT {cin}.cluster,
+             coalesce(nu.ce, {cin}.ce) AS ce
+      FROM {cin} LEFT JOIN (
+        SELECT cluster, list(s / (1000000.0 * n) ORDER BY pos) AS ce
+        FROM {cout}_u GROUP BY cluster
+      ) nu USING (cluster)
+    )"""
+
+
+@register(
+    "cluster_kmeans_assign",
+    f"""
+    WITH v AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ve
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT ve AS ce,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) - 1 AS cluster
+      FROM v QUALIFY cluster < {_KM_K}
+    ),
+    {_km_assign_cte("c0", "a1")},
+    {_km_update_cte("a1", "c0", "c1")},
+    {_km_assign_cte("c1", "a2")},
+    {_km_update_cte("a2", "c1", "c2")},
+    {_km_assign_cte("c2", "af")}
+    SELECT vec_id, cluster FROM af
+    """,
+    ("LLM-cluster",),
+)
+def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 2 rounds) over the embedding
+    corpus, final cluster id per vector. The oracle replays BOTH
+    rounds in SQL — possible because the centroid update quantizes to
+    1e-6 before an integer sum (order-independent => bit-identical
+    centroids on any engine/partitioning), and assignment replays the
+    same sequential dot fold and tie order."""
+    e = t(spark, sf_dir, "embeddings")
+    _, assigned = similarity.kmeans_lloyd(
+        e, "vec_id", "embedding", k=_KM_K, iters=2
+    )
+    return assigned
