@@ -47,12 +47,16 @@ def contamination_report(
     text, which only matches if the benchmark contains the identical
     short text — the correct semantics).
     """
+    from etl_script_spark.operators.dedup import _fan_out
+
     bench_grams = (
         bench.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
         .distinct()
         .select(F.xxhash64("gram").alias("gh"), "gram")
     )
-    corpus_grams = corpus.select(
+    # _fan_out: a narrow corpus input (one small parquet file = one
+    # partition) would run the whole shingle+explode single-threaded
+    corpus_grams = _fan_out(corpus.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), n)).alias("gram"),
     )

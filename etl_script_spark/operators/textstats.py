@@ -293,7 +293,15 @@ def repetition_metrics(
     Returns one row per input row: id, n_words, dup_word_frac,
     top_ngram_frac, repetitive.
     """
-    base = df.select(
+    from etl_script_spark.operators.dedup import _fan_out
+
+    # single pass: the per-doc word stats ride ALONG the exploded
+    # grams as a struct (first() through both aggregations) instead of
+    # a second scan + self-join — the normalize/split regexes run once
+    # per row, and there is no join. _fan_out: a small parquet file
+    # arrives as ONE partition, which would run the whole explode
+    # single-threaded.
+    base = _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         let(
             words(F.col(text_col)),
@@ -309,11 +317,14 @@ def repetition_metrics(
         ngrams_all(F.col(text_col), ngram_n).alias("grams"),
     )
     # per-(doc, gram) counts -> per-doc max; map-side combine collapses
-    # repeated grams before each shuffle
-    gram_max = (
-        base.select(F.col(id_col), F.explode_outer("grams").alias("gram"))
+    # repeated grams before each shuffle; explode_outer keeps zero-gram
+    # docs (they surface with a NULL gram and top fraction 0)
+    agg = (
+        base.select(
+            F.col(id_col), F.col("w"), F.explode_outer("grams").alias("gram")
+        )
         .groupBy(id_col, "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first("w").alias("w"))
         .groupBy(id_col)
         .agg(
             F.max(F.when(F.col("gram").isNotNull(), F.col("cnt"))).alias(
@@ -322,24 +333,20 @@ def repetition_metrics(
             F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt"))).alias(
                 "n_grams"
             ),
+            F.first("w").alias("w"),
         )
     )
-    out = base.select(
-        F.col(id_col),
-        F.col("w.n_words").alias("n_words"),
-        F.col("w.dup_word_frac").alias("dup_word_frac"),
-    ).join(gram_max, id_col, "left")
     top_frac = F.coalesce(
         F.col("top_cnt") / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
         F.lit(0.0),
     )
-    return out.select(
+    return agg.select(
         F.col(id_col),
-        "n_words",
-        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.col("w.n_words").alias("n_words"),
+        F.round("w.dup_word_frac", 6).alias("dup_word_frac"),
         F.round(top_frac, 6).alias("top_ngram_frac"),
         (
-            (F.col("dup_word_frac") > dup_word_max)
+            (F.col("w.dup_word_frac") > dup_word_max)
             | (top_frac > top_ngram_max)
         ).alias("repetitive"),
     )
