@@ -336,9 +336,17 @@ def repetition_metrics(
             F.first("w").alias("w"),
         )
     )
-    top_frac = F.coalesce(
-        F.col("top_cnt") / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
-        F.lit(0.0),
+    # NULL text -> every metric (and the flag) NULL, consistently: a
+    # doc with no text has no repetition verdict, and a NULL flag is
+    # excluded by a `NOT repetitive` filter — null docs drop out of a
+    # curation pipeline rather than sneaking through either branch
+    top_frac = F.when(
+        F.col("w.n_words").isNotNull(),
+        F.coalesce(
+            F.col("top_cnt")
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+            F.lit(0.0),
+        ),
     )
     return agg.select(
         F.col(id_col),
@@ -381,6 +389,11 @@ def chunk_text(
             f"overlap must be in [0, chunk_tokens), got {overlap}"
         )
     stride = chunk_tokens - overlap
+    # a NULL text has no chunks (the whole expression below yields a
+    # [null] array whose lone row would otherwise survive posexplode);
+    # an EMPTY text keeps its single empty chunk — "document exists
+    # but is blank" stays visible downstream, "no document" does not
+    df = df.filter(F.col(text_col).isNotNull())
     chunks = let(
         words(F.col(text_col)),
         lambda ws: let(
@@ -422,9 +435,16 @@ def token_vocab(df, text_col: str, min_count: int = 1) -> "DataFrame":
     hapax tail AFTER aggregation (it cannot be pushed below the
     count, but it keeps the output table small).
 
+    Empty/null documents contribute nothing (splitting "" yields one
+    empty-string token, which is not a word — filtered pre-explode).
+
     Returns (token, n) rows.
     """
-    toks = df.select(F.explode(words(F.col(text_col))).alias("token"))
+    toks = df.select(
+        F.explode(
+            F.filter(words(F.col(text_col)), lambda w: w != "")
+        ).alias("token")
+    )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     if min_count > 1:
         vocab = vocab.filter(F.col("n") >= min_count)
@@ -458,9 +478,15 @@ def unigram_nll_scores(
     scores concentrate so tightly that those bits routinely straddle
     rounding boundaries (observed at sf0.01).
 
+    Empty/null documents produce no output row (no tokens, so no
+    likelihood to speak of) — same convention as ``token_vocab``.
+
     Returns (id_col, n_tokens, avg_nll).
     """
-    base = df.select(F.col(id_col), words(F.col(text_col)).alias("ws"))
+    base = df.select(
+        F.col(id_col),
+        F.filter(words(F.col(text_col)), lambda w: w != "").alias("ws"),
+    )
     toks = base.select(F.col(id_col), F.explode("ws").alias("token"))
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     stats = vocab.agg(

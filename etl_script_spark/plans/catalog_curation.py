@@ -569,6 +569,7 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT token, COUNT(*) AS n
     FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token
           FROM documents)
+    WHERE token <> ''
     GROUP BY token
     HAVING COUNT(*) >= 2
     """,
@@ -588,8 +589,10 @@ def tok_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_unigram_nll",
     f"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
-      FROM documents
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
     ),
     vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
     stats AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM vocab)

@@ -306,3 +306,39 @@ def test_kmeans_lloyd_rejects_bad_params(spark, sf_dir):
         similarity.kmeans_lloyd(e, "vec_id", "embedding", k=0)
     with pytest.raises(ValueError):
         similarity.kmeans_lloyd(e, "vec_id", "embedding", k=10**6)
+
+
+# ---------------------------------------------------------------------------
+# NULL / empty-text conventions (pinned)
+# ---------------------------------------------------------------------------
+
+
+def _null_text_df(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("t", StringType())]
+    )
+    return spark.createDataFrame([(1, None), (2, ""), (3, "a b a")], schema)
+
+
+def test_null_text_conventions(spark):
+    df = _null_text_df(spark)
+    # chunking: null text -> no chunks; empty text -> one empty chunk
+    chunks = textstats.chunk_text(df, "t", "id", chunk_tokens=4, overlap=1)
+    got = {(r["id"], r["chunk_idx"]): r["chunk_text"] for r in chunks.collect()}
+    assert got == {(2, 0): "", (3, 0): "a b a"}
+    # vocab / nll: empty token never counted, null/empty docs drop out
+    v = {r["token"] for r in textstats.token_vocab(df, "t").collect()}
+    assert v == {"a", "b"}
+    nll_ids = {r["id"] for r in
+               textstats.unigram_nll_scores(df, "t", "id").collect()}
+    assert nll_ids == {3}
+    # repetition: null text -> ALL metrics and the flag NULL (a
+    # `NOT repetitive` filter then drops the doc from either branch)
+    rep = {r["id"]: r for r in
+           textstats.repetition_metrics(df, "t", "id").collect()}
+    assert rep[1]["n_words"] is None
+    assert rep[1]["top_ngram_frac"] is None
+    assert rep[1]["repetitive"] is None
+    assert rep[2]["repetitive"] is False
