@@ -798,3 +798,56 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", "embedding", k=_KM_K, iters=2
     )
     return assigned
+
+
+#: CCNet-style bucket thresholds, fitted offline from the corpus NLL
+#: distribution (terciles at sf0.01). Fixed literals — NOT a global
+#: NTILE, which would be a single-partition sort of the whole corpus
+#: at 100 TB; CCNet itself thresholds against cutoffs fitted on a
+#: held-out sample for exactly this reason.
+_NLL_HEAD_MAX = 3.3998
+_NLL_MID_MAX = 3.4040
+
+
+@register(
+    "text_quality_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    stats AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM vocab),
+    nll AS (
+      SELECT doc_id,
+             SUM(CAST(ROUND(-ln((cnt + 0.5) / (total + 0.5 * v))
+                            * 1000000.0) AS BIGINT))
+               / (1000000.0 * COUNT(*)) AS avg_nll
+      FROM toks JOIN vocab USING (token) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT doc_id, avg_nll,
+           CASE WHEN avg_nll < {_NLL_HEAD_MAX} THEN 'head'
+                WHEN avg_nll < {_NLL_MID_MAX} THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM nll
+    """,
+    ("LLM-curation",),
+)
+def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split: label each document by its
+    unigram-LM fluency score against offline-fitted cutoffs. The
+    label is a per-row comparison — after the LM pass, bucketing
+    costs nothing and never sorts globally."""
+    d = t(spark, sf_dir, "documents")
+    scored = textstats.unigram_nll_scores(d, "text", "doc_id", alpha=0.5)
+    return scored.select(
+        "doc_id",
+        "avg_nll",
+        F.when(F.col("avg_nll") < _NLL_HEAD_MAX, "head")
+        .when(F.col("avg_nll") < _NLL_MID_MAX, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -242,3 +242,88 @@ def test_salted_join_equals_plain_join(spark, rows):
     }
     exp = {tuple(r) for r in facts.join(dim, "k").collect()}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Curation-operator laws (round 4)
+# ---------------------------------------------------------------------------
+
+_URL_CHARS = st.text(
+    alphabet="abcXYZ019-._~/?&=#%: ", min_size=0, max_size=40
+)
+_TEXTS = st.text(
+    alphabet="abc xyz 019 .,!@-\n\t", min_size=0, max_size=200
+)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(_URL_CHARS, min_size=40, max_size=40))
+def test_canonicalize_url_idempotent(spark, tails):
+    """canon(canon(u)) == canon(u) — a canonical form must be a fixed
+    point, else downstream dedup keys drift depending on how many
+    times a URL passed through the pipeline."""
+    from etl_script_spark.operators import urls
+
+    values = [f"HTTP://Ex.COM:80/{t}" for t in tails] + tails  # + schemeless
+    df = spark.createDataFrame([(v,) for v in values], ["u"])
+    out = df.select(
+        urls.canonicalize_url(F.col("u")).alias("once"),
+    ).select(
+        "once", urls.canonicalize_url(F.col("once")).alias("twice")
+    )
+    for r in out.collect():
+        assert r["once"] == r["twice"], r
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(_TEXTS, min_size=30, max_size=30))
+def test_redact_idempotent_and_clean(spark, texts):
+    """redact(redact(t)) == redact(t), and a redacted text has zero
+    remaining PII matches — masking must never construct a new match
+    (e.g. [PHONE] digits bleeding into an adjacent number)."""
+    from etl_script_spark.operators import redact
+
+    salted = [
+        t + " a@b.co 081-234-5678 1-2345-67890-12-3 10.0.0.1" for t in texts
+    ]
+    df = spark.createDataFrame([(v,) for v in salted], ["t"])
+    once = df.select(redact.redact(F.col("t")).alias("once"))
+    rows = once.select(
+        "once",
+        redact.redact(F.col("once")).alias("twice"),
+        redact.pii_report(F.col("once")).alias("left"),
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"]
+        assert r["left"]["total"] == 0, r["once"]
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=120), min_size=20, max_size=20))
+def test_chunk_text_covers_document(spark, lengths):
+    """Chunks must tile the normalized document exactly: stripping
+    each chunk's leading overlap and concatenating reproduces the
+    full token stream — no token lost, none duplicated."""
+    from etl_script_spark.operators import textstats
+
+    docs = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(docs, ["id", "t"])
+    chunk, overlap = 16, 4
+    out = textstats.chunk_text(df, "t", "id", chunk, overlap)
+    got = {}
+    for r in sorted(out.collect(), key=lambda r: (r["id"], r["chunk_idx"])):
+        toks = r["chunk_text"].split(" ") if r["chunk_text"] else [""]
+        prev = got.get(r["id"])
+        if prev is None:
+            got[r["id"]] = list(toks)
+        else:
+            # overlap region must match the tail of what we have
+            k = min(overlap, len(toks))
+            assert prev[-k:] == toks[:k], (r["id"], r["chunk_idx"])
+            got[r["id"]].extend(toks[k:])
+    for i, n in enumerate(lengths):
+        expected = [f"t{i}x{j}" for j in range(n)] or [""]
+        assert got[i] == expected, i
