@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_script_spark.operators import decontam, redact, similarity, textstats, urls
+from etl_script_spark.operators import (
+    decontam,
+    multimodal,
+    redact,
+    similarity,
+    textstats,
+    urls,
+)
 from etl_script_spark.operators import dedup as dedup_ops
 from etl_script_spark.plans.catalog import register, t
 
@@ -850,4 +857,76 @@ def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("avg_nll") < _NLL_MID_MAX, "middle")
         .otherwise("tail")
         .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal curation pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_mm_curation_e2e",
+    """
+    WITH media AS (
+      -- blocks of 7 share the block head's payload: planted dups
+      SELECT b.doc_id AS media_id, s.text AS text
+      FROM documents b JOIN documents s
+        ON s.doc_id = b.doc_id - (b.doc_id % 7)
+    ),
+    feats AS (
+      SELECT media_id, octet_length(encode(text)) AS n_bytes,
+             substr(sha256(text), 1, 16) AS sha_prefix
+      FROM media
+    ),
+    kept AS (SELECT * FROM feats WHERE n_bytes >= 50)
+    SELECT media_id, n_bytes, sha_prefix, dup_count FROM (
+      SELECT media_id, n_bytes, sha_prefix,
+             ROW_NUMBER() OVER (PARTITION BY sha_prefix
+                                ORDER BY media_id) AS rn,
+             COUNT(*) OVER (PARTITION BY sha_prefix) AS dup_count
+      FROM kept
+    ) WHERE rn = 1
+    """,
+    ("LLM-multimodal", "pipeline"),
+)
+def pipeline_mm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-corpus curation end-to-end: binary payloads -> Arrow-
+    batched feature extraction (mapInPandas; real decoder slots in
+    behind the probe) -> tiny-image filter -> content-hash dedup
+    keeping the smallest id, with duplicate counts. The fixture
+    plants duplicates (blocks of 7 docs share one payload) so the
+    dedup stage has real work; the oracle replays bytes -> sha256 ->
+    windowed keep-first in SQL.
+
+    Scale shape: features are extracted in the scan stage (binary
+    never shuffles); the dedup groups on the 16-hex content hash —
+    at 100 TB the only shuffled payload is (hash, id, n_bytes)."""
+    d = t(spark, sf_dir, "documents")
+    b, s = d.alias("b"), d.alias("s")
+    media = b.join(
+        s,
+        F.col("s.doc_id")
+        == F.col("b.doc_id") - (F.col("b.doc_id") % 7),
+        "inner",
+    ).select(
+        F.col("b.doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("s.text"), "utf-8").alias("content"),
+        F.lit("image/png").alias("mime"),
+        F.create_map(F.lit("src"), F.col("b.source")).alias("meta"),
+    )
+    feats = multimodal.extract_image_features(media).select(
+        "media_id", "n_bytes", "sha_prefix"
+    )
+    kept = feats.filter(F.col("n_bytes") >= 50)
+    agg = kept.groupBy("sha_prefix").agg(
+        F.min(F.struct("media_id", "n_bytes")).alias("f"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return agg.select(
+        F.col("f.media_id").alias("media_id"),
+        F.col("f.n_bytes").alias("n_bytes"),
+        "sha_prefix",
+        "dup_count",
     )

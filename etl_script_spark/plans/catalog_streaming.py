@@ -329,3 +329,60 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_available_now(
         joined, f"st_stream_static_enrich_{_tag(sf_dir)}"
     )
+
+
+@register(
+    "st_stream_stream_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+    ("streaming-join",),
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream join: clicks joined to purchases by the same
+    user within the following hour, both sides watermarked — the
+    attribution-join shape. The event-time range condition is what
+    BOUNDS the join state: with it, Spark can evict a click's state
+    one hour (+ watermark) after its timestamp; without it the state
+    store grows forever. AvailableNow drains the static fixture, so
+    the result equals the batch interval-join exactly."""
+    base = ingest.stream_events(spark, sf_dir)
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    return ingest.run_available_now(
+        joined, f"st_stream_stream_join_{_tag(sf_dir)}"
+    )
