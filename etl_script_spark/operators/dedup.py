@@ -772,3 +772,40 @@ def connected_components_alternating(
         .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
     )
     return out.localCheckpoint(eager=True)
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span audit (the signal behind exact
+    substring dedup, Lee et al. 2022: verbatim spans of ~50+ tokens
+    shared across documents are boilerplate/license/template text the
+    model memorizes). A full suffix array does not distribute; the
+    standard corpus-scale approximation is fixed-length n-gram spans:
+    a span repeated across >= min_docs documents is reported with its
+    document count and one witness doc per span.
+
+    Shape: shingle explode -> count-distinct-docs per 64-bit span
+    hash (map-side combined). The shuffle carries (hash, doc_id) —
+    never the text; the span string rides only on the surviving
+    groups via min(). Output: (span, n_docs, witness_id), one row
+    per repeated span.
+    """
+    grams = _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("__doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("span"),
+    )
+    return (
+        grams.groupBy(F.xxhash64("span").alias("__h"))
+        .agg(
+            F.count_distinct("__doc").alias("n_docs"),
+            F.min("span").alias("span"),
+            F.min("__doc").alias("witness_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span", "n_docs", "witness_id")
+    )

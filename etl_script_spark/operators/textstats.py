@@ -514,3 +514,44 @@ def unigram_nll_scores(
         "n_tokens",
         (F.col("s") / (F.lit(1e6) * F.col("n_tokens"))).alias("avg_nll"),
     )
+
+
+def pack_sequences(
+    chunks,
+    token_col: str,
+    order_cols: list[str],
+    shard_col: str,
+    ctx_tokens: int = 512,
+) -> "DataFrame":
+    """Greedy streaming sequence packing: walk the chunks of each
+    shard in a fixed order, accumulate token counts, and open a new
+    training sequence whenever the running total would cross the
+    context length — the standard "pack short chunks into fixed
+    context windows" step before batching.
+
+    bin id = floor((cumsum - n) / ctx) over the shard's running token
+    count: the chunk starting at offset o lands in bin floor(o/ctx),
+    which reproduces the greedy packer that splits only at chunk
+    boundaries (a chunk may straddle its bin's end — the loader's
+    attention mask handles the seam; chunks longer than ctx_tokens
+    still get a bin rather than being silently dropped).
+
+    Scale: the cumsum windows over shard_col — packing is per-shard
+    (per source / per file), so no global sort exists anywhere; a
+    shard's chunks sort within one partition. Deterministic given
+    order_cols.
+    """
+    from pyspark.sql import Window
+
+    if ctx_tokens <= 0:
+        raise ValueError(f"ctx_tokens must be positive, got {ctx_tokens}")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return chunks.withColumn(
+        "seq_id",
+        F.floor((cum - F.col(token_col)) / F.lit(ctx_tokens)).cast("long"),
+    ).withColumn("seq_offset", cum - F.col(token_col) - F.col("seq_id") * ctx_tokens)

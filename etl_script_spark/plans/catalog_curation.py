@@ -930,3 +930,125 @@ def pipeline_mm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sha_prefix",
         "dup_count",
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span audit + sequence packing
+# ---------------------------------------------------------------------------
+
+_SPAN_A = (
+    "all rights reserved redistribution of this template requires prior "
+    "written permission from the original publisher and any derivative "
+    "copies must retain this notice verbatim"
+)
+_SPAN_B = (
+    "this page was generated automatically from the master catalog feed "
+    "and should not be edited by hand because the next synchronization "
+    "cycle will overwrite local changes"
+)
+
+_GRAMS20 = (
+    "CASE WHEN len({ws}) < 20 THEN [array_to_string({ws}, ' ')] "
+    "ELSE list_distinct([array_to_string({ws}[i:i+19], ' ') "
+    "for i in range(1, len({ws}) - 18)]) END"
+)
+
+
+@register(
+    "dedup_repeated_spans",
+    f"""
+    WITH inj AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(
+               text || CASE WHEN doc_id % 4 = 1 THEN ' {_SPAN_A}'
+                            WHEN doc_id % 4 = 2 THEN ' {_SPAN_B}'
+                            ELSE '' END), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest({_GRAMS20.format(ws="string_split(norm, ' ')")}) AS span
+      FROM inj
+    )
+    SELECT span, COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS witness_id
+    FROM sh GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    ("LLM-dedup", "LLM-curation"),
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span audit (exact-substring dedup
+    signal, Lee et al. 2022): 20-word spans shared by >= 2 documents
+    — boilerplate, licenses, templated pages. The fixture appends one
+    of two license-y templates to half the corpus; every inner
+    20-gram of each template must surface with its document count.
+    The shuffle keys on a 64-bit span hash, never the text."""
+    d = t(spark, sf_dir, "documents")
+    inj = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 1, F.lit(" " + _SPAN_A))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" " + _SPAN_B))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup_ops.repeated_spans(inj, "text", "doc_id", n=20, min_docs=2)
+
+
+@register(
+    "pack_training_sequences",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split({_NORM}, ' ') AS ws FROM documents
+    ), nw AS (
+      SELECT doc_id, source, ws,
+             CAST(floor(greatest((len(ws) - 9) / 32.0 + 1, 1)) AS INT)
+               AS n_chunks
+      FROM w
+    ), e AS (
+      SELECT doc_id, source,
+             unnest([{{'i': i,
+                       'c': array_to_string(ws[i*32+1:i*32+40], ' ')}}
+                     for i in range(0, n_chunks)]) AS u
+      FROM nw
+    ), c AS (
+      SELECT doc_id, source, u.i AS chunk_idx,
+             len(string_split(u.c, ' ')) AS n_tokens
+      FROM e
+    ), s AS (
+      SELECT doc_id, source, chunk_idx, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id, chunk_idx
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM c
+    )
+    SELECT doc_id, source, chunk_idx, n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+           CAST(cum - n_tokens
+             - CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) * 512
+             AS BIGINT) AS seq_offset
+    FROM s
+    """,
+    ("LLM-curation",),
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: chunk every document into 40/8 windows, then
+    greedily pack each source shard's chunks into 512-token training
+    sequences (seq_id) with the chunk's offset inside its sequence.
+    Packing is per-shard — the cumsum window partitions by source, so
+    no global sort exists; a shard's chunks sort within one
+    partition, which is exactly how a per-file packer runs at
+    100 TB."""
+    d = t(spark, sf_dir, "documents")
+    chunks = textstats.chunk_text(
+        d, "text", "doc_id", chunk_tokens=40, overlap=8
+    ).join(d.select("doc_id", "source"), "doc_id", "inner")
+    packed = textstats.pack_sequences(
+        chunks, "n_tokens", ["doc_id", "chunk_idx"], "source", ctx_tokens=512
+    )
+    return packed.select(
+        "doc_id", "source", "chunk_idx", "n_tokens", "seq_id", "seq_offset"
+    )

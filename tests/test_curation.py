@@ -342,3 +342,58 @@ def test_null_text_conventions(spark):
     assert rep[1]["top_ngram_frac"] is None
     assert rep[1]["repetitive"] is None
     assert rep[2]["repetitive"] is False
+
+
+# ---------------------------------------------------------------------------
+# Repeated spans + sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_spans_finds_shared_template(spark):
+    from etl_script_spark.operators import dedup as dedup_ops
+
+    tmpl = " ".join(f"lic{i}" for i in range(6))  # 6-word template
+    df = spark.createDataFrame(
+        [
+            (1, "unique one " + tmpl),
+            (2, "other words here " + tmpl),
+            (3, "no template at all in this document"),
+        ],
+        ["id", "t"],
+    )
+    out = dedup_ops.repeated_spans(df, "t", "id", n=5, min_docs=2).collect()
+    spans = {r["span"]: (r["n_docs"], r["witness_id"]) for r in out}
+    # the two inner 5-grams of the 6-word template are shared by docs 1+2
+    assert spans == {
+        " ".join(f"lic{i}" for i in range(5)): (2, 1),
+        " ".join(f"lic{i}" for i in range(1, 6)): (2, 1),
+    }
+
+
+def test_pack_sequences_greedy_bins(spark):
+    df = spark.createDataFrame(
+        [
+            # shard a: chunks of 6 tokens -> ctx 10: offsets 0,6,12,...
+            ("a", 1, 0, 6), ("a", 1, 1, 6), ("a", 2, 0, 6), ("a", 2, 1, 6),
+            # shard b independent
+            ("b", 1, 0, 11),  # longer than ctx: still gets a bin
+            ("b", 1, 1, 2),
+        ],
+        ["src", "doc", "idx", "n"],
+    )
+    out = textstats.pack_sequences(df, "n", ["doc", "idx"], "src", ctx_tokens=10)
+    got = {
+        (r["src"], r["doc"], r["idx"]): (r["seq_id"], r["seq_offset"])
+        for r in out.collect()
+    }
+    # offsets 0,6,12,18 -> bins 0,0,1,1
+    assert got[("a", 1, 0)] == (0, 0)
+    assert got[("a", 1, 1)] == (0, 6)
+    assert got[("a", 2, 0)] == (1, 2)
+    assert got[("a", 2, 1)] == (1, 8)
+    # shard b: oversized chunk occupies bins 0-1; next chunk offset 11 -> bin 1
+    assert got[("b", 1, 0)] == (0, 0)
+    assert got[("b", 1, 1)] == (1, 1)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        textstats.pack_sequences(df, "n", ["doc"], "src", ctx_tokens=0)
