@@ -30,7 +30,8 @@ HEADLINE = [
 ]
 
 # breadth sample (timed + reported, NOT counted into `value`, so the
-# headline total stays comparable across rounds)
+# headline total stays comparable across rounds). Entries are only
+# ever APPENDED so earlier rounds' numbers stay attributable.
 EXTRA = [
     "st_tumbling_window",
     "st_session_window",
@@ -41,6 +42,11 @@ EXTRA = [
     "anomalies_running_mean_jvm",
     "dedup_cc_alternating",
     "skew_two_phase_agg",
+    # --- round 4: curation family ---
+    "pipeline_curation_e2e",
+    "cluster_kmeans_assign",
+    "text_repetition",
+    "dedup_repeated_spans",
 ]
 
 

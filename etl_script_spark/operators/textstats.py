@@ -555,3 +555,88 @@ def pack_sequences(
         "seq_id",
         F.floor((cum - F.col(token_col)) / F.lit(ctx_tokens)).cast("long"),
     ).withColumn("seq_offset", cum - F.col(token_col) - F.col("seq_id") * ctx_tokens)
+
+
+def epoch_mix(
+    df,
+    key_col: str,
+    strata_col: str,
+    factors: dict[str, float],
+    default_factor: float = 1.0,
+    seed: str = "",
+) -> "DataFrame":
+    """Up-sampling half of domain mixing: repeat each document by its
+    stratum's epoch factor. A factor of 2.5 yields 2 guaranteed
+    copies plus a third for the deterministic-hash-selected 50% of
+    keys — over the stratum, expected copies = factor, and the same
+    keys get the extra epoch on every run/engine (same md5 predicate
+    as ``hash_sample``). Emits (row, epoch) with epoch 0..k-1 so the
+    loader can shuffle epochs independently.
+
+    Pure generate: sequence + explode inside the scan stage — no
+    shuffle, no join. Factor 0 drops the stratum (use
+    ``stratified_hash_sample`` for sub-1.0 keep rates; this operator
+    floors at whole epochs + one fractional).
+    """
+    for s, f in factors.items():
+        if f < 0:
+            raise ValueError(f"factor for stratum {s!r} must be >= 0, got {f}")
+    if default_factor < 0:
+        raise ValueError(f"default_factor must be >= 0, got {default_factor}")
+
+    def parts(f: float) -> tuple[int, str]:
+        whole = int(f)
+        frac = f - whole
+        return whole, format(int(frac * 16**8), "08x")
+
+    whole_pairs: list[Column] = []
+    thr_pairs: list[Column] = []
+    for s, f in factors.items():
+        w_, t_ = parts(f)
+        whole_pairs += [F.lit(s), F.lit(w_)]
+        thr_pairs += [F.lit(s), F.lit(t_)]
+    dw, dt = parts(default_factor)
+    wmap = F.create_map(*whole_pairs) if whole_pairs else F.create_map()
+    tmap = F.create_map(*thr_pairs) if thr_pairs else F.create_map()
+    skey = F.col(strata_col).cast("string")
+    whole = F.coalesce(wmap[skey], F.lit(dw))
+    thr = F.coalesce(tmap[skey], F.lit(dt))
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8
+    )
+    n_copies = whole + F.when(h < thr, 1).otherwise(0)
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+        )
+        .drop("__n")
+    )
+
+
+def weighted_hash_sample(df, key_col: str, weight_col, seed: str = "") -> "DataFrame":
+    """Per-ROW deterministic sampling: keep each row with probability
+    equal to its own weight column (a score in [0,1]) — quality-
+    weighted curation ("keep good documents more often") as one
+    predicate. The stratified variant reads its rate from a literal
+    map; this one reads it from the data, so the keep decision can
+    follow any computed signal (quality, fluency, recency decay).
+
+    Same md5 mechanics as ``hash_sample``: reproducible across runs,
+    engines, and cluster sizes; zero shuffle. Weights are clamped to
+    [0, 1 - 2^-32] and quantized to 1/2^32 (a weight of exactly 1.0
+    keeps with probability 1 - 2^-32 — indistinguishable in
+    practice, and it keeps the comparison a fixed-width hex compare).
+    NULL weights drop the row (an unscored document has no business
+    in a weighted sample).
+    """
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)),
+        F.lit(1.0 - 2.0**-32),
+    )
+    thr = F.format_string("%08x", F.floor(w * F.lit(4294967296.0)).cast("long"))
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8
+    )
+    return df.filter(h < thr)

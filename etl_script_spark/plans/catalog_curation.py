@@ -22,6 +22,7 @@ from etl_script_spark.operators import (
 )
 from etl_script_spark.operators import dedup as dedup_ops
 from etl_script_spark.plans.catalog import register, t
+from etl_script_spark.plans.catalog_text import _QUALITY_EXPR
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -1052,3 +1053,58 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id", "source", "chunk_idx", "n_tokens", "seq_id", "seq_offset"
     )
+
+
+@register(
+    "sample_epoch_mix",
+    """
+    SELECT doc_id, source, epoch FROM (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END
+             + CASE WHEN substr(md5('ep1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < CASE source WHEN 'src1' THEN '80000000'
+                                       ELSE '00000000' END
+                    THEN 1 ELSE 0 END AS n
+      FROM documents
+    ), UNNEST(range(0, n)) AS t(epoch)
+    """,
+    ("LLM-curation",),
+)
+def sample_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up-sampling half of domain mixing: 3 epochs of src0, 2.5 of
+    src1 (the extra epoch goes to the deterministic-hash-selected
+    half), 1 of everything else. Pure sequence+explode in the scan
+    stage — the multiplier never shuffles or joins."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return textstats.epoch_mix(
+        d, "doc_id", "source",
+        {"src0": 3.0, "src1": 2.5},
+        default_factor=1.0,
+        seed="ep1",
+    ).select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+
+
+@register(
+    "sample_quality_weighted",
+    f"""
+    SELECT doc_id, quality FROM (
+      SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents
+    )
+    WHERE substr(md5('qw1' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          printf('%08x', CAST(floor(
+            least(greatest(quality, 0.0), 1.0 - pow(2.0, -32))
+            * 4294967296.0) AS BIGINT))
+    """,
+    ("LLM-curation",),
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row weighted sampling: each document kept with probability
+    equal to its own quality score — the smooth version of a hard
+    quality cutoff. One md5 predicate inside the scan; reproducible
+    everywhere. The oracle reuses catalog_text's quality_score replay
+    so the two stay in lockstep."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", textstats.quality_score(F.col("text")).alias("quality")
+    )
+    return textstats.weighted_hash_sample(scored, "doc_id", "quality", seed="qw1")

@@ -397,3 +397,54 @@ def test_pack_sequences_greedy_bins(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         textstats.pack_sequences(df, "n", ["doc"], "src", ctx_tokens=0)
+
+
+def test_epoch_mix_factors(spark):
+    rows = [(i, "three" if i % 2 == 0 else "half") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    out = textstats.epoch_mix(
+        df, "k", "s", {"three": 3.0, "half": 2.5}, default_factor=1.0,
+        seed="e",
+    )
+    by_s = {
+        r["s"]: r["n"]
+        for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_s["three"] == 3000            # exactly 3 epochs each
+    assert 2300 <= by_s["half"] <= 2700     # ~2.5 epochs on average
+    # per-key epochs are contiguous 0..k-1
+    eps = {}
+    for r in out.collect():
+        eps.setdefault(r["k"], []).append(r["epoch"])
+    for k, es in eps.items():
+        assert sorted(es) == list(range(len(es))), k
+    # deterministic
+    a = sorted((r["k"], r["epoch"]) for r in out.collect())
+    b = sorted(
+        (r["k"], r["epoch"])
+        for r in textstats.epoch_mix(
+            df, "k", "s", {"three": 3.0, "half": 2.5}, 1.0, "e"
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        textstats.epoch_mix(df, "k", "s", {"x": -1.0})
+
+
+def test_weighted_hash_sample_tracks_weights(spark):
+    rows = [(i, 0.9 if i % 2 == 0 else 0.1) for i in range(2000)]
+    rows += [(2000, None), (2001, 1.5), (2002, -0.5)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    out = textstats.weighted_hash_sample(df, "k", "w", seed="t")
+    kept = {r["k"] for r in out.collect()}
+    hi = sum(1 for k in kept if k < 2000 and k % 2 == 0)
+    lo = sum(1 for k in kept if k < 2000 and k % 2 == 1)
+    assert 800 <= hi <= 980      # ~0.9 of 1000
+    assert 40 <= lo <= 170       # ~0.1 of 1000
+    assert 2000 not in kept      # NULL weight -> dropped
+    assert 2001 in kept          # clamped to ~1.0 -> kept
+    assert 2002 not in kept      # clamped to 0.0 -> dropped
+    # deterministic
+    again = {r["k"] for r in
+             textstats.weighted_hash_sample(df, "k", "w", "t").collect()}
+    assert kept == again
