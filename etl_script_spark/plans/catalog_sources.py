@@ -710,3 +710,55 @@ def decimal_money_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_amount").cast("string").alias("amount_str"),
         numerics.round_money(F.col("total_amount")).alias("amount_dbl"),
     )
+
+
+@register(
+    "s17_csv_corrupt_quarantine",
+    """
+    SELECT CASE WHEN n_nationkey % 3 = 0 THEN 'quarantined' ELSE 'ok' END
+             AS status,
+           CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END
+             AS key,
+           CASE WHEN n_nationkey % 3 = 0
+                THEN 'x' || CAST(n_nationkey AS VARCHAR) || ',' || n_name
+                     || ',extra'
+                ELSE n_name END AS payload
+    FROM nation
+    """,
+    ("S1", "P9"),
+)
+def s17_csv_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row quarantine: a CSV where every third line has a
+    non-numeric key and a stray extra column loads in PERMISSIVE mode
+    with a corrupt-record column — good rows parse typed, bad rows
+    surface with their RAW line for replay, and nothing kills the
+    job (the distributed version of the reference's row-level
+    SQLSTATE swallow, ImportOldInvoices.php:188-195)."""
+    d = _workdir(sf_dir, "s17")
+    rows = sorted(
+        t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect(),
+        key=lambda r: r["n_nationkey"],
+    )  # 25-row dim fixture build — materialization is the point
+    with open(f"{d}/mixed.csv", "w", encoding="utf-8") as f:
+        for r in rows:
+            if r["n_nationkey"] % 3 == 0:
+                f.write(f"x{r['n_nationkey']},{r['n_name']},extra\n")
+            else:
+                f.write(f"{r['n_nationkey']},{r['n_name']}\n")
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    df = readers.read_csv_quarantine(spark, f"{d}/mixed.csv", schema)
+    good, bad = readers.split_quarantine(df)
+    return good.select(
+        F.lit("ok").alias("status"), "key", "payload"
+    ).unionByName(
+        bad.select(
+            F.lit("quarantined").alias("status"),
+            F.lit(None).cast("long").alias("key"),
+            F.col("_corrupt").alias("payload"),
+        )
+    )

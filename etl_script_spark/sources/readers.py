@@ -164,3 +164,46 @@ def union_files_with_lineage(
         )
     assert out is not None
     return out
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    paths: list[str] | str,
+    schema,
+    corrupt_col: str = "_corrupt",
+    **csv_options,
+) -> DataFrame:
+    """CSV read that survives malformed rows: PERMISSIVE mode with an
+    explicit corrupt-record column, so a bad line becomes a row whose
+    typed fields are NULL and whose ``corrupt_col`` holds the raw
+    text — instead of killing the job (FAILFAST) or silently
+    vanishing (DROPMALFORMED). The production contract a nightly
+    ingest needs: load everything, quarantine the garbage WITH its
+    original bytes for replay.
+
+    The returned frame is localCheckpointed: Spark refuses filters
+    that touch only the internal corrupt column on a lazy CSV plan
+    (SPARK-26243) — materializing once also means the file is parsed
+    a single time even though callers split it into good + quarantine
+    branches.
+    """
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    df = spark.read.options(
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_col,
+        **csv_options,
+    ).csv(paths, schema=full)
+    return df.localCheckpoint(eager=False)
+
+
+def split_quarantine(
+    df: DataFrame, corrupt_col: str = "_corrupt"
+) -> tuple[DataFrame, DataFrame]:
+    """(good_rows_without_corrupt_col, quarantined_rows)."""
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull())
+    return good, bad
