@@ -1108,3 +1108,69 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", textstats.quality_score(F.col("text")).alias("quality")
     )
     return textstats.weighted_hash_sample(scored, "doc_id", "quality", seed="qw1")
+
+
+@register(
+    "corpus_snapshot_diff",
+    f"""
+    WITH old AS (
+      SELECT doc_id, source, md5({_NORM}) AS fp FROM documents
+      WHERE doc_id % 10 <> 7
+    ),
+    new AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(
+               CASE WHEN doc_id % 10 = 4 THEN text || ' revised' ELSE text END
+             ), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 10 <> 2
+    )
+    SELECT source, status, COUNT(*) AS n_docs FROM (
+      SELECT coalesce(n.source, o.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n USING (doc_id)
+    ) GROUP BY source, status
+    """,
+    ("LLM-curation", "J4"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff: two corpus snapshots compared by
+    content fingerprint — per-source counts of added / removed /
+    changed / unchanged documents, the release-notes table every
+    dataset version ships with. The fixture derives both snapshots
+    from the corpus (10% removed, 10% added, 10% revised). Full
+    outer join keys on doc_id and compares 16-byte fingerprints —
+    text never joins, so the diff costs two scans + one id-keyed
+    shuffle at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id", "source",
+        textstats.fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    new = d.filter(F.col("doc_id") % 10 != 2).select(
+        "doc_id", "source",
+        textstats.fingerprint_md5(
+            F.when(
+                F.col("doc_id") % 10 == 4,
+                F.concat(F.col("text"), F.lit(" revised")),
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.fp") != F.col("n.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("n.source"), F.col("o.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
