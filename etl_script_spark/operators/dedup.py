@@ -103,17 +103,29 @@ def exact_dedup(
 
 def shingles(c: Column, n: int = 3) -> Column:
     """Word n-gram shingle set of a text column (array<string>,
-    distinct). Built with sequence+transform — no UDF."""
-    words = F.split(normalize_text(c), " ")
-    k = F.size(words) - F.lit(n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array(F.array_join(words, " ")))
-    return F.array_distinct(grams)
+    distinct). Built with sequence+transform — no UDF.
+
+    The token array is let-BOUND, never inlined: a raw ``words``
+    subtree inside the transform lambda is re-evaluated per element
+    when the expression lands in an interpreted context (and rules
+    like InferFiltersFromGenerate clone shingle expressions into
+    Filters below every explode) — per-document cost goes QUADRATIC
+    in length; one 50k-word document measured 433 s before the bind,
+    0.2 s after. Same lesson as ``let``'s docstring, new spelling."""
+    from etl_script_spark.functions.exprs import let
+
+    def build(words: Column) -> Column:
+        k = F.size(words) - F.lit(n - 1)
+        grams = F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(words, " ")))
+        return F.array_distinct(grams)
+
+    return let(F.split(normalize_text(c), " "), build)
 
 
 def char_shingles(c: Column, n: int = 5) -> Column:
@@ -121,14 +133,22 @@ def char_shingles(c: Column, n: int = 5) -> Column:
     normalized text. The unit for scripts that do not delimit words
     with whitespace (Thai, CJK) — word shingles over such text
     degenerate to one giant token and near-dup detection goes blind.
-    Character positions, not bytes, so multibyte scripts are safe."""
-    txt = normalize_text(c)
-    k = F.length(txt) - F.lit(n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(F.sequence(F.lit(1), k), lambda i: txt.substr(i, F.lit(n))),
-    ).otherwise(F.array(txt))
-    return F.array_distinct(grams)
+    Character positions, not bytes, so multibyte scripts are safe.
+    Normalized text is let-bound (see ``shingles``: an inlined subtree
+    inside the lambda goes quadratic in document length)."""
+    from etl_script_spark.functions.exprs import let
+
+    def build(txt: Column) -> Column:
+        k = F.length(txt) - F.lit(n - 1)
+        grams = F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k), lambda i: txt.substr(i, F.lit(n))
+            ),
+        ).otherwise(F.array(txt))
+        return F.array_distinct(grams)
+
+    return let(normalize_text(c), build)
 
 
 def minhash_signatures(

@@ -254,16 +254,22 @@ def stratified_hash_sample(
 def ngrams_all(c: Column, n: int = 2) -> Column:
     """Word n-grams of normalized text WITH duplicates (array<string>,
     document order) — repetition metrics need the multiplicities that
-    ``dedup.shingles`` (a distinct set for Jaccard) throws away."""
-    ws = words(c)
-    k = F.size(ws) - F.lit(n - 1)
-    return F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(ws, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    ``dedup.shingles`` (a distinct set for Jaccard) throws away.
+    Token array let-bound (see ``dedup.shingles``: an inlined subtree
+    inside the transform lambda goes quadratic in document length —
+    one 50k-word document cost 433 s before the bind)."""
+
+    def build(ws: Column) -> Column:
+        k = F.size(ws) - F.lit(n - 1)
+        return F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(ws, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(words(c), build)
 
 
 def repetition_metrics(

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Scale-posture stress run: generate a synthetic corpus ~20-40x the
+sf0.1 fixture (100k docs, with the pathologies a real crawl has —
+exact duplicates, a hot boilerplate template, empty docs, one
+mega-document) and push the heavy curation operators through it.
+This is the "would the plan survive a scale-up" experiment the bench
+fixtures are too small to exercise. Run from the repo root:
+
+    python tools/stress_curation.py [n_docs]
+
+Prints per-op wall clock + output sanity. Writes nothing outside
+/tmp.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_script_spark.operators import dedup as dedup_ops  # noqa: E402
+from etl_script_spark.operators import similarity, textstats  # noqa: E402
+from etl_script_spark.session import get_spark  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+OUT = f"/tmp/etl_script_spark_io/stress_{N}"
+
+
+def build(spark):
+    """Deterministic synthetic corpus with crawl pathologies:
+    - 60-word salad from a 500-word vocab (seeded by doc_id — no rand())
+    - 5% exact duplicates of doc (id - id%20)
+    - 30% carry a shared 25-word boilerplate suffix (hot template)
+    - 2% empty docs; one 50k-word mega-doc
+    """
+    tmpl = " ".join(f"boiler{i}" for i in range(25))
+    base = (
+        spark.range(N)
+        .withColumn("grp", (F.col("id") - F.col("id") % 20))
+        .withColumn(
+            "seed",
+            F.when(F.col("id") % 20 < 1, F.col("grp")).otherwise(F.col("id")),
+        )
+    )
+    # 60-word salad regenerated from `seed` so dup groups share text
+    salad = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda i: F.format_string(
+                "w%03d", (F.xxhash64(i, F.col("seed")) % 500 + 500) % 500
+            ),
+        ),
+        " ",
+    )
+    text = F.when(F.col("id") % 50 == 49, F.lit("")).otherwise(
+        F.concat(
+            salad,
+            F.when(F.col("id") % 10 < 3, F.lit(" " + tmpl)).otherwise(
+                F.lit("")
+            ),
+        )
+    )
+    mega = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(49_999)),
+                    lambda i: F.format_string("m%d", i % 700)), " ")
+    df = base.select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, mega).otherwise(text).alias("text"),
+        F.format_string("src%d", F.col("id") % 20).alias("source"),
+    )
+    shutil.rmtree(OUT, ignore_errors=True)
+    df.repartition(32).write.parquet(OUT)
+    return spark.read.parquet(OUT)
+
+
+def main():
+    spark = get_spark(app_name="stress-curation")
+    t0 = time.time()
+    d = build(spark)
+    n = d.count()
+    print(f"build: {time.time()-t0:.1f}s  ({n} docs)")
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        cnt = out.count() if hasattr(out, "count") else out
+        print(f"{name}: {time.time()-t0:.1f}s  -> {cnt} rows")
+
+    run("repetition_metrics", lambda: textstats.repetition_metrics(d, "text", "doc_id"))
+    run("exact_dedup", lambda: dedup_ops.exact_dedup(d, "text", "doc_id"))
+    run("repeated_spans(n=20,min_docs=2)",
+        lambda: dedup_ops.repeated_spans(d, "text", "doc_id", 20, 2))
+    run("minhash_lsh_candidates",
+        lambda: dedup_ops.minhash_lsh_candidates(d, "doc_id", "text"))
+    run("chunk_text(256/32)",
+        lambda: textstats.chunk_text(d, "text", "doc_id", 256, 32))
+    run("unigram_nll", lambda: textstats.unigram_nll_scores(d, "text", "doc_id"))
+    run("token_vocab", lambda: textstats.token_vocab(d, "text", min_count=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
