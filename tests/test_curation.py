@@ -448,3 +448,29 @@ def test_weighted_hash_sample_tracks_weights(spark):
     again = {r["k"] for r in
              textstats.weighted_hash_sample(df, "k", "w", "t").collect()}
     assert kept == again
+
+
+def test_shingle_explode_linear_in_doc_length(spark):
+    """Regression guard for the quadratic shingle blowup: building
+    and exploding n-grams of ONE long document must be linear-ish.
+    Before the let-binding fix, the tokenized-text subtree inlined in
+    the transform lambda re-evaluated per element (quadratic): a
+    30k-word doc took minutes; now well under a second. The bound is
+    deliberately loose (noisy CI box) — the failure mode it guards
+    is a ~100x regression, not a 2x one."""
+    import time
+
+    from etl_script_spark.operators import dedup as dedup_ops
+
+    text = " ".join(f"t{i % 700}" for i in range(30_000))
+    df = spark.createDataFrame([(1, text)], ["id", "t"])
+    t0 = time.time()
+    n = df.select(
+        F.explode(textstats.ngrams_all(F.col("t"), 2))
+    ).count()
+    n2 = df.select(
+        F.explode(dedup_ops.shingles(F.col("t"), 20))
+    ).count()
+    dt = time.time() - t0
+    assert n == 29_999 and n2 > 0
+    assert dt < 30, f"shingle explode took {dt:.1f}s on a 30k-word doc"
