@@ -100,6 +100,35 @@ def main():
         lambda: textstats.chunk_text(d, "text", "doc_id", 256, 32))
     run("unigram_nll", lambda: textstats.unigram_nll_scores(d, "text", "doc_id"))
     run("token_vocab", lambda: textstats.token_vocab(d, "text", min_count=2))
+    run("simhash_near_dups", lambda: dedup_ops.simhash_near_dups(d, "doc_id", "text"))
+
+    # full near-dup chain over the pathological corpus: the hot
+    # template forms one dense ~2k-doc component — the worst case for
+    # both candidate generation and CC contraction
+    t0 = time.time()
+    pairs = dedup_ops.minhash_lsh_candidates(d, "doc_id", "text")
+    cc = dedup_ops.connected_components_alternating(
+        pairs.select("id_a", "id_b"), "id_a", "id_b"
+    )
+    n, k = cc.count(), cc.select("cluster_id").distinct().count()
+    print(f"minhash->CC chain: {time.time()-t0:.1f}s -> {n} nodes, {k} clusters")
+
+    # distributed k-means over synthetic 64-dim vectors (16 planted modes)
+    vec = spark.range(N).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                (F.xxhash64(i, F.col("id") % 16) % 1000) / 1000.0
+                + (F.xxhash64(i, F.col("id")) % 100) / 1000.0
+            ),
+        ).alias("embedding"),
+    )
+    vec.write.mode("overwrite").parquet(OUT + "_vec")
+    vec = spark.read.parquet(OUT + "_vec")
+    t0 = time.time()
+    _, assigned = similarity.kmeans_lloyd(vec, "vec_id", "embedding", k=16, iters=3)
+    print(f"kmeans {N}x64 k=16 x3: {time.time()-t0:.1f}s -> {assigned.count()} assigned")
     spark.stop()
 
 
