@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from etl_script_spark.functions.exprs import let
+
 # Dash-like glyphs the reference maps to zero (po_processor.py:28-36)
 _DASHES = ("-", "–", "—", "−", "")
 
@@ -18,12 +20,18 @@ def clean_numeric_basic(c: Column, default: float = 0.0) -> Column:
     default. Ref: clean_numeric po_processor.py:28-36,
     inv_processor.py:54-64.
     """
-    s = F.trim(c.cast("string"))
-    stripped = F.regexp_replace(s, r"[,\s]", "")
-    return (
-        F.when(s.isNull() | stripped.isin(*_DASHES), F.lit(default))
-        .otherwise(F.coalesce((stripped).try_cast("double"), F.lit(default)))
-    )
+    def body(s: Column) -> Column:
+        def inner(stripped: Column) -> Column:
+            return F.when(
+                s.isNull() | stripped.isin(*_DASHES), F.lit(default)
+            ).otherwise(
+                F.coalesce(stripped.try_cast("double"), F.lit(default))
+            )
+
+        return let(F.regexp_replace(s, r"[,\s]", ""), inner)
+
+    # let-bound (see clean_numeric_accounting)
+    return let(F.trim(c.cast("string")), body)
 
 
 def clean_numeric_accounting(c: Column) -> Column:
@@ -34,15 +42,24 @@ def clean_numeric_accounting(c: Column) -> Column:
     Ref: coerce_numeric script_read_dbd_balance.py:55-80,
     parse_amount pdf_ocr_rm_to_json.py:31-64.
     """
-    s = F.trim(c.cast("string"))
-    s = F.translate(s, "−—–", "---")  # unicode minus family → ascii
-    neg = s.rlike(r"^\(.*\)$") | s.startswith("-")
-    body = F.regexp_replace(s, r"[()\-]", "")
-    body = F.regexp_replace(body, r"[,\s ]", "")
-    val = (body).try_cast("double")
-    return F.when(val.isNull(), F.lit(None).cast("double")).otherwise(
-        F.when(neg, -val).otherwise(val)
-    )
+    def outer(s: Column) -> Column:
+        neg = s.rlike(r"^\(.*\)$") | s.startswith("-")
+        stripped = F.regexp_replace(
+            F.regexp_replace(s, r"[()\-]", ""), r"[,\s ]", ""
+        )
+
+        def inner(val: Column) -> Column:
+            return F.when(val.isNull(), F.lit(None).cast("double")).otherwise(
+                F.when(neg, -val).otherwise(val)
+            )
+
+        return let(stripped.try_cast("double"), inner)
+
+    # unicode minus family → ascii; s and the parsed value are each
+    # let-BOUND: an inlined input subtree re-evaluates per reference
+    # once CollapseProject fans it out (see exprs.let) — callers feed
+    # regexp-extracted fields here, so the fan-out is multiplicative
+    return let(F.translate(F.trim(c.cast("string")), "−—–", "---"), outer)
 
 
 def clean_numeric_percent(c: Column) -> Column:
@@ -50,12 +67,15 @@ def clean_numeric_percent(c: Column) -> Column:
 
     Ref: script_read_dbd_ratios.py:51-74.
     """
-    s = F.trim(c.cast("string"))
-    stripped = F.regexp_replace(s, r"[,%\s]", "")
-    return (
-        F.when(s.isNull() | stripped.isin(*_DASHES), F.lit(0.0))
-        .otherwise(F.coalesce((stripped).try_cast("double"), F.lit(0.0)))
-    )
+    def body(s: Column) -> Column:
+        def inner(stripped: Column) -> Column:
+            return F.when(
+                s.isNull() | stripped.isin(*_DASHES), F.lit(0.0)
+            ).otherwise(F.coalesce(stripped.try_cast("double"), F.lit(0.0)))
+
+        return let(F.regexp_replace(s, r"[,%\s]", ""), inner)
+
+    return let(F.trim(c.cast("string")), body)
 
 
 def clean_numeric_locale(c: Column) -> Column:
@@ -67,36 +87,48 @@ def clean_numeric_locale(c: Column) -> Column:
     Deterministic when-tree, no UDF. Ref: to_float_robust
     pdf_ocr_sale_supplier_to_json.py:129-191.
     """
-    s = F.regexp_replace(F.trim(c.cast("string")), r"[\s ]", "")
-    n_dot = F.length(s) - F.length(F.regexp_replace(s, r"\.", ""))
-    n_com = F.length(s) - F.length(F.regexp_replace(s, ",", ""))
-    last_dot = F.length(s) - F.locate(".", F.reverse(s)) + 1
-    last_com = F.length(s) - F.locate(",", F.reverse(s)) + 1
-    # both present: later one is the decimal separator
-    dot_decimal = F.regexp_replace(s, ",", "")
-    com_decimal = F.regexp_replace(F.regexp_replace(s, r"\.", ""), ",", ".")
-    both = F.when(last_dot > last_com, dot_decimal).otherwise(com_decimal)
-    # comma only: single comma w/ 1-2 trailing digits → decimal; else thousands
-    com_tail = F.length(s) - last_com
-    com_only = F.when(
-        (n_com == 1) & (com_tail.isin(1, 2)), F.regexp_replace(s, ",", ".")
-    ).otherwise(F.regexp_replace(s, ",", ""))
-    # dot only: >1 dot → thousands; single dot w/ exactly 3 trailing
-    # digits and >=4 total digits → thousands; else decimal
-    dot_tail = F.length(s) - last_dot
-    n_digits = F.length(F.regexp_replace(s, r"\D", ""))
-    dot_only = F.when(
-        (n_dot > 1)
-        | ((n_dot == 1) & (dot_tail == 3) & (n_digits >= 4) & (last_dot > 1)),
-        F.regexp_replace(s, r"\.", ""),
-    ).otherwise(s)
-    cleaned = (
-        F.when((n_dot > 0) & (n_com > 0), both)
-        .when(n_com > 0, com_only)
-        .when(n_dot > 0, dot_only)
-        .otherwise(s)
+    def body(s: Column) -> Column:
+        n_dot = F.length(s) - F.length(F.regexp_replace(s, r"\.", ""))
+        n_com = F.length(s) - F.length(F.regexp_replace(s, ",", ""))
+        last_dot = F.length(s) - F.locate(".", F.reverse(s)) + 1
+        last_com = F.length(s) - F.locate(",", F.reverse(s)) + 1
+        # both present: later one is the decimal separator
+        dot_decimal = F.regexp_replace(s, ",", "")
+        com_decimal = F.regexp_replace(F.regexp_replace(s, r"\.", ""), ",", ".")
+        both = F.when(last_dot > last_com, dot_decimal).otherwise(com_decimal)
+        # comma only: single comma w/ 1-2 trailing digits → decimal; else thousands
+        com_tail = F.length(s) - last_com
+        com_only = F.when(
+            (n_com == 1) & (com_tail.isin(1, 2)),
+            F.regexp_replace(s, ",", "."),
+        ).otherwise(F.regexp_replace(s, ",", ""))
+        # dot only: >1 dot → thousands; single dot w/ exactly 3 trailing
+        # digits and >=4 total digits → thousands; else decimal
+        dot_tail = F.length(s) - last_dot
+        n_digits = F.length(F.regexp_replace(s, r"\D", ""))
+        dot_only = F.when(
+            (n_dot > 1)
+            | (
+                (n_dot == 1)
+                & (dot_tail == 3)
+                & (n_digits >= 4)
+                & (last_dot > 1)
+            ),
+            F.regexp_replace(s, r"\.", ""),
+        ).otherwise(s)
+        cleaned = (
+            F.when((n_dot > 0) & (n_com > 0), both)
+            .when(n_com > 0, com_only)
+            .when(n_dot > 0, dot_only)
+            .otherwise(s)
+        )
+        return cleaned.try_cast("double")
+
+    # s is referenced ~20 times across the when-tree — let-bound so
+    # the upstream expression evaluates once, not 20 times
+    return let(
+        F.regexp_replace(F.trim(c.cast("string")), r"[\s ]", ""), body
     )
-    return (cleaned).try_cast("double")
 
 
 def repair_multi_dot(c: Column) -> Column:
@@ -105,17 +137,24 @@ def repair_multi_dot(c: Column) -> Column:
 
     Ref: ImportInvoiceReport.php:476-498, ImportRmReport.php:226-245.
     """
-    s = F.regexp_replace(F.trim(c.cast("string")), r"[,\s]", "")
-    n_dot = F.length(s) - F.length(F.regexp_replace(s, r"\.", ""))
-    tail = F.substring_index(s, ".", -1)
-    # prefix = all-but-last-segment with its dots removed
-    seg_prefix = F.regexp_replace(
-        F.substring(s, F.lit(1), F.length(s) - F.length(tail) - F.lit(1)),
-        r"\.",
-        "",
-    )
-    repaired = F.concat(seg_prefix, F.lit("."), tail)
-    return F.when(n_dot > 1, repaired).otherwise(s)
+    def body(s: Column) -> Column:
+        n_dot = F.length(s) - F.length(F.regexp_replace(s, r"\.", ""))
+
+        def with_tail(tail: Column) -> Column:
+            # prefix = all-but-last-segment with its dots removed
+            seg_prefix = F.regexp_replace(
+                F.substring(
+                    s, F.lit(1), F.length(s) - F.length(tail) - F.lit(1)
+                ),
+                r"\.",
+                "",
+            )
+            return F.concat(seg_prefix, F.lit("."), tail)
+
+        repaired = let(F.substring_index(s, ".", -1), with_tail)
+        return F.when(n_dot > 1, repaired).otherwise(s)
+
+    return let(F.regexp_replace(F.trim(c.cast("string")), r"[,\s]", ""), body)
 
 
 def zero_if_null(c: Column) -> Column:
@@ -169,8 +208,10 @@ def int_if_integral(c: Column) -> Column:
 
     Ref: bs_processor.py:105-106, ic_processor.py:69-70.
     """
-    d = c.cast("double")
-    return F.when(
-        d.isNotNull() & (d == F.floor(d)),
-        F.floor(d).cast("long").cast("string"),
-    ).otherwise(d.cast("string"))
+    def body(d: Column) -> Column:
+        return F.when(
+            d.isNotNull() & (d == F.floor(d)),
+            F.floor(d).cast("long").cast("string"),
+        ).otherwise(d.cast("string"))
+
+    return let(c.cast("double"), body)

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from etl_script_spark.functions.exprs import let
+
 # Zero-width + NBSP family stripped by the reference
 # (script_read_dbd_income.py:131-135, PublicApiController.php:713-715)
 ZERO_WIDTH = "​‌‍⁠﻿"
@@ -34,13 +36,19 @@ def ocr_repair_tail_digits(c: Column, prefix_pattern: str = r"^([A-Za-z]+)") -> 
 
     Ref: normalize_invoice_no_tail_digits pdf_ocr_inv_to_json.py:196-220.
     """
-    s = F.trim(c.cast("string"))
-    prefix = F.regexp_extract(s, prefix_pattern, 1)
-    tail = F.substring(s, F.length(prefix) + F.lit(1), F.length(s))
-    repaired_tail = F.translate(tail, "lLiIoO", "111100")
-    return F.when(
-        prefix != "", F.concat(F.upper(prefix), repaired_tail)
-    ).otherwise(s)
+    def body(s: Column) -> Column:
+        def with_prefix(prefix: Column) -> Column:
+            tail = F.substring(s, F.length(prefix) + F.lit(1), F.length(s))
+            repaired_tail = F.translate(tail, "lLiIoO", "111100")
+            return F.when(
+                prefix != "", F.concat(F.upper(prefix), repaired_tail)
+            ).otherwise(s)
+
+        return let(F.regexp_extract(s, prefix_pattern, 1), with_prefix)
+
+    # let-bound: s and prefix each fan out to several references (see
+    # exprs.let — an inlined subtree re-evaluates per reference)
+    return let(F.trim(c.cast("string")), body)
 
 
 def ocr_repair_digits(c: Column) -> Column:
@@ -58,8 +66,12 @@ def extract_digit_run(c: Column, min_len: int = 8, max_len: int = 14) -> Column:
     Ref: fix_related_document pdf_ocr_inv_to_json.py:222-227,
     read_po_csv_to_json.py:83-88.
     """
-    hit = F.regexp_extract(c.cast("string"), rf"(\d{{{min_len},{max_len}}})", 1)
-    return F.when(hit == "", F.lit(None).cast("string")).otherwise(hit)
+    return let(
+        F.regexp_extract(c.cast("string"), rf"(\d{{{min_len},{max_len}}})", 1),
+        lambda hit: F.when(hit == "", F.lit(None).cast("string")).otherwise(
+            hit
+        ),
+    )
 
 
 def normalize_tax_id(c: Column, width: int = 13) -> Column:
@@ -159,8 +171,12 @@ def header_field_extract(text: Column, label_pattern: str) -> Column:
     """F30: capture a labeled field out of OCR page text, e.g.
     'วันที่จ่ายเงิน : <value>'. Ref: pdf_ocr_rm_to_json.py:286-294.
     """
-    hit = F.regexp_extract(text.cast("string"), label_pattern, 1)
-    return F.when(hit == "", F.lit(None).cast("string")).otherwise(F.trim(hit))
+    return let(
+        F.regexp_extract(text.cast("string"), label_pattern, 1),
+        lambda hit: F.when(hit == "", F.lit(None).cast("string")).otherwise(
+            F.trim(hit)
+        ),
+    )
 
 
 # Thai combining marks (tone/vowel signs) that can never start a line —

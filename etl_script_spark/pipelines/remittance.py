@@ -107,12 +107,24 @@ def parse_remittance_lines(
 
 
 def extract_grand_totals(pages: DataFrame) -> DataFrame:
-    """A1 companion: the upstream-printed grand total per page."""
-    return pages.select(
+    """A1 companion: the upstream-printed grand total per page.
+
+    The raw label extraction passes through an explode(array(..))
+    barrier before the numeric clean + null filter: Generate is a
+    boundary CollapseProject cannot cross, so the page-text regex
+    runs ONCE per row instead of being re-inlined into the Filter and
+    every downstream reference (measured 3x on sf0.1 — page text is
+    the expensive side here, and codegen CSE does not span the
+    Filter/Project operator boundary)."""
+    raw = pages.select(
         "page_number",
-        numerics.clean_numeric_accounting(
-            strings.header_field_extract(F.col("text"), GRAND_TOTAL_RX)
-        ).alias("grand_total"),
+        F.explode(
+            F.array(strings.header_field_extract(F.col("text"), GRAND_TOTAL_RX))
+        ).alias("__raw"),
+    )
+    return raw.select(
+        "page_number",
+        numerics.clean_numeric_accounting(F.col("__raw")).alias("grand_total"),
     ).filter(F.col("grand_total").isNotNull())
 
 
