@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 
 from etl_script_spark.operators.merge import dedupe_first  # noqa: F401  (D1)
 
+# shared across operator families; see partitioning.fan_out for the
+# why (narrow input + CPU-heavy stage = single-threaded without it)
+from etl_script_spark.operators.partitioning import fan_out as _fan_out
+
 
 def dedupe_ordered(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """D2: unique by key preserving FIRST-seen order.
@@ -43,22 +47,6 @@ def normalize_text(c: Column) -> Column:
     """Shared text normalization for dedup: lowercase, collapse
     whitespace, strip."""
     return F.trim(F.regexp_replace(F.lower(c.cast("string")), r"\s+", " "))
-
-
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread a CPU-bound narrow stage across all cores. Shingling and
-    hashing are compute-heavy but their input bytes are tiny, so
-    Spark's size-based split gives ONE partition — without this, a
-    64-hash signature pass runs single-threaded no matter how many
-    cores exist. Round-robin repartition to default parallelism —
-    ONLY when the input is narrower than that: a 100 TB scan already
-    arrives thousands of partitions wide, and an unconditional
-    repartition would shuffle the whole corpus AND collapse it down
-    to defaultParallelism."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
-        return df
-    return df.repartition(sc.defaultParallelism)
 
 
 def exact_dedup(

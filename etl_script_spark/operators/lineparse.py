@@ -41,28 +41,69 @@ def parse_line_cascade(
 
     ``patterns``: [(regex, [field names in group order]), ...] in
     priority order, mirroring the reference's strict → fallback →
-    no-branch tiers (pdf_ocr_rm_to_json.py:257-283)."""
+    no-branch tiers (pdf_ocr_rm_to_json.py:257-283).
+
+    Cost note: the naive form is one ``regexp_extract`` per field per
+    pattern — ~13 full regex matches per line for a 2-tier cascade,
+    and a codegen tree to match. Full-line patterns (``^...$``) take
+    a fast path instead: ONE ``regexp_replace`` rewrites the line to
+    its capture groups joined by a control-char sentinel, one
+    ``split`` recovers them — 2 regex executions per pattern total.
+    Unanchored patterns keep the per-field extract (a partial match
+    would leave surrounding text in the replace output). The sentinel
+    (\\x01\\x02) can in principle appear inside a ``\\S+`` group of
+    hostile input; OCR text never contains control chars, and the
+    failure mode is a field shift within that one line."""
     all_fields: list[str] = []
     for _, names in patterns:
         for n in names:
             if n not in all_fields:
                 all_fields.append(n)
 
+    from etl_script_spark.functions.exprs import let
+
+    sep = "\x01\x02"
     result = F.lit(None).cast(
         "struct<" + ",".join(f"{n}:string" for n in all_fields) + ">"
     )
     # build backwards so the first pattern has highest priority
     for rx, names in reversed(patterns):
-        extracted = F.struct(
-            *[
-                (
-                    F.regexp_extract(line, rx, names.index(n) + 1)
-                    if n in names
-                    else F.lit(None).cast("string")
-                ).alias(n)
-                for n in all_fields
-            ]
-        )
+        if rx.startswith("^") and rx.endswith("$"):
+            repl = sep.join(f"${i + 1}" for i in range(len(names)))
+
+            def _mk_factory(names: list[str]):
+                # one-arg lambda: F.transform treats a second Python
+                # parameter as the element INDEX and would shadow the
+                # captured field list with a Column
+                def _mk(parts: Column) -> Column:
+                    return F.struct(
+                        *[
+                            (
+                                F.element_at(parts, names.index(n) + 1)
+                                if n in names
+                                else F.lit(None).cast("string")
+                            ).alias(n)
+                            for n in all_fields
+                        ]
+                    )
+
+                return _mk
+
+            extracted = let(
+                F.split(F.regexp_replace(line, rx, repl), sep),
+                _mk_factory(names),
+            )
+        else:
+            extracted = F.struct(
+                *[
+                    (
+                        F.regexp_extract(line, rx, names.index(n) + 1)
+                        if n in names
+                        else F.lit(None).cast("string")
+                    ).alias(n)
+                    for n in all_fields
+                ]
+            )
         result = F.when(line.rlike(rx), extracted).otherwise(result)
     return result
 

@@ -1,0 +1,34 @@
+"""Parallelism-shape helpers shared across operator families.
+
+The one recurring local pathology these fix: a compute-heavy narrow
+stage (regex cascades, shingling, hashing) whose INPUT BYTES are tiny.
+Spark's size-based file split hands such a stage one partition, so a
+64-hash signature pass or a 600k-line regex parse runs single-threaded
+no matter how many cores exist. At 100 TB the same scan arrives
+thousands of partitions wide and needs no help — so every helper here
+is conditional on the input being narrower than the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+
+
+def fan_out(df: DataFrame, *by: Column | str) -> DataFrame:
+    """Spread a CPU-bound narrow stage across all cores — ONLY when the
+    input has fewer partitions than ``defaultParallelism``. A wide scan
+    passes through untouched: an unconditional repartition would
+    shuffle the whole corpus AND collapse it down to
+    ``defaultParallelism``.
+
+    With ``by`` columns the spread is hash-partitioned on those
+    columns instead of round-robin, which lets a downstream
+    ``groupBy(*by)`` reuse the distribution (no second shuffle) while
+    still buying the parallelism.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    if by:
+        return df.repartition(sc.defaultParallelism, *by)
+    return df.repartition(sc.defaultParallelism)

@@ -16,6 +16,7 @@ from etl_script_spark.functions import numerics, strings
 from etl_script_spark.functions.exprs import let
 from etl_script_spark.operators import lineparse, quality
 from etl_script_spark.operators import merge as merge_ops
+from etl_script_spark.operators.partitioning import fan_out
 
 LINE_PATTERNS = [
     # strict: date branch type doc ref amount
@@ -137,6 +138,13 @@ def reconcile(pages: DataFrame, dedup_scope: str = "global") -> DataFrame:
     (pdf_ocr_rm_to_json.py:437-445 dedupes before :474 keeps totals).
     Pass ``dedup_scope='page'`` for report formats whose carried-over
     lines ARE counted into each page's printed total."""
+    # The regex cascade + token repairs are the CPU cost here, and a
+    # pages frame born from a small parquet scan arrives on ONE
+    # partition — fan out (hash on page_number so the per-page total
+    # aggregate reuses the distribution) before both consumers; the
+    # two branches share the identical exchange subplan, so
+    # ReuseExchange shuffles once.
+    pages = fan_out(pages, "page_number")
     tx = parse_remittance_lines(pages, dedup_scope=dedup_scope)
     totals = extract_grand_totals(pages)
     return quality.reconcile_totals(
