@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_script_spark.functions import dates, numerics, strings
+from etl_script_spark.operators.partitioning import fan_out
 from etl_script_spark.plans.catalog import register, t
 
 
@@ -166,7 +167,9 @@ def f7_be_dotted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("F8",),
 )
 def f8_dayfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
+    # the parse cascade is the cost here, and a small parquet scan
+    # arrives on one partition — spread it (see partitioning.fan_out)
+    o = fan_out(t(spark, sf_dir, "orders"))
     k = F.col("o_orderkey") % 3
     be_year = (F.year("o_orderdate") + 543).cast("string")
     dirty = (
@@ -718,7 +721,8 @@ def f19_token_repairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = F.col("o_orderkey")
     ks = k.cast("string")
-    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    # regex-repair-heavy over a narrow scan: spread across cores
+    o = fan_out(t(spark, sf_dir, "orders").select("o_orderkey"))
     doc_raw = (
         F.when(k % 6 == 0, F.concat(F.lit("1V"), ks))
         .when(k % 6 == 1, F.concat(F.lit("C0NS1GN-"), F.lpad((k % 100).cast("string"), 2, "0")))

@@ -13,6 +13,7 @@ from etl_script_spark.functions import numerics, strings
 from etl_script_spark.operators import asof, lineparse, multimodal, rowfilters
 from etl_script_spark.operators import merge as merge_ops
 from etl_script_spark.operators.canonicalize import fuzzy_rename_columns
+from etl_script_spark.operators.partitioning import fan_out
 from etl_script_spark.plans.catalog import register, t
 
 
@@ -147,7 +148,8 @@ def f31_line_parse_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F31: ordered regex cascade over exploded page lines — strict
     (with branch) → no-branch (branch defaults '0000'); garbage lines
     fall out unmatched (pdf_ocr_rm_to_json.py:257-283 tiers)."""
-    o = t(spark, sf_dir, "orders")
+    # regex cascade over exploded lines from a narrow scan: spread it
+    o = fan_out(t(spark, sf_dir, "orders"))
     key = F.col("o_orderkey").cast("string")
     l0 = F.concat(
         F.lit("01/02/2024 BR01 PAY DOC"), key, F.lit(" REF"), key,
