@@ -1,0 +1,265 @@
+"""Sketch / approximate-analytics operators.
+
+At 100 TB, exact global statistics (distinct counts, quantiles, top
+frequencies) are shuffle-bound: the exact answer needs every distinct
+value in one place. Sketches trade a bounded error for a fixed-size,
+MERGEABLE summary — each partition builds its own few-KB state, and
+the combine is associative, so the shuffle carries kilobytes instead
+of the key universe. Every operator here pairs the approximate path
+with an exact verifier so the driver's oracle can check the error
+bound as a hard invariant (the approximate VALUE is not reproducible
+across engines, the BOUND is).
+
+None of these exist in the reference (its single-node pandas code can
+afford exact everything at its scale); they are the scale-path
+equivalents of its COUNT(DISTINCT)-style checks
+(ImportDbdFinancial.php summary counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_distinct_check(
+    df: DataFrame, group_col: str, value_col: str, rsd: float = 0.02
+) -> DataFrame:
+    """Per-group HyperLogLog++ distinct count next to the exact count,
+    with a ``within_bound`` flag at 4× the requested relative standard
+    deviation (≈4σ — a deterministic-pass margin; HLL++ error is
+    a random variable, 4σ keeps the flag stable across seeds/scales).
+
+    Shape: ONE aggregation — HLL registers merge map-side, the exact
+    count-distinct inside the same groupBy is the verification cost
+    and exists only for the invariant; production callers drop it and
+    keep the sketch.
+    """
+    return df.groupBy(group_col).agg(
+        F.countDistinct(value_col).alias("exact_distinct"),
+        F.approx_count_distinct(value_col, rsd).alias("approx_distinct"),
+    ).select(
+        group_col,
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= F.greatest(
+                F.lit(1.0), F.col("exact_distinct") * (4.0 * rsd)
+            )
+        ).alias("within_bound"),
+    )
+
+
+def hll_merge_check(
+    df: DataFrame, split_col: Column, value_col: str
+) -> DataFrame:
+    """The mergeability property that makes sketches work at scale:
+    sketch each half of the data independently, union the sketches,
+    and the merged estimate carries the SAME error contract as one
+    sketch over everything (union is over register states; the two
+    estimates differ only by the union's register-width promotion, a
+    few parts per thousand — not by data volume).
+
+    This is the daily-partition rollup pattern: per-day sketches are
+    stored (a few KB each) and any date range's distinct count is a
+    union over them, never a rescan. Returns a single row
+    (exact_distinct, merged_within_bound, whole_within_bound) with
+    both estimates checked against the exact count at 4σ of the
+    lgConfigK=12 error (1.04/√2¹²).
+    """
+    lg_k = 12
+    bound = 4.0 * 1.04 / (2 ** (lg_k / 2.0))
+    halves = (
+        df.select(split_col.alias("half"), F.col(value_col).alias("v"))
+        .groupBy("half")
+        .agg(F.hll_sketch_agg("v", lg_k).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged"))
+    )
+    whole = df.select(
+        F.hll_sketch_estimate(F.hll_sketch_agg(value_col, lg_k)).alias("whole"),
+        F.countDistinct(value_col).alias("exact_distinct"),
+    )
+    ok = lambda c: (  # noqa: E731
+        F.abs(c - F.col("exact_distinct"))
+        <= F.greatest(F.lit(1.0), F.col("exact_distinct") * bound)
+    )
+    return whole.crossJoin(halves).select(
+        "exact_distinct",
+        ok(F.col("merged")).alias("merged_within_bound"),
+        ok(F.col("whole")).alias("whole_within_bound"),
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, min_share: float
+) -> DataFrame:
+    """Exact frequent items: keys whose row share is ≥ ``min_share``.
+
+    Two aggregations, both map-side combined; the grand total is a
+    1-row broadcast. There are at most 1/min_share qualifying keys by
+    pigeonhole, so the OUTPUT is bounded regardless of corpus size —
+    the per-key count table is the only large intermediate, and it
+    shuffles one (key, int64) pair per distinct key per mapper.
+    Returns (key, cnt, share) ordered nowhere (callers sort).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("cnt") / F.col("total"))
+        .filter(F.col("cnt") >= F.col("total") * min_share)
+        .select("key", "cnt", "share")
+    )
+
+
+def approx_quantiles_check(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group ``percentile_approx`` with a RANK-error verification:
+    the number of rows ≤ the approximate quantile must sit within
+    ``n/accuracy`` ranks of ``q·n`` — the bound the KLL/GK sketch
+    contracts for (SPARK percentile_approx accuracy semantics).
+
+    The join back to count ranks is the verification cost; production
+    callers keep only the sketch aggregation (single pass, fixed-size
+    state per group).
+    """
+    q_arr = F.array(*[F.lit(q) for q in quantiles])
+    approx = df.groupBy(group_col).agg(
+        F.percentile_approx(value_col, q_arr, accuracy).alias("qs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    exploded = approx.select(
+        group_col,
+        "n",
+        F.posexplode("qs").alias("q_idx", "q_val"),
+    )
+    # ties make "the rank of the returned value" an interval
+    # [count(<)+1, count(<=)]: the bound holds iff that interval
+    # intersects [q·n − ε, q·n + ε]
+    ranks = (
+        df.select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+        .join(
+            exploded,
+            F.col("__g") == F.col(group_col),
+            "inner",
+        )
+        .groupBy(group_col, "q_idx", "n")
+        .agg(
+            F.sum(F.when(F.col("__v") < F.col("q_val"), 1).otherwise(0)).alias(
+                "rank_lo"
+            ),
+            F.sum(F.when(F.col("__v") <= F.col("q_val"), 1).otherwise(0)).alias(
+                "rank_hi"
+            ),
+        )
+    )
+    q_of = F.element_at(F.array(*[F.lit(q) for q in quantiles]), F.col("q_idx") + 1)
+    # 2×ε·n + 1: the sketch's ε = 1/accuracy rank contract, doubled
+    # plus one rank of slack — observed errors sit exactly AT ε·n
+    # (e.g. 2.0 ranks at n≈20k, accuracy 10⁴), and a bound that tight
+    # flaps on rounding
+    eps = 2.0 * F.col("n") / float(accuracy) + 1.0
+    return ranks.select(
+        group_col,
+        F.col("q_idx"),
+        (
+            (F.col("rank_hi") >= q_of * F.col("n") - eps)
+            & (F.col("rank_lo") + 1 <= q_of * F.col("n") + eps + 1)
+        ).alias("within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter join pruning
+# ---------------------------------------------------------------------
+
+_BLOOM_SEEDS = (0x9E37, 0x85EB, 0xC2B2)
+
+
+def _bloom_positions(key: Column, m_bits: int) -> list[tuple[Column, Column]]:
+    """k (word_index, bit_mask) pairs for a key — xxhash64 with k fixed
+    seeds, modulo the bitmap width."""
+    out = []
+    for seed in _BLOOM_SEEDS:
+        h = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits))
+        word = (h / 64).cast("int")
+        # call_function: the Python shiftleft wrapper only takes a
+        # literal int shift amount
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (h % 64).cast("int")
+        )
+        out.append((word, mask))
+    return out
+
+
+def bloom_build(dim: DataFrame, key_col: str, m_bits: int = 1 << 14) -> list[int]:
+    """Build a Bloom bitmap (``m_bits`` wide, k=3 hashes) from the dim
+    side's keys. Returns the bitmap as ``m_bits/64`` int64 words.
+
+    The build aggregates (word_index → OR of masks) distributed and
+    collects only the bitmap — 2 KB for the default width — so the dim
+    can be far larger than broadcast-join limits and the driver still
+    only ever holds the sketch. This is the pre-shuffle prune for the
+    case BETWEEN broadcast (dim fits in RAM) and full shuffle (nothing
+    fits): ship 2 KB to every scan task, drop non-candidate rows
+    before they reach the exchange.
+    """
+    pairs = []
+    for word, mask in _bloom_positions(F.col(key_col), m_bits):
+        pairs.append(F.struct(word.alias("w"), mask.alias("m")))
+    words = (
+        dim.select(F.explode(F.array(*pairs)).alias("p"))
+        .groupBy(F.col("p.w").alias("w"))
+        .agg(F.bit_or("p.m").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
+def bloom_might_contain(
+    key: Column, bitmap: list[int], m_bits: int | None = None
+) -> Column:
+    """Membership predicate against a built bitmap: true iff ALL k bit
+    positions are set (false positives possible at the designed rate,
+    false negatives impossible — the pruned join stays exact as long
+    as an exact join follows)."""
+    m = m_bits or len(bitmap) * 64
+    arr = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    cond = F.lit(True)
+    for word, mask in _bloom_positions(key, m):
+        hit = F.element_at(arr, word + 1).bitwiseAND(mask) != 0
+        cond = cond & hit
+    return cond
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 14,
+) -> DataFrame:
+    """Exact inner equi-join with a Bloom pre-filter on the fact side:
+    rows whose key cannot be in the dim are dropped at the scan,
+    BEFORE the join shuffle; the following exact join removes the
+    false positives, so the result is identical to the plain join.
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~match fraction of it; Spark's own runtime
+    row-level filtering does the same transparently when enabled, this
+    operator is the explicit, plannable form (and documents the
+    mechanism).
+    """
+    bitmap = bloom_build(dim, dim_key, m_bits)
+    pruned = fact.filter(bloom_might_contain(F.col(fact_key), bitmap, m_bits))
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")

@@ -644,6 +644,7 @@ from etl_script_spark.plans import (  # noqa: E402,F401
     catalog_misc,
     catalog_pipelines,
     catalog_reshape,
+    catalog_sketches,
     catalog_sources,
     catalog_streaming,
     catalog_text,

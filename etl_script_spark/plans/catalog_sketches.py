@@ -1,0 +1,133 @@
+"""Sketch / approximate-analytics catalog queries.
+
+Oracle strategy: approximate VALUES are engine-specific (DuckDB's HLL
+is not Spark's HLL), so each query outputs the EXACT statistic plus a
+boolean invariant that the sketch landed within its contracted bound
+— the same invariant-oracle pattern the near-dup recall checks use.
+The bloom-pruned join needs no such indirection: pruning + exact join
+is exactly the plain join, so its oracle is the plain join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import sketches
+from etl_script_spark.plans.catalog import register, t
+
+
+@register(
+    "sk_approx_distinct",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_distinct,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    ("SK-distinct",),
+)
+def sk_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct orders per return flag next to the exact count;
+    the oracle pins the exact side and asserts the 4σ error bound as
+    an invariant. At 100 TB the exact column is dropped and the
+    sketch is the answer — fixed-size state, map-side merged."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    return sketches.approx_distinct_check(li, "l_returnflag", "l_orderkey", rsd=0.02)
+
+
+@register(
+    "sk_hll_mergeable",
+    """
+    SELECT COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS merged_within_bound, TRUE AS whole_within_bound
+    FROM orders
+    """,
+    ("SK-distinct",),
+)
+def sk_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of per-half HLL sketches carries the same 4σ error
+    contract as one sketch over everything — the property that lets
+    daily sketch rollups answer range queries without rescans. Both
+    the merged and the whole-data estimate are checked against the
+    exact count."""
+    o = t(spark, sf_dir, "orders")
+    return sketches.hll_merge_check(o, (F.col("o_orderkey") % 2).alias("h"), "o_custkey")
+
+
+@register(
+    "sk_heavy_hitters",
+    """
+    WITH keyed AS (
+      SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'HOT'
+                  ELSE CAST(l_suppkey AS VARCHAR) END AS key
+      FROM lineitem
+    ),
+    c AS (SELECT key, COUNT(*) AS cnt FROM keyed GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total FROM keyed)
+    SELECT key, cnt, CAST(cnt AS DOUBLE) / total AS share
+    FROM c CROSS JOIN tot
+    WHERE cnt >= total * 0.10
+    """,
+    ("SK-topk",),
+)
+def sk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-item detection over a synthetically skewed key
+    (every third line item shares one hot key — the one-company-owns-
+    half-the-invoices pathology): keys with ≥10% row share. Output is
+    pigeonhole-bounded (≤10 rows at 10% support) no matter the corpus
+    size; the count table is the only large intermediate and it
+    map-side combines."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("HOT"))
+        .otherwise(F.col("l_suppkey").cast("string"))
+        .alias("skey")
+    )
+    return sketches.heavy_hitters(li, "skey", 0.10)
+
+
+@register(
+    "sk_approx_quantiles",
+    """
+    SELECT l_returnflag, q_idx, TRUE AS within_bound
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+    CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS q_idx)
+    """,
+    ("SK-quantile",),
+)
+def sk_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx(25/50/75) of extended price per return flag,
+    verified by rank position: the returned value's rank interval
+    must sit within n/accuracy ranks of q·n — the sketch's contract.
+    The oracle pins the (group × quantile) matrix and the invariant;
+    the approximate values themselves stay engine-local."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    out = sketches.approx_quantiles_check(
+        li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75], accuracy=10000
+    )
+    return out.select("l_returnflag", F.col("q_idx").cast("long").alias("q_idx"), "within_bound")
+
+
+@register(
+    "sk_bloom_prune_join",
+    """
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 9000
+    """,
+    ("SK-bloom",),
+)
+def sk_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned exact join: a 2 KB bitmap built from the filtered
+    customer side drops non-matching orders AT THE SCAN, before the
+    join — the explicit form of runtime row-level filtering for the
+    dim-too-big-to-broadcast regime. False positives are removed by
+    the exact join that follows, so the result equals the plain join
+    and the oracle is the plain join."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_name")
+    )
+    joined = sketches.bloom_pruned_join(o, c, "o_custkey", "c_custkey")
+    return joined.select("o_orderkey", "o_custkey", "c_name")
