@@ -1,0 +1,140 @@
+"""Declarative data-quality expectations (deequ/Great-Expectations
+shape, Spark-first).
+
+The reference validates imports imperatively — per-row if/else chains
+with counters (ImportInvoiceReport.php:107-113, ImportDbdFinancial.php
+row guards). This operator family expresses the same checks as a RULE
+SET evaluated in ONE aggregation pass:
+
+- every rule is a boolean Column over the row (plus optional
+  referential rules that broadcast-join a dim's key set first);
+- ``evaluate`` computes per-rule violation counts in a single
+  ``agg`` — no per-rule scan, no driver loop; the metrics row set is
+  bounded by the rule count, never by data volume;
+- ``split`` returns (passing, quarantine-with-reasons) from the same
+  predicate set — the P9 valid/invalid split generalized.
+
+At 100 TB the whole evaluation is one map-side-combined aggregate
+over the scan; referential checks stay broadcast as long as the dim's
+KEY COLUMN fits (the usual case even when the dim's payload doesn't).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One expectation: ``predicate`` must hold for every row."""
+
+    name: str
+    predicate: Column
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null_{col}", F.col(col).isNotNull())
+
+
+def unique_key(df: DataFrame, cols: list[str]) -> Rule:
+    """Uniqueness is not a row-local predicate — mark rows whose key
+    occurs more than once via a count window over the key. This is
+    the one rule that shuffles (on the key, as any uniqueness check
+    must); leave it out of hot paths that already dedup."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*cols)
+    return Rule(
+        "unique_" + "_".join(cols),
+        F.count(F.lit(1)).over(w) == 1,
+    )
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule(
+        f"in_range_{col}", F.col(col).isNotNull() & F.col(col).between(lo, hi)
+    )
+
+
+def in_set(col: str, values: list) -> Rule:
+    return Rule(f"in_set_{col}", F.col(col).isin(values))
+
+
+def matches(col: str, rx: str) -> Rule:
+    return Rule(f"matches_{col}", F.col(col).rlike(rx))
+
+
+def referential(
+    df: DataFrame, col: str, dim: DataFrame, dim_key: str
+) -> tuple[DataFrame, Rule]:
+    """Foreign-key expectation: every ``col`` value exists in the
+    dim's key set. A rule is a row-local Column, so the set
+    membership is materialized first: broadcast-left-join the dim's
+    DISTINCT key column (payload never moves, fact side never
+    shuffles) and the rule checks the resulting mark. Returns
+    (marked frame, rule) — evaluate/split the marked frame."""
+    mark = f"__ref_{col}"
+    keys = (
+        dim.select(F.col(dim_key).alias(col))
+        .distinct()
+        .withColumn(mark, F.lit(True))
+    )
+    marked = df.join(F.broadcast(keys), col, "left")
+    return marked, Rule(f"ref_{col}", F.col(mark).isNotNull())
+
+
+def evaluate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Per-rule metrics in ONE aggregation pass:
+    (rule_name, rows, violations, pass_ratio) — unpivoted via stack
+    so the output is one row per rule."""
+    # materialize predicates as flags in a Project first: window-based
+    # rules (uniqueness) are not legal directly inside an aggregate
+    flagged = df.select(
+        *[(~r.predicate).alias(f"__f_{i}") for i, r in enumerate(rules)]
+    )
+    aggs = [F.count(F.lit(1)).alias("__rows")] + [
+        F.sum(F.when(F.col(f"__f_{i}"), 1).otherwise(0)).alias(f"__v_{i}")
+        for i in range(len(rules))
+    ]
+    wide = flagged.agg(*aggs)
+    pairs = []
+    for i, r in enumerate(rules):
+        pairs.append(F.lit(r.name))
+        pairs.append(F.col(f"__v_{i}"))
+    stacked = wide.select(
+        F.col("__rows").alias("rows"),
+        F.stack(F.lit(len(rules)), *pairs).alias("rule_name", "violations"),
+    )
+    return stacked.select(
+        "rule_name",
+        "rows",
+        "violations",
+        (
+            (F.col("rows") - F.col("violations"))
+            / F.greatest(F.col("rows"), F.lit(1))
+        ).alias("pass_ratio"),
+    )
+
+
+def split(
+    df: DataFrame, rules: list[Rule]
+) -> tuple[DataFrame, DataFrame]:
+    """(passing rows, quarantined rows + ``violated`` reason array).
+    One pass, no shuffle beyond what window-based rules require: the
+    reason array is built from the same predicates the metrics use,
+    so the two surfaces can never disagree."""
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(~r.predicate, F.lit(r.name)) for r in rules
+            ]
+        )
+    )
+    tagged = df.withColumn("violated", reasons)
+    aux = [c for c in df.columns if c.startswith("__")]
+    passing = tagged.filter(F.size("violated") == 0).drop("violated", *aux)
+    quarantined = tagged.filter(F.size("violated") > 0).drop(*aux)
+    return passing, quarantined

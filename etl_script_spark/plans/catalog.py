@@ -643,6 +643,7 @@ from etl_script_spark.plans import (  # noqa: E402,F401
     catalog_functions,
     catalog_misc,
     catalog_pipelines,
+    catalog_quality,
     catalog_reshape,
     catalog_sketches,
     catalog_sources,

@@ -1,0 +1,110 @@
+"""Declarative data-quality expectation catalog queries.
+
+The reference's import validators (ImportInvoiceReport.php:107-113
+row guards + counters) re-expressed as a rule set evaluated in one
+aggregation pass, with a quarantine split carrying machine-readable
+reasons — the P9 valid/invalid split generalized to N rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import expectations as ex
+from etl_script_spark.plans.catalog import register, t
+
+
+def _order_rules(o: DataFrame, c: DataFrame):
+    marked, ref_rule = ex.referential(o, "o_custkey", c, "c_custkey")
+    rules = [
+        ex.not_null("o_orderkey"),
+        ex.in_range("o_totalprice", 0.0, 300000.0),
+        ex.in_set("o_orderstatus", ["F", "O", "P"]),
+        ex.matches("o_orderpriority", r"^[1-5]-"),
+        ref_rule,
+    ]
+    return marked, rules
+
+
+_ORACLE_PREDS = [
+    ("not_null_o_orderkey", "o_orderkey IS NOT NULL"),
+    (
+        "in_range_o_totalprice",
+        "o_totalprice IS NOT NULL AND o_totalprice BETWEEN 0.0 AND 300000.0",
+    ),
+    ("in_set_o_orderstatus", "o_orderstatus IN ('F','O','P')"),
+    ("matches_o_orderpriority", "regexp_matches(o_orderpriority, '^[1-5]-')"),
+    (
+        "ref_o_custkey",
+        "o_custkey IS NOT NULL AND o_custkey IN (SELECT c_custkey FROM customer)",
+    ),
+]
+
+_METRICS_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{name}' AS rule_name, COUNT(*) AS rows,
+           CAST(SUM(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations,
+           (COUNT(*) - SUM(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END))
+             / GREATEST(COUNT(*), 1) AS pass_ratio
+    FROM orders
+    """
+    for name, pred in _ORACLE_PREDS
+)
+
+
+@register("dq_expectations_metrics", _METRICS_ORACLE, ("DQ-expectations",))
+def dq_expectations_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule violation counts for a 5-rule expectation suite over
+    orders (null check, numeric range, enum membership, format regex,
+    referential integrity against customer) — ONE aggregation pass
+    regardless of rule count; the referential rule is a broadcast
+    left join of the dim's distinct key column only."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    marked, rules = _order_rules(o, c)
+    return ex.evaluate(marked, rules)
+
+
+@register(
+    "dq_expectations_quarantine",
+    """
+    SELECT o_orderkey,
+           concat_ws(',',
+             CASE WHEN o_orderkey IS NULL THEN 'not_null_o_orderkey' END,
+             CASE WHEN NOT (o_totalprice IS NOT NULL
+                            AND o_totalprice BETWEEN 0.0 AND 300000.0)
+                  THEN 'in_range_o_totalprice' END,
+             CASE WHEN NOT (o_orderstatus IN ('F','O','P'))
+                  THEN 'in_set_o_orderstatus' END,
+             CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                  THEN 'matches_o_orderpriority' END,
+             CASE WHEN NOT (o_custkey IS NOT NULL AND o_custkey IN
+                            (SELECT c_custkey FROM customer))
+                  THEN 'ref_o_custkey' END
+           ) AS violated
+    FROM orders
+    WHERE NOT (o_orderkey IS NOT NULL
+               AND (o_totalprice IS NOT NULL
+                    AND o_totalprice BETWEEN 0.0 AND 300000.0)
+               AND o_orderstatus IN ('F','O','P')
+               AND regexp_matches(o_orderpriority, '^[1-5]-')
+               AND (o_custkey IS NOT NULL AND o_custkey IN
+                    (SELECT c_custkey FROM customer)))
+    """,
+    ("DQ-expectations",),
+)
+def dq_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine side of the same rule suite: rows violating any
+    rule, with the violated rule names as a deterministic
+    comma-joined reason string (rule order). Metrics and quarantine
+    derive from the SAME predicate set, so the two can never
+    disagree."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    marked, rules = _order_rules(o, c)
+    _, quarantined = ex.split(marked, rules)
+    return quarantined.select(
+        "o_orderkey", F.concat_ws(",", F.col("violated")).alias("violated")
+    )
