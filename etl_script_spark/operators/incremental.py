@@ -1,0 +1,86 @@
+"""Incremental aggregate maintenance (materialized-view shape).
+
+The reference recomputes its summary tables from scratch on every
+import run (credit-prepare-api/main.py re-reads everything monthly).
+At 100 TB a full re-aggregation per daily batch is the dominant cost;
+the fix is the classic partial-state pattern:
+
+- ``partial_state``: per-key mergeable state — (count, sum-as-decimal,
+  min, max) per measure. Algebraic: any two states combine by
+  +/+/least/greatest, so states from yesterday's table and today's
+  delta MERGE without touching yesterday's input rows.
+- ``merge_states``: combine any number of state frames (union +
+  re-aggregate — the merge shuffles the STATE, whose size is the key
+  cardinality, not the data volume).
+- ``finalize``: state → the user-facing aggregate row (sum, min, max,
+  avg = sum/count) with the catalog's decimal-sum-then-double policy,
+  so the incremental result is BITWISE equal to a from-scratch
+  aggregation regardless of how the input was split.
+
+avg is the canary: it is NOT algebraic on its own (avg of avgs is
+wrong under unequal group sizes) — it must be carried as (sum, count)
+and divided only at finalize. Same for any rate/ratio measure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(18,6)"  # matches plans/catalog.py DEC
+
+
+def partial_state(
+    df: DataFrame, keys: list[str], measures: list[str]
+) -> DataFrame:
+    """Per-key mergeable aggregation state over the given numeric
+    measure columns. One map-side-combined shuffle on the keys."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for m in measures:
+        aggs += [
+            F.sum(F.col(m).cast(_DEC)).alias(f"{m}_sum"),
+            F.min(m).alias(f"{m}_min"),
+            F.max(m).alias(f"{m}_max"),
+        ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_states(
+    states: list[DataFrame], keys: list[str], measures: list[str]
+) -> DataFrame:
+    """Combine partial states: union then re-aggregate with the
+    algebraic combiners (+, least, greatest). Input frames must share
+    the ``partial_state`` schema. Keys absent from one side pass
+    through — decimal sums are null-skipping, so no coalesce dance."""
+    assert states, "merge_states needs at least one state frame"
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for m in measures:
+        aggs += [
+            F.sum(f"{m}_sum").alias(f"{m}_sum"),
+            F.min(f"{m}_min").alias(f"{m}_min"),
+            F.max(f"{m}_max").alias(f"{m}_max"),
+        ]
+    return u.groupBy(*keys).agg(*aggs)
+
+
+def finalize(state: DataFrame, keys: list[str], measures: list[str]) -> DataFrame:
+    """State → user-facing aggregate: decimal sums cast to double,
+    avg as one exact decimal-by-count division (the only place a
+    division happens — never on partials)."""
+    cols = [F.col(k) for k in keys] + [F.col("n_rows")]
+    for m in measures:
+        cols += [
+            F.col(f"{m}_sum").cast("double").alias(f"{m}_sum"),
+            F.col(f"{m}_min").alias(f"{m}_min"),
+            F.col(f"{m}_max").alias(f"{m}_max"),
+            # double-division of the exact decimal sum — the same
+            # shape as the catalog's davg policy, bit-identical on
+            # both engines
+            (F.col(f"{m}_sum").cast("double") / F.col("n_rows")).alias(
+                f"{m}_avg"
+            ),
+        ]
+    return state.select(*cols)

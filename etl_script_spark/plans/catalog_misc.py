@@ -761,3 +761,45 @@ def pipeline_skew_hot_company_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
         },
         n_salts=8,
     )
+
+
+@register(
+    "inc_agg_maintenance",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS o_totalprice_sum,
+           MIN(o_totalprice) AS o_totalprice_min,
+           MAX(o_totalprice) AS o_totalprice_max,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS o_totalprice_avg
+    FROM orders GROUP BY o_orderpriority
+    """,
+    ("X-incremental",),
+)
+def inc_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: per-priority totals maintained
+    as MERGEABLE partial states. Three disjoint date slices of orders
+    are aggregated independently (as three daily/monthly batches
+    would be), merged state-to-state, and finalized — and the result
+    is BITWISE equal to the from-scratch aggregation the oracle
+    computes, avg included (carried as sum+count, divided only at
+    finalize). At 100 TB the per-batch cost is the batch scan plus a
+    key-cardinality state merge; history is never rescanned.
+    """
+    from etl_script_spark.operators import incremental as inc
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    slices = [
+        o.filter(F.col("o_orderdate") < F.lit("1994-01-01").cast("date")),
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-06-01").cast("date"))
+        ),
+        o.filter(F.col("o_orderdate") >= F.lit("1996-06-01").cast("date")),
+    ]
+    keys, measures = ["o_orderpriority"], ["o_totalprice"]
+    states = [inc.partial_state(s, keys, measures) for s in slices]
+    return inc.finalize(inc.merge_states(states, keys, measures), keys, measures)

@@ -762,3 +762,76 @@ def s17_csv_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_corrupt").alias("payload"),
         )
     )
+
+
+@register(
+    "s18_orc_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS totalprice, o_orderdate
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+    ("S18-orc",),
+)
+def s18_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → typed ORC read round trip (format-matrix widening:
+    the same pushdown/pruning contract as parquet against ORC-native
+    Hive/Trino estates). Types cross the format boundary losslessly,
+    date column included."""
+    d = _workdir(sf_dir, "s18")
+    out = f"{d}/orders_orc"
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "o_orderdate",
+        )
+    )
+    writers.write_orc(src, out)
+    return spark.read.orc(out)
+
+
+@register(
+    "s19_schema_evolution_merge",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(NULL AS VARCHAR) AS channel
+    FROM orders WHERE o_orderkey % 40 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE),
+           CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'batch' END
+    FROM orders WHERE o_orderkey % 40 = 7
+    """,
+    ("S19-evolution",),
+)
+def s19_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: a later batch adds a
+    ``channel`` column; ``mergeSchema`` unions the footers so old
+    files surface NULL for the new column — the append-only drop
+    directory pattern where producers upgrade without rewriting
+    history. (At 100 TB: mergeSchema costs one footer read per FILE —
+    pin the merged schema explicitly once known; this query is the
+    discovery path.)"""
+    d = _workdir(sf_dir, "s19")
+    base = f"{d}/orders_evolving"
+    o = t(spark, sf_dir, "orders")
+    batch1 = o.filter(F.col("o_orderkey") % 40 == 0).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("totalprice")
+    )
+    batch2 = o.filter(F.col("o_orderkey") % 40 == 7).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("web"))
+        .otherwise(F.lit("batch"))
+        .alias("channel"),
+    )
+    batch1.write.mode("overwrite").parquet(f"{base}/batch=1")
+    batch2.write.mode("overwrite").parquet(f"{base}/batch=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{base}/batch=1", f"{base}/batch=2")
+        .select("o_orderkey", "totalprice", "channel")
+    )

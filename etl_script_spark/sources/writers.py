@@ -32,6 +32,16 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **opts) -> None
     df.write.mode(mode).options(header="true", **opts).csv(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str = "zlib"
+) -> None:
+    """Columnar interchange sink for ORC-native warehouses (Hive/Trino
+    estates): same predicate-pushdown/column-pruning story as parquet,
+    different footer format. No reference analogue — format-matrix
+    widening for the Spark engine."""
+    df.write.mode(mode).option("compression", compression).orc(path)
+
+
 def write_jdbc_append(
     df: DataFrame,
     url: str,

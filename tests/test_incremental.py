@@ -1,0 +1,51 @@
+"""Incremental aggregate maintenance: partial states merge to the
+from-scratch answer regardless of how the input was split."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import incremental as inc
+
+
+def test_merge_equals_from_scratch(spark):
+    df = spark.range(10000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 0.25 + 3).alias("x"),
+    )
+    keys, measures = ["g"], ["x"]
+    # adversarial split: uneven slice sizes so avg-of-avgs would differ
+    slices = [
+        df.filter(F.col("id") % 100 < 3),
+        df.filter((F.col("id") % 100 >= 3) & (F.col("id") % 100 < 60)),
+        df.filter(F.col("id") % 100 >= 60),
+    ]
+    merged = inc.finalize(
+        inc.merge_states(
+            [inc.partial_state(s, keys, measures) for s in slices],
+            keys,
+            measures,
+        ),
+        keys,
+        measures,
+    )
+    whole = inc.finalize(inc.partial_state(df, keys, measures), keys, measures)
+    m = {r["g"]: r for r in merged.collect()}
+    w = {r["g"]: r for r in whole.collect()}
+    assert set(m) == set(w)
+    for g in w:
+        for c in ("n_rows", "x_sum", "x_min", "x_max", "x_avg"):
+            assert m[g][c] == w[g][c], (g, c, m[g][c], w[g][c])
+
+
+def test_empty_slice_is_identity(spark):
+    df = spark.range(100).select((F.col("id") % 3).alias("g"), F.col("id").alias("x"))
+    keys, measures = ["g"], ["x"]
+    empty = df.filter(F.lit(False))
+    merged = inc.merge_states(
+        [inc.partial_state(df, keys, measures), inc.partial_state(empty, keys, measures)],
+        keys,
+        measures,
+    )
+    whole = inc.partial_state(df, keys, measures)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
