@@ -835,3 +835,28 @@ def s19_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/batch=1", f"{base}/batch=2")
         .select("o_orderkey", "totalprice", "channel")
     )
+
+
+@register(
+    "layout_range_clustered_read",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE user_id BETWEEN 4 AND 9
+    """,
+    ("X-layout",),
+)
+def layout_range_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered rewrite of events on user_id (8 disjoint-range
+    files) followed by a range-filtered read. The filter pushes to
+    the parquet scan, and because the writer clustered the key, the
+    footer min/max stats prune all but the 1-2 files whose interval
+    intersects the filter range — the data-skipping layout a 100 TB events
+    table needs (tests assert the per-file ranges are disjoint and
+    the plan carries the pushed filter)."""
+    from etl_script_spark.sources import layout
+
+    d = _workdir(sf_dir, "layout")
+    out = f"{d}/events_by_user"
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    layout.write_range_clustered(ev, out, "user_id", 8)
+    return spark.read.parquet(out).filter(F.col("user_id").between(4, 9))

@@ -473,3 +473,30 @@ def test_merge_into_partitioned_sync_strategy(spark, tmp_path):
     assert parts == [1997]
     out = {(r["k"], r["yr"]): r["v"] for r in spark.read.parquet(table).collect()}
     assert out == {(1, 1997): 10.0, (3, 1998): 3.0}  # k=2 deleted in 1997
+
+
+def test_range_clustered_layout_disjoint_and_pruned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_script_spark.sources import layout
+
+    df = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 997).alias("payload")
+    )
+    out = str(tmp_path / "clustered")
+    layout.write_range_clustered(df, out, "k", 6)
+    ranges = sorted(
+        (r["min_key"], r["max_key"], r["rows"])
+        for r in layout.file_ranges(spark, out, "k").collect()
+    )
+    assert len(ranges) == 6
+    # disjoint, covering, ordered intervals — the property pruning needs
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    assert ranges[0][0] == 0 and ranges[-1][1] == 9999
+    assert sum(r[2] for r in ranges) == 10000
+    # the range filter reaches the scan as a pushed filter
+    got = spark.read.parquet(out).filter(F.col("k").between(100, 200))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(k,100)" in plan
+    assert got.count() == 101
