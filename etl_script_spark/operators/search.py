@@ -1,0 +1,114 @@
+"""Keyword search scoring (BM25) over the documents corpus.
+
+Lucene-style Okapi BM25 as pure DataFrame algebra — the ranking
+backbone of corpus exploration ("find the training docs about X")
+and of retrieval-based decontamination. No reference analogue (the
+reference has no search surface); this is LLM-pipeline widening.
+
+Shape at scale:
+
+- doc lengths and the corpus aggregate (N, avgdl) are one
+  map-side-combined pass each;
+- term statistics are computed ONLY for the query's terms — the
+  token explode is filtered to the query set BEFORE any aggregation,
+  so per-query cost tracks matches, not corpus vocabulary;
+- the df table is ≤|query| rows → broadcast; the per-(doc, term)
+  tf join never shuffles the corpus.
+
+Determinism (oracle-grade): tf, df, dl, N are integers; avgdl is one
+exact integer division; the per-term score is the same IEEE double
+expression on both engines and is quantized to 1e-6 BEFORE the
+per-document sum (round(x·1e6) → int64) — integer addition is
+order-independent across partitionings, the same policy as
+``unigram_nll_scores``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators.partitioning import fan_out
+from etl_script_spark.operators.textstats import words
+
+
+def bm25_scores(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score against a bag of query terms.
+    Returns (id, n_terms_matched, score_q, score) for documents
+    matching ≥1 term; ``score_q`` is the quantized int64 the ranking
+    sorts on (ties broken by id), ``score`` its 1e-6 double form.
+
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1) — Lucene's non-negative
+    variant, so a term in >half the corpus contributes ~0 instead of
+    a negative score.
+    """
+    toks = fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(words(F.col(text_col)), lambda w: w != "")
+        ).alias("token"),
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    qtoks = toks.filter(F.col("token").isin(query_terms))
+    tf = qtoks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "id",
+            "token",
+            F.round(term_score * 1e6).cast("long").alias("ts_q"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.sum("ts_q").alias("score_q"),
+        (F.sum("ts_q") / 1e6).alias("score"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25: global orderBy on the quantized score
+    (desc, id asc tiebreak) + limit — Spark plans this as TakeOrdered
+    (per-partition top-k, then a k-row driver merge), no full sort.
+    Returns (rank, id, n_terms_matched, score)."""
+    from pyspark.sql import Window
+
+    scored = bm25_scores(docs, text_col, id_col, query_terms, k1, b)
+    # limit FIRST (planned as TakeOrdered: per-partition top-k + k-row
+    # driver merge), then number the k survivors — the single-partition
+    # window only ever sees k rows
+    top = scored.orderBy(F.col("score_q").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("score_q").desc(), F.col("id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "id", "n_terms_matched", "score"
+    )

@@ -693,3 +693,64 @@ def text_lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", textstats.detect_language(txt).alias("lang")
     )
+
+
+_BM25_TERMS = ("join", "window", "hash")
+_BM25_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('join','window','hash') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    term AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75
+                    + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs))))
+               * 1000000.0) AS BIGINT) AS ts_q
+      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN corpus
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_terms_matched,
+             SUM(ts_q) AS score_q, SUM(ts_q) / 1e6 AS score
+      FROM term GROUP BY doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id AS id, n_terms_matched, score
+    FROM scored ORDER BY score_q DESC, doc_id LIMIT 10
+"""
+
+
+@register("search_bm25_topk", _BM25_ORACLE, ("LLM-search",))
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the query {join, window, hash} over the
+    documents corpus — Lucene's non-negative idf, per-term scores
+    quantized to 1e-6 before the per-document integer sum (the
+    unigram-NLL determinism policy), rank ties broken by doc id.
+    Term statistics are computed only for the query's terms (the
+    explode is filtered before aggregation), the df table broadcasts,
+    and the top-k is TakeOrdered — per-query cost tracks matches,
+    not corpus size."""
+    from etl_script_spark.operators import search
+
+    d = t(spark, sf_dir, "documents")
+    out = search.bm25_topk(d, "text", "doc_id", list(_BM25_TERMS), k=10)
+    return out.select(
+        F.col("rank").cast("long").alias("rank"),
+        "id",
+        "n_terms_matched",
+        "score",
+    )
