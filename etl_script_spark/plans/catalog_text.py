@@ -754,3 +754,42 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms_matched",
         "score",
     )
+
+
+@register(
+    "tok_bpe_roundtrip",
+    """
+    SELECT doc_id AS id,
+           COALESCE(len(list_filter(
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' '),
+             x -> x <> '')), 0) AS n_words,
+           TRUE AS roundtrip_ok,
+           TRUE AS tokens_per_word_ok
+    FROM documents
+    """,
+    ("LLM-tokenize",),
+)
+def tok_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization end-to-end: vocabulary trained on the
+    corpus's own distributed word-frequency table (driver merge loop
+    over the COLLECTED frequency table — vocabulary-bounded, the same
+    bounded-fit pattern as the IVF centroids), then applied to every
+    document via Arrow-batched mapInPandas with broadcast merge
+    ranks. The oracle pins the per-document word count and two
+    corpus-wide invariants: the encoding is loss-free (strip markers,
+    rejoin → the normalized text, checked per document) and every
+    word yields ≥1 token."""
+    from etl_script_spark.operators import bpe
+
+    d = t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(
+        bpe.word_frequencies(d, "text", limit=4096), n_merges=200
+    )
+    out = bpe.tokenize(d, "text", "doc_id", merges)
+    return out.select(
+        "id",
+        "n_words",
+        "roundtrip_ok",
+        (F.col("n_tokens") >= F.col("n_words")).alias("tokens_per_word_ok"),
+    )
