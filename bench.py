@@ -47,6 +47,15 @@ EXTRA = [
     "cluster_kmeans_assign",
     "text_repetition",
     "dedup_repeated_spans",
+    # --- round 4: sketches / search / tokenize / maintenance ---
+    "sk_bloom_prune_join",
+    "sk_approx_distinct",
+    "search_bm25_topk",
+    "tok_bpe_roundtrip",
+    "dq_expectations_metrics",
+    "inc_agg_maintenance",
+    "layout_range_clustered_read",
+    "pipeline_remittance_e2e",
 ]
 
 

@@ -860,3 +860,33 @@ def layout_range_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
     layout.write_range_clustered(ev, out, "user_id", 8)
     return spark.read.parquet(out).filter(F.col("user_id").between(4, 9))
+
+
+@register(
+    "layout_compact_small_files",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    ("X-layout",),
+)
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: events scattered across 64 per-batch
+    shards (the streaming-sink pathology) rewritten into
+    scan-split-sized files with an atomic snapshot swap; the read
+    back through the ``current`` symlink is byte-identical to the
+    source. Tests assert the file count actually collapses."""
+    from etl_script_spark.sources import layout
+
+    d = _workdir(sf_dir, "compact")
+    table = f"{d}/events_table"
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.repartition(64).write.mode("overwrite").parquet(f"{table}_scattered")
+    scattered = spark.read.parquet(f"{table}_scattered")
+    import shutil
+
+    shutil.rmtree(table, ignore_errors=True)
+    writers.atomic_overwrite_parquet(scattered, table)
+    layout.compact_files(spark, table)
+    return spark.read.parquet(f"{table}/current")

@@ -46,6 +46,49 @@ def write_range_clustered(
     )
 
 
+def compact_files(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 << 20,
+    cluster_col: str | None = None,
+) -> str:
+    """Small-file compaction: rewrite a parquet directory into files
+    sized for the scan path (default 128 MB — one Spark input split
+    per file). Streaming sinks and per-batch appends leave thousands
+    of KB-sized files; every one costs a listing entry, a footer read
+    and a task, so scan cost becomes file-count- instead of
+    byte-bound. The rewrite snapshots atomically via the
+    ``current``-symlink convention (readers never see a half-compacted
+    table). With ``cluster_col`` the rewrite also range-clusters, so
+    one pass fixes file sizes AND restores data-skipping locality.
+
+    File count is derived from the CURRENT on-disk bytes — the
+    compressed size, which is what the next scan's splits see.
+    Returns the new snapshot path.
+    """
+    import os
+
+    from etl_script_spark.sources.writers import atomic_overwrite_parquet
+
+    src = os.path.join(table_dir, "current")
+    read_path = src if os.path.exists(src) else table_dir
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fn in os.walk(os.path.realpath(read_path))
+        for f in fn
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(read_path)
+    if cluster_col is not None:
+        df = df.repartitionByRange(n_files, F.col(cluster_col)).sortWithinPartitions(
+            cluster_col
+        )
+    else:
+        df = df.coalesce(n_files) if df.rdd.getNumPartitions() > n_files else df
+    return atomic_overwrite_parquet(df, table_dir)
+
+
 def file_ranges(spark: SparkSession, path: str, cluster_col: str) -> DataFrame:
     """Per-file (min, max, rows) of the cluster key — the stats a
     pushed range filter prunes against. Reads the column at test

@@ -500,3 +500,54 @@ def test_range_clustered_layout_disjoint_and_pruned(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual(k,100)" in plan
     assert got.count() == 101
+
+
+def test_compact_files_collapses_count_and_preserves_rows(spark, tmp_path):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_script_spark.sources import layout
+    from etl_script_spark.sources.writers import atomic_overwrite_parquet
+
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    table = str(tmp_path / "t")
+    atomic_overwrite_parquet(df.repartition(32), table)
+    before = len(
+        glob.glob(os.path.realpath(os.path.join(table, "current")) + "/*.parquet")
+    )
+    assert before == 32
+    layout.compact_files(spark, table)
+    after_dir = os.path.realpath(os.path.join(table, "current"))
+    after = len(glob.glob(after_dir + "/*.parquet"))
+    assert after < before
+    got = spark.read.parquet(os.path.join(table, "current"))
+    assert got.count() == 5000
+    assert got.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_compact_files_clustered_restores_skipping(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_script_spark.sources import layout
+    from etl_script_spark.sources.writers import atomic_overwrite_parquet
+
+    df = spark.range(20000).select(F.col("id").alias("k"))
+    table = str(tmp_path / "t2")
+    atomic_overwrite_parquet(df.repartition(16), table)
+    # tiny target so the clustered rewrite produces several files
+    layout.compact_files(spark, table, target_file_bytes=16 << 10, cluster_col="k")
+    import os
+
+    ranges = sorted(
+        (r["min_key"], r["max_key"])
+        for r in layout.file_ranges(
+            spark, os.path.join(table, "current"), "k"
+        ).collect()
+    )
+    assert len(ranges) > 1
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
