@@ -263,3 +263,75 @@ def bloom_pruned_join(
     bitmap = bloom_build(dim, dim_key, m_bits)
     pruned = fact.filter(bloom_might_contain(F.col(fact_key), bitmap, m_bits))
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")
+
+
+def theta_set_ops_check(
+    a: DataFrame, b: DataFrame, col: str, lg_k: int = 12
+) -> DataFrame:
+    """Theta-sketch set algebra — distinct cardinality of A∪B, A∩B and
+    A∖B from two fixed-size sketches, next to the exact answers and
+    4σ bound flags. The sketch answers need only the two 2^lg_k-entry
+    summaries: the daily-rollup question "how many users did both X
+    and Y" never rescans either side. Intersection/difference error
+    scales with the UNION's cardinality (the standard theta bound),
+    so their flags use the union estimate as the base.
+
+    Below ~2^lg_k distinct values a theta sketch is in exact mode and
+    the estimates are exact; the 4σ flags are the contract that keeps
+    holding once real scale saturates the sketches.
+    """
+    sk_a = a.agg(F.expr(f"theta_sketch_agg({col}, {lg_k})").alias("sa"))
+    sk_b = b.agg(F.expr(f"theta_sketch_agg({col}, {lg_k})").alias("sb"))
+    both = sk_a.crossJoin(sk_b).select(
+        F.expr("theta_sketch_estimate(theta_union(sa, sb))").alias("u_est"),
+        F.expr("theta_sketch_estimate(theta_intersection(sa, sb))").alias(
+            "i_est"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(sa, sb))").alias(
+            "d_est"
+        ),
+    )
+    ea = a.select(F.col(col).alias("v")).distinct()
+    eb = b.select(F.col(col).alias("v")).distinct()
+    exact = (
+        ea.join(eb, "v", "full_outer")
+        .withColumn("in_a", F.lit(True))
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(ea.join(eb, "v", "left_semi").agg(F.count(F.lit(1)).alias("exact_intersection")))
+        .crossJoin(ea.join(eb, "v", "left_anti").agg(F.count(F.lit(1)).alias("exact_a_only")))
+    )
+    bound = 4.0 * 1.04 / (2 ** (lg_k / 2.0))
+    out = exact.crossJoin(both)
+    ok = lambda est, ex, base: (  # noqa: E731
+        F.abs(F.col(est) - F.col(ex))
+        <= F.greatest(F.lit(1.0), F.col(base) * bound)
+    )
+    return out.select(
+        "exact_union",
+        "exact_intersection",
+        "exact_a_only",
+        ok("u_est", "exact_union", "exact_union").alias("union_within_bound"),
+        ok("i_est", "exact_intersection", "exact_union").alias(
+            "intersection_within_bound"
+        ),
+        ok("d_est", "exact_a_only", "exact_union").alias("diff_within_bound"),
+    )
+
+
+def approx_topk_items(
+    df: DataFrame, col: str, k: int, max_items_tracked: int = 10000
+) -> DataFrame:
+    """Datasketches frequent-items top-k: (item, cnt) rows from ONE
+    fixed-size sketch pass. While the column's cardinality stays
+    under ``max_items_tracked`` the sketch is in exact mode and the
+    counts are exact (the catalog query's oracle relies on this and
+    pins equality); past saturation the counts become estimates with
+    the sketch's epsilon guarantee — same code, graceful contract.
+    Callers order the output (count ties have no defined order)."""
+    return (
+        df.agg(
+            F.expr(f"approx_top_k({col}, {k}, {max_items_tracked})").alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+    )

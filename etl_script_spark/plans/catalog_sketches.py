@@ -131,3 +131,73 @@ def sk_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = sketches.bloom_pruned_join(o, c, "o_custkey", "c_custkey")
     return joined.select("o_orderkey", "o_custkey", "c_name")
+
+
+@register(
+    "sk_theta_set_ops",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey AS v FROM orders
+               WHERE o_orderdate < DATE '1995-01-01'),
+         b AS (SELECT DISTINCT o_custkey AS v FROM orders
+               WHERE o_orderdate >= DATE '1997-01-01')
+    SELECT (SELECT COUNT(*) FROM (SELECT v FROM a UNION SELECT v FROM b))
+             AS exact_union,
+           (SELECT COUNT(*) FROM (SELECT v FROM a INTERSECT SELECT v FROM b))
+             AS exact_intersection,
+           (SELECT COUNT(*) FROM (SELECT v FROM a EXCEPT SELECT v FROM b))
+             AS exact_a_only,
+           TRUE AS union_within_bound,
+           TRUE AS intersection_within_bound,
+           TRUE AS diff_within_bound
+    """,
+    ("SK-theta",),
+)
+def sk_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over two customer cohorts (ordered
+    before 1995 vs after 1997): |A∪B|, |A∩B|, |A∖B| answered from two
+    fixed-size sketches, verified against the exact set operations at
+    the 4σ bound. The rollup question 'how many customers did both'
+    never rescans either cohort once the sketches exist."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    a = o.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+    b = o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+    return sketches.theta_set_ops_check(a, b, "o_custkey")
+
+
+@register(
+    "sk_approx_topk",
+    """
+    WITH keyed AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'k0'
+                  WHEN o_orderkey % 4 = 1 THEN 'k1'
+                  WHEN o_orderkey % 8 = 3 THEN 'k2'
+                  WHEN o_orderkey % 16 = 7 THEN 'k3'
+                  ELSE 'k4_' || CAST(o_orderkey % 50 AS VARCHAR) END AS item
+      FROM orders
+    )
+    SELECT item, COUNT(*) AS cnt FROM keyed
+    GROUP BY item ORDER BY cnt DESC, item LIMIT 4
+    """,
+    ("SK-topk",),
+)
+def sk_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches frequent-items top-4 over a geometric key
+    distribution (50/25/12.5/6.25% + a thin tail — tie-free by
+    construction). Cardinality sits far under the tracked-items
+    budget, so the sketch is in exact mode and the oracle pins exact
+    equality with the true top-4; at saturation the same code
+    degrades to the sketch's epsilon guarantee."""
+    k = F.col("o_orderkey")
+    keyed = t(spark, sf_dir, "orders").select(
+        F.when(k % 2 == 0, F.lit("k0"))
+        .when(k % 4 == 1, F.lit("k1"))
+        .when(k % 8 == 3, F.lit("k2"))
+        .when(k % 16 == 7, F.lit("k3"))
+        .otherwise(F.concat(F.lit("k4_"), (k % 50).cast("string")))
+        .alias("item")
+    )
+    return (
+        sketches.approx_topk_items(keyed, "item", 4)
+        .orderBy(F.col("cnt").desc(), F.col("item"))
+        .limit(4)
+    )

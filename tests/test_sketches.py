@@ -81,3 +81,29 @@ def test_bloom_no_false_negatives_and_exact_join(spark):
         sketches.bloom_might_contain(F.col("fk"), bitmap)
     ).count()
     assert passed < 500 + 0.05 * 20000
+
+
+def test_theta_set_ops_exact_and_bounds(spark):
+    a = spark.range(0, 600).select(F.col("id").alias("u"))
+    b = spark.range(400, 1000).select(F.col("id").alias("u"))
+    row = sketches.theta_set_ops_check(a, b, "u").collect()[0]
+    assert row["exact_union"] == 1000
+    assert row["exact_intersection"] == 200
+    assert row["exact_a_only"] == 400
+    assert row["union_within_bound"]
+    assert row["intersection_within_bound"]
+    assert row["diff_within_bound"]
+
+
+def test_approx_topk_exact_mode_matches_truth(spark):
+    df = spark.range(1600).select(
+        F.when(F.col("id") % 2 == 0, F.lit("a"))
+        .when(F.col("id") % 4 == 1, F.lit("b"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 40).cast("string")))
+        .alias("item")
+    )
+    out = sorted(
+        ((r["item"], r["cnt"]) for r in sketches.approx_topk_items(df, "item", 2).collect()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert out[:2] == [("a", 800), ("b", 400)]
