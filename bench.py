@@ -59,6 +59,23 @@ EXTRA = [
 ]
 
 
+def _release(spark) -> None:
+    """Free cross-query session state between manifest entries: cached
+    Datasets (CacheManager), persisted/localCheckpointed RDDs (NOT in
+    the CacheManager — they otherwise linger until GC and tilt later
+    entries' timings via memory pressure), and Python-side refs."""
+    import gc
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    for rdd_id in list(jsc.getPersistentRDDs().keySet().toArray()):
+        try:
+            jsc.sc().unpersistRDD(rdd_id, False)
+        except Exception:
+            pass
+    gc.collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -92,7 +109,7 @@ def main() -> None:
         q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
         # eager operators leave their (documented) result cached; clear
         # so the timed pass measures recompute, not a cache scan
-        spark.catalog.clearCache()
+        _release(spark)
         start = time.perf_counter()
         q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         extra[name] = round(time.perf_counter() - start, 4)
@@ -107,7 +124,7 @@ def main() -> None:
         if name in manifest:
             continue
         try:
-            spark.catalog.clearCache()
+            _release(spark)
             start = time.perf_counter()
             q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             manifest[name] = round(time.perf_counter() - start, 4)
