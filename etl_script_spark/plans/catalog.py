@@ -639,6 +639,7 @@ def union_with_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- register submodule catalogs (import side effect) ---------------
 from etl_script_spark.plans import (  # noqa: E402,F401
+    catalog_classic,
     catalog_curation,
     catalog_functions,
     catalog_misc,
