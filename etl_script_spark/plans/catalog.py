@@ -641,6 +641,7 @@ def union_with_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_script_spark.plans import (  # noqa: E402,F401
     catalog_classic,
     catalog_curation,
+    catalog_events,
     catalog_functions,
     catalog_misc,
     catalog_pipelines,
