@@ -34,13 +34,17 @@ EOW = "</w>"
 
 
 def word_frequencies(
-    docs: DataFrame, text_col: str, limit: int | None = None
+    docs: DataFrame, text_col: str, limit: int | None = 65536
 ) -> list[tuple[str, int]]:
     """Distributed word-frequency table, collected for the training
     loop. The aggregation is map-side combined (shuffle carries
     distinct words per partition); ``limit`` keeps the driver-side
     table bounded by taking the most frequent words — rank ties
-    broken by the word itself so the cut is deterministic."""
+    broken by the word itself so the cut is deterministic. The
+    default cap exists because a web-scale corpus has hundreds of
+    millions of types: an uncapped collect is a driver OOM, and BPE
+    training past the frequency head changes nothing (the tail never
+    wins a merge). Pass ``None`` only on corpora known to be small."""
     toks = fan_out(docs.select(text_col)).select(
         F.explode(F.filter(words(F.col(text_col)), lambda w: w != "")).alias(
             "w"

@@ -88,8 +88,10 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by the ISO week of
     their first event, activity counted as distinct users per
     (cohort_week, weeks_since). Two aggregations; the firsts table is
-    user-cardinality and broadcasts against the event stream at
-    scale. Both engines truncate weeks to ISO Monday, and week
+    user-cardinality — usually broadcastable, but NOT hinted: at
+    billion-user scale AQE must be free to pick a shuffle join, and
+    when firsts does fit, AQE broadcasts it on its own size estimate.
+    Both engines truncate weeks to ISO Monday, and week
     arithmetic stays in integer days. The week is emitted as an ISO
     date STRING: DuckDB DATE surfaces as pandas Timestamp in the
     comparator, Spark DATE as datetime.date — strings align."""
@@ -97,7 +99,7 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
-    joined = ev.join(F.broadcast(firsts), "user_id")
+    joined = ev.join(firsts, "user_id")
     weeks_since = F.floor(
         F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
     ).cast("long")
