@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_script_spark.plans.catalog import cents, register, t
+from etl_script_spark.plans.catalog import DEC, cents, register, t
 
 _TS = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
 
@@ -259,4 +259,91 @@ def q19_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) / 10000 AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.r = (SELECT MAX(r) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    ("Q-classic", "J1", "O1"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15): the revenue CTE
+    aggregates once and is reused for both the max and the equality
+    filter (max as a 1-row broadcast crossJoin — no re-scan,
+    deterministic under revenue ties in exact int64)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _TS("1996-04-01 00:00:00"))
+    )
+    rev_expr = cents(F.col("l_extendedprice")) * (
+        100 - cents(F.col("l_discount"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_expr).alias("r"))
+    mx = rev.agg(F.max("r").alias("mr"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("mr"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .orderBy("s_suppkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("r").cast("double") / 10000).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    ("Q-classic", "J2"),
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-balance customers (TPC-H Q22 shape): the global
+    average is a 1-row broadcast, NOT EXISTS decorrelates to a
+    left-anti join carrying only the custkey column. avg over
+    doubles stays a double on both engines (single global mean of
+    the same parquet bits — deterministic); the SUM follows the
+    decimal policy."""
+    c = t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
+        )
     )

@@ -129,6 +129,50 @@ def main():
     t0 = time.time()
     _, assigned = similarity.kmeans_lloyd(vec, "vec_id", "embedding", k=16, iters=3)
     print(f"kmeans {N}x64 k=16 x3: {time.time()-t0:.1f}s -> {assigned.count()} assigned")
+
+    # --- round-4 families under the same pathologies ------------------
+    from etl_script_spark.operators import bpe, expectations, search, sketches
+
+    run(
+        "bm25_topk(3 terms, k=20)",
+        lambda: search.bm25_topk(
+            d, "text", "doc_id", ["w001", "boiler0", "m5"], k=20
+        ),
+    )
+    t0 = time.time()
+    merges = bpe.train_bpe(bpe.word_frequencies(d, "text", limit=4096), 200)
+    enc = bpe.tokenize(d, "text", "doc_id", merges)
+    bad = enc.filter(~F.col("roundtrip_ok")).count()
+    print(
+        f"bpe train(4096w,200m)+apply: {time.time()-t0:.1f}s -> "
+        f"{enc.count()} docs, {bad} roundtrip failures"
+    )
+
+    # bloom prune at 10M fact rows against a 5k-key dim
+    fact = spark.range(10_000_000).select((F.col("id") % 1_000_000).alias("fk"))
+    dim = spark.range(5_000).select((F.col("id") * 7).alias("dk"))
+    t0 = time.time()
+    cnt = sketches.bloom_pruned_join(fact, dim, "fk", "dk").count()
+    print(f"bloom_pruned_join 10M x 5k: {time.time()-t0:.1f}s -> {cnt} rows")
+
+    # expectations: 5-rule suite over 10M rows in one pass
+    wide = spark.range(10_000_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 1000).cast("double").alias("amount"),
+        F.when(F.col("id") % 97 == 0, F.lit(None)).otherwise(
+            F.lit("OK")
+        ).alias("status"),
+    )
+    rules = [
+        expectations.not_null("k"),
+        expectations.not_null("status"),
+        expectations.in_range("amount", 0.0, 998.0),
+        expectations.matches("status", "^OK$"),
+        expectations.in_set("status", ["OK"]),
+    ]
+    t0 = time.time()
+    m = {r["rule_name"]: r["violations"] for r in expectations.evaluate(wide, rules).collect()}
+    print(f"expectations 5 rules x 10M: {time.time()-t0:.1f}s -> {m}")
     spark.stop()
 
 
