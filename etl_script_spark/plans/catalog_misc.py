@@ -803,3 +803,75 @@ def inc_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, measures = ["o_orderpriority"], ["o_totalprice"]
     states = [inc.partial_state(s, keys, measures) for s in slices]
     return inc.finalize(inc.merge_states(states, keys, measures), keys, measures)
+
+
+@register(
+    "scd2_dimension_history",
+    """
+    WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer)
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           '2024-01-01 00:00:00' AS valid_from,
+           CASE WHEN c_custkey % 6 = 0 THEN '2024-02-01 00:00:00'
+                ELSE '9999-12-31 00:00:00' END AS valid_to,
+           c_custkey % 6 <> 0 AS is_current
+    FROM base
+    UNION ALL
+    SELECT c_custkey, 'CHANGED', c_acctbal + 100,
+           '2024-02-01 00:00:00', '9999-12-31 00:00:00', TRUE
+    FROM base WHERE c_custkey % 6 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, 'NEW', 0.0,
+           '2024-02-01 00:00:00', '9999-12-31 00:00:00', TRUE
+    FROM base WHERE c_custkey % 7 = 0
+    """,
+    ("J6", "X-scd2"),
+)
+def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance: init a customer dim at T0,
+    then merge a change batch at T1 that (a) rewrites the segment and
+    balance for every sixth customer, (b) re-states unchanged attrs
+    for the other even customers (must pass through without a new
+    version), and (c) introduces brand-new keys. The oracle restates
+    the exact expected version set: changed keys carry a closed
+    original row + an open changed row, unchanged keys one open row,
+    new keys one open row — the 'what did we believe when we scored
+    it' shape the Type-1 reference masters cannot answer
+    (ImportDbdFinancial.php updateOrCreate overwrites history)."""
+    from etl_script_spark.operators import scd
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    dim = scd.scd2_init(c, "2024-01-01 00:00:00")
+    k = F.col("c_custkey")
+    batch = (
+        c.filter(k % 2 == 0)
+        .select(
+            "c_custkey",
+            F.when(k % 6 == 0, F.lit("CHANGED")).otherwise(
+                F.col("c_mktsegment")
+            ).alias("c_mktsegment"),
+            F.when(k % 6 == 0, F.col("c_acctbal") + 100).otherwise(
+                F.col("c_acctbal")
+            ).alias("c_acctbal"),
+        )
+        .unionByName(
+            c.filter(k % 7 == 0).select(
+                (k + 1000000).alias("c_custkey"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    out = scd.scd2_apply(
+        dim, batch, ["c_custkey"], ["c_mktsegment", "c_acctbal"],
+        "2024-02-01 00:00:00",
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    )
