@@ -875,3 +875,45 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").cast("string").alias("valid_to"),
         "is_current",
     )
+
+
+@register(
+    "fuzzy_name_match",
+    """
+    WITH dirty AS (
+      SELECT s_suppkey AS d_id,
+             lower(substr(s_name, 1, (s_suppkey % 9) + 9) || 'z'
+                   || substr(s_name, (s_suppkey % 9) + 11)) AS d_name
+      FROM supplier
+    )
+    SELECT d.d_id, d.d_name, s.s_suppkey AS c_id,
+           lower(s.s_name) AS c_name,
+           levenshtein(d.d_name, lower(s.s_name)) AS dist
+    FROM dirty d JOIN supplier s
+      ON levenshtein(d.d_name, lower(s.s_name)) <= 1
+    """,
+    ("X-fuzzy-join", "P2"),
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 entity match: supplier names with one injected
+    character substitution joined back to the clean master via
+    PassJoin segment blocking (pigeonhole-complete equi-join
+    candidates + exact levenshtein verify) — including the ambiguous
+    cases where a corrupted trailing digit legitimately matches ten
+    suppliers. The oracle is the naive cross levenshtein join, so the
+    hash check proves the blocked join loses nothing."""
+    from etl_script_spark.operators import fuzzy
+
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    pos = (F.col("s_suppkey") % 9) + 10  # 1-based, inside the digits
+    dirty = s.select(
+        F.col("s_suppkey").alias("d_id"),
+        F.concat(
+            F.substring(F.col("s_name"), 1, pos - 1),
+            F.lit("z"),
+            F.substring(F.col("s_name"), pos + 1, F.lit(1000000)),
+        ).alias("d_name"),
+    )
+    return fuzzy.fuzzy_join(
+        dirty, s, "d_name", "s_name", "d_id", "s_suppkey", k=1
+    )

@@ -1,0 +1,82 @@
+"""PassJoin fuzzy join: pigeonhole recall under substitution,
+insertion and deletion; exact precision; degenerate inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import fuzzy
+
+
+def _clean(spark):
+    return spark.createDataFrame(
+        [(1, "acme trading"), (2, "globex corp"), (3, "initech")],
+        ["id", "name"],
+    )
+
+
+def _match_pairs(spark, dirty_rows, k=1):
+    dirty = spark.createDataFrame(dirty_rows, ["id", "name"])
+    out = fuzzy.fuzzy_join(
+        dirty, _clean(spark), "name", "name", "id", "id", k=k
+    )
+    return {(r["d_id"], r["c_id"], r["dist"]) for r in out.collect()}
+
+
+def test_substitution_insertion_deletion_all_found(spark):
+    pairs = _match_pairs(
+        spark,
+        [
+            (10, "acme trafing"),   # substitution mid-string
+            (11, "xglobex corp"),   # insertion at position 0 (shifts all)
+            (12, "intech"),         # deletion
+            (13, "zcme trading"),   # substitution at position 0
+        ],
+    )
+    assert (10, 1, 1) in pairs
+    assert (11, 2, 1) in pairs
+    assert (12, 3, 1) in pairs
+    assert (13, 1, 1) in pairs
+
+
+def test_precision_beyond_k_excluded(spark):
+    pairs = _match_pairs(spark, [(20, "acme trending"), (21, "unrelated co")])
+    # 'acme trending' is distance 2 from 'acme trading' -> absent at k=1
+    assert not {p for p in pairs if p[0] in (20, 21)}
+    # ...but present at k=2
+    pairs2 = _match_pairs(spark, [(20, "acme trending")], k=2)
+    assert (20, 1, 2) in pairs2
+
+
+def test_exact_match_distance_zero_and_case_fold(spark):
+    pairs = _match_pairs(spark, [(30, "ACME   Trading")])
+    assert (30, 1, 0) in pairs
+
+
+def test_matches_naive_join_on_random_corruptions(spark):
+    clean = spark.range(200).select(
+        F.col("id").alias("id"),
+        F.format_string("company%03d inc", (F.col("id") % 200).cast("int")).alias("name"),
+    )
+    # corrupt one deterministic position per name
+    pos = (F.col("id") % 8) + 3
+    dirty = clean.select(
+        (F.col("id") + 1000).alias("id"),
+        F.concat(
+            F.substring(F.col("name"), F.lit(1), pos - 1),
+            F.lit("#"),
+            F.substring(F.col("name"), pos + 1, F.lit(100)),
+        ).alias("name"),
+    )
+    blocked = fuzzy.fuzzy_join(dirty, clean, "name", "name", "id", "id", k=1)
+    naive = (
+        dirty.select(F.col("id").alias("d_id"), fuzzy.normalize_name(F.col("name")).alias("dn"))
+        .crossJoin(
+            clean.select(F.col("id").alias("c_id"), fuzzy.normalize_name(F.col("name")).alias("cn"))
+        )
+        .filter(F.levenshtein("dn", "cn") <= 1)
+        .select("d_id", "c_id")
+    )
+    b = {(r["d_id"], r["c_id"]) for r in blocked.select("d_id", "c_id").collect()}
+    n = {(r["d_id"], r["c_id"]) for r in naive.collect()}
+    assert b == n and len(b) >= 200
