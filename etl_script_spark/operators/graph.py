@@ -1,0 +1,89 @@
+"""Link-analysis operators: PageRank over an edge DataFrame.
+
+Complements the connected-components family (dedup.py) with the other
+canonical iterative graph computation — importance propagation. Used
+in training-data curation as a document/site authority signal (e.g.
+weighting a crawl by harmonic/PageRank centrality before sampling).
+
+Scale shape: one join + one aggregation per iteration, both
+partitioned by vertex id; ranks are a (vertex, int64) table — edges
+are never materialized per-iteration, and each round's result is
+lazily localCheckpointed so the plan stays linear in iterations (the
+CC lesson). No driver-side graph, no collect.
+
+Determinism: ranks live in NANO-units (int64, 1.0 ≡ 10⁹) and every
+per-edge contribution is INTEGER floor division — `(rank·d_pct) DIV
+(100·out_degree)` — so iteration results are bit-identical across
+partitionings and engines; an unrolled SQL oracle can replay the
+exact arithmetic. The quantization error per step is < out_degree
+nano-units — irrelevant at ranking granularity, priceless for
+verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NANO = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank. Returns (vertex, rank_nano, rank).
+
+    Vertices = union of sources and destinations. A vertex with no
+    out-edges (dangling) keeps its damped base share only — its mass
+    is dropped rather than redistributed, the common simplification
+    (and the one the oracle replays).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # join once: every edge knows its source's out-degree
+    e_deg = e.join(outdeg, "src").localCheckpoint(eager=False)
+
+    ranks = verts.select(
+        "vertex", F.lit(NANO).cast("long").alias("rank_nano")
+    ).localCheckpoint(eager=False)
+    teleport = F.lit(((100 - damping_pct) * NANO) // 100).cast("long")
+    for _i in range(iters):
+        contrib = (
+            e_deg.join(
+                ranks, e_deg["src"] == ranks["vertex"], "inner"
+            )
+            .select(
+                F.col("dst").alias("vertex"),
+                F.expr(f"rank_nano * {damping_pct} DIV (100 * outdeg)").alias(
+                    "c"
+                ),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            verts.join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                (teleport + F.coalesce(F.col("in_mass"), F.lit(0))).alias(
+                    "rank_nano"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "vertex",
+        "rank_nano",
+        (F.col("rank_nano") / NANO).alias("rank"),
+    )

@@ -917,3 +917,73 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy.fuzzy_join(
         dirty, s, "d_name", "s_name", "d_id", "s_suppkey", k=1
     )
+
+
+@register(
+    "graph_pagerank",
+    """
+    WITH e AS (
+      SELECT s_suppkey AS src, (s_suppkey * 7 + 1) % 100 AS dst FROM supplier
+      WHERE s_suppkey < 100
+      UNION ALL
+      SELECT s_suppkey, (s_suppkey * 13 + 2) % 100 FROM supplier
+      WHERE s_suppkey < 100
+      UNION ALL
+      SELECT s_suppkey, (s_suppkey * 3) % 100 FROM supplier
+      WHERE s_suppkey < 100
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+    v AS (SELECT DISTINCT src AS vertex FROM e
+          UNION SELECT DISTINCT dst FROM e),
+    r0 AS (SELECT vertex, CAST(1000000000 AS BIGINT) AS rank_nano FROM v),
+    r1 AS (
+      SELECT v.vertex, 150000000 + COALESCE(m.s, 0) AS rank_nano
+      FROM v LEFT JOIN (
+        SELECT ed.dst AS vertex,
+               SUM((r0.rank_nano * 85) // (100 * ed.outdeg)) AS s
+        FROM ed JOIN r0 ON ed.src = r0.vertex GROUP BY ed.dst
+      ) m ON v.vertex = m.vertex
+    ),
+    r2 AS (
+      SELECT v.vertex, 150000000 + COALESCE(m.s, 0) AS rank_nano
+      FROM v LEFT JOIN (
+        SELECT ed.dst AS vertex,
+               SUM((r1.rank_nano * 85) // (100 * ed.outdeg)) AS s
+        FROM ed JOIN r1 ON ed.src = r1.vertex GROUP BY ed.dst
+      ) m ON v.vertex = m.vertex
+    ),
+    r3 AS (
+      SELECT v.vertex, 150000000 + COALESCE(m.s, 0) AS rank_nano
+      FROM v LEFT JOIN (
+        SELECT ed.dst AS vertex,
+               SUM((r2.rank_nano * 85) // (100 * ed.outdeg)) AS s
+        FROM ed JOIN r2 ON ed.src = r2.vertex GROUP BY ed.dst
+      ) m ON v.vertex = m.vertex
+    )
+    SELECT vertex, CAST(rank_nano AS BIGINT) AS rank_nano,
+           rank_nano / 1000000000 AS rank
+    FROM r3
+    """,
+    ("X-graph",),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-iteration PageRank over a deterministic 100-vertex
+    3-out-regular graph derived from supplier keys. Ranks propagate
+    in integer nano-units with floor-division contributions, so the
+    unrolled recursive SQL oracle replays the arithmetic bit-for-bit
+    — the iterative-graph counterpart of the alternating-CC op, same
+    lazy-localCheckpoint per-round discipline, no driver-side
+    graph."""
+    from etl_script_spark.operators import graph
+
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 100).select(
+        "s_suppkey"
+    )
+    k = F.col("s_suppkey")
+    edges = (
+        s.select(k.alias("src"), ((k * 7 + 1) % 100).alias("dst"))
+        .unionByName(s.select(k.alias("src"), ((k * 13 + 2) % 100).alias("dst")))
+        .unionByName(s.select(k.alias("src"), ((k * 3) % 100).alias("dst")))
+    )
+    return graph.pagerank(edges, "src", "dst", iters=3)
