@@ -56,6 +56,16 @@ EXTRA = [
     "inc_agg_maintenance",
     "layout_range_clustered_read",
     "pipeline_remittance_e2e",
+    # --- round 4: classic queries / events / entity ops / graph ---
+    "q10_returned_items",
+    "q6_forecast_revenue",
+    "ev_cohort_retention",
+    "ev_value_cube",
+    "fuzzy_name_match",
+    "scd2_dimension_history",
+    "graph_pagerank",
+    "sk_theta_set_ops",
+    "layout_compact_small_files",
 ]
 
 

@@ -1,0 +1,127 @@
+"""Per-group feature normalization for training-data prep.
+
+The numeric-hygiene counterpart of the text curation family: before
+embeddings/metrics feed a model, columns get winsorized (outlier
+caps), z-scored, or min-max scaled — per group (per source, per
+language, per feature family), in one or two passes, with the same
+cross-engine determinism contract as the rest of the catalog.
+
+Determinism: moments are computed from DECIMAL sums (sum, sum of
+squares) and combined into mean/variance with a fixed expression
+shape, so both engines derive the same IEEE doubles; the reductions
+are order-independent by construction. Quantile-based caps use the
+EXACT per-group percentile (sorted-array element), not a sketch —
+winsorize thresholds must be reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,8)"  # wide: sums of squares overflow 18 digits fast
+
+
+def group_moments(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(group, n, mean, var_samp, std) from decimal sums — one
+    map-side-combined aggregation; var via the sum-of-squares
+    identity over EXACT sums, so partitioning cannot move a bit."""
+    agg = df.groupBy(group_col).agg(
+        F.count(value_col).alias("n"),
+        F.sum(F.col(value_col).cast(_DEC)).alias("__s"),
+        F.sum(
+            (F.col(value_col).cast(_DEC) * F.col(value_col).cast(_DEC))
+        ).alias("__s2"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("__s").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = s / n
+    var = F.when(
+        F.col("n") > 1, (s2 - s * s / n) / (n - 1)
+    ).otherwise(F.lit(None))
+    return agg.select(
+        group_col,
+        "n",
+        mean.alias("mean"),
+        var.alias("var_samp"),
+        F.sqrt(var).alias("std"),
+    )
+
+
+def zscore(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "z"
+) -> DataFrame:
+    """Per-group z-score. Groups with n ≤ 1 or zero variance yield
+    NULL (no information to scale by — a 0/0 would poison training).
+    The moments table is group-cardinality → broadcast-eligible; the
+    data side never shuffles."""
+    m = group_moments(df, group_col, value_col)
+    joined = df.join(F.broadcast(m), group_col)
+    z = F.when(
+        F.col("std") > 0, (F.col(value_col) - F.col("mean")) / F.col("std")
+    )
+    return joined.select(*df.columns, z.alias(out_col))
+
+
+def minmax(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "scaled"
+) -> DataFrame:
+    """Per-group min-max scale to [0, 1]; constant groups yield NULL
+    (not 0 — a constant carries no ordering information)."""
+    m = df.groupBy(group_col).agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+    joined = df.join(F.broadcast(m), group_col)
+    scaled = F.when(
+        F.col("__hi") > F.col("__lo"),
+        (F.col(value_col) - F.col("__lo")) / (F.col("__hi") - F.col("__lo")),
+    )
+    return joined.select(*df.columns, scaled.alias(out_col))
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    out_col: str = "capped",
+) -> DataFrame:
+    """Cap values at the per-group [lower_q, upper_q] RANK-based
+    percentiles: the cap is the DATA ELEMENT at rank
+    ``floor(q·(n−1)) + 1`` of the sorted group (SQL type-1 quantile)
+    — never an interpolated float and never a sketch estimate, so
+    caps are reproducible bit-for-bit across engines and runs
+    (interpolated quantile_cont arithmetic differs subtly between
+    engines; percentile_approx drifts with sketch state — both are
+    poison for a threshold other jobs must re-derive).
+
+    One window sort per group + a conditional-max aggregate; at
+    100 TB the per-group sorts distribute across the
+    group-partitioned shuffle, and the caps table is
+    group-cardinality → broadcast back."""
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__v"),
+    ).select(
+        "__g",
+        "__v",
+        F.row_number().over(
+            Window.partitionBy("__g").orderBy("__v")
+        ).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"),
+    )
+    k_lo = (F.floor(F.lit(lower_q) * (F.col("__n") - 1)) + 1).cast("int")
+    k_hi = (F.floor(F.lit(upper_q) * (F.col("__n") - 1)) + 1).cast("int")
+    caps = ranked.groupBy("__g").agg(
+        F.max(F.when(F.col("__rn") == k_lo, F.col("__v"))).alias("__plo"),
+        F.max(F.when(F.col("__rn") == k_hi, F.col("__v"))).alias("__phi"),
+    )
+    joined = df.join(
+        F.broadcast(caps), F.col(group_col) == F.col("__g")
+    )
+    capped = F.least(F.greatest(F.col(value_col), F.col("__plo")), F.col("__phi"))
+    return joined.select(*df.columns, capped.alias(out_col))

@@ -1174,3 +1174,60 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "feat_normalize_pipeline",
+    """
+    WITH ranked AS (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    caps AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1
+                      THEN value END) AS plo,
+             MAX(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+                      THEN value END) AS phi
+      FROM ranked GROUP BY event_type
+    ),
+    capped AS (
+      SELECT e.event_id, e.event_type,
+             LEAST(GREATEST(e.value, c.plo), c.phi) AS capped
+      FROM events e JOIN caps c USING (event_type)
+    ),
+    mom AS (
+      SELECT event_type, COUNT(capped) AS n,
+             CAST(SUM(CAST(capped AS DECIMAL(28,8))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(capped AS DECIMAL(28,8))
+                      * CAST(capped AS DECIMAL(28,8))) AS DOUBLE) AS s2
+      FROM capped GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type, c.capped,
+           ROUND(CASE WHEN sqrt((s2 - s * s / n) / (n - 1)) > 0
+                 THEN (c.capped - s / n) / sqrt((s2 - s * s / n) / (n - 1))
+                 END, 6) AS z
+    FROM capped c JOIN mom USING (event_type)
+    """,
+    ("LLM-features",),
+)
+def feat_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric feature prep for training data: per-event-type
+    rank-based winsorize (caps are sorted data elements — reproducible
+    across engines, unlike interpolated or sketched quantiles) then
+    z-score from decimal-sum moments. Caps and moments are
+    bit-identical across engines; the final division/sqrt chain can
+    differ in the last ulp (FMA contraction differences), so z is
+    quantized to 6 dp on both sides — the house policy."""
+    from etl_script_spark.operators import features
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    capped = features.winsorize(
+        ev, "event_type", "value", lower_q=0.05, upper_q=0.95
+    ).select("event_id", "event_type", "capped")
+    z = features.zscore(capped, "event_type", "capped")
+    return z.select(
+        "event_id", "event_type", "capped", F.round(F.col("z"), 6).alias("z")
+    )
