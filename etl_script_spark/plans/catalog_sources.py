@@ -890,3 +890,120 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     writers.atomic_overwrite_parquet(scattered, table)
     layout.compact_files(spark, table)
     return spark.read.parquet(f"{table}/current")
+
+
+@register(
+    "s20_variant_semistructured",
+    """
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 9 THEN '{"broken'
+                  ELSE '{"id": ' || CAST(o_orderkey AS VARCHAR)
+                       || ', "cust": {"key": ' || CAST(o_custkey AS VARCHAR)
+                       || ', "seg": "s' || CAST(o_orderkey % 5 AS VARCHAR)
+                       || '"}, "amounts": [' || CAST(o_orderkey % 100 AS VARCHAR)
+                       || ', ' || CAST(o_orderkey % 100 + 1 AS VARCHAR)
+                       || '], "flag": '
+                       || CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END
+                       || '}'
+             END AS js
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN json_valid(js) THEN CAST(js->>'$.id' AS BIGINT) END AS id,
+           CASE WHEN json_valid(js) THEN js->>'$.cust.seg' END AS seg,
+           CASE WHEN json_valid(js)
+                THEN CAST(js->>'$.amounts[1]' AS BIGINT) END AS amt1,
+           CASE WHEN json_valid(js) THEN js->>'$.flag' END AS flag,
+           json_valid(js) AS parsed_ok
+    FROM raw
+    """,
+    ("S20-variant",),
+)
+def s20_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through the VARIANT type (Spark 4):
+    JSON payloads (10% malformed) parse once with try_parse_json —
+    malformed rows become NULL variants instead of poisoning the
+    batch (the ANSI-safe S11 convention) — and typed fields extract
+    lazily with try_variant_get path expressions (nested object,
+    array index, boolean). At scale VARIANT beats schema-on-read
+    from_json when payload shapes drift: no upfront schema, binary
+    encoding, per-path extraction cost only for the paths actually
+    read."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    k = F.col("o_orderkey")
+    js = F.when(k % 10 == 9, F.lit('{"broken')).otherwise(
+        F.concat(
+            F.lit('{"id": '), k.cast("string"),
+            F.lit(', "cust": {"key": '), F.col("o_custkey").cast("string"),
+            F.lit(', "seg": "s'), (k % 5).cast("string"),
+            F.lit('"}, "amounts": ['), (k % 100).cast("string"),
+            F.lit(", "), (k % 100 + 1).cast("string"),
+            F.lit('], "flag": '),
+            F.when(k % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+            F.lit("}"),
+        )
+    )
+    v = o.select("o_orderkey", F.try_parse_json(js).alias("v"))
+    return v.select(
+        "o_orderkey",
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        F.try_variant_get("v", "$.cust.seg", "string").alias("seg"),
+        F.try_variant_get("v", "$.amounts[1]", "long").alias("amt1"),
+        # string, not boolean: a NULLable boolean surfaces as None in
+        # Spark's toPandas but NaN in DuckDB's — strings align
+        F.try_variant_get("v", "$.flag", "boolean").cast("string").alias("flag"),
+        F.col("v").isNotNull().alias("parsed_ok"),
+    )
+
+
+@register(
+    "s21_python_datasource_paged",
+    """
+    SELECT 'DOC' || CAST(o_orderkey AS VARCHAR) AS doc_no,
+           CAST(o_orderkey % 1000 AS DOUBLE) + 0.5 AS amount,
+           CAST(o_orderkey % 8 AS INT) AS page
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+    ("S21-pyds",),
+)
+def s21_python_datasource_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 API): the S10 paged-feed
+    bronze directory read back through a REGISTERED ``paged_feed``
+    format — 8 page files become 8 InputPartitions planned by the
+    source, read on executors through the normal
+    ``spark.read.format(...)`` surface. The fixture pages are built
+    from orders so the oracle can restate the feed exactly."""
+    import json as _json
+    import os as _os
+
+    from etl_script_spark.sources import pyds
+
+    d = _workdir(sf_dir, "s21")
+    feed = f"{d}/feed"
+    _os.makedirs(feed, exist_ok=True)
+    rows = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            F.concat(F.lit("DOC"), F.col("o_orderkey").cast("string")).alias(
+                "doc_no"
+            ),
+            ((F.col("o_orderkey") % 1000).cast("double") + 0.5).alias("amount"),
+            (F.col("o_orderkey") % 8).cast("int").alias("page"),
+        )
+        .collect()  # bounded fixture build (catalog-source convention)
+    )
+    pages: dict[int, list] = {}
+    for r in rows:
+        pages.setdefault(r["page"], []).append(
+            {"doc_no": r["doc_no"], "amount": r["amount"]}
+        )
+    for p, recs in pages.items():
+        with open(f"{feed}/page_{p:04d}.json", "w", encoding="utf-8") as fh:
+            _json.dump(sorted(recs, key=lambda x: x["doc_no"]), fh)
+    for stale in _os.listdir(feed):
+        if stale.endswith(".json") and int(stale[5:9]) not in pages:
+            _os.remove(f"{feed}/{stale}")
+    pyds.register(spark)
+    return spark.read.format("paged_feed").option("path", feed).load()

@@ -551,3 +551,32 @@ def test_compact_files_clustered_restores_skipping(spark, tmp_path):
     assert len(ranges) > 1
     for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+def test_paged_feed_datasource_partitions_and_content(spark, tmp_path):
+    import json
+
+    from etl_script_spark.sources import pyds
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for p in range(8):
+        recs = [
+            {"doc_no": f"D{p}_{i}", "amount": float(p * 10 + i)}
+            for i in range(5)
+        ]
+        (feed / f"page_{p:04d}.json").write_text(json.dumps(recs))
+    # a skipped page number must not shift attribution
+    (feed / "page_0003.json").unlink()
+    pyds.register(spark)
+    df = spark.read.format("paged_feed").option("path", str(feed)).load()
+    rows = df.collect()
+    assert len(rows) == 35
+    assert df.rdd.getNumPartitions() >= 1
+    by_page = {}
+    for r in rows:
+        by_page.setdefault(r["page"], set()).add(r["doc_no"])
+    assert 3 not in by_page
+    assert by_page[7] == {f"D7_{i}" for i in range(5)}
+    # schema projection works through the custom source
+    assert df.select("amount").schema[0].dataType.typeName() == "double"
