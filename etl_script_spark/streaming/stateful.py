@@ -40,58 +40,69 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n long, total_cents long"
 
 
+def _anomaly_batch(
+    pdf: pd.DataFrame,
+    user_id: int,
+    n: int,
+    total: int,
+    factor_num: int,
+    factor_den: int,
+) -> tuple[pd.DataFrame, int, int]:
+    """Vectorized per-batch running state shared by BOTH stateful
+    APIs: prev_total/n_prev for row i are the carried-in state plus
+    the shifted cumulative sums of this batch — no per-row Python.
+    int64 cast truncates the IEEE double toward zero exactly like
+    int() (values are non-negative cents; cross-multiplies stay far
+    below 2^63 for realistic counts x amounts). NULL/NaN values
+    mirror the JVM twin exactly: NULL cents, excluded from the
+    running total, still counted in n_prev, never anomalous — a raw
+    astype would smuggle INT64_MIN into the state."""
+    import numpy as np
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    vals = pdf["value"].to_numpy(dtype=np.float64)
+    nanmask = np.isnan(vals)
+    cents = np.where(nanmask, 0.0, vals * 100).astype(np.int64)
+    csum = np.cumsum(np.where(nanmask, 0, cents))
+    prev_total = total + np.concatenate(([0], csum[:-1]))
+    n_prev = n + np.arange(len(cents), dtype=np.int64)
+    is_anom = (
+        ~nanmask
+        & (n_prev > 0)
+        & (cents * n_prev * factor_den > factor_num * prev_total)
+    )
+    frame = pd.DataFrame(
+        {
+            "user_id": np.full(len(cents), user_id, dtype=np.int64),
+            "event_id": pdf["event_id"].to_numpy(),
+            "value_cents": pd.array(
+                np.where(nanmask, None, cents), dtype="Int64"
+            ),
+            "prev_total_cents": prev_total,
+            "n_prev": n_prev,
+            "is_anomaly": is_anom,
+        }
+    )
+    if len(cents):
+        n = int(n_prev[-1]) + 1
+        total = int(prev_total[-1]) + (0 if nanmask[-1] else int(cents[-1]))
+    return frame, n, total
+
+
 def _flag_anomalies(factor_num: int, factor_den: int):
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         (n, total) = state.get if state.exists else (0, 0)
         user_id = key[0]
         frames: list[pd.DataFrame] = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            # vectorized running state: prev_total/n_prev for row i are
-            # the carried-in state plus the shifted cumulative sums of
-            # this batch — no per-row Python. int64 cast truncates the
-            # IEEE double toward zero exactly like int() (values are
-            # non-negative cents; cross-multiplies stay far below 2^63
-            # for realistic counts x amounts). NULL/NaN values mirror
-            # the JVM twin exactly: NULL cents, excluded from the
-            # running total, still counted in n_prev, never anomalous —
-            # a raw astype would smuggle INT64_MIN into the state.
-            vals = pdf["value"].to_numpy(dtype=np.float64)
-            nanmask = np.isnan(vals)
-            cents = np.where(nanmask, 0.0, vals * 100).astype(np.int64)
-            csum = np.cumsum(np.where(nanmask, 0, cents))
-            prev_total = total + np.concatenate(([0], csum[:-1]))
-            n_prev = n + np.arange(len(cents), dtype=np.int64)
-            is_anom = (
-                ~nanmask
-                & (n_prev > 0)
-                & (cents * n_prev * factor_den > factor_num * prev_total)
+            frame, n, total = _anomaly_batch(
+                pdf, user_id, n, total, factor_num, factor_den
             )
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "user_id": np.full(len(cents), user_id, dtype=np.int64),
-                        "event_id": pdf["event_id"].to_numpy(),
-                        "value_cents": pd.array(
-                            np.where(nanmask, None, cents), dtype="Int64"
-                        ),
-                        "prev_total_cents": prev_total,
-                        "n_prev": n_prev,
-                        "is_anomaly": is_anom,
-                    }
-                )
-            )
-            if len(cents):
-                n = int(n_prev[-1]) + 1
-                total = int(prev_total[-1]) + (
-                    0 if nanmask[-1] else int(cents[-1])
-                )
+            frames.append(frame)
         state.update((n, total))
         yield pd.concat(frames) if frames else pd.DataFrame(
             columns=[
@@ -159,4 +170,65 @@ def running_mean_anomalies_jvm(
         prev_total.alias("prev_total_cents"),
         n_prev.alias("n_prev"),
         is_anom.alias("is_anomaly"),
+    )
+
+
+def running_mean_anomalies_tws(
+    events: DataFrame, factor_num: int = 2, factor_den: int = 1
+) -> DataFrame:
+    """Third implementation of the same contract, on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    applyInPandasWithState: typed named state slots (ValueState here;
+    ListState/MapState/timers available), explicit processor
+    lifecycle, and state schema evolution support. Same vectorized
+    batch core, same bit-exact integer semantics, so the one SQL
+    oracle checks all three paths.
+
+    Prefer this API for NEW stateful operators; the
+    applyInPandasWithState twin stays as the pre-4.0 pattern.
+
+    Environment gate: the transformWithState runtime serializes state
+    through protobuf — absent in this container, so this path carries
+    a unit test that skips without it (the same gated-engine
+    convention as the PDF extractors) and no catalog entry; the
+    applyInPandasWithState and JVM twins remain the driver-checked
+    paths."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-specific
+        raise ImportError(
+            "transformWithStateInPandas requires protobuf at runtime; "
+            "use running_mean_anomalies (applyInPandasWithState) or the "
+            "JVM window twin in protobuf-less environments"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._agg.get() if self._agg.exists() else (0, 0)
+            )
+            user_id = key[0]
+            for pdf in rows:
+                frame, n, total = _anomaly_batch(
+                    pdf, user_id, n, total, factor_num, factor_den
+                )
+                yield frame
+            self._agg.update((n, total))
+
+        def close(self) -> None:
+            pass
+
+    src = events.select("user_id", "event_id", "ts", "value")
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Proc(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
     )

@@ -129,3 +129,27 @@ def test_jvm_anomaly_twin_matches_python_state(spark, sf_dir):
     a = {tuple(r) for r in jvm.select(cols).collect()}
     b = {tuple(r) for r in py.select(cols).collect()}
     assert a == b
+
+
+def test_tws_twin_gated_or_matches_python_state(spark):
+    """transformWithStateInPandas twin: runs (and must agree with the
+    applyInPandasWithState path) where protobuf exists; raises the
+    documented gate error where it doesn't."""
+    import pytest
+
+    from etl_script_spark.streaming import ingest, stateful
+
+    sdf = ingest.stream_events(spark, "/root/testdata/sf0.001")
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            stateful.running_mean_anomalies_tws(sdf)
+        return
+    got = ingest.run_available_now(
+        stateful.running_mean_anomalies_tws(sdf), "tws_test"
+    )
+    ref = ingest.run_available_now(
+        stateful.running_mean_anomalies(sdf), "aipws_test"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
