@@ -493,3 +493,38 @@ def kmeans_lloyd(
         F.col(id_col), ivf_assign(vec_col, cents).alias("cluster")
     )
     return cents, out
+
+
+def quantize_int8(
+    vectors: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127,
+    q_i = sign(x_i)·floor(|x_i|/scale + 0.5). At 100 TB an fp32
+    embedding table is the storage AND shuffle bottleneck — int8 cuts
+    both 4×, and every ANN operator in this module accepts the
+    dequantized form at a ≤ scale/2 per-coordinate error (half a
+    quantization step — the bound the catalog oracle asserts).
+
+    The explicit sign/floor form (not round()) is deliberate:
+    round-half behavior differs between engines for negatives, this
+    formula is bit-identical everywhere. All-zero vectors take
+    scale = 0 with all-zero codes. Returns (id, scale, q).
+    """
+    scale = F.array_max(
+        F.transform(F.col(vec_col), lambda v: F.abs(v.cast("double")))
+    ) / F.lit(127.0)
+    out = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col),
+        scale.alias("scale"),
+    )
+    q = F.when(F.col("scale") == 0.0, F.transform(
+        F.col(vec_col), lambda v: F.lit(0)
+    )).otherwise(
+        F.expr(
+            "transform(" + vec_col + ", v -> CAST("
+            "CASE WHEN CAST(v AS DOUBLE) < 0 THEN -1 ELSE 1 END"
+            " * floor(abs(CAST(v AS DOUBLE)) / scale + 0.5) AS INT))"
+        )
+    )
+    return out.select("id", "scale", q.alias("q"))

@@ -793,3 +793,51 @@ def tok_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "roundtrip_ok",
         (F.col("n_tokens") >= F.col("n_words")).alias("tokens_per_word_ok"),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id AS id, scale,
+           CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding, x -> CAST(
+                  (CASE WHEN CAST(x AS DOUBLE) < 0 THEN -1 ELSE 1 END)
+                  * floor(abs(CAST(x AS DOUBLE)) / scale + 0.5) AS INT))
+           END AS q,
+           TRUE AS reconstruct_ok
+    FROM base
+    """,
+    ("LLM-similarity", "SK-quantize"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with a per-row
+    reconstruction-error invariant: every dequantized coordinate sits
+    within half a quantization step (scale/2 + 1e-12 float slack) of
+    the original. Codes and scales hash-match DuckDB exactly (the
+    sign/floor formula is engine-stable where round-half is not); the
+    invariant column proves the 4x-compression claim is loss-BOUNDED,
+    not just loss-y."""
+    from etl_script_spark.operators import similarity
+
+    e = t(spark, sf_dir, "embeddings")
+    out = similarity.quantize_int8(e, "vec_id", "embedding")
+    joined = out.join(
+        e.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    )
+    err_ok = F.when(
+        F.col("scale") == 0.0, F.lit(True)
+    ).otherwise(
+        F.expr(
+            "aggregate(zip_with(embedding, q, (x, qi) -> "
+            "abs(CAST(x AS DOUBLE) - qi * scale)), CAST(0.0 AS DOUBLE), "
+            "(acc, e) -> greatest(acc, e)) <= scale / 2 + 1e-12"
+        )
+    )
+    return joined.select("id", "scale", "q", err_ok.alias("reconstruct_ok"))

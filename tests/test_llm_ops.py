@@ -388,3 +388,38 @@ def test_ivf_fit_sample_unbiased_under_adversarial_ids(spark):
         similarity.ivf_topk(e, queries, k=10, n_centroids=8, nprobe=3)
     )
     assert _recall(ivf, exact) >= 0.5
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    from pyspark.sql import functions as F
+
+    from etl_script_spark.operators import similarity
+
+    vec = spark.range(200).select(
+        F.col("id").alias("vid"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (F.xxhash64(i, F.col("id")) % 2000 - 1000).cast("double")
+            / 500.0,
+        ).alias("emb"),
+    )
+    # plant an all-zero vector
+    vec = vec.withColumn(
+        "emb",
+        F.when(
+            F.col("vid") == 7,
+            F.transform(F.sequence(F.lit(0), F.lit(15)), lambda i: F.lit(0.0)),
+        ).otherwise(F.col("emb")),
+    )
+    out = similarity.quantize_int8(vec, "vid", "emb")
+    rows = out.join(
+        vec.select(F.col("vid").alias("id"), "emb"), "id"
+    ).collect()
+    assert len(rows) == 200
+    for r in rows:
+        if r["scale"] == 0.0:
+            assert all(q == 0 for q in r["q"])
+            continue
+        assert all(abs(q) <= 127 for q in r["q"])
+        for x, q in zip(r["emb"], r["q"]):
+            assert abs(x - q * r["scale"]) <= r["scale"] / 2 + 1e-12
