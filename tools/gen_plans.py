@@ -100,6 +100,21 @@ SHOW = {
         "2 regex executions per pattern (sentinel replace + split), "
         "all inside whole-stage codegen."
     ),
+    "fuzzy_name_match": (
+        "PassJoin fuzzy join: candidates meet on a (length, seg_idx, "
+        "substring) HASH equi-join — no theta join anywhere in the "
+        "plan; the levenshtein verify is a plain post-join Filter."
+    ),
+    "q6_forecast_revenue": (
+        "TPC-H Q6 shape: all three predicates in PushedFilters, "
+        "ReadSchema pruned to 4 columns, one partial/final hash "
+        "aggregate pair — the canonical scan-bound plan."
+    ),
+    "graph_pagerank": (
+        "PageRank round: one join + one aggregation per iteration "
+        "over localCheckpointed inputs — plan depth stays constant "
+        "per round instead of growing with iteration count."
+    ),
 }
 
 
