@@ -291,14 +291,20 @@ def theta_set_ops_check(
             "d_est"
         ),
     )
-    ea = a.select(F.col(col).alias("v")).distinct()
-    eb = b.select(F.col(col).alias("v")).distinct()
-    exact = (
-        ea.join(eb, "v", "full_outer")
-        .withColumn("in_a", F.lit(True))
-        .agg(F.count(F.lit(1)).alias("exact_union"))
-        .crossJoin(ea.join(eb, "v", "left_semi").agg(F.count(F.lit(1)).alias("exact_intersection")))
-        .crossJoin(ea.join(eb, "v", "left_anti").agg(F.count(F.lit(1)).alias("exact_a_only")))
+    # exact verification in ONE full-outer join: presence marks on
+    # each side classify every key as union / intersection / a-only
+    # in a single aggregate (the naive 3-join form re-ran the two
+    # distincts six times)
+    ea = a.select(F.col(col).alias("v")).distinct().withColumn("__a", F.lit(1))
+    eb = b.select(F.col(col).alias("v")).distinct().withColumn("__b", F.lit(1))
+    exact = ea.join(eb, "v", "full_outer").agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(
+            F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1).otherwise(0)
+        ).alias("exact_intersection"),
+        F.sum(
+            F.when(F.col("__a").isNotNull() & F.col("__b").isNull(), 1).otherwise(0)
+        ).alias("exact_a_only"),
     )
     bound = 4.0 * 1.04 / (2 ** (lg_k / 2.0))
     out = exact.crossJoin(both)
