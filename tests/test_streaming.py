@@ -153,3 +153,44 @@ def test_tws_twin_gated_or_matches_python_state(spark):
         stateful.running_mean_anomalies(sdf), "aipws_test"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_available_now_resumes_exactly_once(spark, tmp_path):
+    """Checkpointed AvailableNow ingest into a FILE sink: a second run
+    over the same drop directory (same checkpoint) appends ONLY files
+    that landed since — the reference's 'rerun the importer monthly'
+    loop without re-reading or double-counting history. (A file sink,
+    not memory: only durable sinks support checkpoint recovery.)"""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_pass():
+        src = spark.readStream.schema("k long, v long").parquet(str(drop))
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(sink).collect()
+
+    spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    for f in (tmp_path / "b1").glob("*.parquet"):
+        shutil.copy(f, drop / "batch1.parquet")
+    first = run_pass()
+    assert sorted(r["k"] for r in first) == list(range(10))
+
+    spark.range(10, 15).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    for f in (tmp_path / "b2").glob("*.parquet"):
+        shutil.copy(f, drop / "batch2.parquet")
+    second = run_pass()
+    # batch1 rows exactly once, batch2 appended once — no replay
+    assert sorted(r["k"] for r in second) == list(range(15))
