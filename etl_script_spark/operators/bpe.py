@@ -138,23 +138,31 @@ def tokenize(
 
     def _run(batches):
         ranks = ranks_b.value
-        cache: dict[str, list[str]] = {}
+        # cache maps word -> (token_count, roundtrip_ok): the
+        # roundtrip is checked PER WORD — token chars must equal
+        # word + EOW exactly (merges only ever concatenate adjacent
+        # symbols, so the marker stays a suffix). A global
+        # replace(EOW, ' ') would corrupt documents whose TEXT
+        # contains the literal marker bytes and flag a false failure.
+        cache: dict[str, tuple[int, bool]] = {}
         for pdf in batches:
             ids, n_words, n_tokens, ok = [], [], [], []
             for did, text in zip(pdf["id"], pdf["text"]):
                 ws = [w for w in (text or "").lower().split() if w]
-                toks: list[str] = []
+                total = 0
+                doc_ok = True
                 for w in ws:
-                    enc = cache.get(w)
-                    if enc is None:
+                    hit = cache.get(w)
+                    if hit is None:
                         enc = encode_word(w, ranks)
-                        cache[w] = enc
-                    toks.extend(enc)
-                rebuilt = "".join(toks).replace(EOW, " ").rstrip()
+                        hit = (len(enc), "".join(enc) == w + EOW)
+                        cache[w] = hit
+                    total += hit[0]
+                    doc_ok = doc_ok and hit[1]
                 ids.append(did)
                 n_words.append(len(ws))
-                n_tokens.append(len(toks))
-                ok.append(rebuilt == " ".join(ws))
+                n_tokens.append(total)
+                ok.append(doc_ok)
             yield pd.DataFrame(
                 {
                     "id": pd.Series(ids, dtype="int64"),

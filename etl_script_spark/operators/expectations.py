@@ -60,11 +60,22 @@ def in_range(col: str, lo, hi) -> Rule:
 
 
 def in_set(col: str, values: list) -> Rule:
-    return Rule(f"in_set_{col}", F.col(col).isin(values))
+    """NULL is a violation: a value that isn't in the set isn't in the
+    set. (Bare ``isin`` evaluates to NULL on NULL input — SQL
+    three-valued logic — which evaluate/split would count as a PASS;
+    every value rule in this family is explicitly null-rejecting,
+    matching ``in_range``. Rows where NULL is legitimate get no value
+    rule, or a separate ``not_null`` with the column exempted.)"""
+    return Rule(
+        f"in_set_{col}", F.col(col).isNotNull() & F.col(col).isin(values)
+    )
 
 
 def matches(col: str, rx: str) -> Rule:
-    return Rule(f"matches_{col}", F.col(col).rlike(rx))
+    """NULL is a violation — see ``in_set``."""
+    return Rule(
+        f"matches_{col}", F.col(col).isNotNull() & F.col(col).rlike(rx)
+    )
 
 
 def referential(

@@ -103,16 +103,23 @@ def winsorize(
     group-cardinality → broadcast back."""
     from pyspark.sql import Window
 
-    ranked = df.select(
-        F.col(group_col).alias("__g"),
-        F.col(value_col).alias("__v"),
-    ).select(
-        "__g",
-        "__v",
-        F.row_number().over(
-            Window.partitionBy("__g").orderBy("__v")
-        ).alias("__rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"),
+    # NULL values take no part in rank selection (they would sort
+    # first and swallow the lower cap) and come out as NULL — the
+    # cap applies to data, absence stays absence
+    ranked = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .select(
+            "__g",
+            "__v",
+            F.row_number().over(
+                Window.partitionBy("__g").orderBy("__v")
+            ).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"),
+        )
     )
     k_lo = (F.floor(F.lit(lower_q) * (F.col("__n") - 1)) + 1).cast("int")
     k_hi = (F.floor(F.lit(upper_q) * (F.col("__n") - 1)) + 1).cast("int")
@@ -121,7 +128,12 @@ def winsorize(
         F.max(F.when(F.col("__rn") == k_hi, F.col("__v"))).alias("__phi"),
     )
     joined = df.join(
-        F.broadcast(caps), F.col(group_col) == F.col("__g")
+        F.broadcast(caps), F.col(group_col) == F.col("__g"), "left"
     )
-    capped = F.least(F.greatest(F.col(value_col), F.col("__plo")), F.col("__phi"))
+    capped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(
+            F.greatest(F.col(value_col), F.col("__plo")), F.col("__phi")
+        ),
+    )
     return joined.select(*df.columns, capped.alias(out_col))

@@ -33,12 +33,17 @@ from pyspark.sql import functions as F
 from etl_script_spark.operators.partitioning import fan_out
 
 
+from etl_script_spark.operators.dedup import normalize_text
+
+
 def normalize_name(c: Column) -> Column:
-    """Join-key normalization: lowercase, collapse whitespace, trim.
-    (Deliberately NOT stripping punctuation — that changes edit
-    distances; callers wanting punctuation-blind matching strip
-    upstream on both sides.)"""
-    return F.trim(F.regexp_replace(F.lower(c.cast("string")), r"\s+", " "))
+    """Join-key normalization — the shared corpus normalizer
+    (lowercase, collapse whitespace, trim; dedup.normalize_text), so
+    fuzzy-join keys can never drift from the dedup family's notion of
+    equal text. (Deliberately NOT stripping punctuation — that
+    changes edit distances; callers wanting punctuation-blind
+    matching strip upstream on both sides.)"""
+    return normalize_text(c)
 
 
 def _seg_bounds(length: Column, i: Column, k: int) -> tuple[Column, Column]:
@@ -141,6 +146,30 @@ def fuzzy_join(
     probes = probe_keys(dirty, dirty_name, dirty_id, k)
     cand = probes.join(segs, ["L", "seg_idx", "seg"]).select(
         "d_id", "d_name", "c_id", "c_name"
+    )
+    # clean strings shorter than k+1 chars cannot be segmented — the
+    # pigeonhole path drops them, so they take a bounded cross join
+    # instead: any dirty string within distance k of a (< k+1)-char
+    # clean string has length ≤ 2k, so both sides of the cross are
+    # tiny length-filtered subsets (strings that short are rare; the
+    # cross is O(|short_clean| · |short_dirty|), both ≪ corpus)
+    short_clean = (
+        clean.select(
+            F.col(clean_id).alias("c_id"),
+            normalize_name(F.col(clean_name)).alias("c_name"),
+        )
+        .filter(F.length("c_name") < k + 1)
+    )
+    short_dirty = (
+        dirty.select(
+            F.col(dirty_id).alias("d_id"),
+            normalize_name(F.col(dirty_name)).alias("d_name"),
+        )
+        .filter(F.length("d_name") <= 2 * k)
+    )
+    short_cand = short_dirty.crossJoin(F.broadcast(short_clean))
+    all_cand = cand.unionByName(
+        short_cand.select("d_id", "d_name", "c_id", "c_name")
     ).distinct()
     dist = F.levenshtein(F.col("d_name"), F.col("c_name"))
-    return cand.withColumn("dist", dist).filter(F.col("dist") <= k)
+    return all_cand.withColumn("dist", dist).filter(F.col("dist") <= k)

@@ -41,6 +41,10 @@ def partial_state(
             F.sum(F.col(m).cast(_DEC)).alias(f"{m}_sum"),
             F.min(m).alias(f"{m}_min"),
             F.max(m).alias(f"{m}_max"),
+            # per-measure NON-NULL count: sums skip NULLs, so avg
+            # must divide by this, not n_rows — avg-of-nullable is
+            # the second avg trap after avg-of-avgs
+            F.count(F.col(m)).alias(f"{m}_cnt"),
         ]
     return df.groupBy(*keys).agg(*aggs)
 
@@ -62,6 +66,7 @@ def merge_states(
             F.sum(f"{m}_sum").alias(f"{m}_sum"),
             F.min(f"{m}_min").alias(f"{m}_min"),
             F.max(f"{m}_max").alias(f"{m}_max"),
+            F.sum(f"{m}_cnt").alias(f"{m}_cnt"),
         ]
     return u.groupBy(*keys).agg(*aggs)
 
@@ -78,9 +83,11 @@ def finalize(state: DataFrame, keys: list[str], measures: list[str]) -> DataFram
             F.col(f"{m}_max").alias(f"{m}_max"),
             # double-division of the exact decimal sum — the same
             # shape as the catalog's davg policy, bit-identical on
-            # both engines
-            (F.col(f"{m}_sum").cast("double") / F.col("n_rows")).alias(
-                f"{m}_avg"
-            ),
+            # both engines; divides by the NON-NULL count so nullable
+            # measures average like F.avg does (NULL when all-null)
+            F.when(
+                F.col(f"{m}_cnt") > 0,
+                F.col(f"{m}_sum").cast("double") / F.col(f"{m}_cnt"),
+            ).alias(f"{m}_avg"),
         ]
     return state.select(*cols)

@@ -68,7 +68,13 @@ def parse_line_cascade(
     )
     # build backwards so the first pattern has highest priority
     for rx, names in reversed(patterns):
-        if rx.startswith("^") and rx.endswith("$"):
+        if rx.startswith("^") and rx.endswith("$") and not rx.endswith(r"\$"):
+            # scope the body in a non-capturing group: a top-level
+            # alternation like ^A|B$ would otherwise satisfy the
+            # anchor check while matching only a substring, leaving
+            # unmatched text glued into the replace output. (?:...)
+            # keeps group numbering intact.
+            rx = "^(?:" + rx[1:-1] + ")$"
             repl = sep.join(f"${i + 1}" for i in range(len(names)))
 
             def _mk_factory(names: list[str]):

@@ -295,8 +295,22 @@ def theta_set_ops_check(
     # each side classify every key as union / intersection / a-only
     # in a single aggregate (the naive 3-join form re-ran the two
     # distincts six times)
-    ea = a.select(F.col(col).alias("v")).distinct().withColumn("__a", F.lit(1))
-    eb = b.select(F.col(col).alias("v")).distinct().withColumn("__b", F.lit(1))
+    # NULL keys are invisible to the sketches (theta_sketch_agg skips
+    # them) — drop them from the exact side too, or a NULL on each
+    # side (unjoinable on the equi-key) fabricates phantom union rows
+    # the sketch never counted
+    ea = (
+        a.select(F.col(col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .withColumn("__a", F.lit(1))
+    )
+    eb = (
+        b.select(F.col(col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .withColumn("__b", F.lit(1))
+    )
     exact = ea.join(eb, "v", "full_outer").agg(
         F.count(F.lit(1)).alias("exact_union"),
         F.sum(

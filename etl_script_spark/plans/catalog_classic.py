@@ -58,7 +58,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
                     * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)
-             / 1000000 AS revenue
+             / 10000 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -80,8 +80,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     rev = cents(F.col("l_extendedprice")) * cents(F.col("l_discount"))
+    # cents x cents carries scale 10^4 — divide by 10^4, like every
+    # sibling revenue query here (a 10^6 divisor under-reports 100x)
     return li.agg(
-        (F.sum(rev).cast("double") / 1000000).alias("revenue")
+        (F.sum(rev).cast("double") / 10000).alias("revenue")
     )
 
 

@@ -33,8 +33,11 @@ _ORACLE_PREDS = [
         "in_range_o_totalprice",
         "o_totalprice IS NOT NULL AND o_totalprice BETWEEN 0.0 AND 300000.0",
     ),
-    ("in_set_o_orderstatus", "o_orderstatus IN ('F','O','P')"),
-    ("matches_o_orderpriority", "regexp_matches(o_orderpriority, '^[1-5]-')"),
+    ("in_set_o_orderstatus", "o_orderstatus IS NOT NULL AND o_orderstatus IN ('F','O','P')"),
+    (
+        "matches_o_orderpriority",
+        "o_orderpriority IS NOT NULL AND regexp_matches(o_orderpriority, '^[1-5]-')",
+    ),
     (
         "ref_o_custkey",
         "o_custkey IS NOT NULL AND o_custkey IN (SELECT c_custkey FROM customer)",
@@ -76,9 +79,11 @@ def dq_expectations_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN NOT (o_totalprice IS NOT NULL
                             AND o_totalprice BETWEEN 0.0 AND 300000.0)
                   THEN 'in_range_o_totalprice' END,
-             CASE WHEN NOT (o_orderstatus IN ('F','O','P'))
+             CASE WHEN NOT (o_orderstatus IS NOT NULL
+                            AND o_orderstatus IN ('F','O','P'))
                   THEN 'in_set_o_orderstatus' END,
-             CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+             CASE WHEN NOT (o_orderpriority IS NOT NULL
+                            AND regexp_matches(o_orderpriority, '^[1-5]-'))
                   THEN 'matches_o_orderpriority' END,
              CASE WHEN NOT (o_custkey IS NOT NULL AND o_custkey IN
                             (SELECT c_custkey FROM customer))
@@ -88,8 +93,10 @@ def dq_expectations_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT (o_orderkey IS NOT NULL
                AND (o_totalprice IS NOT NULL
                     AND o_totalprice BETWEEN 0.0 AND 300000.0)
-               AND o_orderstatus IN ('F','O','P')
-               AND regexp_matches(o_orderpriority, '^[1-5]-')
+               AND (o_orderstatus IS NOT NULL
+                    AND o_orderstatus IN ('F','O','P'))
+               AND (o_orderpriority IS NOT NULL
+                    AND regexp_matches(o_orderpriority, '^[1-5]-'))
                AND (o_custkey IS NOT NULL AND o_custkey IN
                     (SELECT c_custkey FROM customer)))
     """,

@@ -50,14 +50,19 @@ class PagedFeedReader(DataSourceReader):
         pages = sorted(
             f for f in os.listdir(self.dir) if f.endswith(".json")
         )
-        # the page id comes from the FILENAME (page_0007.json → 7) —
-        # feeds skip page numbers when upstream filters empty pages,
-        # so a positional index would misattribute records
+        # the page id is the digit run immediately before .json
+        # (page_0007.json → 7) — feeds skip page numbers when
+        # upstream filters empty pages, so a positional index would
+        # misattribute records; and ONLY the trailing run counts
+        # (feed2024_page_3.json → 3, not 20243)
+        import re
+
+        def _page_of(f: str) -> int:
+            m = re.search(r"(\d+)\.json$", f)
+            return int(m.group(1)) if m else -1
+
         return [
-            _PagePartition(
-                os.path.join(self.dir, f),
-                int("".join(ch for ch in f if ch.isdigit()) or 0),
-            )
+            _PagePartition(os.path.join(self.dir, f), _page_of(f))
             for f in pages
         ]
 

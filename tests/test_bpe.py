@@ -68,3 +68,13 @@ def test_more_merges_never_increase_token_count(spark):
         F.sum("n_tokens")
     ).collect()[0][0]
     assert n_many <= n_few
+
+
+def test_roundtrip_survives_literal_eow_marker_in_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "see </w> marker twice </w> here")], ["doc_id", "text"]
+    )
+    merges = bpe.train_bpe(bpe.word_frequencies(docs, "text"), 20)
+    row = bpe.tokenize(docs, "text", "doc_id", merges).collect()[0]
+    assert row["roundtrip_ok"]
+    assert row["n_words"] == 6

@@ -73,3 +73,19 @@ def test_referential_does_not_change_multiplicity(spark):
     df = _frame(spark)
     marked, _ = ex.referential(df, "cust", _dim(spark), "c_id")
     assert marked.count() == df.count()
+
+
+def test_value_rules_reject_null(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "F")], "k long, status string"
+    )
+    rules = [
+        ex.in_set("status", ["F", "O"]),
+        ex.matches("status", "^[FO]$"),
+    ]
+    out = {r["rule_name"]: r["violations"] for r in ex.evaluate(df, rules).collect()}
+    assert out["in_set_status"] == 1
+    assert out["matches_status"] == 1
+    _, quarantined = ex.split(df, rules)
+    reasons = {r["k"]: set(r["violated"]) for r in quarantined.collect()}
+    assert reasons == {1: {"in_set_status", "matches_status"}}

@@ -57,3 +57,16 @@ def test_zscore_partitioning_independent(spark):
     a = sorted(map(tuple, features.zscore(df, "g", "v").collect()))
     b = sorted(map(tuple, features.zscore(df.repartition(23), "g", "v").collect()))
     assert a == b
+
+
+def test_winsorize_null_values_stay_null_and_do_not_shift_caps(spark):
+    rows = [("a", None)] * 30 + [("a", float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = features.winsorize(df, "g", "v", 0.05, 0.95)
+    got = [(r["v"], r["capped"]) for r in out.collect()]
+    # NULL in -> NULL out, never a fabricated cap value
+    assert all(c is None for v, c in got if v is None)
+    # caps computed over the 100 non-null values only:
+    # rank floor(0.05*99)+1 = 5 -> 5.0, floor(0.95*99)+1 = 95 -> 95.0
+    nonnull = [c for v, c in got if v is not None]
+    assert min(nonnull) == 5.0 and max(nonnull) == 95.0

@@ -80,3 +80,20 @@ def test_matches_naive_join_on_random_corruptions(spark):
     b = {(r["d_id"], r["c_id"]) for r in blocked.select("d_id", "c_id").collect()}
     n = {(r["d_id"], r["c_id"]) for r in naive.collect()}
     assert b == n and len(b) >= 200
+
+
+def test_short_clean_strings_still_match(spark):
+    # clean names shorter than k+1 chars can't be segmented — the
+    # bounded short-string path must still find them
+    clean = spark.createDataFrame([(1, "x"), (2, "ab")], ["id", "name"])
+    dirty = spark.createDataFrame(
+        [(10, "x"), (11, "y"), (12, "a")], ["id", "name"]
+    )
+    out = {
+        (r["d_id"], r["c_id"], r["dist"])
+        for r in fuzzy.fuzzy_join(dirty, clean, "name", "name", "id", "id", 1).collect()
+    }
+    assert (10, 1, 0) in out   # exact 1-char match
+    assert (11, 1, 1) in out   # substitution on a 1-char clean
+    assert (12, 1, 1) in out and (12, 2, 1) in out  # 'a'~'x'? no —
+    # 'a' vs 'x' is dist 1 (substitution); 'a' vs 'ab' is dist 1 (del)

@@ -49,3 +49,25 @@ def test_empty_slice_is_identity(spark):
     )
     whole = inc.partial_state(df, keys, measures)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_avg_with_nullable_measure_matches_f_avg(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 10.0), (0, None), (0, 20.0), (1, None)],
+        "g long, x double",
+    )
+    keys, measures = ["g"], ["x"]
+    out = {
+        r["g"]: r
+        for r in inc.finalize(
+            inc.partial_state(df, keys, measures), keys, measures
+        ).collect()
+    }
+    ref = {
+        r["g"]: r["avg(x)"]
+        for r in df.groupBy("g").agg(F.avg("x")).collect()
+    }
+    assert out[0]["x_avg"] == ref[0] == 15.0
+    assert out[1]["x_avg"] is None and ref[1] is None
