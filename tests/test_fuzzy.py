@@ -95,5 +95,5 @@ def test_short_clean_strings_still_match(spark):
     }
     assert (10, 1, 0) in out   # exact 1-char match
     assert (11, 1, 1) in out   # substitution on a 1-char clean
-    assert (12, 1, 1) in out and (12, 2, 1) in out  # 'a'~'x'? no —
-    # 'a' vs 'x' is dist 1 (substitution); 'a' vs 'ab' is dist 1 (del)
+    # 'a' vs 'x': one substitution; 'a' vs 'ab': one deletion
+    assert (12, 1, 1) in out and (12, 2, 1) in out
