@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the generated-class cache defaults to 100 entries; a session
+        # running the whole 190-query catalog evicts constantly and
+        # re-pays Janino compilation for the expression-heavy cascades
+        # (observed: 5-8 s "cold" manifest entries whose execution is
+        # <1 s). Long-lived production sessions want this large too.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
