@@ -194,3 +194,60 @@ def test_available_now_resumes_exactly_once(spark, tmp_path):
     second = run_pass()
     # batch1 rows exactly once, batch2 appended once — no replay
     assert sorted(r["k"] for r in second) == list(range(15))
+
+
+def test_watermark_drops_late_events_across_batches(spark, tmp_path):
+    """Windowed count with a 10-minute watermark over two file-drop
+    micro-batches: an event arriving in batch 2 whose timestamp falls
+    in a window the advanced watermark already closed is DROPPED —
+    the bound that keeps streaming state finite at 100 TB/day.
+    (Parquet sink: append-mode finalized windows + checkpoint
+    recovery across the two passes.)"""
+    from pyspark.sql import functions as F
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, "k long, ts timestamp")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import shutil
+
+        for f in (tmp_path / name).glob("*.parquet"):
+            shutil.copy(f, drop / f"{name}.parquet")
+
+    sink = str(tmp_path / "sink")
+
+    def run_pass(tag):
+        src = spark.readStream.schema("k long, ts timestamp").parquet(str(drop))
+        agg = (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return {
+            str(r["w"]["start"]): r["n"]
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    write_batch("b1", [(1, t(5)), (2, t(35))])
+    run_pass("p1")  # watermark advances to 00:25 -> window [00:00,00:10) closes
+    write_batch("b2", [(3, t(6)), (4, t(45))])  # t(6) is LATE
+    final = run_pass("p2")
+    # the [00:00, 00:10) window finalized with ONE event; the late
+    # arrival neither reopened it nor appeared anywhere
+    assert final.get("2024-01-01 00:00:00") == 1
+    assert sum(final.values()) <= 3
