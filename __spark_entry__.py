@@ -22,13 +22,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries that already earned a GREEN driver CORRECTNESS row in rounds
-# 1-3 (CORRECTNESS_r0{1,2,3}.json). The driver samples queries() in
+# 1-4 (CORRECTNESS_r0{1,2,3,4}.json). The driver samples queries() in
 # dict order, so entries NOT yet driver-checked are listed first —
-# across rounds every catalog query earns a driver-green row. The four
-# r03 rows-only queries (dedup_minhash_lsh, dedup_simhash,
-# text_fingerprint_rolling, ann_ivf_topk) are intentionally NOT
-# listed: they gained invariant-style oracles this round and should be
-# re-sampled for a full hash check.
+# across rounds every catalog query earns a driver-green row.
 _CHECKED = frozenset(
     {
         # --- round 1 ---
@@ -81,6 +77,29 @@ _CHECKED = frozenset(
         "skew_salted_join", "skew_two_phase_agg", "st_stream_upsert_latest",
         "text_fingerprint", "text_lang_id", "text_lang_id_multi",
         "text_quality_score", "text_token_counts", "ts_gap_fill_hourly",
+        # --- round 4 (49 greens; embedding_quantize_int8 intentionally
+        # NOT listed — its output shape was fixed this round and it must
+        # be re-sampled for a green row) ---
+        "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
+        "q14_promo_revenue", "q18_large_orders", "q19_brand_quantity_revenue",
+        "q15_top_supplier", "q22_dormant_customers",
+        "dedup_minhash_lsh", "dedup_simhash", "text_fingerprint_rolling",
+        "ann_ivf_topk", "search_bm25_topk", "tok_bpe_roundtrip",
+        "pii_redact_scrub", "text_repetition", "decontam_ngram_overlap",
+        "sample_stratified_by_source", "url_canonicalize_dedup",
+        "text_chunk_windows", "pipeline_curation_e2e", "tok_vocab_counts",
+        "text_unigram_nll", "corpus_len_histogram", "dedup_incremental_ingest",
+        "cluster_kmeans_assign", "text_quality_buckets",
+        "pipeline_mm_curation_e2e", "dedup_repeated_spans",
+        "pack_training_sequences", "sample_epoch_mix",
+        "sample_quality_weighted", "corpus_snapshot_diff",
+        "feat_normalize_pipeline", "ev_funnel_conversion",
+        "ev_cohort_retention", "ev_value_cube", "ev_time_weighted_avg",
+        "pipeline_skew_hot_company_e2e", "inc_agg_maintenance",
+        "scd2_dimension_history", "fuzzy_name_match", "graph_pagerank",
+        "dq_expectations_metrics", "dq_expectations_quarantine",
+        "sk_approx_distinct", "sk_hll_mergeable", "sk_heavy_hitters",
+        "sk_approx_quantiles",
     }
 )
 

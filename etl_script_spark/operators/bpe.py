@@ -121,14 +121,22 @@ def tokenize(
     id_col: str,
     merges: list[tuple[str, str]],
 ) -> DataFrame:
-    """Distributed BPE apply: (id, n_words, n_tokens, roundtrip_ok).
+    """Distributed BPE apply: (id, n_words, n_chars, n_tokens,
+    roundtrip_ok).
 
     mapInPandas with the merge-rank dict broadcast once per executor;
     a per-batch word→tokens cache exploits Zipf (most words repeat,
-    most batches encode a few thousand DISTINCT words). roundtrip_ok
-    asserts the loss-free property per document: stripping the
-    end-of-word markers and rejoining reproduces the normalized text
-    exactly — the invariant the driver's oracle checks corpus-wide."""
+    most batches encode a few thousand DISTINCT words). Two loss-free
+    checks with different failure modes: ``roundtrip_ok`` asserts the
+    per-word equality ``''.join(tokens) == word + EOW`` (catches
+    symbol reordering/corruption, but an encoder that only ever
+    concatenates adjacent symbols satisfies it structurally), and
+    ``n_chars`` — the document's character mass REDERIVED FROM THE
+    TOKENS (sum of token lengths minus one EOW per word) — which an
+    external oracle recomputes from the raw text, so a dropped or
+    duplicated symbol anywhere in the merge loop breaks the
+    cross-engine hash even if the in-process equality were
+    structurally immune."""
     import pandas as pd
 
     spark = docs.sparkSession
@@ -144,29 +152,40 @@ def tokenize(
         # symbols, so the marker stays a suffix). A global
         # replace(EOW, ' ') would corrupt documents whose TEXT
         # contains the literal marker bytes and flag a false failure.
-        cache: dict[str, tuple[int, bool]] = {}
+        cache: dict[str, tuple[int, int, bool]] = {}
         for pdf in batches:
-            ids, n_words, n_tokens, ok = [], [], [], []
+            ids, n_words, n_chars, n_tokens, ok = [], [], [], [], []
             for did, text in zip(pdf["id"], pdf["text"]):
                 ws = [w for w in (text or "").lower().split() if w]
                 total = 0
+                chars = 0
                 doc_ok = True
                 for w in ws:
                     hit = cache.get(w)
                     if hit is None:
                         enc = encode_word(w, ranks)
-                        hit = (len(enc), "".join(enc) == w + EOW)
+                        # character mass from the TOKENS (one EOW
+                        # marker per word), NOT from the input word —
+                        # the oracle recomputes it from the text
+                        hit = (
+                            len(enc),
+                            sum(len(t) for t in enc) - len(EOW),
+                            "".join(enc) == w + EOW,
+                        )
                         cache[w] = hit
                     total += hit[0]
-                    doc_ok = doc_ok and hit[1]
+                    chars += hit[1]
+                    doc_ok = doc_ok and hit[2]
                 ids.append(did)
                 n_words.append(len(ws))
+                n_chars.append(chars)
                 n_tokens.append(total)
                 ok.append(doc_ok)
             yield pd.DataFrame(
                 {
                     "id": pd.Series(ids, dtype="int64"),
                     "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_chars": pd.Series(n_chars, dtype="int64"),
                     "n_tokens": pd.Series(n_tokens, dtype="int64"),
                     "roundtrip_ok": pd.Series(ok, dtype="bool"),
                 }
@@ -176,5 +195,7 @@ def tokenize(
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     )
     return base.mapInPandas(
-        _run, "id long, n_words long, n_tokens long, roundtrip_ok boolean"
+        _run,
+        "id long, n_words long, n_chars long, n_tokens long, "
+        "roundtrip_ok boolean",
     )

@@ -55,9 +55,11 @@ def zscore(
     """Per-group z-score. Groups with n ≤ 1 or zero variance yield
     NULL (no information to scale by — a 0/0 would poison training).
     The moments table is group-cardinality → broadcast-eligible; the
-    data side never shuffles."""
+    data side never shuffles. LEFT join (same as winsorize): rows
+    with a NULL group key survive with a NULL score — a normalizer
+    must never drop rows."""
     m = group_moments(df, group_col, value_col)
-    joined = df.join(F.broadcast(m), group_col)
+    joined = df.join(F.broadcast(m), group_col, "left")
     z = F.when(
         F.col("std") > 0, (F.col(value_col) - F.col("mean")) / F.col("std")
     )
@@ -68,11 +70,12 @@ def minmax(
     df: DataFrame, group_col: str, value_col: str, out_col: str = "scaled"
 ) -> DataFrame:
     """Per-group min-max scale to [0, 1]; constant groups yield NULL
-    (not 0 — a constant carries no ordering information)."""
+    (not 0 — a constant carries no ordering information). LEFT join:
+    NULL-group rows survive with a NULL scale (winsorize parity)."""
     m = df.groupBy(group_col).agg(
         F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
     )
-    joined = df.join(F.broadcast(m), group_col)
+    joined = df.join(F.broadcast(m), group_col, "left")
     scaled = F.when(
         F.col("__hi") > F.col("__lo"),
         (F.col(value_col) - F.col("__lo")) / (F.col("__hi") - F.col("__lo")),

@@ -17,7 +17,8 @@ per-edge contribution is INTEGER floor division — `(rank·d_pct) DIV
 partitionings and engines; an unrolled SQL oracle can replay the
 exact arithmetic. The quantization error per step is < out_degree
 nano-units — irrelevant at ranking granularity, priceless for
-verification.
+verification. The multiply runs in DECIMAL(38,0) (HUGEINT on the
+DuckDB side) so a mega-hub's rank·85 cannot wrap int64.
 """
 
 from __future__ import annotations
@@ -65,9 +66,16 @@ def pagerank(
             )
             .select(
                 F.col("dst").alias("vertex"),
-                F.expr(f"rank_nano * {damping_pct} DIV (100 * outdeg)").alias(
-                    "c"
-                ),
+                # the multiply runs in DECIMAL(38,0): rank_nano*85 on a
+                # hub whose accumulated rank exceeds ~1.08e17 (a ~1e9-
+                # spoke star at web-crawl scale) would silently wrap in
+                # int64 under non-ANSI mode; decimal is exact, DIV then
+                # floors back to BIGINT with identical values in the
+                # non-overflow range
+                F.expr(
+                    f"CAST(CAST(rank_nano AS DECIMAL(38,0)) * {damping_pct}"
+                    f" DIV (100 * outdeg) AS LONG)"
+                ).alias("c"),
             )
             .groupBy("vertex")
             .agg(F.sum("c").alias("in_mass"))

@@ -1184,6 +1184,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events
+      WHERE value IS NOT NULL
     ),
     caps AS (
       SELECT event_type,
@@ -1195,8 +1196,9 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     capped AS (
       SELECT e.event_id, e.event_type,
-             LEAST(GREATEST(e.value, c.plo), c.phi) AS capped
-      FROM events e JOIN caps c USING (event_type)
+             CASE WHEN e.value IS NOT NULL
+                  THEN LEAST(GREATEST(e.value, c.plo), c.phi) END AS capped
+      FROM events e LEFT JOIN caps c USING (event_type)
     ),
     mom AS (
       SELECT event_type, COUNT(capped) AS n,
@@ -1209,7 +1211,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CASE WHEN sqrt((s2 - s * s / n) / (n - 1)) > 0
                  THEN (c.capped - s / n) / sqrt((s2 - s * s / n) / (n - 1))
                  END, 6) AS z
-    FROM capped c JOIN mom USING (event_type)
+    FROM capped c LEFT JOIN mom USING (event_type)
     """,
     ("LLM-features",),
 )

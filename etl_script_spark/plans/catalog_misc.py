@@ -941,7 +941,7 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT v.vertex, 150000000 + COALESCE(m.s, 0) AS rank_nano
       FROM v LEFT JOIN (
         SELECT ed.dst AS vertex,
-               SUM((r0.rank_nano * 85) // (100 * ed.outdeg)) AS s
+               SUM(CAST((CAST(r0.rank_nano AS HUGEINT) * 85) // (100 * ed.outdeg) AS BIGINT)) AS s
         FROM ed JOIN r0 ON ed.src = r0.vertex GROUP BY ed.dst
       ) m ON v.vertex = m.vertex
     ),
@@ -949,7 +949,7 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT v.vertex, 150000000 + COALESCE(m.s, 0) AS rank_nano
       FROM v LEFT JOIN (
         SELECT ed.dst AS vertex,
-               SUM((r1.rank_nano * 85) // (100 * ed.outdeg)) AS s
+               SUM(CAST((CAST(r1.rank_nano AS HUGEINT) * 85) // (100 * ed.outdeg) AS BIGINT)) AS s
         FROM ed JOIN r1 ON ed.src = r1.vertex GROUP BY ed.dst
       ) m ON v.vertex = m.vertex
     ),
@@ -957,7 +957,7 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT v.vertex, 150000000 + COALESCE(m.s, 0) AS rank_nano
       FROM v LEFT JOIN (
         SELECT ed.dst AS vertex,
-               SUM((r2.rank_nano * 85) // (100 * ed.outdeg)) AS s
+               SUM(CAST((CAST(r2.rank_nano AS HUGEINT) * 85) // (100 * ed.outdeg) AS BIGINT)) AS s
         FROM ed JOIN r2 ON ed.src = r2.vertex GROUP BY ed.dst
       ) m ON v.vertex = m.vertex
     )

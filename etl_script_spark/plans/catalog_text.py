@@ -759,14 +759,21 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tok_bpe_roundtrip",
     """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS ws
+      FROM documents
+    )
     SELECT doc_id AS id,
-           COALESCE(len(list_filter(
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                          ' '),
-             x -> x <> '')), 0) AS n_words,
+           COALESCE(len(ws), 0) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+                AS BIGINT) AS n_chars,
            TRUE AS roundtrip_ok,
            TRUE AS tokens_per_word_ok
-    FROM documents
+    FROM w
     """,
     ("LLM-tokenize",),
 )
@@ -776,10 +783,14 @@ def tok_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the COLLECTED frequency table — vocabulary-bounded, the same
     bounded-fit pattern as the IVF centroids), then applied to every
     document via Arrow-batched mapInPandas with broadcast merge
-    ranks. The oracle pins the per-document word count and two
-    corpus-wide invariants: the encoding is loss-free (strip markers,
-    rejoin → the normalized text, checked per document) and every
-    word yields ≥1 token."""
+    ranks. The oracle pins the per-document word count, the
+    CHARACTER MASS — ``n_chars`` is rederived from the encoded
+    tokens on the Spark side but from the raw text on the oracle
+    side, so a symbol dropped or duplicated anywhere in the merge
+    loop breaks the hash (the falsifiable loss-free check; the
+    in-process ``roundtrip_ok`` equality alone is structurally
+    satisfied by any adjacent-concatenation encoder) — and that
+    every word yields ≥1 token."""
     from etl_script_spark.operators import bpe
 
     d = t(spark, sf_dir, "documents")
@@ -790,6 +801,7 @@ def tok_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id",
         "n_words",
+        "n_chars",
         "roundtrip_ok",
         (F.col("n_tokens") >= F.col("n_words")).alias("tokens_per_word_ok"),
     )
@@ -806,11 +818,12 @@ def tok_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id AS id, scale,
-           CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(embedding, x -> CAST(
-                  (CASE WHEN CAST(x AS DOUBLE) < 0 THEN -1 ELSE 1 END)
-                  * floor(abs(CAST(x AS DOUBLE)) / scale + 0.5) AS INT))
-           END AS q,
+           CAST(to_json(
+             CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding, x -> CAST(
+                    (CASE WHEN CAST(x AS DOUBLE) < 0 THEN -1 ELSE 1 END)
+                    * floor(abs(CAST(x AS DOUBLE)) / scale + 0.5) AS INT))
+             END) AS VARCHAR) AS q_json,
            TRUE AS reconstruct_ok
     FROM base
     """,
@@ -823,7 +836,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the original. Codes and scales hash-match DuckDB exactly (the
     sign/floor formula is engine-stable where round-half is not); the
     invariant column proves the 4x-compression claim is loss-BOUNDED,
-    not just loss-y."""
+    not just loss-y. The code array is emitted as a compact JSON
+    string (``to_json`` on both engines) because the driver's pandas
+    canonicalizer cannot sort bare array columns."""
     from etl_script_spark.operators import similarity
 
     e = t(spark, sf_dir, "embeddings")
@@ -840,4 +855,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(acc, e) -> greatest(acc, e)) <= scale / 2 + 1e-12"
         )
     )
-    return joined.select("id", "scale", "q", err_ok.alias("reconstruct_ok"))
+    return joined.select(
+        "id",
+        "scale",
+        F.to_json(F.col("q")).alias("q_json"),
+        err_ok.alias("reconstruct_ok"),
+    )
