@@ -66,6 +66,14 @@ EXTRA = [
     "graph_pagerank",
     "sk_theta_set_ops",
     "layout_compact_small_files",
+    # --- round 5: TPC-H completion + fixed/verified families ---
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q21_waiting_supplier",
+    "embedding_quantize_int8",
+    "feat_normalize_pipeline",
 ]
 
 

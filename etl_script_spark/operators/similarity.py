@@ -528,3 +528,83 @@ def quantize_int8(
         )
     )
     return out.select("id", "scale", q.alias("q"))
+
+
+def embedding_cross_contam(
+    corpus: DataFrame,
+    bench: DataFrame,
+    corpus_id: str = "vec_id",
+    bench_id: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: every corpus vector
+    whose cosine to ANY benchmark vector clears ``threshold`` —
+    paraphrase-grade contamination the n-gram overlap report
+    (decontam.contamination_report) cannot see.
+
+    Scale asymmetry is the whole design: the benchmark side is
+    eval-suite sized (thousands), the corpus is the 100 TB side — so
+    the BENCH banded keys broadcast into the corpus scan stage, the
+    candidate pair table broadcasts back onto the corpus for the
+    vector fetch, and the bench vectors broadcast for the verify dot
+    product. The corpus is never shuffled, never self-joined: one
+    scan, map-side candidate probing, exact-cosine verify on the
+    (tiny) candidate set. Banding math is embedding_near_dups'
+    (OR-of-bands pigeonhole; identical vectors agree in every band,
+    so planted verbatim contamination has recall exactly 1)."""
+    planes = random_hyperplanes(dim, n_bands * planes_per_band, seed)
+
+    def banded(df: DataFrame, idc: str, out: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(out),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            lsh_bucket(
+                                vec_col,
+                                planes[
+                                    b * planes_per_band : (b + 1)
+                                    * planes_per_band
+                                ],
+                            ).alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(out, "bb.band", "bb.bucket")
+
+    c_banded = banded(corpus, corpus_id, "corpus_id")
+    b_banded = banded(bench, bench_id, "bench_id")
+    cand = (
+        c_banded.join(F.broadcast(b_banded), ["band", "bucket"])
+        .select("corpus_id", "bench_id")
+        .dropDuplicates(["corpus_id", "bench_id"])
+    )
+    b_vecs = bench.select(
+        F.col(bench_id).alias("bench_id"),
+        F.col(vec_col).alias("__bvec"),
+        l2_norm(F.col(vec_col)).alias("__bn"),
+    )
+    verified = (
+        corpus.select(
+            F.col(corpus_id).alias("corpus_id"),
+            F.col(vec_col).alias("__cvec"),
+            l2_norm(F.col(vec_col)).alias("__cn"),
+        )
+        .join(F.broadcast(cand), "corpus_id")
+        .join(F.broadcast(b_vecs), "bench_id")
+    )
+    sim = dot(F.col("__cvec"), F.col("__bvec")) / (
+        F.col("__cn") * F.col("__bn")
+    )
+    return verified.select(
+        "corpus_id", "bench_id", sim.alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)

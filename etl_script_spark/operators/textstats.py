@@ -646,3 +646,228 @@ def weighted_hash_sample(df, key_col: str, weight_col, seed: str = "") -> "DataF
         F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8
     )
     return df.filter(h < thr)
+
+
+def temperature_mix_sample(
+    df, key_col: str, strata_col: str, alpha: float = 0.5, seed: str = ""
+) -> "DataFrame":
+    """Temperature-scaled domain mixing: target stratum shares
+    p_s ∝ (n_s/N)^alpha (alpha < 1 flattens the source distribution —
+    the multilingual/domain rebalancing rule every pretraining mix
+    uses), realized as per-row keep rates rate_s = (n_min/n_s)^(1-α)
+    so the SMALLEST stratum keeps everything and larger strata
+    down-sample toward the tempered shares. Unlike
+    ``stratified_hash_sample`` the rates come from the DATA (one tiny
+    count aggregate, broadcast back), not a literal map — the mix
+    recomputes itself as the corpus drifts.
+
+    Shape at 100 TB: one map-side-combined count per stratum (rows =
+    #strata), a broadcast join of those counts, and the same
+    deterministic md5 predicate as ``hash_sample`` — the corpus
+    itself is filtered in the scan stage, never shuffled.
+
+    Determinism: with the default ``alpha=0.5`` the rate is
+    ``sqrt(n_min/n_s)`` — IEEE sqrt and division are correctly
+    rounded, so Spark and an external SQL engine derive bit-identical
+    thresholds. Other alphas go through ``pow``, whose last ulp is
+    implementation-defined: fine for production, but pin alpha=0.5
+    anywhere a cross-engine hash check replays the rates.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(F.col(strata_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__ns")
+    )
+    nmin = counts.agg(F.min("__ns").alias("__nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "__s",
+        (
+            F.lit(1.0)
+            if alpha >= 1.0
+            else (
+                F.sqrt(F.col("__nmin") / F.col("__ns"))
+                if alpha == 0.5
+                else F.pow(
+                    F.col("__nmin") / F.col("__ns"), F.lit(1.0 - alpha)
+                )
+            )
+        ).alias("__rate"),
+    )
+    # full-keep sentinel: a rate of 1.0 would format as "100000000",
+    # which sorts BELOW "2…"-leading hashes lexicographically — use
+    # "g" (sorts above every hex digit), the stratified sampler's trick
+    thr = F.when(F.col("__rate") >= 1.0, F.lit("g")).otherwise(
+        F.format_string(
+            "%08x",
+            F.floor(F.col("__rate") * F.lit(4294967296.0)).cast("long"),
+        )
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8
+    )
+    return (
+        df.join(
+            F.broadcast(rates), F.col(strata_col) == F.col("__s"), "left"
+        )
+        .filter(h < thr)
+        .drop("__s", "__rate")
+    )
+
+
+def gopher_rules(df, text_col: str, id_col: str) -> "DataFrame":
+    """Gopher-style per-document quality rule battery (Rae et al.
+    2021, §A1.1, adapted to the rules expressible as pure relational
+    expressions): named boolean verdicts per rule plus the metrics
+    behind them, so a curation pipeline can report WHY a document was
+    dropped, not just a blended score (``quality_score`` is the
+    blended-scalar sibling).
+
+    Rules: word count in [50, 100k]; mean word length in [3, 10];
+    symbol-to-word ratio (#, …) <= 0.1; >= 80% of words contain an
+    alphabetic character; >= 2 distinct English stopwords present;
+    <= 90% of lines start with a bullet; <= 30% of lines end with an
+    ellipsis. Every metric is a Column expression over the split word
+    / line arrays — one scan-stage map, no shuffle, no UDF; ratios
+    are exact rational comparisons (count·denominator vs bound·
+    numerator stays integral where the bound is rational) so both
+    engines agree at the boundary."""
+    c = F.col(text_col)
+    ws = F.filter(words(c), lambda w: w != "")
+    n_words = F.size(ws)
+    # lines from the RAW text (normalization collapses newlines)
+    lines = F.filter(
+        F.transform(
+            F.split(c.cast("string"), "\n"), lambda l: F.trim(l)
+        ),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    n_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    n_symbols = (
+        F.size(F.split(c.cast("string"), "#", -1))
+        - 1
+        + F.size(F.split(c.cast("string"), r"\.\.\.", -1))
+        - 1
+    )
+    n_alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(ws), sw)
+    )
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike("^[-*•]"))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.rlike("\\.\\.\\.$"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_lines.alias("n_lines"),
+        ((n_words >= 50) & (n_words <= 100_000)).alias("ok_word_count"),
+        # 3 <= chars/words <= 10  ->  3*words <= chars <= 10*words
+        (
+            (n_chars >= 3 * n_words) & (n_chars <= 10 * n_words)
+        ).alias("ok_mean_word_len"),
+        # symbols/words <= 0.1  ->  10*symbols <= words
+        (n_symbols * 10 <= n_words).alias("ok_symbol_ratio"),
+        # alpha words / words >= 0.8  ->  5*alpha >= 4*words
+        (n_alpha_words * 5 >= n_words * 4).alias("ok_alpha_words"),
+        (n_stop_distinct >= 2).alias("ok_stopwords"),
+        # bullet lines / lines <= 0.9  ->  10*bullets <= 9*lines
+        (n_bullet * 10 <= n_lines * 9).alias("ok_bullets"),
+        # ellipsis lines / lines <= 0.3  ->  10*ellipsis <= 3*lines
+        (n_ellipsis * 10 <= n_lines * 3).alias("ok_ellipsis"),
+    ).withColumn(
+        "keep",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_words")
+        & F.col("ok_stopwords")
+        & F.col("ok_bullets")
+        & F.col("ok_ellipsis"),
+    )
+
+
+def bigram_nll_scores(
+    df, text_col: str, id_col: str, lam: float = 0.5, alpha: float = 0.5
+) -> "DataFrame":
+    """Fluency scoring against a self-trained INTERPOLATED BIGRAM LM:
+    per-document mean negative log-likelihood of its word bigrams
+    under p(w2|w1) = λ·(c(w1w2)+α)/(c(w1)+αV) + (1−λ)·(c(w2)+α)/(N+αV)
+    — the next step up from ``unigram_nll_scores`` (which a run-on
+    word-salad document can fool: every token common, every
+    transition absurd; the bigram term catches broken word ORDER).
+
+    Shape: one explode builds the bigram stream (adjacent pairs from
+    the word array — a transform over indices, not a self-join); two
+    count aggregations (bigram, unigram — both map-side combined)
+    build the LM; the scoring pass joins each bigram against the two
+    broadcast-eligible count tables. Zipf keeps both tables
+    broadcastable in practice; AQE falls back to shuffle-hash if the
+    bigram vocabulary outgrows it.
+
+    Determinism: same policy as the unigram twin — each bigram's nll
+    quantizes to 1e-6 (round(-ln p · 1e6) → int64) BEFORE the
+    per-document sum, so aggregation is exact integer addition and
+    the mean one integer-by-double division.
+
+    Documents with < 2 words produce no output row (no transitions).
+    Returns (id_col, n_bigrams, avg_nll)."""
+    base = df.select(
+        F.col(id_col),
+        F.filter(words(F.col(text_col)), lambda w: w != "").alias("ws"),
+    ).filter(F.size("ws") >= 2)
+    bigrams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("w1"),
+                    F.element_at("ws", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), "bg.w1", "bg.w2")
+    uni = (
+        base.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = bigrams.groupBy(
+        F.col("w1").alias("__bw1"), F.col("w2").alias("__bw2")
+    ).agg(F.count(F.lit(1)).alias("c12"))
+    stats = uni.agg(
+        F.sum("c1").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    u1 = uni.select(F.col("w").alias("__u1"), F.col("c1").alias("c_w1"))
+    u2 = uni.select(F.col("w").alias("__u2"), F.col("c1").alias("c_w2"))
+    p = F.lit(lam) * (
+        (F.col("c12") + F.lit(alpha))
+        / (F.col("c_w1") + F.lit(alpha) * F.col("v"))
+    ) + F.lit(1.0 - lam) * (
+        (F.col("c_w2") + F.lit(alpha))
+        / (F.col("total") + F.lit(alpha) * F.col("v"))
+    )
+    nll_q = F.round(-F.log(p) * 1e6).cast("long")
+    scored = (
+        bigrams.join(
+            F.broadcast(bi),
+            (F.col("w1") == F.col("__bw1")) & (F.col("w2") == F.col("__bw2")),
+        )
+        .join(F.broadcast(u1), F.col("w1") == F.col("__u1"))
+        .join(F.broadcast(u2), F.col("w2") == F.col("__u2"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(nll_q).alias("s"))
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_bigrams",
+        (F.col("s") / (F.lit(1e6) * F.col("n_bigrams"))).alias("avg_nll"),
+    )

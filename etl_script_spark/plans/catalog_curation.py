@@ -1233,3 +1233,202 @@ def feat_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select(
         "event_id", "event_type", "capped", F.round(F.col("z"), 6).alias("z")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: curation-family widening — embedding-level decontamination,
+# named quality rules, bigram fluency, data-driven temperature mixing.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decontam_embedding_neardup",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id AS bench_id, vec AS bvec FROM v WHERE vec_id % 20 = 0)
+    SELECT corpus_id, bench_id, cosine_sim FROM (
+      SELECT v.vec_id AS corpus_id, b.bench_id,
+             list_dot_product(v.vec, b.bvec)
+               / (sqrt(list_dot_product(v.vec, v.vec))
+                  * sqrt(list_dot_product(b.bvec, b.bvec))) AS cosine_sim
+      FROM v CROSS JOIN b
+    ) WHERE cosine_sim >= 0.999
+    """,
+    ("LLM-decontam", "LLM-similarity"),
+)
+def decontam_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination: corpus vectors
+    whose cosine to any benchmark vector clears 0.999 — the
+    paraphrase-grade leak the n-gram report (decontam_ngram_overlap)
+    cannot see. Benchmark := every 20th embedding, so the planted
+    truth is the verbatim self-pairs at cosine 1.0, which the banded
+    hyperplane LSH finds with recall exactly 1 (identical sign
+    pattern in every band); the isotropic remainder tops out at
+    cosine ~0.5, far under threshold, so the brute-force DuckDB
+    oracle and the LSH path agree on the exact pair set. Scale
+    shape: bench side broadcasts three times (banded keys, candidate
+    pairs, verify vectors) — the 100 TB corpus side is one scan, no
+    shuffle (see similarity.embedding_cross_contam)."""
+    from etl_script_spark.operators import similarity
+
+    e = t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 20 == 0)
+    return similarity.embedding_cross_contam(
+        e, bench, "vec_id", "vec_id", "embedding", threshold=0.999
+    )
+
+
+@register(
+    "sample_temperature_mix",
+    """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS ns FROM documents GROUP BY source
+    ),
+    nmin AS (SELECT MIN(ns) AS nm FROM counts),
+    rates AS (
+      SELECT source,
+             sqrt(CAST(nm AS DOUBLE) / CAST(ns AS DOUBLE)) AS rate
+      FROM counts CROSS JOIN nmin
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN rates r USING (source)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN r.rate >= 1.0 THEN 'g'
+               ELSE printf('%08x', CAST(floor(r.rate * 4294967296.0)
+                                        AS BIGINT)) END
+    """,
+    ("LLM-sampling",),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α=0.5) domain mixing: per-source keep
+    rates sqrt(n_min/n_s) derived from the DATA (one tiny count
+    aggregate broadcast back), realized as the deterministic md5
+    predicate — the smallest source keeps everything, larger sources
+    down-sample toward the tempered shares. α=0.5 is the
+    deterministic point: sqrt and division are correctly-rounded
+    IEEE, so the DuckDB oracle re-derives bit-identical thresholds
+    (arbitrary α goes through pow, whose last ulp is libm-defined —
+    documented in the operator)."""
+    from etl_script_spark.operators import textstats as ts
+
+    d = t(spark, sf_dir, "documents")
+    return ts.temperature_mix_sample(d, "doc_id", "source").select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "quality_gopher_rules",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x <> '') AS ws,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)),
+                         x -> x <> '') AS lines,
+             len(string_split(text, '#')) - 1
+               + len(string_split_regex(text, '\\.\\.\\.')) - 1 AS n_symbols
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+                  AS BIGINT) AS n_chars,
+             len(lines) AS n_lines,
+             n_symbols,
+             len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+               AS n_alpha,
+             len(list_intersect(list_distinct(ws),
+                 ['the','and','of','to','a','in','is','that','it','for']))
+               AS n_stop,
+             len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+               AS n_bullet,
+             len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$')))
+               AS n_ellipsis
+      FROM base
+    )
+    SELECT doc_id AS id, n_words, n_chars, n_lines,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (n_chars >= 3 * n_words AND n_chars <= 10 * n_words)
+             AS ok_mean_word_len,
+           (n_symbols * 10 <= n_words) AS ok_symbol_ratio,
+           (n_alpha * 5 >= n_words * 4) AS ok_alpha_words,
+           (n_stop >= 2) AS ok_stopwords,
+           (n_bullet * 10 <= n_lines * 9) AS ok_bullets,
+           (n_ellipsis * 10 <= n_lines * 3) AS ok_ellipsis,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (n_chars >= 3 * n_words AND n_chars <= 10 * n_words)
+            AND (n_symbols * 10 <= n_words)
+            AND (n_alpha * 5 >= n_words * 4)
+            AND (n_stop >= 2)
+            AND (n_bullet * 10 <= n_lines * 9)
+            AND (n_ellipsis * 10 <= n_lines * 3)) AS keep
+    FROM m
+    """,
+    ("LLM-curation",),
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style named quality rules (Rae et al. 2021 §A1.1): the
+    per-rule boolean battery behind a curation drop decision — word
+    count band, mean word length band, symbol ratio, alpha-word
+    ratio, stopword presence, bullet/ellipsis line ratios — plus the
+    combined keep flag. Every ratio check is an exact integer
+    cross-multiplication (10·symbols <= words, not symbols/words <=
+    0.1), so the two engines cannot disagree at a boundary; the whole
+    battery is one scan-stage projection, no shuffle, no UDF."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.gopher_rules(d, "text", "doc_id")
+
+
+@register(
+    "text_bigram_nll",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    w2 AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+    bg AS (
+      SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> {{'w1': ws[i], 'w2': ws[i+1]}})) AS u
+        FROM w2
+      )
+    ),
+    uni AS (
+      SELECT w AS tok, COUNT(*) AS c1 FROM (
+        SELECT unnest(ws) AS w FROM w2
+      ) GROUP BY w
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    stats AS (SELECT SUM(c1) AS total, COUNT(*) AS v FROM uni)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           SUM(CAST(ROUND(-ln(
+                 0.5 * (c12 + 0.5) / (u1.c1 + 0.5 * v)
+                 + 0.5 * (u2.c1 + 0.5) / (total + 0.5 * v)
+               ) * 1000000.0) AS BIGINT))
+             / (1000000.0 * COUNT(*)) AS avg_nll
+    FROM bg
+    JOIN bi USING (w1, w2)
+    JOIN uni u1 ON bg.w1 = u1.tok
+    JOIN uni u2 ON bg.w2 = u2.tok
+    CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+    ("LLM-curation",),
+)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram fluency score: mean nll per document under
+    p(w2|w1) = λ·smoothed-bigram + (1−λ)·smoothed-unigram, λ=α=0.5 —
+    catches broken word ORDER that the unigram score (text_unigram_nll)
+    is blind to. Same bit-reproducibility policy: per-bigram nll
+    quantizes to 1e-6 into an int64 sum before the single edge
+    division (see bigram_nll_scores)."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.bigram_nll_scores(d, "text", "doc_id", lam=0.5, alpha=0.5)

@@ -474,3 +474,88 @@ def test_shingle_explode_linear_in_doc_length(spark):
     dt = time.time() - t0
     assert n == 29_999 and n2 > 0
     assert dt < 30, f"shingle explode took {dt:.1f}s on a 30k-word doc"
+
+
+def test_temperature_mix_rates(spark):
+    """alpha=0.5 keep rates follow sqrt(n_min/n_s): the smallest
+    stratum keeps EVERYTHING (full-keep sentinel, not a 99.99%
+    threshold), larger strata land near the tempered expectation."""
+    from etl_script_spark.operators.textstats import temperature_mix_sample
+
+    rows = (
+        [(i, "small") for i in range(100)]
+        + [(1000 + i, "big") for i in range(10000)]
+    )
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = temperature_mix_sample(df, "k", "s").groupBy("s").count()
+    got = {r["s"]: r["count"] for r in out.collect()}
+    assert got["small"] == 100  # rate exactly 1.0 -> nothing dropped
+    # big: rate = sqrt(100/10000) = 0.1 -> ~1000 kept (md5 is uniform)
+    assert 850 <= got["big"] <= 1150
+    # determinism: same sample on a different partitioning
+    out2 = {
+        r["s"]: r["count"]
+        for r in temperature_mix_sample(df.repartition(13), "k", "s")
+        .groupBy("s")
+        .count()
+        .collect()
+    }
+    assert out2 == got
+
+
+def test_gopher_rules_verdicts(spark):
+    from etl_script_spark.operators.textstats import gopher_rules
+
+    good = " ".join(
+        "the quick brown fox jumps over a lazy dog and that is it for"
+        .split() * 5
+    )  # 65 words, all alpha, stopwords present
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = "the " + "# " * 30 + "and that is it " * 10
+    short = "too short"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols), (4, short)],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in gopher_rules(df, "text", "doc_id").collect()}
+    assert out[1]["keep"]
+    assert not out[2]["ok_bullets"] and not out[2]["keep"]
+    assert not out[3]["ok_symbol_ratio"] and not out[3]["keep"]
+    assert not out[4]["ok_word_count"] and not out[4]["keep"]
+
+
+def test_bigram_nll_orders_word_salad_last(spark):
+    """A document with common words in a SCRAMBLED order must score
+    strictly worse than the same words in their dominant order —
+    the discrimination the unigram score cannot make."""
+    from etl_script_spark.operators.textstats import (
+        bigram_nll_scores,
+        unigram_nll_scores,
+    )
+
+    fluent = "the cat sat on the mat " * 20
+    salad = "mat the on sat cat the " * 20
+    corpus = [(i, fluent) for i in range(20)] + [(100, salad)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    bi = {r["doc_id"]: r["avg_nll"] for r in bigram_nll_scores(df, "text", "doc_id").collect()}
+    uni = {r["doc_id"]: r["avg_nll"] for r in unigram_nll_scores(df, "text", "doc_id").collect()}
+    assert bi[100] > bi[0] + 0.5          # bigram separates clearly
+    assert abs(uni[100] - uni[0]) < 0.1   # unigram (near-)blind to order
+
+
+def test_embedding_cross_contam_planted(spark, sf_dir):
+    """Verbatim contamination (bench vectors present in the corpus)
+    is found with recall 1; the isotropic remainder stays silent."""
+    from etl_script_spark.operators.similarity import embedding_cross_contam
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    bench = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    out = embedding_cross_contam(
+        e, bench, "vec_id", "vec_id", "embedding", threshold=0.999
+    )
+    got = {(r["corpus_id"], r["bench_id"]) for r in out.collect()}
+    assert got == {(i, i + 5000) for i in range(0, 100, 10)}
