@@ -98,11 +98,20 @@ def scd2_apply(
     new_keys = batch.join(current, key_cols, "left_anti")
     brand_new = scd2_init(new_keys.select(*key_cols, *attr_cols), batch_ts)
 
+    # the 5-way union CONCATENATES branch partitions, and with a
+    # broadcast batch join no exchange ever resets the count — left
+    # unbounded, a chained nightly apply multiplies partitions ~4x
+    # per batch (stress run: 160 -> 164,181 by batch 6; batch 12 is
+    # hundreds of millions of empty tasks). Coalesce (narrow, no
+    # shuffle) back to the incoming dimension's own partition count
+    # so chained applies stay flat.
+    n_parts = max(dim.rdd.getNumPartitions(), 1)
     return (
         history.unionByName(untouched_current)
         .unionByName(closed)
         .unionByName(opened)
         .unionByName(brand_new)
+        .coalesce(n_parts)
     )
 
 

@@ -68,3 +68,30 @@ def test_as_of_reads_the_right_version(spark):
     assert get("2024-03-15 00:00:00") == "diamond"
     # boundary: the instant of a change reads the NEW version
     assert get("2024-02-01 00:00:00") == "platinum"
+
+
+def test_scd2_chained_applies_keep_partition_count_flat(spark):
+    """Stress-run regression (round 5): the 5-way union concatenates
+    branch partitions and the broadcast batch join never resets them,
+    so chained applies multiplied partitions ~4x per batch (160 ->
+    164k by batch 6 on the 100k-key stress). The operator now
+    coalesces back to the incoming dim's partition count — pin it."""
+    from pyspark.sql import functions as F
+
+    from etl_script_spark.operators import scd
+
+    dim0 = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit("a").alias("v")
+    )
+    dim = scd.scd2_init(dim0, "2026-01-01 00:00:00").localCheckpoint()
+    p0 = dim.rdd.getNumPartitions()
+    for i in range(1, 5):
+        batch = spark.range(1000).filter(F.col("id") % 10 == i).select(
+            F.col("id").alias("k"), F.lit(f"b{i}").alias("v")
+        )
+        dim = scd.scd2_apply(
+            dim, batch, ["k"], ["v"], f"2026-01-0{i+1} 00:00:00"
+        ).localCheckpoint()
+        assert dim.rdd.getNumPartitions() <= p0, i
+    # semantics unchanged by the coalesce: every key still current once
+    assert dim.filter(F.col("is_current")).count() == 1000

@@ -257,11 +257,17 @@ def stress_round4_families(spark, d):
         F.lit("orig").alias("val"),
     )
     base.write.partitionBy("p").parquet(tbl)
+    # keys spread across EXACTLY partitions 0..9: k = 200*(id//10) +
+    # (id%10), so k % 200 = id % 10 (an earlier *40+3 variant
+    # collapsed every key into p=3 — one rewritten partition proves
+    # nothing about per-partition merge breadth)
     batch = spark.range(50_000).select(
-        (F.col("id") * 40 + 3).alias("k"),
-        ((F.col("id") * 40 + 3) % 200).alias("p"),
+        (F.floor(F.col("id") / 10) * 200 + F.col("id") % 10).alias("k")
+    ).select(
+        "k",
+        (F.col("k") % 200).alias("p"),
         F.lit("new").alias("val"),
-    ).filter(F.col("p") < 10)
+    )
     t0 = time.time()
     touched = writers.merge_into_partitioned(
         spark, tbl, batch, ["k"], "p"
