@@ -110,6 +110,27 @@ SHOW = {
         "ReadSchema pruned to 4 columns, one partial/final hash "
         "aggregate pair — the canonical scan-bound plan."
     ),
+    "q21_waiting_supplier": (
+        "TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair decorrelates to a "
+        "left-semi then left-anti join on the orderkey shuffle with the "
+        "supplier-inequality residual; the nation-filtered supplier dim "
+        "broadcasts. The canonical double-correlated-subquery plan."
+    ),
+    "dedup_ngram_jaccard": (
+        "AllPairs prefix-filtered exact Jaccard: only each doc's "
+        "|X|-ceil(t|X|)+1 globally rarest shingles enter the candidate "
+        "self-join (~20% of rows at t=0.8), candidates verify with one "
+        "array_intersect over per-doc sorted hash arrays. Lossless for "
+        "the threshold; the join output shrinks quadratically in the "
+        "prefix fraction."
+    ),
+    "decontam_embedding_neardup": (
+        "Cross-corpus contamination with bench-broadcast asymmetry: "
+        "banded bench keys, candidate pairs, and verify vectors all "
+        "broadcast; the corpus side is ONE scan with zero shuffles — "
+        "the shape that matters when the corpus is 100 TB and the "
+        "benchmark suite is a few thousand rows."
+    ),
     "graph_pagerank": (
         "PageRank round: one join + one aggregation per iteration "
         "over localCheckpointed inputs — plan depth stays constant "
