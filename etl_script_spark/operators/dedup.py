@@ -873,3 +873,69 @@ def repeated_spans(
         .filter(F.col("n_docs") >= min_docs)
         .select("span", "n_docs", "witness_id")
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide EXACT paragraph dedup (the C4/RefinedWeb line-level
+    rule, at paragraph granularity): every repeated paragraph keeps
+    only its FIRST occurrence — ordered by (document id, paragraph
+    index) — and every other instance is dropped, including repeats
+    WITHIN a document; documents are then reassembled in original
+    paragraph order. Boilerplate (cookie banners, nav footers,
+    license blocks) disappears from every document but the first one
+    that carried it.
+
+    Returns (id, n_paras, n_kept, text) with ``text`` rebuilt from
+    the surviving paragraphs (empty string when nothing survives —
+    the row is kept so the caller decides the drop policy).
+
+    Shape at 100 TB: posexplode paragraphs → ONE shuffle on the
+    128-bit paragraph hash (first-occurrence selection is min_by over
+    the hash groups — map-side combined, no window sort) → broadcast
+    the (tiny) winners? No: winners are paragraph-cardinality, so
+    they rejoin the exploded stream on the hash — a second keyed
+    shuffle — then regroup by document. Raw paragraph text never
+    shuffles twice: the winner table carries only (hash, doc, idx).
+    """
+    paras = (
+        _fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "p"),
+        )
+        .filter(F.trim(F.col("p")) != "")
+        .withColumn("__h", F.xxhash64("p"))
+    )
+    # first occurrence per paragraph hash: lexicographic min of
+    # (id, idx) as a struct — one map-side-combined aggregate
+    winners = paras.groupBy("__h").agg(
+        F.min(F.struct("id", "idx")).alias("__w")
+    ).select("__h", F.col("__w.id").alias("__wid"), F.col("__w.idx").alias("__widx"))
+    kept = paras.join(winners, "__h").filter(
+        (F.col("id") == F.col("__wid")) & (F.col("idx") == F.col("__widx"))
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "p"))),
+                lambda s: s["p"],
+            ),
+            sep,
+        ).alias("text"),
+    )
+    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        )
+    )

@@ -1432,3 +1432,107 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (see bigram_nll_scores)."""
     d = t(spark, sf_dir, "documents")
     return textstats.bigram_nll_scores(d, "text", "doc_id", lam=0.5, alpha=0.5)
+
+
+@register(
+    "dedup_paragraphs_global",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    pb AS (
+      SELECT doc_id,
+             array_to_string(
+               [array_to_string(ws[(i*20+1):(i*20+20)], ' ')
+                for i in range(0, CAST(ceil(len(ws) / 20.0) AS INT))],
+               chr(10) || chr(10))
+             || CASE WHEN doc_id % 4 = 0 THEN chr(10) || chr(10) ||
+                  'all rights reserved see our license terms for details'
+                ELSE '' END
+             || CASE WHEN doc_id % 10 = 0 THEN chr(10) || chr(10) ||
+                  'subscribe to our newsletter for weekly updates'
+                ELSE '' END AS ptext
+      FROM w
+    ),
+    paras AS (
+      SELECT doc_id, idx, p FROM (
+        SELECT doc_id,
+               unnest([{{'i': i, 'p': lst[i]}}
+                       for i in range(1, len(lst) + 1)]) AS u
+        FROM (SELECT doc_id,
+                     string_split(ptext, chr(10) || chr(10)) AS lst
+              FROM pb)
+      ) t(doc_id, u), LATERAL (SELECT u['i'] AS idx, u['p'] AS p) l
+      WHERE trim(p) <> ''
+    ),
+    kept AS (
+      SELECT doc_id, idx, p FROM (
+        SELECT doc_id, idx, p,
+               ROW_NUMBER() OVER (PARTITION BY p ORDER BY doc_id, idx)
+                 AS rn
+        FROM paras
+      ) WHERE rn = 1
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY doc_id),
+    reb AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(p, chr(10) || chr(10) ORDER BY idx))
+               AS text_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id AS id, t.n_paras,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.text_md5, md5('')) AS text_md5
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+    ("LLM-dedup", "LLM-curation"),
+)
+def dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (C4/RefinedWeb rule at
+    paragraph granularity): repeated paragraphs keep only their first
+    (doc_id, idx) occurrence, documents reassemble in original order.
+    The fixture restructures each document into 20-word paragraphs
+    and plants two boilerplate paragraphs (license footer on every
+    4th doc, newsletter plug on every 10th) — the planted truth: each
+    survives exactly once corpus-wide, so n_kept < n_paras on every
+    other planted doc. First-occurrence selection is a min(struct)
+    hash aggregate on the 64-bit paragraph hash — map-side combined,
+    no window sort (see dedup.dedup_paragraphs); the oracle replays
+    it with a ROW_NUMBER window over the raw paragraph text."""
+    from etl_script_spark.operators.dedup import (
+        dedup_paragraphs,
+        normalize_text,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda w: w != ""
+    )
+    n_p = F.ceil(F.size(ws) / 20.0).cast("int")
+    paras = F.when(
+        n_p > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_p - 1),
+            lambda i: F.array_join(F.slice(ws, i * 20 + 1, 20), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ptext = F.concat(
+        F.array_join(paras, "\n\n"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit(
+                "\n\nall rights reserved see our license terms for details"
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.lit("\n\nsubscribe to our newsletter for weekly updates"),
+        ).otherwise(F.lit("")),
+    )
+    fixed = d.select("doc_id", ptext.alias("ptext"))
+    out = dedup_paragraphs(fixed, "ptext", "doc_id")
+    return out.select(
+        "id", "n_paras", "n_kept", F.md5("text").alias("text_md5")
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_script_spark.plans.catalog import register, t
+from etl_script_spark.plans.catalog import DEC, register, t
 from etl_script_spark.sources import readers, writers
 
 
@@ -1007,3 +1007,58 @@ def s21_python_datasource_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
             _os.remove(f"{feed}/{stale}")
     pyds.register(spark)
     return spark.read.format("paged_feed").option("path", feed).load()
+
+
+@register(
+    "layout_zorder_clustered_read",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(SUM({z}) AS BIGINT) AS z_checksum
+    FROM (
+      SELECT event_id, user_id, CAST(EXTRACT(day FROM ts) AS BIGINT) AS d,
+             value
+      FROM events
+    )
+    WHERE user_id BETWEEN 32 AND 63 AND d BETWEEN 8 AND 15
+    """.format(
+        z="(" + " | ".join(
+            f"(((CAST(user_id AS BIGINT) >> {b}) & 1) << {b * 2})"
+            f" | (((CAST(d AS BIGINT) >> {b}) & 1) << {b * 2 + 1})"
+            for b in range(8)
+        ) + ")"
+    ),
+    ("X-layout",),
+)
+def layout_zorder_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered rewrite of events on (user_id, day) — the
+    multi-dimension data-skipping layout (Delta OPTIMIZE ZORDER
+    shape): Morton-interleave the two quantized dims, range-partition
+    on the code into 16 files, sort within each. A box filter on BOTH
+    dims then prunes by footer stats in each dimension, which a
+    plain compound sort only gives the leading column. The query
+    round-trips the layout (write → box-filtered read) and emits the
+    box aggregate plus the SUM of the Morton codes recomputed from
+    the read-back rows — the DuckDB oracle replays the identical
+    unrolled shift/or chain over the raw table, so a single wrong
+    interleave bit anywhere breaks the hash. Per-file bounding-box
+    tightness is pinned in tests/test_sources.py."""
+    from etl_script_spark.sources import layout
+
+    d = _workdir(sf_dir, "layout_z")
+    out = f"{d}/events_zorder"
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.dayofmonth("ts").cast("long").alias("d"),
+        "value",
+    )
+    layout.write_zorder_clustered(ev, out, ["user_id", "d"], 16, bits=8)
+    back = spark.read.parquet(out).filter(
+        F.col("user_id").between(32, 63) & F.col("d").between(8, 15)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        F.sum(layout.zorder_key(["user_id", "d"], bits=8)).alias("z_checksum"),
+    )

@@ -102,3 +102,70 @@ def file_ranges(spark: SparkSession, path: str, cluster_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("rows"),
         )
     )
+
+
+def zorder_key(cols: list, bits: int = 16) -> F.Column:
+    """Morton (Z-order) interleave of 2+ NON-NEGATIVE integer columns,
+    ``bits`` low bits each — the multi-dimension generalization of
+    ``write_range_clustered``'s one-dimension sort. Sorting by the
+    interleaved code keeps rows close in EVERY dimension close in the
+    file order, so per-file min/max stats prune scans filtered on ANY
+    subset of the dimensions (a plain compound sort only prunes on
+    its leading column). This is what Delta OPTIMIZE ZORDER BY and
+    Iceberg's z-ordered sort compute; here it is a pure Column
+    expression — an unrolled shift/or chain over ``bits``·k single-
+    cycle long ops, fully inside whole-stage codegen, and simple
+    enough that an external SQL engine replays it bit-for-bit.
+
+    Callers quantize first (bucket a timestamp to days, hash-mod a
+    string, clamp a long to [0, 2^bits)): the key uses the LOW
+    ``bits`` bits of each input — values outside wrap into the grid,
+    which degrades pruning but never correctness. bits·k must stay
+    ≤ 62 (int64, ANSI-safe)."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder needs >= 2 dimensions; use range clustering for 1")
+    if bits * k > 62:
+        raise ValueError(f"bits={bits} x {k} dims > 62 — interleave overflows int64")
+    code = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftrightunsigned(F.col(c).cast("long") if isinstance(c, str) else c.cast("long"), b).bitwiseAND(F.lit(1))
+            code = code.bitwiseOR(F.shiftleft(bit, b * k + j))
+    return code
+
+
+def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
+    """The DuckDB/ANSI twin of ``zorder_key`` — the same unrolled
+    shift/or chain as SQL text, so an oracle can verify the codes."""
+    k = len(cols)
+    terms = [
+        f"(((CAST({c} AS BIGINT) >> {b}) & 1) << {b * k + j})"
+        for b in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return " | ".join(terms)
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: compute the Morton code,
+    range-partition on it into ``n_files`` disjoint code intervals
+    (one sample-based shuffle), sort within each, drop the transient
+    code column, write. Every output file covers a compact rectangle-
+    ish region of the key space, so filters on any clustered
+    dimension prune files by footer stats."""
+    (
+        df.withColumn("__z", zorder_key(cols, bits))
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -559,3 +559,22 @@ def test_embedding_cross_contam_planted(spark, sf_dir):
     )
     got = {(r["corpus_id"], r["bench_id"]) for r in out.collect()}
     assert got == {(i, i + 5000) for i in range(0, 100, 10)}
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from etl_script_spark.operators.dedup import dedup_paragraphs
+
+    boiler = "all rights reserved"
+    docs = [
+        (1, f"alpha one\n\n{boiler}\n\nbeta two"),
+        (2, f"{boiler}\n\ngamma three"),          # boiler dropped here
+        (3, f"delta four\n\ndelta four"),          # intra-doc repeat
+        (4, "\n\n  \n\n"),                          # only empty paras
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup_paragraphs(df, "text", "doc_id").collect()}
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text"] == "gamma three"
+    assert out[3]["n_kept"] == 1 and out[3]["text"] == "delta four"
+    assert 4 not in out  # no non-empty paragraphs -> no row

@@ -580,3 +580,57 @@ def test_paged_feed_datasource_partitions_and_content(spark, tmp_path):
     assert by_page[7] == {f"D7_{i}" for i in range(5)}
     # schema projection works through the custom source
     assert df.select("amount").schema[0].dataType.typeName() == "double"
+
+
+def test_zorder_files_have_tight_bounding_boxes(spark, tmp_path):
+    """Z-order clustering must localize BOTH dimensions: per-file
+    (x, y) bounding boxes should cover a small fraction of the global
+    grid area, which is what lets footer stats prune a box filter on
+    either dimension. A random layout's boxes each cover ~the whole
+    grid."""
+    from pyspark.sql import functions as F
+
+    from etl_script_spark.sources import layout
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 256).alias("x"),
+        ((F.col("id") * 7919) % 256).alias("y"),
+    )
+    out = str(tmp_path / "z")
+    layout.write_zorder_clustered(df, out, ["x", "y"], 16, bits=8)
+    files = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name())
+        .agg(
+            F.min("x").alias("x0"), F.max("x").alias("x1"),
+            F.min("y").alias("y0"), F.max("y").alias("y1"),
+        )
+        .collect()
+    )
+    assert len(files) >= 8
+    area = sum(
+        (r["x1"] - r["x0"] + 1) * (r["y1"] - r["y0"] + 1) for r in files
+    ) / len(files)
+    # global grid is 256x256 = 65,536; z-ordered 16-file boxes must
+    # average well under a quarter of it (measured ~1/8th)
+    assert area < 65_536 / 4, area
+
+
+def test_zorder_key_matches_reference_bits(spark):
+    """Pin the interleave convention: dim j occupies bit positions
+    b*k + j — x gets the even bits, y the odd bits (k=2)."""
+    from pyspark.sql import functions as F
+
+    from etl_script_spark.sources.layout import zorder_key
+
+    rows = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)], "x long, y long"
+    ).select("x", "y", zorder_key(["x", "y"], bits=8).alias("z")).collect()
+    def ref(x, y):
+        z = 0
+        for b in range(8):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+    for r in rows:
+        assert r["z"] == ref(r["x"], r["y"]), (r["x"], r["y"])
