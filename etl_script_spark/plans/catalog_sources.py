@@ -1062,3 +1062,98 @@ def layout_zorder_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
         F.sum(layout.zorder_key(["user_id", "d"], bits=8)).alias("z_checksum"),
     )
+
+
+@register(
+    "s22_python_datasource_stream",
+    """
+    SELECT CAST((o_orderkey // 20) % 8 AS INT) AS page,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(CAST(o_orderkey % 1000 AS DOUBLE) + 0.5
+                         AS DECIMAL(18,6))) AS DOUBLE) AS total_amount
+    FROM orders WHERE o_orderkey % 20 = 0
+    GROUP BY 1
+    """,
+    ("S21-pyds", "streaming-source"),
+)
+def s22_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING read through the registered Python DataSource (Spark
+    4 SimpleDataSourceStreamReader): the paged-feed directory as an
+    append-only stream whose offset is the highest page id consumed.
+    Two feed waves run through ONE checkpoint — pages 0-3 exist for
+    the first AvailableNow pass, pages 4-7 land before the second —
+    so the query proves incremental offset tracking end-to-end (the
+    second pass must pick up exactly the new pages, and replaying a
+    committed range is bit-identical). Output is the per-page
+    aggregate over BOTH waves; the oracle restates the whole feed
+    from orders."""
+    import json as _json
+    import os as _os
+    import tempfile as _tf
+
+    from etl_script_spark.sources import pyds
+    from etl_script_spark.streaming import ingest
+
+    pyds.register(spark)
+    d = _workdir(sf_dir, "s22")
+    feed = f"{d}/feed"
+    shutil.rmtree(feed, ignore_errors=True)
+    _os.makedirs(feed, exist_ok=True)
+    rows = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            F.concat(F.lit("DOC"), F.col("o_orderkey").cast("string")).alias(
+                "doc_no"
+            ),
+            ((F.col("o_orderkey") % 1000).cast("double") + 0.5).alias(
+                "amount"
+            ),
+            (F.floor(F.col("o_orderkey") / 20) % 8).cast("int").alias("page"),
+        )
+        .collect()  # bounded fixture build (catalog-source convention)
+    )
+    pages: dict[int, list] = {}
+    for r in rows:
+        pages.setdefault(r["page"], []).append(
+            {"doc_no": r["doc_no"], "amount": r["amount"]}
+        )
+
+    def _write_wave(page_ids):
+        for p in page_ids:
+            recs = sorted(pages.get(p, []), key=lambda x: x["doc_no"])
+            with open(f"{feed}/page_{p:04d}.json", "w", encoding="utf-8") as fh:
+                _json.dump(recs, fh)
+
+    ckpt = _tf.mkdtemp(prefix="s22_ckpt_")
+    sink = f"{d}/consumed"
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def _drain():
+        # exactly-once FILE sink (the memory sink cannot recover from
+        # a checkpoint): both waves write through the same checkpoint
+        # + output log, so wave 2 resumes from wave 1's committed
+        # offset and appends only the new pages
+        q = (
+            spark.readStream.format("paged_feed")
+            .option("path", feed)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "s22 stream drain timed out"
+
+    _write_wave([p for p in pages if p < 4])
+    _drain()
+    _write_wave([p for p in pages if p >= 4])
+    _drain()
+    consumed = spark.read.parquet(sink)
+    return consumed.groupBy("page").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("amount").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_amount"),
+    )

@@ -29,7 +29,12 @@ import json
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 PAGED_FEED_SCHEMA = "doc_no string, amount double, page int"
 
@@ -83,7 +88,72 @@ class PagedFeedDataSource(DataSource):
     def reader(self, schema):
         return PagedFeedReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return PagedFeedStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent format registration."""
     spark.dataSource.register(PagedFeedDataSource)
+
+
+class PagedFeedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the paged feed (Spark 4
+    ``SimpleDataSourceStreamReader``): the page directory is an
+    append-only feed, the OFFSET is the highest page id consumed —
+    each micro-batch reads exactly the pages that appeared since.
+
+    The *Simple* stream-reader variant reads on the DRIVER — the
+    documented trade for low-rate feeds (a paged REST bronze drop is
+    a few pages per poll; per-partition executor reads would cost
+    more in planning than the data). A high-volume stream belongs in
+    ``DataSourceStreamReader`` with ``partitions()``, the streaming
+    twin of the batch reader above. ``readBetweenOffsets`` replays a
+    committed range bit-identically on recovery, which is what makes
+    the source exactly-once under checkpoint resume."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("paged_feed stream requires option 'path'")
+
+    def initialOffset(self):
+        return {"page": -1}
+
+    def _pages(self):
+        import re
+
+        out = []
+        for f in sorted(os.listdir(self.dir)):
+            m = re.search(r"(\d+)\.json$", f)
+            if m:
+                out.append((os.path.join(self.dir, f), int(m.group(1))))
+        return out
+
+    def _rows(self, files):
+        # a LIST, not a generator: the simple-reader path pickles the
+        # prefetched batch into the offset cache for replay
+        out = []
+        for path, page in files:
+            with open(path, encoding="utf-8") as fh:
+                for rec in json.load(fh):
+                    out.append((rec.get("doc_no"), rec.get("amount"), page))
+        return out
+
+    def read(self, start):
+        files = [(p, g) for p, g in self._pages() if g > start["page"]]
+        if not files:
+            return [], start
+        end = {"page": max(g for _, g in files)}
+        return self._rows(files), end
+
+    def readBetweenOffsets(self, start, end):
+        files = [
+            (p, g)
+            for p, g in self._pages()
+            if start["page"] < g <= end["page"]
+        ]
+        return self._rows(files)
+
+    def commit(self, end):
+        pass  # the feed directory is the source of truth; nothing to ack

@@ -327,3 +327,61 @@ def test_chunk_text_covers_document(spark, lengths):
     for i, n in enumerate(lengths):
         expected = [f"t{i}x{j}" for j in range(n)] or [""]
         assert got[i] == expected, i
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard: losslessness property (round 5)
+# ---------------------------------------------------------------------------
+
+_VOCAB = [f"w{i}" for i in range(12)]
+_DOC = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=15).map(" ".join)
+
+
+def _brute_jaccard_pairs(texts, n, threshold):
+    """Pure-Python replay of ngram_jaccard_pairs' semantics (max_df
+    off): normalized word n-gram shingle SETS, all-pairs jaccard."""
+    def sh(t):
+        ws = " ".join(t.lower().split()).split(" ")
+        ws = [w for w in ws if w != ""] or [""]
+        if len(ws) >= n:
+            grams = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+        else:
+            grams = {" ".join(ws)}
+        return grams
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and inter / union >= threshold:
+                    out.add((a, b))
+    return out
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(_DOC, min_size=4, max_size=14),
+    st.sampled_from([0.5, 0.8]),
+)
+def test_prefix_filtered_jaccard_is_lossless(spark, texts, threshold):
+    """The AllPairs prefix filter must return EXACTLY the brute-force
+    pair set at the given threshold — losslessness is the entire
+    contract (a float-rounding slip in the prefix length or the size
+    filter silently drops boundary pairs; the epsilon guards exist
+    for this test to validate). max_df=None so the hot-shingle cap
+    (a documented semantic change) stays out of the property."""
+    from etl_script_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=threshold, max_df=None
+        ).collect()
+    }
+    assert got == _brute_jaccard_pairs(texts, 2, threshold)
