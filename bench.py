@@ -74,6 +74,12 @@ EXTRA = [
     "q21_waiting_supplier",
     "embedding_quantize_int8",
     "feat_normalize_pipeline",
+    "dedup_paragraphs_global",
+    "quality_gopher_rules",
+    "text_bigram_nll",
+    "decontam_embedding_neardup",
+    "sample_temperature_mix",
+    "layout_zorder_clustered_read",
 ]
 
 
