@@ -89,9 +89,11 @@ def exact_dedup(
     )
 
 
-def shingles(c: Column, n: int = 3) -> Column:
+def shingles(c: Column, n: int = 3, distinct: bool = True) -> Column:
     """Word n-gram shingle set of a text column (array<string>,
-    distinct). Built with sequence+transform — no UDF.
+    distinct by default; ``distinct=False`` keeps the multiset for
+    frequency-weighted consumers like tf-idf). Built with
+    sequence+transform — no UDF.
 
     The token array is let-BOUND, never inlined: a raw ``words``
     subtree inside the transform lambda is re-evaluated per element
@@ -111,7 +113,7 @@ def shingles(c: Column, n: int = 3) -> Column:
                 lambda i: F.array_join(F.slice(words, i, n), " "),
             ),
         ).otherwise(F.array(F.array_join(words, " ")))
-        return F.array_distinct(grams)
+        return F.array_distinct(grams) if distinct else grams
 
     return let(F.split(normalize_text(c), " "), build)
 

@@ -16,7 +16,7 @@ winsorize thresholds must be reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(28,8)"  # wide: sums of squares overflow 18 digits fast
@@ -140,3 +140,27 @@ def winsorize(
         ),
     )
     return joined.select(*df.columns, capped.alias(out_col))
+
+
+def quantile_bin(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 10,
+    order_tiebreak: str | None = None,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equal-frequency discretization: NTILE(n_bins) per group over the
+    value order. Rank-based, so it is immune to outliers (unlike
+    equal-width binning) and deterministic given a total order —
+    ``order_tiebreak`` (a unique id column) breaks value ties so the
+    same input always lands in the same bin on any engine. One shuffle
+    on the group key; per-group sort is the cost, which is exactly the
+    contract NTILE advertises. At 100 TB with few groups, bin by
+    precomputed approx-quantile EDGES instead (two scans, no global
+    sort) — this exact form is the oracle-able contract."""
+    order = [F.col(value_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return df.withColumn(out_col, F.ntile(n_bins).over(w))

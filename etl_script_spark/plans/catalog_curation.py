@@ -1536,3 +1536,41 @@ def dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", "n_paras", "n_kept", F.md5("text").alias("text_md5")
     )
+
+
+@register(
+    "feat_quantile_binning",
+    """
+    WITH binned AS (
+      SELECT event_type, value,
+             NTILE(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS bin
+      FROM events
+    )
+    SELECT event_type, bin, COUNT(*) AS n,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM binned GROUP BY event_type, bin
+    """,
+    ("LLM-features",),
+)
+def feat_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization (operators/features.quantile_bin):
+    NTILE(10) per event type with the event id as the value tiebreak,
+    then the per-bin census (count + edge values) — the feature-
+    engineering step that turns a heavy-tailed metric into a uniform
+    categorical. Rank-based, so outliers cannot collapse the bins the
+    way equal-width edges do; the unique tiebreak pins every tie to
+    one bin on any engine. The docstring's 100 TB note lives on the
+    operator: swap the global sort for approx-quantile edges when
+    groups are few and huge."""
+    from etl_script_spark.operators import features as feat_ops
+
+    ev = t(spark, sf_dir, "events")
+    binned = feat_ops.quantile_bin(
+        ev, "event_type", "value", n_bins=10, order_tiebreak="event_id"
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )

@@ -193,3 +193,154 @@ def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twap"),
         F.sum("dt").cast("long").alias("observed_seconds"),
     )
+
+
+from etl_script_spark.operators import timeseries as ts_ops  # noqa: E402
+
+_EWMA_ALPHA, _EWMA_TAPS = 0.3, 8
+
+
+def _sqldouble(x: float) -> str:
+    """A literal DuckDB parses directly as DOUBLE (exponent notation
+    forces float parsing; repr round-trips the exact bits)."""
+    r = repr(x)
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+_EWMA_TERMS = " + ".join(
+    (
+        f"value * {_sqldouble(w)}"
+        if j == 0
+        else f"LAG(value, {j}) OVER w * {_sqldouble(w)}"
+    )
+    for j, w in enumerate(ts_ops.ewma_weights(_EWMA_ALPHA, _EWMA_TAPS))
+)
+
+
+@register(
+    "ts_ewma_fir",
+    f"""
+    SELECT event_id, user_id, value, {_EWMA_TERMS} AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    ("TS-smoothing",),
+)
+def ts_ewma_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of the event value as an 8-tap FIR window filter
+    (operators/timeseries.ewma_fir): the recursive EWMA is sequential
+    and unbounded; truncating to 8 taps with the geometric tail folded
+    into the oldest tap makes it a pure lag-window expression — one
+    shuffle on user_id, codegen'd, state-free, and bit-replayable by
+    the oracle because both engines evaluate the SAME left-associative
+    literal-weighted sum. Warm-up rows (< 8 predecessors) are NULL by
+    contract."""
+    ev = t(spark, sf_dir, "events")
+    return ts_ops.ewma_fir(
+        ev, ["user_id"], ["ts", "event_id"], "value",
+        alpha=_EWMA_ALPHA, taps=_EWMA_TAPS,
+    ).select("event_id", "user_id", "value", "ewma")
+
+
+@register(
+    "ts_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT e.event_type, MIN(m.med) AS med,
+             quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN ABS(e.value - s.med) > 3.0e0 * 1.4826e0 * s.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           MIN(s.med) AS med, MIN(s.mad) AS mad
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type
+    """,
+    ("TS-robust",),
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / MAD with the
+    1.4826 normal-consistency constant (operators/timeseries). Exact
+    per-group medians (two one-shuffle percentile passes, stats
+    broadcast back) are the oracle-able contract; percentile_approx
+    is the stated 100 TB swap. Output is the per-type outlier census
+    so the check covers flag assignment, not just the stats."""
+    ev = t(spark, sf_dir, "events")
+    flagged = ts_ops.mad_outliers(ev, "event_type", "value", k=3.0)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias("n_outliers"),
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+    )
+
+
+@register(
+    "ev_attribution_last_touch",
+    """
+    WITH touched AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             last_value(CASE WHEN event_type IN ('click','view')
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type,
+             last_value(CASE WHEN event_type IN ('click','view')
+                             THEN ts END IGNORE NULLS) OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN touch_ts IS NOT NULL
+                 AND touch_ts >= ts - INTERVAL 7 DAY
+                THEN touch_type ELSE 'direct' END AS channel,
+           COUNT(*) AS n_conversions,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    ("EV-attribution",),
+)
+def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase credits
+    the user's most recent click/view within a 7-day lookback, else
+    'direct'. One window pass over (user, time) — the same shuffle the
+    sessionizer uses — then a 3-group rollup; no self-join of the
+    event stream against itself (the naive as-of formulation), so the
+    shape survives arbitrarily long histories."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touched = ev.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "channel",
+            F.when(
+                F.col("touch_ts").isNotNull()
+                & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+                F.col("touch_type"),
+            ).otherwise(F.lit("direct")),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("revenue"),
+        )
+    )

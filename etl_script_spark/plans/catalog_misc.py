@@ -987,3 +987,176 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s.select(k.alias("src"), ((k * 3) % 100).alias("dst")))
     )
     return graph.pagerank(edges, "src", "dst", iters=3)
+
+
+# =====================================================================
+# CDC apply / incremental join maintenance / triangle counting
+# =====================================================================
+
+from etl_script_spark.operators import cdc as cdc_ops  # noqa: E402
+from etl_script_spark.operators import incremental as inc_ops  # noqa: E402
+
+# Deterministic synthetic CDC feed over orders: every key gets an 'I'
+# at seq 1 (the original price in exact cents); keys not divisible by
+# 3 get a 'U' at seq 2 repricing to +10% (integer cents, floor); keys
+# divisible by 5 get a 'D' at seq 3. Both engines synthesize the SAME
+# feed, so the apply result is exactly checkable.
+_CDC_FEED = """
+      SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U',
+             (CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11) // 10
+      FROM orders WHERE o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', CAST(NULL AS BIGINT)
+      FROM orders WHERE o_orderkey % 5 = 0
+"""
+
+
+@register(
+    "cdc_apply_changes",
+    f"""
+    WITH feed AS ({_CDC_FEED}),
+    latest AS (
+      SELECT k, seq, op, price_cents,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC, op ASC)
+               AS rn
+      FROM feed
+    )
+    SELECT k AS o_orderkey, price_cents, seq AS last_seq, op AS last_op
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    ("J6", "CDC"),
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-style ordered change feed collapsed to final state
+    (operators/cdc.apply_changes): latest change per key wins, deletes
+    drop the key — ONE window shuffle instead of the reference's
+    per-record ORM save loop (smf-api UPDATE-then-INSERT per row).
+    The feed is synthesized deterministically from orders on both
+    engines; the apply arithmetic is integer cents throughout."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c0"),
+    )
+    feed = (
+        o.select(
+            "k", F.lit(1).alias("seq"), F.lit("I").alias("op"),
+            F.col("c0").alias("price_cents"),
+        )
+        .unionByName(
+            o.filter(F.col("k") % 3 != 0).select(
+                "k", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+                F.expr("(c0 * 11) div 10").alias("price_cents"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("k") % 5 == 0).select(
+                "k", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+                F.lit(None).cast("long").alias("price_cents"),
+            )
+        )
+    )
+    return cdc_ops.apply_changes(feed, ["k"], "seq", "op").select(
+        F.col("k").alias("o_orderkey"),
+        "price_cents",
+        F.col("seq").alias("last_seq"),
+        F.col("op").alias("last_op"),
+    )
+
+
+@register(
+    "inc_join_maintenance",
+    """
+    SELECT c.c_nationkey, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS o_totalprice_sum,
+           MIN(o.o_totalprice) AS o_totalprice_min,
+           MAX(o.o_totalprice) AS o_totalprice_max,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(o.o_totalprice) AS o_totalprice_avg
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    ("IVM", "A1"),
+)
+def inc_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN-then-AGGREGATE materialized
+    view: the per-nation revenue rollup is maintained as
+    partial_state(base ⋈ dim) MERGED with partial_state(Δ ⋈ dim) —
+    the delta (orders on/after the 1997-07-01 watermark) never touches
+    the base orders again, and the merge shuffles state (key
+    cardinality), not data. The oracle recomputes from scratch, so a
+    green row PROVES the incremental path is bitwise equal to full
+    recomputation — the IVM contract itself, extended from
+    inc_agg_maintenance (single table) to the join case (ΔA ⋈ B)."""
+    split = "1997-07-01"
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    base = o.filter(F.col("o_orderdate") < split).join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    delta = o.filter(F.col("o_orderdate") >= split).join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    keys, measures = ["c_nationkey"], ["o_totalprice"]
+    merged = inc_ops.merge_states(
+        [
+            inc_ops.partial_state(base, keys, measures),
+            inc_ops.partial_state(delta, keys, measures),
+        ],
+        keys,
+        measures,
+    )
+    return inc_ops.finalize(merged, keys, measures)
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH e AS (
+      SELECT s_suppkey AS src, (s_suppkey * 7 + 1) % 100 AS dst FROM supplier
+      WHERE s_suppkey < 100
+      UNION ALL
+      SELECT s_suppkey, (s_suppkey * 13 + 2) % 100 FROM supplier
+      WHERE s_suppkey < 100
+      UNION ALL
+      SELECT s_suppkey, (s_suppkey * 3) % 100 FROM supplier
+      WHERE s_suppkey < 100
+    ),
+    und AS (
+      SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e
+      WHERE src <> dst GROUP BY 1, 2
+    ),
+    verts AS (SELECT u AS x FROM und UNION SELECT v FROM und)
+    SELECT (SELECT COUNT(*) FROM verts) AS n_vertices,
+           (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT COUNT(*)
+            FROM und e1 JOIN und e2 ON e1.v = e2.u
+                        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+             AS n_triangles
+    """,
+    ("graph",),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census over the same deterministic supplier
+    graph PageRank uses (operators/graph.triangle_count). The Spark
+    path runs the degree-ordered compact-forward orientation (hub-safe
+    wedge fan-out, the 100 TB-correct plan); the oracle counts via the
+    naive id-ordered three-way join — the counts agree by symmetry,
+    so the green row certifies the oriented algorithm against the
+    textbook definition."""
+    from etl_script_spark.operators import graph
+
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 100).select(
+        "s_suppkey"
+    )
+    k = F.col("s_suppkey")
+    edges = (
+        s.select(k.alias("src"), ((k * 7 + 1) % 100).alias("dst"))
+        .unionByName(s.select(k.alias("src"), ((k * 13 + 2) % 100).alias("dst")))
+        .unionByName(s.select(k.alias("src"), ((k * 3) % 100).alias("dst")))
+    )
+    return graph.triangle_count(edges, "src", "dst")

@@ -115,3 +115,44 @@ def dq_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quarantined.select(
         "o_orderkey", F.concat_ws(",", F.col("violated")).alias("violated")
     )
+
+
+from etl_script_spark.operators import governance as gov_ops  # noqa: E402
+
+
+@register(
+    "gov_k_anonymity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+             COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                 ELSE 'nonneg' END) AS l_distinct
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(group_size) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_groups,
+           MIN(group_size) AS k_anonymity,
+           MIN(l_distinct) AS l_diversity,
+           CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           (CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+                 AS BIGINT) * 10000) // CAST(SUM(group_size) AS BIGINT)
+             AS risk_per_myriad
+    FROM g
+    """,
+    ("governance",),
+)
+def gov_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance report over customer with quasi-identifiers
+    (nation, market segment) and account-balance sign as the sensitive
+    attribute (operators/governance.k_anonymity_report): k-anonymity,
+    l-diversity, and the at-risk row share in exact integer
+    per-myriad. Two aggregation passes, the second over
+    group-cardinality data — scale-free."""
+    c = t(spark, sf_dir, "customer")
+    return gov_ops.k_anonymity_report(
+        c,
+        ["c_nationkey", "c_mktsegment"],
+        F.when(F.col("c_acctbal") < 0, "neg").otherwise("nonneg"),
+        k_threshold=5,
+    )

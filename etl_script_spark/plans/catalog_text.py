@@ -865,3 +865,110 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.col("q")).alias("q_json"),
         err_ok.alias("reconstruct_ok"),
     )
+
+
+# =====================================================================
+# tf-idf cosine all-pairs + fingerprint-bucket diversity sampling
+# =====================================================================
+
+from etl_script_spark.operators import vsm  # noqa: E402
+
+_SHINGLES_MULTI = (
+    f"CASE WHEN len({_WS}) < 3 THEN [array_to_string({_WS}, ' ')] "
+    f"ELSE [array_to_string({_WS}[i:i+2], ' ') "
+    f"for i in range(1, len({_WS})-1)] END"
+)
+
+
+@register(
+    "sim_tfidf_cosine_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest({_SHINGLES_MULTI}) AS term FROM documents
+    ),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM sh GROUP BY id, term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    kept AS (SELECT term, (n_docs * 1000000) // df AS idf
+             FROM dfq, n WHERE df * 2 <= n_docs * 1),
+    w AS (SELECT tf.id, tf.term, tf.tf * kept.idf AS w
+          FROM tf JOIN kept USING (term)),
+    norms AS (SELECT id, SUM(CAST(w AS HUGEINT) * w) AS n2
+              FROM w GROUP BY id),
+    dots AS (SELECT a.id AS id_a, b.id AS id_b,
+                    SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
+             FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+             GROUP BY 1, 2)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT id_a, id_b,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS cosine
+      FROM dots JOIN norms na ON na.id = dots.id_a
+                JOIN norms nb ON nb.id = dots.id_b
+    ) WHERE cosine >= 0.6e0
+    """,
+    ("LLM-dedup", "LLM-similarity"),
+)
+def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted all-pairs similarity (operators/vsm): word-
+    3-gram tf-idf vectors, df-capped inverted-index self-join, EXACT
+    integer dot products (idf is the scaled rational (N·10⁶) div df —
+    no ln(), so the oracle replays every bit). The weighted complement
+    of dedup_ngram_jaccard: template docs with shifted boilerplate
+    score high on rare-shingle weight even when their shingle SETS
+    diverge below the jaccard threshold. Scale: the term join is the
+    only data-sized shuffle; fan-out per term is df-capped (Bayardo's
+    all-pairs bound), never O(n²)."""
+    d = t(spark, sf_dir, "documents")
+    return vsm.tfidf_cosine_join(
+        d, "doc_id", "text", threshold=0.6, shingle_n=3, max_df_ratio=0.5
+    )
+
+
+@register(
+    "sample_diverse_buckets",
+    f"""
+    SELECT bucket, doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split({_NORM}, ''), x -> x != ''),
+                   x -> CAST(unicode(x) AS BIGINT))),
+               (acc, x) -> (acc * 257 + x) % 2147483647) % 64 AS bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                     list_filter(string_split({_NORM}, ''), x -> x != ''),
+                     x -> CAST(unicode(x) AS BIGINT))),
+                 (acc, x) -> (acc * 257 + x) % 2147483647) % 64
+               ORDER BY n_chars DESC, doc_id DESC) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    ("LLM-sampling",),
+)
+def sample_diverse_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-stratified selection: partition the corpus into 64
+    content-fingerprint buckets (the SQL-replayable Rabin-Karp
+    polynomial — textstats.fingerprint_rolling — mod 64) and keep the
+    best document per bucket (longest, id-tiebroken). The cheap
+    deterministic stand-in for cluster-based diverse sampling: every
+    selection decision is a window rank inside a hash stratum, so the
+    pick parallelizes per bucket and never compares documents across
+    strata. One shuffle on the bucket key."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    bucket = F.pmod(textstats.fingerprint_rolling(F.col("text")), F.lit(64))
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").desc()
+    )
+    return (
+        d.select("doc_id", "n_chars", bucket.alias("bucket"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("bucket", "doc_id", "n_chars")
+    )

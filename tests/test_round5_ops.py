@@ -1,0 +1,194 @@
+"""Unit tests for the round-5 operator batch: FIR EWMA, MAD outliers,
+CDC apply, triangle counting, tf-idf cosine join, k-anonymity,
+quantile binning. The catalog-level oracle checks live in
+test_oracle.py (auto-parameterized); these pin the operator semantics
+on adversarial micro-fixtures the testdata tables cannot hit."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import cdc, features, governance, graph
+from etl_script_spark.operators import timeseries as ts
+from etl_script_spark.operators import vsm
+
+
+# --------------------------------------------------------------- EWMA
+def test_ewma_weights_sum_to_one():
+    w = ts.ewma_weights(0.3, 8)
+    assert len(w) == 8
+    assert math.isclose(sum(w), 1.0, rel_tol=0, abs_tol=1e-12)
+    # strictly decreasing except the tail-absorbing last tap
+    assert all(a > b for a, b in zip(w[:-2], w[1:-1]))
+
+
+def test_ewma_fir_constant_signal_is_identity(spark):
+    # weights sum to 1 → EWMA of a constant is that constant
+    rows = [(1, i, 5.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "k int, seq int, x double")
+    out = ts.ewma_fir(df, ["k"], ["seq"], "x", alpha=0.3, taps=8)
+    got = {r["seq"]: r["ewma"] for r in out.collect()}
+    for seq in range(7):  # warm-up rows: NULL by contract
+        assert got[seq] is None
+    for seq in range(7, 12):
+        assert got[seq] == pytest.approx(5.0, abs=1e-12)
+
+
+def test_ewma_fir_recency_weighting(spark):
+    # a step signal: newest taps dominate (alpha mass on recent values)
+    rows = [(1, i, 0.0) for i in range(8)] + [(1, 8, 10.0)]
+    df = spark.createDataFrame(rows, "k int, seq int, x double")
+    out = ts.ewma_fir(df, ["k"], ["seq"], "x", alpha=0.3, taps=8)
+    last = out.filter(F.col("seq") == 8).collect()[0]["ewma"]
+    assert last == pytest.approx(3.0, abs=1e-12)  # alpha * 10
+
+
+# ------------------------------------------------------- MAD outliers
+def test_mad_outliers_flags_only_the_spike(spark):
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 1000.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, x double"
+    )
+    out = ts.mad_outliers(df, "g", "x", k=3.0)
+    flagged = [r["x"] for r in out.filter("is_outlier").collect()]
+    assert flagged == [1000.0]
+
+
+def test_mad_outliers_constant_group_flags_nothing(spark):
+    df = spark.createDataFrame(
+        [("g", 7.0)] * 5, "g string, x double"
+    )
+    out = ts.mad_outliers(df, "g", "x", k=3.0)
+    assert out.filter("is_outlier").count() == 0
+
+
+# ---------------------------------------------------------- CDC apply
+def test_cdc_apply_latest_wins_and_delete_drops(spark):
+    feed = spark.createDataFrame(
+        [
+            (1, 1, "I", 100),
+            (1, 2, "U", 110),
+            (2, 1, "I", 200),
+            (2, 2, "D", None),
+            (3, 1, "I", 300),
+            (3, 2, "D", None),
+            (3, 3, "I", 330),  # re-insert after delete survives
+        ],
+        "k int, seq int, op string, v int",
+    )
+    out = {
+        r["k"]: (r["v"], r["op"])
+        for r in cdc.apply_changes(feed, ["k"], "seq", "op").collect()
+    }
+    assert out == {1: (110, "U"), 3: (330, "I")}
+
+
+def test_cdc_apply_tie_prefers_delete(spark):
+    # same seq twice (feed bug): delete wins deterministically
+    feed = spark.createDataFrame(
+        [(1, 1, "I", 100), (1, 1, "D", None)],
+        "k int, seq int, op string, v int",
+    )
+    assert cdc.apply_changes(feed, ["k"], "seq", "op").count() == 0
+
+
+# ------------------------------------------------------ triangle count
+def test_triangle_count_k4(spark):
+    # complete graph on 4 vertices: C(4,3) = 4 triangles
+    edges = [
+        (a, b) for a in range(4) for b in range(4) if a < b
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    row = graph.triangle_count(df).collect()[0]
+    assert (row["n_vertices"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+
+
+def test_triangle_count_canonicalizes_input(spark):
+    # duplicates, reversed orientations, and self-loops must not count
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)],
+        "src int, dst int",
+    )
+    row = graph.triangle_count(df).collect()[0]
+    assert (row["n_vertices"], row["n_edges"], row["n_triangles"]) == (3, 3, 1)
+
+
+def test_triangle_count_star_has_none(spark):
+    # hub star: max skew, zero triangles (the fan-out stress shape)
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 40)], "src int, dst int"
+    )
+    row = graph.triangle_count(df).collect()[0]
+    assert row["n_triangles"] == 0
+
+
+# ----------------------------------------------------- tf-idf cosine
+def test_tfidf_identical_docs_cosine_one(spark):
+    # corpus must be large enough that the duplicated pair's shingles
+    # (df = 2) survive the df <= N/2 index cap
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+            (4, "eight nine ten eleven twelve"),
+            (5, "red green blue cyan magenta"),
+            (6, "north south east west center"),
+        ],
+        "id long, text string",
+    )
+    out = vsm.tfidf_cosine_join(docs, "id", "text", threshold=0.9)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0]["id_a"], rows[0]["id_b"]) == (1, 2)
+    assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_tfidf_df_cap_drops_universal_terms(spark):
+    # a shingle present in every doc is dropped from the index
+    docs = spark.createDataFrame(
+        [(i, "common boiler plate") for i in range(4)],
+        "id long, text string",
+    )
+    w = vsm.tfidf_weights(docs, "id", "text", max_df_ratio=0.5)
+    assert w.count() == 0  # the only shingle has df = N > N/2
+
+
+# -------------------------------------------------------- governance
+def test_k_anonymity_report(spark):
+    rows = [("a", "x", 1)] * 5 + [("a", "y", 2)] * 2 + [("b", "x", 3)]
+    df = spark.createDataFrame(rows, "q1 string, q2 string, s int")
+    rep = governance.k_anonymity_report(
+        df, ["q1", "q2"], F.col("s"), k_threshold=5
+    ).collect()[0]
+    assert rep["n_rows"] == 8
+    assert rep["n_groups"] == 3
+    assert rep["k_anonymity"] == 1
+    assert rep["l_diversity"] == 1
+    assert rep["rows_at_risk"] == 3  # the 2-group and the 1-group
+    assert rep["risk_per_myriad"] == 3750
+
+
+def test_suppress_small_groups(spark):
+    rows = [("a", i) for i in range(5)] + [("b", 9)]
+    df = spark.createDataFrame(rows, "q string, v int")
+    out = governance.suppress_small_groups(df, ["q"], k_threshold=5)
+    assert sorted(r["q"] for r in out.collect()) == ["a"] * 5
+
+
+# ---------------------------------------------------- quantile binning
+def test_quantile_bin_balanced(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(i % 7)) for i in range(100)],
+        "g string, id int, v double",
+    )
+    out = features.quantile_bin(
+        df, "g", "v", n_bins=10, order_tiebreak="id"
+    )
+    sizes = (
+        out.groupBy("bin").count().orderBy("bin").select("count").collect()
+    )
+    assert [r["count"] for r in sizes] == [10] * 10
