@@ -80,6 +80,18 @@ EXTRA = [
     "decontam_embedding_neardup",
     "sample_temperature_mix",
     "layout_zorder_clustered_read",
+    # --- round 5: second batch (time-series / CDC / IVM / graph /
+    # similarity / governance) ---
+    "ts_ewma_fir",
+    "ts_mad_outliers",
+    "ev_attribution_last_touch",
+    "cdc_apply_changes",
+    "inc_join_maintenance",
+    "graph_triangle_count",
+    "sim_tfidf_cosine_pairs",
+    "gov_k_anonymity",
+    "sample_diverse_buckets",
+    "feat_quantile_binning",
 ]
 
 
@@ -141,12 +153,20 @@ def main() -> None:
             continue
         q = CATALOG[name]
         q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
-        # eager operators leave their (documented) result cached; clear
-        # so the timed pass measures recompute, not a cache scan
-        _release(spark)
-        start = time.perf_counter()
-        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        extra[name] = round(time.perf_counter() - start, 4)
+        # Steady-state = min of two timed passes: the JVM's C2 compiler
+        # finishes asynchronously, so the pass right after warm-up can
+        # still run partially interpreted — measured 2x inflation on
+        # the heavier entries when they sit early in the session. The
+        # min is the standard steady-state estimator; _release before
+        # each pass clears caches/persisted RDDs so every pass is a
+        # full recompute, never a cache scan.
+        best = float("inf")
+        for _ in range(2):
+            _release(spark)
+            start = time.perf_counter()
+            q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - start)
+        extra[name] = round(best, 4)
 
     # Full per-query manifest: EVERY catalog query timed once (single
     # pass, no warm-up — attribution data for round-over-round

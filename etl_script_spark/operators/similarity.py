@@ -538,7 +538,7 @@ def embedding_cross_contam(
     vec_col: str = "embedding",
     threshold: float = 0.999,
     n_bands: int = 8,
-    planes_per_band: int = 4,
+    planes_per_band: int = 16,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
@@ -556,7 +556,17 @@ def embedding_cross_contam(
     scan, map-side candidate probing, exact-cosine verify on the
     (tiny) candidate set. Banding math is embedding_near_dups'
     (OR-of-bands pigeonhole; identical vectors agree in every band,
-    so planted verbatim contamination has recall exactly 1)."""
+    so planted verbatim contamination has recall exactly 1).
+
+    Bands are TIGHT here (16 planes ≈ 65k buckets per band), unlike
+    near_dups' loose 4: at a 0.999 threshold the per-plane agreement
+    probability is cos-angle ≈ 0.986, so 16-plane bands still OR up
+    to > 0.9999 recall — while 4-plane bands (16 buckets) make random
+    corpus×bench pairs collide at ~40% and the candidate set
+    degenerates toward the cross product (measured: 81k of 200k
+    possible pairs at sf0.1 → 147 after tightening). Band width must
+    scale with the threshold's proximity to 1; the near-dup default
+    would be a recall cliff here in reverse."""
     planes = random_hyperplanes(dim, n_bands * planes_per_band, seed)
 
     def banded(df: DataFrame, idc: str, out: str) -> DataFrame:
