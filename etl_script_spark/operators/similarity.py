@@ -618,3 +618,54 @@ def embedding_cross_contam(
     return verified.select(
         "corpus_id", "bench_id", sim.alias("cosine_sim")
     ).filter(F.col("cosine_sim") >= threshold)
+
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    k-means-cluster the corpus, then search for near-duplicate pairs
+    ONLY within each cluster — cosine >= threshold, exact verify.
+
+    The cluster id is the candidate-generation key, exactly as the
+    band/bucket is for MinHash: pairs are generated by a self-join on
+    ``cluster``, so the pair space shrinks from O(n²) to
+    O(sum c_i²) ≈ O(n²/k). Identical vectors always share a cluster
+    (assignment is a deterministic function of the vector), so
+    verbatim-duplicate recall is exactly 1; semantically-near pairs
+    split across a cluster boundary are the accepted SemDeDup recall
+    trade, bounded by cluster geometry. At 100 TB, k scales as
+    n / target_cluster_size (the paper runs k in the tens of
+    thousands) and the per-cluster join stays data-local after one
+    repartition on cluster.
+
+    Returns (id_a, id_b, cluster, cosine) with id_a < id_b.
+    """
+    _, assigned = kmeans_lloyd(
+        vectors, id_col=id_col, vec_col=vec_col, k=k, iters=iters
+    )
+    sided = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__vec"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    ).join(assigned.select(F.col(id_col).alias("id"), "cluster"), "id")
+    a, b = sided.alias("a"), sided.alias("b")
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            "cluster",
+            (
+                dot(F.col("a.__vec"), F.col("b.__vec"))
+                / (F.col("a.__n") * F.col("b.__n"))
+            ).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= F.lit(threshold))

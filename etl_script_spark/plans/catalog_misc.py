@@ -1160,3 +1160,110 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s.select(k.alias("src"), ((k * 3) % 100).alias("dst")))
     )
     return graph.triangle_count(edges, "src", "dst")
+
+
+@register(
+    "link_fellegi_sunter",
+    """
+    WITH dirty AS (
+      SELECT c_custkey AS d_id,
+             substr(lower(c_name), 1, 15 + (c_custkey % 3)) || 'z'
+               || substr(lower(c_name), 17 + (c_custkey % 3)) AS d_name,
+             CASE WHEN c_custkey % 7 = 0 THEN 'XX'
+                  ELSE c_mktsegment END AS d_seg,
+             c_acctbal + (c_custkey % 11) / 10.0e0 AS d_bal,
+             c_nationkey AS d_nation,
+             substr(lower(c_name), 14, 2) AS d_block
+      FROM customer
+    ),
+    cand AS (
+      SELECT d.d_id, c.c_custkey AS c_id,
+             levenshtein(d.d_name, lower(c.c_name)) <= 1 AS agree_name,
+             d.d_seg = c.c_mktsegment AS agree_segment,
+             abs(d.d_bal - c.c_acctbal) < 1.0e0 AS agree_balance
+      FROM dirty d JOIN customer c
+        ON d.d_nation = c.c_nationkey
+       AND d.d_block = substr(lower(c.c_name), 14, 2)
+    )
+    SELECT d_id, c_id, agree_name, agree_segment, agree_balance,
+           (CASE WHEN agree_name THEN 24 ELSE -8 END
+            + CASE WHEN agree_segment THEN 8 ELSE -4 END
+            + CASE WHEN agree_balance THEN 4 ELSE -2 END) AS score
+    FROM cand
+    WHERE (CASE WHEN agree_name THEN 24 ELSE -8 END
+           + CASE WHEN agree_segment THEN 8 ELSE -4 END
+           + CASE WHEN agree_balance THEN 4 ELSE -2 END) >= 20
+    """,
+    ("X-fuzzy-join", "linkage"),
+)
+def link_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field probabilistic record linkage
+    (operators/linkage.link): customers with one injected name
+    substitution, a corrupted market segment every 7th key, and a
+    drifted balance every key, re-linked to the clean master.
+    Blocking = (nation, a stable name fragment) — selective AND
+    perturbation-proof; scoring = Fellegi-Sunter integer log-odds
+    (name +24/-8 via levenshtein<=1, segment +8/-4, balance-within-1
+    +4/-2, threshold 20). The deliberate classification edges are in
+    the output: keys where segment AND balance both disagree fall
+    below threshold (FS 'possible' band), and same-block customers
+    whose numbers differ only at the perturbed digit produce
+    deterministic high-scoring cross matches — the ambiguity the
+    framework exists to manage."""
+    from etl_script_spark.operators import linkage
+
+    c = t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    cut = F.lit(15) + (key % 3)
+    name = F.lower(F.col("c_name"))
+    dirty = c.select(
+        key.alias("d_id"),
+        F.concat(
+            F.expr("substr(lower(c_name), 1, 15 + (c_custkey % 3))"),
+            F.lit("z"),
+            F.expr("substr(lower(c_name), 17 + (c_custkey % 3))"),
+        ).alias("d_name"),
+        F.when(key % 7 == 0, F.lit("XX"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_seg"),
+        (F.col("c_acctbal") + (key % 11) / F.lit(10.0)).alias("d_bal"),
+        F.col("c_nationkey").alias("d_nation"),
+        F.substring(name, 14, 2).alias("d_block"),
+    )
+    clean = c.select(
+        F.col("c_custkey").alias("c_id"),
+        F.lower(F.col("c_name")).alias("c_name_l"),
+        "c_mktsegment",
+        "c_acctbal",
+        "c_nationkey",
+        F.substring(F.lower(F.col("c_name")), 14, 2).alias("c_block"),
+    )
+    linked = linkage.link(
+        dirty,
+        clean,
+        block_on=[
+            (F.col("d_nation"), F.col("c_nationkey")),
+            (F.col("d_block"), F.col("c_block")),
+        ],
+        comparators=[
+            linkage.Comparator(
+                "name",
+                F.levenshtein(F.col("d_name"), F.col("c_name_l")) <= 1,
+                24,
+                -8,
+            ),
+            linkage.Comparator(
+                "segment", F.col("d_seg") == F.col("c_mktsegment"), 8, -4
+            ),
+            linkage.Comparator(
+                "balance",
+                F.abs(F.col("d_bal") - F.col("c_acctbal")) < F.lit(1.0),
+                4,
+                -2,
+            ),
+        ],
+        threshold=20,
+    )
+    return linked.select(
+        "d_id", "c_id", "agree_name", "agree_segment", "agree_balance", "score"
+    )

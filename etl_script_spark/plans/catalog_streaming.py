@@ -386,3 +386,120 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_available_now(
         joined, f"st_stream_stream_join_{_tag(sf_dir)}"
     )
+
+
+@register(
+    "st_stream_cdc_apply",
+    """
+    WITH feed AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey <= 4000
+      UNION ALL
+      SELECT o_orderkey, 2, 'U',
+             (CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11) // 10
+      FROM orders WHERE o_orderkey <= 4000 AND o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', CAST(NULL AS BIGINT)
+      FROM orders WHERE o_orderkey <= 4000 AND o_orderkey % 5 = 0
+    ),
+    latest AS (
+      SELECT k, seq, op, price_cents,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC, op ASC)
+               AS rn
+      FROM feed
+    )
+    SELECT k AS o_orderkey, price_cents, seq AS last_seq, op AS last_op
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    ("streaming-cdc", "J6"),
+)
+def st_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming CDC apply: the cdc_apply_changes feed is split
+    into three parquet files (one per seq epoch), streamed with
+    maxFilesPerTrigger=1 so each micro-batch carries one epoch, and a
+    foreachBatch sink applies each batch INCREMENTALLY — collapse the
+    batch to its per-key latest change, anti-join those keys out of
+    the accumulated state, union the non-delete survivors back in.
+    The oracle replays the whole feed as ONE batch apply, so the
+    green row proves incremental-equals-global: the per-batch
+    apply-then-override composition reconstructs exactly the window-
+    over-everything result, provided batch order respects the feed's
+    sequence order (which a CDC log guarantees by construction).
+    State per micro-batch is one anti-join + union on the key —
+    foreachBatch MERGE shape, no full recompute."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
+    o = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c0"),
+    )
+    feed_dir = tempfile.mkdtemp(prefix=f"cdc_feed_{uuid.uuid4().hex[:6]}_")
+    batches = [
+        o.select(
+            "k", F.lit(1).alias("seq"), F.lit("I").alias("op"),
+            F.col("c0").alias("price_cents"),
+        ),
+        o.filter(F.col("k") % 3 != 0).select(
+            "k", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+            F.expr("(c0 * 11) div 10").alias("price_cents"),
+        ),
+        o.filter(F.col("k") % 5 == 0).select(
+            "k", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+            F.lit(None).cast("long").alias("price_cents"),
+        ),
+    ]
+    for i, b in enumerate(batches):
+        path = os.path.join(feed_dir, f"seq_{i + 1}")
+        b.coalesce(1).write.mode("overwrite").parquet(path)
+        # FileStreamSource orders by modification time: pin strictly
+        # increasing mtimes so epoch files arrive in sequence order
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_000_000 + i, 1_000_000 + i))
+
+    schema = "k bigint, seq int, op string, price_cents bigint"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    acc: list[DataFrame] = []
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc(), F.col("op").asc())
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        survivors = latest.filter(F.col("op") != "D")
+        if acc:
+            kept = acc[0].join(latest.select("k"), "k", "left_anti")
+            state = kept.unionByName(survivors)
+        else:
+            state = survivors
+        acc[:] = [state.localCheckpoint()]
+
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_cdc_{uuid.uuid4().hex[:6]}_")
+    q = (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = acc[0] if acc else spark.createDataFrame([], schema)
+    return final.select(
+        F.col("k").alias("o_orderkey"),
+        "price_cents",
+        F.col("seq").alias("last_seq"),
+        F.col("op").alias("last_op"),
+    )

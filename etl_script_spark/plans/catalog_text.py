@@ -972,3 +972,48 @@ def sample_diverse_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("bucket", "doc_id", "n_chars")
     )
+
+
+@register(
+    "dedup_semantic_clusters",
+    """
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b, TRUE AS found
+    FROM embeddings WHERE vec_id < 25
+    """,
+    ("LLM-dedup", "LLM-similarity"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-scoped embedding dedup,
+    similarity.semantic_dedup_pairs) as a driver-checkable planted
+    invariant, the dedup_simhash pattern: an exact copy of each of the
+    first 25 embeddings is planted at id+100000; identical vectors
+    assign to the SAME k-means cluster deterministically (assignment
+    is a pure function of the vector), so the within-cluster pair
+    search must surface every planted pair at cosine 1.0 — end-to-end
+    through the Lloyd fit, cluster candidate join, and exact-cosine
+    verify. Sub-threshold semantic geometry stays covered by pytest
+    (no SQL-expressible truth for the k-means fit)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 25)
+    corpus = e.unionByName(
+        planted.select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    pairs = similarity.semantic_dedup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.999, k=16, iters=2
+    )
+    return (
+        planted.select(
+            F.col("vec_id").alias("id_a"),
+            (F.col("vec_id") + 100000).alias("id_b"),
+        )
+        .join(
+            pairs.select("id_a", "id_b", F.lit(True).alias("__f")),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .select(
+            "id_a", "id_b", F.coalesce(F.col("__f"), F.lit(False)).alias("found")
+        )
+    )

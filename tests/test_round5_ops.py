@@ -192,3 +192,101 @@ def test_quantile_bin_balanced(spark):
         out.groupBy("bin").count().orderBy("bin").select("count").collect()
     )
     assert [r["count"] for r in sizes] == [10] * 10
+
+
+# ------------------------------------------------- last-touch truth
+def test_attribution_window_semantics(spark):
+    """Pin spark==truth for the attribution shape (the catalog oracle
+    only proves spark==duckdb): a purchase 1 day after a click
+    credits 'click'; one 8 days after the last touch is 'direct';
+    a user with no touches at all is 'direct'."""
+    import datetime as dt
+
+    from etl_script_spark.plans.catalog import CATALOG
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: click then purchase next day -> click
+        (1, base, 1, "click", 0.0),
+        (2, base + dt.timedelta(days=1), 1, "purchase", 10.0),
+        # user 2: view, then purchase 8 days later -> direct
+        (3, base, 2, "view", 0.0),
+        (4, base + dt.timedelta(days=8), 2, "purchase", 20.0),
+        # user 3: purchase with no history -> direct
+        (5, base, 3, "purchase", 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {
+            r["channel"]: (r["n_conversions"], r["revenue"])
+            for r in CATALOG["ev_attribution_last_touch"]
+            .spark(spark, d)
+            .collect()
+        }
+    assert out == {"click": (1, 10.0), "direct": (2, 50.0)}
+
+
+# ------------------------------------------------- record linkage
+def test_fellegi_sunter_scoring_and_blocking(spark):
+    from etl_script_spark.operators import linkage
+
+    left = spark.createDataFrame(
+        [(1, "B1", "smith", "gold"), (2, "B2", "jones", "blue")],
+        "l_id int, l_block string, l_name string, l_seg string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "B1", "smith", "gold"),   # full agreement -> 30
+            (11, "B1", "smyth", "iron"),   # name lev 1, seg off -> 20
+            (12, "B1", "baker", "gold"),   # name off -> -2
+            (13, "B9", "jones", "blue"),   # right name, WRONG block: unseen
+        ],
+        "r_id int, r_block string, r_name string, r_seg string",
+    )
+    out = linkage.link(
+        left,
+        right,
+        block_on=[(F.col("l_block"), F.col("r_block"))],
+        comparators=[
+            linkage.Comparator(
+                "name",
+                F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1,
+                24,
+                -8,
+            ),
+            linkage.Comparator(
+                "seg", F.col("l_seg") == F.col("r_seg"), 6, -2
+            ),
+        ],
+        threshold=20,
+    )
+    got = {(r["l_id"], r["r_id"]): r["score"] for r in out.collect()}
+    # blocked-out true match (2,13) is absent by design; sub-threshold
+    # (1,12) filtered; both B1 name-agreers retained with exact scores
+    assert got == {(1, 10): 30, (1, 11): 22}
+
+
+# --------------------------------------------------------- SemDeDup
+def test_semantic_dedup_finds_planted_copy(spark):
+    from etl_script_spark.operators.similarity import semantic_dedup_pairs
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    rows.append((100, list(rows[3][1])))  # exact copy of id 3
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = semantic_dedup_pairs(
+        df, "vec_id", "embedding", threshold=0.999, k=4, iters=2
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (3, 100) in got
+    # every surviving pair really clears the threshold (exact verify)
+    assert all(r["cosine"] >= 0.999 for r in pairs.collect())
