@@ -92,6 +92,9 @@ EXTRA = [
     "gov_k_anonymity",
     "sample_diverse_buckets",
     "feat_quantile_binning",
+    "dedup_semantic_clusters",
+    "link_fellegi_sunter",
+    "st_stream_cdc_apply",
 ]
 
 

@@ -40,6 +40,7 @@ def tfidf_weights(
     text_col: str,
     shingle_n: int = 3,
     max_df_ratio: float = 0.5,
+    max_df: int | None = None,
     idf_scale: int = 1_000_000,
 ) -> DataFrame:
     """Inverted index (id, term, w) with integer tf·idf weights.
@@ -49,7 +50,18 @@ def tfidf_weights(
     from the INDEX (stop-shingle cap); ratios are compared in integer
     cross-multiplied form so the cap itself is exact. The corpus size
     N rides along as a 1-row broadcast crossJoin (the BM25 pattern) —
-    no driver-side count."""
+    no driver-side count.
+
+    ``max_df`` is the ABSOLUTE cap and the one that matters at scale:
+    the ratio cap bounds nothing in absolute terms — a boilerplate
+    shingle in 30% of a 100 TB corpus passes a 0.5 ratio and alone
+    generates (0.3n)² candidate pairs, the all-pairs death. With an
+    absolute cap the join fan-out is bounded by
+    Σ df² ≤ max_df · |index| — LINEAR in corpus size for fixed
+    max_df. The recall loss is only on pairs whose ENTIRE similarity
+    mass sits in ultra-common terms, which idf already weights toward
+    zero (a df > max_df term contributes idf ≤ (N·scale)/max_df …
+    negligible against any rare-term match)."""
     terms = docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n, distinct=False)).alias(
@@ -63,12 +75,15 @@ def tfidf_weights(
     from fractions import Fraction
 
     frac = Fraction(max_df_ratio).limit_denominator(1_000_000)
+    keep = (
+        F.col("df") * F.lit(frac.denominator)
+        <= F.col("n_docs") * F.lit(frac.numerator)
+    )
+    if max_df is not None:
+        keep = keep & (F.col("df") <= F.lit(max_df))
     kept = (
         dfreq.crossJoin(F.broadcast(n))
-        .filter(
-            F.col("df") * F.lit(frac.denominator)
-            <= F.col("n_docs") * F.lit(frac.numerator)
-        )
+        .filter(keep)
         .select("term", F.expr(f"(n_docs * {idf_scale}) div df").alias("idf"))
     )
     return tf.join(kept, "term").select(
@@ -122,12 +137,19 @@ def tfidf_cosine_join(
     threshold: float = 0.8,
     shingle_n: int = 3,
     max_df_ratio: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """End-to-end: tokenize → integer tf-idf → inverted-index join →
     exact cosine ≥ threshold. The index feeds both the norm pass and
     both sides of the self-join, so it is persisted by the caller if
-    reuse matters (the catalog query marks it)."""
+    reuse matters (the catalog query marks it). At corpus scale pass
+    ``max_df`` (absolute) — see tfidf_weights."""
     w = tfidf_weights(
-        docs, id_col, text_col, shingle_n=shingle_n, max_df_ratio=max_df_ratio
+        docs,
+        id_col,
+        text_col,
+        shingle_n=shingle_n,
+        max_df_ratio=max_df_ratio,
+        max_df=max_df,
     )
     return cosine_pairs(w, threshold)

@@ -175,8 +175,102 @@ def main():
     print(f"expectations 5 rules x 10M: {time.time()-t0:.1f}s -> {m}")
 
     stress_round4_families(spark, d)
+    stress_round5_families(spark, d)
     spark.stop()
 
+
+
+
+def stress_round5_families(spark, d):
+    """Round-5 additions: tf-idf all-pairs with a hot template,
+    skew-hub triangle counting, SemDeDup clustering, CDC apply,
+    blocked record linkage — each op's documented scale risk driven
+    at 20-1000x the bench fixture."""
+    from etl_script_spark.operators import cdc, graph, linkage, vsm
+    from etl_script_spark.operators.similarity import semantic_dedup_pairs
+
+    # --- tfidf cosine join over the 100k pathological corpus ---------
+    # the 30% hot-template suffix passes the 0.5 RATIO cap: without an
+    # absolute df cap its shingles alone would generate (0.3N)^2 pairs.
+    # max_df=2000 bounds join fan-out at sum(df^2) <= 2000*|index|.
+    t0 = time.time()
+    pairs = vsm.tfidf_cosine_join(
+        d, "doc_id", "text", threshold=0.8, max_df=2000
+    )
+    cnt = pairs.count()
+    print(f"tfidf_cosine_join {N} docs (max_df=2000): "
+          f"{time.time()-t0:.1f}s -> {cnt} pairs")
+
+    # --- triangle count: 200k random edges + a 20k-degree hub --------
+    # degree-ordered orientation gives the hub ZERO out-edges, so the
+    # wedge join never fans out through it; id-ordering would build
+    # ~hub_deg^2/2 = 200M wedges at the hub alone.
+    rnd = spark.range(200_000).select(
+        (F.xxhash64("id") % 50_000).alias("src"),
+        (F.xxhash64("id", F.lit(1)) % 50_000).alias("dst"),
+    ).select(F.abs("src").alias("src"), F.abs("dst").alias("dst"))
+    hub = spark.range(20_000).select(
+        F.lit(99_999).alias("src"), F.col("id").alias("dst")
+    )
+    t0 = time.time()
+    row = graph.triangle_count(rnd.unionByName(hub)).collect()[0]
+    print(f"triangle_count 220k edges + 20k-deg hub: {time.time()-t0:.1f}s "
+          f"-> v={row['n_vertices']} e={row['n_edges']} "
+          f"tri={row['n_triangles']}")
+
+    # --- SemDeDup: 50k x 64-dim, k=256 clusters ----------------------
+    # pair space n^2/k ~ 9.8M exact-cosine verifies; the paper-scale
+    # contract is k ~ n/target_cluster_size keeping this linear-ish
+    vecs = spark.range(50_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: ((F.xxhash64(i, F.col("id")) % 1000) / 500.0 - 1.0
+                       ).cast("float"),
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    sd = semantic_dedup_pairs(vecs, "vec_id", "embedding",
+                              threshold=0.999, k=256, iters=1)
+    cnt = sd.count()
+    print(f"semantic_dedup 50k x64 k=256: {time.time()-t0:.1f}s -> {cnt} pairs")
+
+    # --- CDC apply: 2M-change feed over 1M keys ----------------------
+    feed = spark.range(2_000_000).select(
+        (F.col("id") % 1_000_000).alias("k"),
+        (F.col("id") // 1_000_000 + 1).cast("int").alias("seq"),
+        F.when((F.col("id") // 1_000_000 > 0) & (F.col("id") % 7 == 0),
+               F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        (F.col("id") * 3).alias("v"),
+    )
+    t0 = time.time()
+    cnt = cdc.apply_changes(feed, ["k"], "seq", "op").count()
+    print(f"cdc_apply 2M changes / 1M keys: {time.time()-t0:.1f}s -> {cnt} rows")
+
+    # --- blocked linkage: 100k x 100k, 5000 blocks -------------------
+    # 20 rows/block/side -> ~4M scored candidates, levenshtein verify
+    left = spark.range(N).select(
+        F.col("id").alias("l_id"), (F.col("id") % 5000).alias("l_blk"),
+        F.format_string("entity %07d corp", F.col("id")).alias("l_name"),
+    )
+    right = spark.range(N).select(
+        F.col("id").alias("r_id"), (F.col("id") % 5000).alias("r_blk"),
+        F.format_string("entity %07d corp",
+                        F.col("id") + (F.col("id") % 3)).alias("r_name"),
+    )
+    t0 = time.time()
+    linked = linkage.link(
+        left, right,
+        block_on=[(F.col("l_blk"), F.col("r_blk"))],
+        comparators=[
+            linkage.Comparator(
+                "name",
+                F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1, 24, -8),
+        ],
+        threshold=20,
+    )
+    cnt = linked.count()
+    print(f"linkage {N}x{N} 5000 blocks: {time.time()-t0:.1f}s -> {cnt} links")
 
 
 
