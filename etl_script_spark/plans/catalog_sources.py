@@ -1157,3 +1157,40 @@ def s22_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_amount"),
     )
+
+
+@register(
+    "s23_jsonl_gz_roundtrip",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    ("S12", "S11"),
+)
+def s23_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed JSON-lines roundtrip — the de-facto interchange
+    format for LLM corpora (one JSON doc per line, .jsonl.gz shards).
+    Written and read with the built-in json source + gzip codec; the
+    read supplies an explicit schema (never inferSchema at scale — a
+    schema inference pass over 100 TB of gzip is a full decompress of
+    the corpus). Gzip shards are NOT splittable: one shard = one task,
+    so shard size discipline at write time (here: Spark's write
+    partitioning) IS the read parallelism — the operational gotcha
+    this entry pins. For splittable compression at rest, parquet/zstd
+    (the lake path) stays the recommendation; jsonl.gz is the
+    interchange edge."""
+    d = _workdir(sf_dir, "s23")
+    out = f"{d}/docs_jsonl_gz"
+    src = t(spark, sf_dir, "documents")
+    src.write.mode("overwrite").option("compression", "gzip").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
