@@ -421,12 +421,49 @@ def embedding_near_dups(
     return out
 
 
+def _assign_arrow(
+    vectors: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Vectorized centroid assignment (id, cluster) via mapInPandas:
+    one numpy V @ Cᵀ per Arrow batch instead of k interpreted HOF
+    dots per row — the difference between ~16k interpreted ops/row
+    and one BLAS call at k=256. Mirrors ivf_assign's semantics
+    (affinity = dot/||c||, ties → larger idx via the reversed
+    argmax); matmul summation order can differ from the expression
+    fold in the last ulps, so exact-tie rows may assign differently —
+    acceptable for the 'arrow' impl, which is not the bit-replayable
+    path."""
+    import numpy as np
+
+    c = np.array(centroids, dtype="float64")
+    cn = np.linalg.norm(c, axis=1)
+    cn[cn == 0] = 1.0
+    ct = (c / cn[:, None]).T
+    k = len(centroids)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            s = v @ ct
+            idx = (k - 1) - np.argmax(s[:, ::-1], axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cluster": idx.astype("int32")}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{id_col} long, cluster int"
+    )
+
+
 def kmeans_lloyd(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    impl: str = "expr",
 ) -> tuple[list[list[float]], DataFrame]:
     """Distributed Lloyd k-means over the FULL corpus (vs the bounded
     sample fit in ``ivf_centroids``): assignment is a broadcast-
@@ -455,6 +492,8 @@ def kmeans_lloyd(
     """
     if k <= 0 or iters < 0:
         raise ValueError(f"need k > 0 and iters >= 0, got k={k} iters={iters}")
+    if impl not in ("expr", "arrow"):
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
     init_rows = (
         vectors.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -465,12 +504,22 @@ def kmeans_lloyd(
         raise ValueError(f"k={k} exceeds corpus size {len(init_rows)}")
     cents = [[float(x) for x in r[vec_col]] for r in init_rows]
     dim = len(cents[0])
-    for _ in range(iters):
-        assigned = vectors.select(
+
+    def assign(cs: list[list[float]]) -> DataFrame:
+        # 'arrow': numpy matmul assignment (see _assign_arrow) — the
+        # k x dim interpreted-dot cost dominates the whole fit at
+        # SemDeDup-scale k; 'expr' stays the bit-replayable contract
+        if impl == "arrow":
+            a = _assign_arrow(vectors, id_col, vec_col, cs)
+            return vectors.select(id_col, vec_col).join(a, id_col)
+        return vectors.select(
             F.col(id_col),
             F.col(vec_col),
-            ivf_assign(vec_col, cents).alias("cluster"),
+            ivf_assign(vec_col, cs).alias("cluster"),
         )
+
+    for _ in range(iters):
+        assigned = assign(cents)
         sums = (
             assigned.select(
                 "cluster",
@@ -489,9 +538,12 @@ def kmeans_lloyd(
         for r in sums:
             new_cents[r["cluster"]][r["pos"]] = r["s"] / (1e6 * r["n"])
         cents = new_cents
-    out = vectors.select(
-        F.col(id_col), ivf_assign(vec_col, cents).alias("cluster")
-    )
+    if impl == "arrow":
+        out = _assign_arrow(vectors, id_col, vec_col, cents)
+    else:
+        out = vectors.select(
+            F.col(id_col), ivf_assign(vec_col, cents).alias("cluster")
+        )
     return cents, out
 
 
@@ -627,6 +679,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.999,
     k: int = 8,
     iters: int = 2,
+    impl: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     k-means-cluster the corpus, then search for near-duplicate pairs
@@ -645,15 +698,29 @@ def semantic_dedup_pairs(
     repartition on cluster.
 
     Returns (id_a, id_b, cluster, cosine) with id_a < id_b.
+
+    ``impl='expr'`` (default) evaluates the per-pair cosine as a pure
+    Column expression — bit-replayable by a SQL oracle, the
+    correctness-contract path. ``impl='arrow'`` runs one vectorized
+    numpy block per cluster (``_cluster_pairs_arrow``) — ~100x faster
+    per pair and the right choice at corpus scale, at the cost of
+    last-ulp summation-order differences near the threshold.
     """
     _, assigned = kmeans_lloyd(
-        vectors, id_col=id_col, vec_col=vec_col, k=k, iters=iters
+        vectors, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
+        impl="arrow" if impl == "arrow" else "expr",
     )
     sided = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("__vec"),
         l2_norm(F.col(vec_col)).alias("__n"),
     ).join(assigned.select(F.col(id_col).alias("id"), "cluster"), "id")
+    if impl == "arrow":
+        return _cluster_pairs_arrow(
+            sided.select("id", "__vec", "cluster"), threshold
+        )
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
     a, b = sided.alias("a"), sided.alias("b")
     pairs = (
         a.join(b, "cluster")
@@ -669,3 +736,52 @@ def semantic_dedup_pairs(
         )
     )
     return pairs.filter(F.col("cosine") >= F.lit(threshold))
+
+
+def _cluster_pairs_arrow(sided: DataFrame, threshold: float) -> DataFrame:
+    """Arrow fast path for the within-cluster pair search: one numpy
+    pairwise-cosine block per cluster via applyInPandas. This is the
+    sanctioned escape hatch of the UDF policy — the candidate space
+    is already bounded by the cluster key, but evaluating ~n²/k dot
+    products through interpreted HOF expressions costs ~12 µs each;
+    the vectorized G = (V·Vᵀ)/(‖v‖‖v‖ᵀ) block is ~100x faster and
+    the batch unit (one cluster) is exactly the paper's working set.
+    Numeric caveat: numpy's SIMD/pairwise summation orders additions
+    differently from the expression fold, so near-threshold cosines
+    can differ in the last ulps between impls — callers needing
+    bit-replayable output (the driver oracle) use the expression
+    path; callers at corpus scale use this one."""
+    import pandas as pd
+
+    out_schema = (
+        "id_a long, id_b long, cluster int, cosine double"
+    )
+
+    def pairs_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cluster": [], "cosine": []}
+            ).astype({"id_a": "int64", "id_b": "int64",
+                      "cluster": "int32", "cosine": "float64"})
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        v = np.stack(pdf["__vec"].to_numpy()).astype("float64")
+        n = np.linalg.norm(v, axis=1)
+        g = (v @ v.T) / np.outer(n, n)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        keep = g[ia, ib] >= threshold
+        ids = pdf["id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cluster": np.full(int(keep.sum()), pdf["cluster"].iloc[0],
+                                   dtype="int32"),
+                "cosine": g[ia, ib][keep],
+            }
+        )
+
+    return sided.groupBy("cluster").applyInPandas(pairs_in_cluster, out_schema)
+
+

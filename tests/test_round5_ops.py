@@ -290,3 +290,31 @@ def test_semantic_dedup_finds_planted_copy(spark):
     assert (3, 100) in got
     # every surviving pair really clears the threshold (exact verify)
     assert all(r["cosine"] >= 0.999 for r in pairs.collect())
+
+
+def test_semantic_dedup_arrow_matches_expr(spark):
+    """The Arrow fast path must find the same pair set as the
+    bit-replayable expression path away from exact-tie boundaries."""
+    from etl_script_spark.operators.similarity import semantic_dedup_pairs
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    rows += [(200 + i, list(rows[i][1])) for i in range(5)]  # 5 copies
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.999, k=4, iters=1)
+    expr_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            df, "vec_id", "embedding", impl="expr", **kw
+        ).collect()
+    }
+    arrow_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            df, "vec_id", "embedding", impl="arrow", **kw
+        ).collect()
+    }
+    assert expr_pairs == arrow_pairs
+    assert all((i, 200 + i) in arrow_pairs for i in range(5))

@@ -229,17 +229,25 @@ def stress_round5_families(spark, d):
                        ).cast("float"),
         ).alias("embedding"),
     )
+    # plant 500 exact copies so the run also proves recall at scale
+    vecs = vecs.unionByName(
+        vecs.filter(F.col("vec_id") % 100 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
     t0 = time.time()
     sd = semantic_dedup_pairs(vecs, "vec_id", "embedding",
-                              threshold=0.999, k=256, iters=1)
+                              threshold=0.999, k=256, iters=1, impl="arrow")
+    planted = sd.filter(F.col("id_b") == F.col("id_a") + 1_000_000).count()
     cnt = sd.count()
-    print(f"semantic_dedup 50k x64 k=256: {time.time()-t0:.1f}s -> {cnt} pairs")
+    print(f"semantic_dedup 50k x64 k=256 (arrow): {time.time()-t0:.1f}s "
+          f"-> {cnt} pairs, planted recall {planted}/500")
 
     # --- CDC apply: 2M-change feed over 1M keys ----------------------
     feed = spark.range(2_000_000).select(
         (F.col("id") % 1_000_000).alias("k"),
-        (F.col("id") // 1_000_000 + 1).cast("int").alias("seq"),
-        F.when((F.col("id") // 1_000_000 > 0) & (F.col("id") % 7 == 0),
+        F.expr("id div 1000000 + 1").cast("int").alias("seq"),
+        F.when((F.expr("id div 1000000") > 0) & (F.col("id") % 7 == 0),
                F.lit("D")).otherwise(F.lit("U")).alias("op"),
         (F.col("id") * 3).alias("v"),
     )
