@@ -136,6 +136,32 @@ SHOW = {
         "over localCheckpointed inputs — plan depth stays constant "
         "per round instead of growing with iteration count."
     ),
+    "ev_attribution_last_touch": (
+        "Last-touch attribution: ONE window exchange on user_id "
+        "carries both ignore-nulls last_value columns, then a 3-key "
+        "rollup — no self-join of the event stream, so the shape is "
+        "flat in history length."
+    ),
+    "sim_tfidf_cosine_pairs": (
+        "All-pairs tf-idf cosine: the term self-join is the only "
+        "data-sized shuffle; weights/norms/dots stay integer-exact "
+        "(DECIMAL(38,0) aggregates) until the final double division."
+    ),
+    "link_fellegi_sunter": (
+        "Blocked Fellegi-Sunter linkage: a single hash equi-join on "
+        "the composed blocking key generates candidates; scoring is a "
+        "pure codegen projection (levenshtein + CASE weights), no UDF."
+    ),
+    "graph_triangle_count": (
+        "Compact-forward triangle count: degree join orients edges, "
+        "two self-joins close wedges — the hub-safe plan whose wedge "
+        "fan-out is the oriented out-degree, O(sqrt m) under skew."
+    ),
+    "ts_ewma_fir": (
+        "FIR EWMA: eight lag() taps share ONE window spec — one "
+        "exchange + one sort + one Window operator, the weighted sum "
+        "fully inside whole-stage codegen."
+    ),
 }
 
 
