@@ -51,8 +51,12 @@ def ewma_fir(
 
     Rows with fewer than ``taps`` predecessors get NULL (no partial
     renormalization — the caller sees exactly where the filter is
-    warm). The weighted sum is built LEFT-ASSOCIATIVELY in tap order
-    so an oracle writing the same literal expression reproduces the
+    warm). A NULL value likewise nulls the ``taps`` windows that see
+    it — deliberate NULL-poisoning: a gap in the signal invalidates
+    the smoothed value rather than silently renormalizing over it
+    (gap-fill first if that is not wanted: ts_gap_fill_hourly). The
+    weighted sum is built LEFT-ASSOCIATIVELY in tap order so an
+    oracle writing the same literal expression reproduces the
     identical IEEE-754 double bit-for-bit.
     """
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
@@ -89,9 +93,11 @@ def mad_outliers(
     """Flag rows where |x - med| > k * 1.4826 * mad (the normal-
     consistency constant makes k comparable to a z-score cutoff).
     MAD-of-zero groups (constant value) flag nothing beyond exact
-    deviators, matching the robust-statistics convention."""
+    deviators, matching the robust-statistics convention. LEFT join
+    onto the stats so null-group rows survive with a NULL flag — the
+    module-wide null-group convention (see features.zscore)."""
     stats = mad_stats(df, group_col, value_col)
-    return df.join(F.broadcast(stats), group_col).withColumn(
+    return df.join(F.broadcast(stats), [group_col], "left").withColumn(
         out_col,
         F.abs(F.col(value_col) - F.col("med"))
         > F.lit(k) * F.lit(1.4826) * F.col("mad"),

@@ -318,3 +318,16 @@ def test_semantic_dedup_arrow_matches_expr(spark):
     }
     assert expr_pairs == arrow_pairs
     assert all((i, 200 + i) in arrow_pairs for i in range(5))
+
+
+def test_mad_outliers_null_group_rows_survive(spark):
+    # left-join convention: a NULL group key row passes through with a
+    # NULL flag instead of vanishing (features.zscore convention)
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), (None, 9.0)],
+        "g string, x double",
+    )
+    out = ts.mad_outliers(df, "g", "x", k=3.0)
+    assert out.count() == 4
+    nullrow = out.filter(F.col("g").isNull()).collect()[0]
+    assert nullrow["is_outlier"] is None
