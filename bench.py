@@ -95,6 +95,9 @@ EXTRA = [
     "dedup_semantic_clusters",
     "link_fellegi_sunter",
     "st_stream_cdc_apply",
+    "chat_flatten_turns",
+    "graph_kcore",
+    "s24_xml_roundtrip",
 ]
 
 

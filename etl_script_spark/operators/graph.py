@@ -157,3 +157,52 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         .crossJoin(tris.agg(F.count(F.lit(1)).alias("n_triangles")))
         .select("n_vertices", "n_edges", "n_triangles")
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` iterations of "drop every
+    vertex with degree < k and its edges". Returns the surviving
+    (vertex, deg) table with degrees AFTER the last completed peel.
+
+    The full k-core is this peel run to fixpoint; a FIXED round count
+    is the declared-query contract (each round is one degree
+    aggregation + two semi-joins, and an unrolled SQL oracle can
+    replay exactly ``rounds`` of them — a data-dependent fixpoint
+    cannot be hash-checked). Production callers loop with an
+    edge-count convergence probe (one tiny action per round, the CC
+    pattern); each round's edge set is lazily localCheckpointed so
+    plan depth stays constant. Peeling monotonically shrinks the
+    graph, so per-round cost only decreases — the skew note from
+    triangle_count does not apply (degree is re-derived per round,
+    no wedge joins)."""
+    cur = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("x"))
+            .unionAll(e.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for i in range(rounds):
+        keep = degrees(cur).filter(F.col("deg") >= k).select("x")
+        cur = (
+            cur.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return degrees(cur).select(F.col("x").alias("vertex"), "deg")

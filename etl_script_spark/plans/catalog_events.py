@@ -344,3 +344,40 @@ def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "chat_flatten_turns",
+    """
+    SELECT user_id, COUNT(*) AS n_turns,
+           substr(string_agg(
+             (CASE WHEN event_type IN ('click','view') THEN 'user'
+                   ELSE 'assistant' END)
+             || ': ' || event_type || ' ' || printf('%.2f', value),
+             chr(10) ORDER BY ts, event_id), 1, 512) AS transcript
+    FROM events GROUP BY user_id
+    """,
+    ("LLM-conversations",),
+)
+def chat_flatten_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation assembly (operators/conversations.flatten_turns):
+    each user's event stream becomes one role-tagged transcript in
+    exact (ts, event_id) turn order, truncated to a 512-char budget —
+    the instruction-tuning data-prep stage. The deterministic spelling
+    is sort_array(collect_list(struct(order, line))): an unordered
+    collect_list is partition-order-dependent and would never
+    hash-match; the oracle replays it as string_agg(... ORDER BY).
+    One shuffle on the conversation key."""
+    from etl_script_spark.operators import conversations
+
+    ev = t(spark, sf_dir, "events")
+    role = F.when(
+        F.col("event_type").isin("click", "view"), F.lit("user")
+    ).otherwise(F.lit("assistant"))
+    content = F.concat(
+        F.col("event_type"), F.lit(" "), F.format_string("%.2f", "value")
+    )
+    return conversations.flatten_turns(
+        ev, ["user_id"], ["ts", "event_id"], role, content,
+        sep="\n", max_chars=512,
+    )

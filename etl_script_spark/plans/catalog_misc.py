@@ -1267,3 +1267,64 @@ def link_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linked.select(
         "d_id", "c_id", "agree_name", "agree_segment", "agree_balance", "score"
     )
+
+
+_KCORE_EDGES = """
+      SELECT s_suppkey AS src, (s_suppkey * 7 + 1) % 100 AS dst FROM supplier
+      WHERE s_suppkey < 100
+      UNION ALL
+      SELECT s_suppkey, (s_suppkey * 13 + 2) % 100 FROM supplier
+      WHERE s_suppkey < 100
+      UNION ALL
+      SELECT s_suppkey, (s_suppkey * 3) % 100 FROM supplier
+      WHERE s_suppkey < 100
+"""
+
+
+@register(
+    "graph_kcore",
+    f"""
+    WITH e AS ({_KCORE_EDGES}),
+    e0 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e
+           WHERE src <> dst GROUP BY 1, 2),
+    d0 AS (SELECT x, COUNT(*) AS deg FROM
+           (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY x),
+    k0 AS (SELECT x FROM d0 WHERE deg >= 3),
+    e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT x FROM k0)
+                                 AND v IN (SELECT x FROM k0)),
+    d1 AS (SELECT x, COUNT(*) AS deg FROM
+           (SELECT u AS x FROM e1 UNION ALL SELECT v FROM e1) GROUP BY x),
+    k1 AS (SELECT x FROM d1 WHERE deg >= 3),
+    e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT x FROM k1)
+                                 AND v IN (SELECT x FROM k1)),
+    d2 AS (SELECT x, COUNT(*) AS deg FROM
+           (SELECT u AS x FROM e2 UNION ALL SELECT v FROM e2) GROUP BY x),
+    k2 AS (SELECT x FROM d2 WHERE deg >= 3),
+    e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT x FROM k2)
+                                 AND v IN (SELECT x FROM k2))
+    SELECT x AS vertex, COUNT(*) AS deg FROM
+    (SELECT u AS x FROM e3 UNION ALL SELECT v FROM e3) GROUP BY x
+    """,
+    ("graph",),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-core peeling over the deterministic supplier graph
+    (operators/graph.kcore_peel, 3 rounds): each round drops every
+    vertex below degree 3 together with its edges — the standard
+    crawl-graph densification/community-seed step. The oracle unrolls
+    the identical three peels as CTEs, so the hash check certifies
+    every intermediate degree table. Fixed rounds are the declared
+    contract; production loops to fixpoint with an edge-count probe
+    (the CC convergence pattern)."""
+    from etl_script_spark.operators import graph
+
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 100).select(
+        "s_suppkey"
+    )
+    k = F.col("s_suppkey")
+    edges = (
+        s.select(k.alias("src"), ((k * 7 + 1) % 100).alias("dst"))
+        .unionByName(s.select(k.alias("src"), ((k * 13 + 2) % 100).alias("dst")))
+        .unionByName(s.select(k.alias("src"), ((k * 3) % 100).alias("dst")))
+    )
+    return graph.kcore_peel(edges, k=3, rounds=3)

@@ -1194,3 +1194,42 @@ def s23_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(out).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "s24_xml_roundtrip",
+    """
+    SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+    FROM supplier
+    """,
+    ("S11", "S12"),
+)
+def s24_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → source roundtrip on Spark 4's built-in XML data
+    source (rowTag records). XML is the remaining enterprise
+    interchange edge next to the CSV/JSON/Excel family the reference
+    ingests; schema is EXPLICIT on read (XML inference is a full
+    parse of the corpus, same rule as jsonl.gz). Row-tag XML is
+    record-splittable, unlike gzip JSON-lines."""
+    d = _workdir(sf_dir, "s24")
+    out = f"{d}/supplier_xml"
+    src = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("acctbal")
+    )
+    src.write.mode("overwrite").option("rootTag", "suppliers").option(
+        "rowTag", "supplier"
+    ).format("xml").save(out)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("acctbal", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", "supplier")
+        .format("xml")
+        .load(out)
+        .select("s_suppkey", "s_name", "acctbal")
+    )

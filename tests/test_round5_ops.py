@@ -331,3 +331,48 @@ def test_mad_outliers_null_group_rows_survive(spark):
     assert out.count() == 4
     nullrow = out.filter(F.col("g").isNull()).collect()[0]
     assert nullrow["is_outlier"] is None
+
+
+# ----------------------------------------------------------- k-core
+def test_kcore_peel_cascade(spark):
+    """Triangle + a pendant chain: the 2-core is the triangle, and the
+    chain peels away over SUCCESSIVE rounds (vertex 4 only becomes
+    peelable after 5 is gone) — pins the iterative cascade, not just
+    one filter pass."""
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    surv1 = {r["vertex"] for r in graph.kcore_peel(df, 2, 1).collect()}
+    assert surv1 == {1, 2, 3, 4}  # round 1 only drops leaf 5
+    surv2 = {r["vertex"] for r in graph.kcore_peel(df, 2, 2).collect()}
+    assert surv2 == {1, 2, 3}  # round 2 drops the now-exposed 4
+    out = {r["vertex"]: r["deg"] for r in graph.kcore_peel(df, 2, 3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}  # stable triangle
+
+
+def test_kcore_whole_graph_can_dissolve(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    assert graph.kcore_peel(df, 2, 2).count() == 0  # a path has no 2-core
+
+
+# ----------------------------------------------- conversation flatten
+def test_flatten_turns_order_and_budget(spark):
+    from etl_script_spark.operators import conversations
+
+    rows = [
+        (1, 2, "assistant", "second"),
+        (1, 1, "user", "first"),
+        (1, 3, "user", "third"),
+        (2, 1, "user", "x" * 50),
+    ]
+    df = spark.createDataFrame(rows, "conv int, turn int, role string, msg string")
+    out = {
+        r["conv"]: (r["n_turns"], r["transcript"])
+        for r in conversations.flatten_turns(
+            df, ["conv"], ["turn"], F.col("role"), F.col("msg"),
+            max_chars=20,
+        ).collect()
+    }
+    # order restored despite shuffled input; budget truncates
+    assert out[1][0] == 3
+    assert out[1][1] == "user: first\nassistan"  # 12 + 8 = 20 chars
+    assert out[2][1] == ("user: " + "x" * 50)[:20]
