@@ -174,3 +174,64 @@ def test_sk_approx_distinct_within_bound_flags_true(spark, sf_dir):
     sweep never looks at)."""
     rows = CATALOG["sk_approx_distinct"].spark(spark, sf_dir).collect()
     assert rows and all(r["within_bound"] for r in rows)
+
+
+def test_cdc_final_price_reconciles_with_orders(spark, sf_dir):
+    """cdc_apply_changes: surviving price_cents must reconcile with an
+    INDEPENDENT raw computation — for a non-deleted key the final
+    price is o_totalprice cents, +10% (floored) iff key % 3 != 0. A
+    scale slip shared by the query and its oracle cannot hide here."""
+    out = CATALOG["cdc_apply_changes"].spark(spark, sf_dir)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    raw_sum = float(o.agg(F.sum("o_totalprice")).collect()[0][0])
+    got = out.agg(
+        F.sum("price_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    # survivors sum in cents sits within [0.8x, 1.1*1.1x] of the raw
+    # order total in cents (deletes remove ~20%, updates add <= 10%)
+    assert 0.5 * raw_sum * 100 < float(got["s"]) < 1.21 * raw_sum * 100
+    n_orders = o.count()
+    assert got["n"] == n_orders - n_orders // 5  # %5==0 keys deleted
+
+
+def test_attribution_totals_reconcile_with_purchases(spark, sf_dir):
+    """ev_attribution_last_touch: channel totals must partition the
+    INDEPENDENT purchase census — every purchase lands in exactly one
+    channel and revenue sums to the raw purchase-value sum (decimal
+    rounding slack only)."""
+    out = CATALOG["ev_attribution_last_touch"].spark(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    n_raw = purchases.count()
+    sum_raw = float(purchases.agg(F.sum("value")).collect()[0][0])
+    got = out.agg(
+        F.sum("n_conversions").alias("n"), F.sum("revenue").alias("s")
+    ).collect()[0]
+    assert int(got["n"]) == n_raw
+    assert abs(float(got["s"]) - sum_raw) < 1e-3
+
+
+def test_ewma_stays_within_signal_envelope(spark, sf_dir):
+    """ts_ewma_fir: a convex combination of the last 8 values can
+    never leave the [min, max] envelope of the raw signal — a weight
+    slip (weights not summing to 1) escapes the envelope on the first
+    extreme run."""
+    out = CATALOG["ts_ewma_fir"].spark(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    bad = out.filter(
+        F.col("ewma").isNotNull()
+        & ((F.col("ewma") < r["lo"] - 1e-9) | (F.col("ewma") > r["hi"] + 1e-9))
+    ).count()
+    assert bad == 0
+
+
+def test_tfidf_cosine_is_a_valid_similarity(spark, sf_dir):
+    """sim_tfidf_cosine_pairs: every emitted cosine lies in
+    (0, 1 + eps] — integer-weight dot products are nonnegative, and a
+    norm/scale slip shows up as cosines above 1."""
+    out = CATALOG["sim_tfidf_cosine_pairs"].spark(spark, sf_dir)
+    bad = out.filter(
+        (F.col("cosine") <= 0) | (F.col("cosine") > 1.0 + 1e-9)
+    ).count()
+    assert bad == 0
