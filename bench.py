@@ -141,14 +141,21 @@ def main() -> None:
                 "noop"
             ).save()
 
+    # min of two timed passes, same estimator as the extras: single
+    # passes scatter +-10% run-to-round (GC/JIT timing), which is
+    # larger than most real round-over-round deltas — the min is the
+    # steady-state number a warmed cluster actually delivers
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in CATALOG:
             continue
         q = CATALOG[name]
-        start = time.perf_counter()
-        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 4)
     spark.stop()
 
     # --- session 2: breadth sample + full manifest -------------------
@@ -221,7 +228,7 @@ def main() -> None:
         "queries": timings,
         "extra_queries": extra,
         "sf": sf,
-        "protocol": "headline_isolated_session",
+        "protocol": "headline_isolated_session_min_of_2",
     }
     print(json.dumps(out))
 
