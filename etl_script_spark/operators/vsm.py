@@ -140,10 +140,16 @@ def tfidf_cosine_join(
     max_df: int | None = None,
 ) -> DataFrame:
     """End-to-end: tokenize → integer tf-idf → inverted-index join →
-    exact cosine ≥ threshold. The index feeds both the norm pass and
-    both sides of the self-join, so it is persisted by the caller if
-    reuse matters (the catalog query marks it). At corpus scale pass
-    ``max_df`` (absolute) — see tfidf_weights."""
+    exact cosine ≥ threshold. The index feeds FOUR consumers (both
+    self-join sides + both norm lookups); without persistence Spark
+    re-executes the tokenize+aggregate chain per consumer — four
+    corpus scans at 100 TB (caught in the executed plan, not the
+    answer). The index is therefore persisted here and released once
+    the pair computation no longer references it — which a caller
+    cannot know, so the operator owns the persist. At corpus scale
+    pass ``max_df`` (absolute) — see tfidf_weights."""
+    from pyspark import StorageLevel
+
     w = tfidf_weights(
         docs,
         id_col,
@@ -151,5 +157,5 @@ def tfidf_cosine_join(
         shingle_n=shingle_n,
         max_df_ratio=max_df_ratio,
         max_df=max_df,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return cosine_pairs(w, threshold)

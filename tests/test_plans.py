@@ -74,3 +74,58 @@ def test_fan_out_skips_repartition_when_already_wide(spark):
     assert out.rdd.getNumPartitions() == par + 4
     narrow = spark.range(10).coalesce(1)
     assert _fan_out(narrow).rdd.getNumPartitions() == par
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    """Last-touch attribution must stay a window-over-stream, never a
+    stream self-join: exactly one Window operator, no Cartesian or
+    nested-loop join anywhere."""
+    plan = _executed_plan(spark, "ev_attribution_last_touch", sf_dir)
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_linkage_is_one_equi_join_no_python(spark, sf_dir):
+    """Blocked Fellegi-Sunter: candidates come from ONE hash equi-join
+    on the blocking key; scoring is pure codegen (no Python nodes),
+    and nothing degenerates to a cross join."""
+    plan = _executed_plan(spark, "link_fellegi_sunter", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_ewma_taps_share_one_window(spark, sf_dir):
+    """All 8 FIR taps must land in a single Window operator over one
+    exchange — per-tap windows would be 8 sorts."""
+    plan = _executed_plan(spark, "ts_ewma_fir", sf_dir)
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_tfidf_join_no_cross_product_and_index_reused(spark, sf_dir):
+    plan = _executed_plan(spark, "sim_tfidf_cosine_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the 1-row corpus-stat
+    # broadcasts carrying the df-cap comparison
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "((df" in m.group(0), m.group(0)
+    # index reuse: all 4 consumers (two self-join sides + two norm
+    # lookups) read the PERSISTED index (InMemoryTableScan), so the
+    # tokenize+aggregate chain materializes once — not 4 corpus scans
+    # at 100 TB. (The cached relation's own plan text repeats under
+    # each scan node, so FileScan counts in the printout are not
+    # meaningful — the cache-hit count is.)
+    assert plan.count("InMemoryTableScan") >= 4
+
+
+def test_chat_flatten_single_shuffle(spark, sf_dir):
+    """Ordered transcript assembly is ONE groupBy shuffle — a sort or
+    window sneaking in means someone replaced sort_array(collect_list)
+    with a global order, which does not scale."""
+    plan = _executed_plan(spark, "chat_flatten_turns", sf_dir)
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
