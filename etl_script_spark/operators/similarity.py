@@ -593,11 +593,22 @@ def embedding_cross_contam(
     planes_per_band: int = 16,
     dim: int = 64,
     seed: int = 42,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-level benchmark decontamination: every corpus vector
     whose cosine to ANY benchmark vector clears ``threshold`` —
     paraphrase-grade contamination the n-gram overlap report
     (decontam.contamination_report) cannot see.
+
+    ``impl`` selects the BANDING evaluation: 'arrow' (default) packs
+    the 128 sign bits with one numpy matmul per batch
+    (_banded_arrow — the interpreted HOF path costs ~0.75 ms/row at
+    8x16x64, which at corpus scale is the whole job); 'expr' keeps
+    the pure-expression banding. The choice cannot change the
+    RESULT: banding only generates candidates, every candidate is
+    verified with the exact-cosine expression, and identical vectors
+    band identically under either impl — so the outcome-level oracle
+    (pair set vs brute force) holds for both.
 
     Scale asymmetry is the whole design: the benchmark side is
     eval-suite sized (thousands), the corpus is the 100 TB side — so
@@ -619,9 +630,15 @@ def embedding_cross_contam(
     possible pairs at sf0.1 → 147 after tightening). Band width must
     scale with the threshold's proximity to 1; the near-dup default
     would be a recall cliff here in reverse."""
+    if impl not in ("expr", "arrow"):
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
     planes = random_hyperplanes(dim, n_bands * planes_per_band, seed)
 
     def banded(df: DataFrame, idc: str, out: str) -> DataFrame:
+        if impl == "arrow":
+            return _banded_arrow(
+                df, idc, out, vec_col, planes, n_bands, planes_per_band
+            )
         return df.select(
             F.col(idc).alias(out),
             F.explode(
@@ -785,3 +802,53 @@ def _cluster_pairs_arrow(sided: DataFrame, threshold: float) -> DataFrame:
     return sided.groupBy("cluster").applyInPandas(pairs_in_cluster, out_schema)
 
 
+
+
+def _banded_arrow(
+    df: DataFrame,
+    id_col: str,
+    out: str,
+    vec_col: str,
+    planes: list[list[float]],
+    n_bands: int,
+    planes_per_band: int,
+) -> DataFrame:
+    """(out, band, bucket) banding rows via one numpy sign-bit matmul
+    per Arrow batch. The HOF expression path evaluates n_bands x
+    planes_per_band interpreted zip_with/aggregate dots per row
+    (~0.75 ms/row at 8x16x64 — measured; utterly dominant at corpus
+    scale); V @ Pᵀ + bit packing is ~3 orders cheaper. Bucket ids
+    equal the lsh_bucket packing except for dots within an ulp of
+    zero, where summation order can flip the sign bit — immaterial
+    for banding (a flipped bucket is one more/fewer candidate, and
+    identical vectors band identically within an impl)."""
+    import numpy as np
+
+    p = np.array(planes, dtype="float64").T  # (dim, n_planes)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            bits = (v @ p) >= 0  # (n, n_planes)
+            buckets = np.zeros((len(pdf), n_bands), dtype="int64")
+            for b in range(n_bands):
+                for i in range(planes_per_band):
+                    buckets[:, b] |= (
+                        bits[:, b * planes_per_band + i].astype("int64") << i
+                    )
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    out: np.repeat(ids, n_bands),
+                    "band": np.tile(
+                        np.arange(n_bands, dtype="int32"), len(pdf)
+                    ),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{out} long, band int, bucket long"
+    )
