@@ -445,6 +445,8 @@ def _assign_arrow(
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:  # defensive: np.stack raises on empty
+                continue
             v = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             s = v @ ct
             idx = (k - 1) - np.argmax(s[:, ::-1], axis=1)
@@ -830,6 +832,8 @@ def _banded_arrow(
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:  # defensive: np.stack raises on empty
+                continue
             v = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             bits = (v @ p) >= 0  # (n, n_planes)
             buckets = np.zeros((len(pdf), n_bands), dtype="int64")
