@@ -1000,8 +1000,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
         )
     )
+    # impl='arrow' is safe under this ORACLE: the check is outcome-
+    # level (planted pairs found), identical vectors cluster and score
+    # identically under either impl, and every emitted pair is
+    # exact-verified — the same argument as the contamination banding
     pairs = similarity.semantic_dedup_pairs(
-        corpus, "vec_id", "embedding", threshold=0.999, k=16, iters=2
+        corpus, "vec_id", "embedding", threshold=0.999, k=16, iters=2,
+        impl="arrow",
     )
     return (
         planted.select(
