@@ -132,3 +132,64 @@ def test_ewma_matches_reference_on_random_signal(spark):
             for j in range(1, 8):
                 acc = acc + vals[i - j] * w[j]
             assert out[i] == acc, f"row {i}"
+
+
+def _ref_tfidf_pairs(docs, threshold, n=3):
+    """Pure-Python exact replay of vsm.tfidf_cosine_join's integer
+    arithmetic (multiset word n-grams, (N*1e6) div df idf, integer
+    dots/norms, float cosine) — independent of Spark AND DuckDB."""
+    import math
+    import re
+    from collections import Counter
+
+    def grams(text):
+        words = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        if len(words) < n:
+            return [" ".join(words)]
+        return [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+
+    tf = {i: Counter(grams(t)) for i, t in docs}
+    big_n = len(docs)
+    df = Counter()
+    for c in tf.values():
+        for term in c:
+            df[term] += 1
+    idf = {t: (big_n * 1_000_000) // d for t, d in df.items() if d * 2 <= big_n}
+    w = {
+        i: {t: c * idf[t] for t, c in cnt.items() if t in idf}
+        for i, cnt in tf.items()
+    }
+    n2 = {i: sum(x * x for x in wi.values()) for i, wi in w.items()}
+    out = {}
+    ids = sorted(w)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            shared = set(w[a]) & set(w[b])
+            if not shared:
+                continue
+            dot = sum(w[a][t] * w[b][t] for t in shared)
+            cos = float(dot) / (math.sqrt(float(n2[a])) * math.sqrt(float(n2[b])))
+            if cos >= threshold:
+                out[(a, b)] = cos
+    return out
+
+
+def test_tfidf_cosine_matches_python_reference(spark):
+    from etl_script_spark.operators import vsm
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 15))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in vsm.tfidf_cosine_join(df, "id", "text", threshold=0.3).collect()
+    }
+    ref = _ref_tfidf_pairs(docs, 0.3)
+    assert set(got) == set(ref)
+    for k in ref:  # integer dots/norms -> cosines must match BITWISE
+        assert got[k] == ref[k], k
