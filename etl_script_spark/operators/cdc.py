@@ -2,8 +2,9 @@
 (insert / update / delete rows per key) into the final table state.
 
 The reference mutates its store row-at-a-time through an ORM
-(smf-api's per-record save loop); a CDC feed replayed that way is a
-day of round-trips at 100 TB. The set-based equivalent is one window
+(smf-api ImportDbdFinancial.php:209,244,279 — one updateOrCreate per
+record per table); a CDC feed replayed that way is a day of
+round-trips at 100 TB. The set-based equivalent is one window
 pass: latest change per key wins, deletes drop the key. Composes with
 ``sources.writers.merge_into_partitioned`` for the storage side and
 with ``foreachBatch`` for the streaming side (apply each micro-batch's
