@@ -193,3 +193,64 @@ def test_tfidf_cosine_matches_python_reference(spark):
     assert set(got) == set(ref)
     for k in ref:  # integer dots/norms -> cosines must match BITWISE
         assert got[k] == ref[k], k
+
+
+def test_linkage_scores_match_reference_on_random_records(spark):
+    """Blocked FS scoring vs a pure-Python replay: same blocks, same
+    integer weights, same threshold — on randomized field corruption."""
+    from etl_script_spark.operators import linkage
+
+    rng = random.Random(41)
+    segs = ["auto", "bike", "boat"]
+    left, right = [], []
+    for i in range(60):
+        blk = i % 7
+        name = f"name{i:03d}"
+        seg = segs[i % 3]
+        left.append((i, blk, name, seg))
+        # corrupted twin: maybe one char edit, maybe wrong segment
+        nm = name[:-1] + "x" if rng.random() < 0.5 else name
+        sg = seg if rng.random() < 0.7 else "zz"
+        right.append((1000 + i, blk, nm, sg))
+    ldf = spark.createDataFrame(left, "l_id int, l_blk int, l_name string, l_seg string")
+    rdf = spark.createDataFrame(right, "r_id int, r_blk int, r_name string, r_seg string")
+    got = {
+        (r["l_id"], r["r_id"]): r["score"]
+        for r in linkage.link(
+            ldf, rdf,
+            block_on=[(F.col("l_blk"), F.col("r_blk"))],
+            comparators=[
+                linkage.Comparator(
+                    "name",
+                    F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1,
+                    20, -5),
+                linkage.Comparator(
+                    "seg", F.col("l_seg") == F.col("r_seg"), 5, -3),
+            ],
+            threshold=15,
+        ).collect()
+    }
+
+    def lev_le1(a, b):
+        if a == b:
+            return True
+        if abs(len(a) - len(b)) > 1:
+            return False
+        # one substitution (equal length) or one indel
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        s, l = (a, b) if len(a) < len(b) else (b, a)
+        for i in range(len(l)):
+            if l[:i] + l[i + 1:] == s:
+                return True
+        return False
+
+    ref = {}
+    for li, lb, ln, ls in left:
+        for ri, rb, rn, rs in right:
+            if lb != rb:
+                continue
+            score = (20 if lev_le1(ln, rn) else -5) + (5 if ls == rs else -3)
+            if score >= 15:
+                ref[(li, ri)] = score
+    assert got == ref
