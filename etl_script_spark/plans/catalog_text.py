@@ -899,7 +899,9 @@ _SHINGLES_MULTI = (
                     SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
              FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
              GROUP BY 1, 2)
-    SELECT id_a, id_b, cosine FROM (
+    SELECT id_a, id_b,
+           CAST(ROUND(cosine * 1.0e9) AS BIGINT) AS cosine_ppb
+    FROM (
       SELECT id_a, id_b,
              CAST(dot AS DOUBLE)
                / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
@@ -919,10 +921,28 @@ def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     score high on rare-shingle weight even when their shingle SETS
     diverge below the jaccard threshold. Scale: the term join is the
     only data-sized shuffle; fan-out per term is df-capped (Bayardo's
-    all-pairs bound), never O(n²)."""
+    all-pairs bound), never O(n²).
+
+    The CHECKED similarity column is parts-per-billion-quantized:
+    dots and norms exceed 2^53 at sf0.1 magnitudes, and the
+    big-integer→double conversion is correctly rounded in Spark
+    (BigDecimal path) but not in DuckDB's HUGEINT path — a genuine
+    last-ulp cross-engine divergence (caught by the sf0.1 oracle
+    sweep, invisible at sf0.01). Quantizing the OUTPUT to 1e-9
+    absorbs the ulp; the operator itself still returns the raw
+    double, and the bitwise spark-vs-pure-Python property in
+    tests/test_round5_properties.py still pins the exact arithmetic
+    at sub-2^53 magnitudes."""
     d = t(spark, sf_dir, "documents")
-    return vsm.tfidf_cosine_join(
+    pairs = vsm.tfidf_cosine_join(
         d, "doc_id", "text", threshold=0.6, shingle_n=3, max_df_ratio=0.5
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("cosine") * F.lit(1.0e9)).cast("long").alias(
+            "cosine_ppb"
+        ),
     )
 
 

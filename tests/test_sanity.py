@@ -227,11 +227,11 @@ def test_ewma_stays_within_signal_envelope(spark, sf_dir):
 
 
 def test_tfidf_cosine_is_a_valid_similarity(spark, sf_dir):
-    """sim_tfidf_cosine_pairs: every emitted cosine lies in
-    (0, 1 + eps] — integer-weight dot products are nonnegative, and a
-    norm/scale slip shows up as cosines above 1."""
+    """sim_tfidf_cosine_pairs: every emitted ppb-quantized cosine lies
+    in (0, 1e9 + 1] — integer-weight dot products are nonnegative, and
+    a norm/scale slip shows up as values above 1e9."""
     out = CATALOG["sim_tfidf_cosine_pairs"].spark(spark, sf_dir)
     bad = out.filter(
-        (F.col("cosine") <= 0) | (F.col("cosine") > 1.0 + 1e-9)
+        (F.col("cosine_ppb") <= 0) | (F.col("cosine_ppb") > 1_000_000_001)
     ).count()
     assert bad == 0
