@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from etl_script_spark.session import get_spark
@@ -11,7 +13,10 @@ def spark():
     yield s
 
 
-SF_SMOKE = "/root/testdata/sf0.001"
+# overridable so scale-relative suites (sanity bounds, recall
+# properties) can be swept at sf0.01/sf0.1 — scale-dependent slips
+# (e.g. >2^53 float drift) are invisible at the smoke scale
+SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
