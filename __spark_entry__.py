@@ -100,6 +100,30 @@ _CHECKED = frozenset(
         "dq_expectations_metrics", "dq_expectations_quarantine",
         "sk_approx_distinct", "sk_hll_mergeable", "sk_heavy_hitters",
         "sk_approx_quantiles",
+        # --- round 5 ---
+        "cdc_apply_changes", "chat_flatten_turns", "decimal_money_at_rest",
+        "decontam_embedding_neardup", "dedup_paragraphs_global",
+        "dedup_semantic_clusters", "embedding_quantize_int8",
+        "ev_attribution_last_touch", "feat_quantile_binning",
+        "gov_k_anonymity", "graph_kcore", "graph_triangle_count",
+        "inc_join_maintenance", "layout_compact_small_files",
+        "layout_range_clustered_read", "layout_zorder_clustered_read",
+        "link_fellegi_sunter", "merge_partition_scoped",
+        "q11_important_stock", "q12_shipmode_priority",
+        "q13_customer_distribution", "q16_supplier_part_cnt",
+        "q17_small_qty_revenue", "q20_part_promotion",
+        "q21_waiting_supplier", "q2_min_cost_supplier",
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "quality_gopher_rules", "s17_csv_corrupt_quarantine",
+        "s18_orc_roundtrip", "s19_schema_evolution_merge",
+        "s20_variant_semistructured", "s21_python_datasource_paged",
+        "s22_python_datasource_stream", "s23_jsonl_gz_roundtrip",
+        "s24_xml_roundtrip", "sample_diverse_buckets",
+        "sample_temperature_mix", "sim_tfidf_cosine_pairs",
+        "sk_approx_topk", "sk_bloom_prune_join", "sk_theta_set_ops",
+        "st_stream_cdc_apply", "st_stream_static_enrich",
+        "st_stream_stream_join", "text_bigram_nll", "ts_ewma_fir",
+        "ts_mad_outliers",
     }
 )
 

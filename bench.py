@@ -221,16 +221,21 @@ def main() -> None:
     print(f"manifest ({len(manifest)} queries, {len(errors)} errors) -> "
           f"{manifest_path}", file=sys.stderr)
     spark.stop()
+    # The driver captures only the TAIL of stdout (~2000 chars): keep the
+    # final line compact — headline queries only. extra_queries live in
+    # BENCH_MANIFEST.json (round 5's line with them inline was >3 KB and
+    # the head, including "value", fell outside the capture window).
     out = {
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "extra_queries": extra,
         "sf": sf,
         "protocol": "headline_isolated_session_min_of_2",
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    assert len(line) < 1500, f"bench stdout line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

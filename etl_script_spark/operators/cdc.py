@@ -16,7 +16,8 @@ apply, but AQE handles skewed keys and the state never leaves the
 executors. Requires ``seq_col`` to totally order each key's changes
 (Debezium LSN / Kafka offset / commit timestamp + tiebreak) — ties
 within a key are a feed bug and are deterministically broken by
-preferring deletes (op descending) so replays stay idempotent.
+preferring deletes (op ascending: 'D' < 'I' < 'U') so replays stay
+idempotent.
 """
 
 from __future__ import annotations

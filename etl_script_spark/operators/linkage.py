@@ -42,7 +42,16 @@ class Comparator:
 def score_candidates(
     pairs: DataFrame, comparators: list[Comparator]
 ) -> DataFrame:
-    """Add per-field agreement flags and the summed integer score."""
+    """Add per-field agreement flags and the summed integer score.
+
+    Missing-value semantics: a NULL comparison (either field NULL, so
+    ``c.agree`` evaluates to NULL) scores as DISAGREEMENT — the
+    conservative Fellegi-Sunter convention when no separate
+    missing-weight is modelled. Callers needing three-state m/u
+    weights should encode the null case inside ``c.agree`` itself.
+    """
+    if not comparators:
+        raise ValueError("comparators must be non-empty")
     out = pairs
     total: Column | None = None
     for c in comparators:

@@ -144,12 +144,16 @@ def tfidf_cosine_join(
     self-join sides + both norm lookups); without persistence Spark
     re-executes the tokenize+aggregate chain per consumer — four
     corpus scans at 100 TB (caught in the executed plan, not the
-    answer). The index is therefore persisted here and released once
-    the pair computation no longer references it — which a caller
-    cannot know, so the operator owns the persist. At corpus scale
-    pass ``max_df`` (absolute) — see tfidf_weights."""
+    answer). The operator owns the persist; because the result is
+    lazy, the cache must outlive this call, so the persisted index is
+    tracked module-side: the NEXT tfidf_cosine_join call (or an
+    explicit ``release_indexes()``) unpersists it. The leak is thereby
+    bounded to one cached relation per session, not one per
+    invocation. At corpus scale pass ``max_df`` (absolute) — see
+    tfidf_weights."""
     from pyspark import StorageLevel
 
+    release_indexes()
     w = tfidf_weights(
         docs,
         id_col,
@@ -158,4 +162,19 @@ def tfidf_cosine_join(
         max_df_ratio=max_df_ratio,
         max_df=max_df,
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(w)
     return cosine_pairs(w, threshold)
+
+
+_PERSISTED: list[DataFrame] = []
+
+
+def release_indexes() -> None:
+    """Unpersist every index cached by tfidf_cosine_join. Safe while a
+    prior result is still un-executed: unpersist only drops the cache,
+    forcing a recompute, never changing the answer."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass

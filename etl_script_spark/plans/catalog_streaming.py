@@ -495,7 +495,12 @@ def st_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # timeout: the query is still running — returning the partial
+        # accumulator would surface as a baffling oracle mismatch, so
+        # stop it and fail loudly instead
+        q.stop()
+        raise TimeoutError("st_stream_cdc_apply: stream did not finish in 300s")
     final = acc[0] if acc else spark.createDataFrame([], schema)
     return final.select(
         F.col("k").alias("o_orderkey"),
