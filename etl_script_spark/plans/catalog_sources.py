@@ -85,6 +85,59 @@ def s1_csv_encoding_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s1_encoding_probe_distributed",
+    """
+    SELECT n_nationkey,
+           CASE n_nationkey % 4 WHEN 0 THEN 'utf-8-sig'
+                                WHEN 1 THEN 'utf-8'
+                                WHEN 2 THEN 'cp874'
+                                ELSE 'latin1' END AS enc
+    FROM nation
+    """,
+    ("S1",),
+)
+def s1_encoding_probe_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 at lake scale: one file per nation row, written in a
+    4-encoding rotation (utf-8-sig BOM / plain utf-8 / cp874 Thai /
+    latin1 with a cp874-undefined 0x81 byte), probed entirely ON
+    EXECUTORS via ``sniff_encodings_distributed`` — pyarrow.fs head
+    reads, identical ``_decode_probe`` cascade as the driver probe
+    (inv_old_processor.py:85-97 semantics unchanged), only
+    (path, encoding) pairs collected. The oracle states each file's
+    expected cascade outcome from the row that generated it."""
+    d = _workdir(sf_dir, "s1_dist")
+    rows = sorted(
+        t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect(),
+        key=lambda r: r["n_nationkey"],
+    )  # nation is a 25-row dim — driver materialization is the point here
+    paths = []
+    for r in rows:
+        k, name = r["n_nationkey"], r["n_name"]
+        path = f"{d}/n{k}.csv"
+        if k % 4 == 0:
+            payload = f"\ufeffn_nationkey,n_name\n{k},{name}\n".encode("utf-8")
+        elif k % 4 == 1:
+            payload = f"n_nationkey,n_name\n{k},{name}\n".encode("utf-8")
+        elif k % 4 == 2:
+            payload = f"n_nationkey,n_name\n{k},{name} \u0e44\u0e17\u0e22\n".encode("cp874")
+        else:
+            # 0x81 is latin1-valid but UNDEFINED in cp874 and an
+            # orphan continuation byte in utf-8 — forces the cascade
+            # all the way to its last candidate
+            payload = f"n_nationkey,n_name\n{k},{name}\x81\n".encode("latin1")
+        with open(path, "wb") as f:
+            f.write(payload)
+        paths.append(path)
+    probed = readers.sniff_encodings_distributed(spark, paths, files_per_task=4)
+    return probed.select(
+        F.regexp_extract(F.col("path"), r"n(\d+)\.csv$", 1)
+        .cast("long")
+        .alias("n_nationkey"),
+        F.col("encoding").alias("enc"),
+    )
+
+
+@register(
     "s11_json_pointer",
     """
     SELECT r_regionkey, r_name FROM region

@@ -46,18 +46,13 @@ _JAVA_CHARSETS = {
 }
 
 
-def sniff_encoding(
-    path: str, encodings: tuple[str, ...] = DEFAULT_ENCODINGS
+def _decode_probe(
+    head: bytes, truncated: bool, encodings: tuple[str, ...]
 ) -> str:
-    """First encoding in the cascade that decodes the file's head.
-
-    Mirrors the reference's try-read-retry loop
-    (inv_old_processor.py:85-97) without reading the file N times:
-    one 64 KiB head read, decoded in memory per candidate. utf-8-sig
-    is distinguished from utf-8 by the BOM."""
-    with open(path, "rb") as f:
-        head = f.read(PROBE_BYTES)
-    truncated = len(head) == PROBE_BYTES
+    """Cascade decision on a file's head bytes — the single shared
+    implementation behind both the driver-side and the distributed
+    probe, so the two can never diverge. utf-8-sig is distinguished
+    from utf-8 by the BOM."""
     if head.startswith(b"\xef\xbb\xbf") and "utf-8-sig" in encodings:
         return "utf-8-sig"
     for enc in encodings:
@@ -80,11 +75,73 @@ def sniff_encoding(
     return encodings[-1]
 
 
+def sniff_encoding(
+    path: str, encodings: tuple[str, ...] = DEFAULT_ENCODINGS
+) -> str:
+    """First encoding in the cascade that decodes the file's head.
+
+    Mirrors the reference's try-read-retry loop
+    (inv_old_processor.py:85-97) without reading the file N times:
+    one 64 KiB head read, decoded in memory per candidate."""
+    with open(path, "rb") as f:
+        head = f.read(PROBE_BYTES)
+    return _decode_probe(head, len(head) == PROBE_BYTES, encodings)
+
+
+def sniff_encodings_distributed(
+    spark: SparkSession,
+    paths: list[str],
+    encodings: tuple[str, ...] = DEFAULT_ENCODINGS,
+    probe_bytes: int = PROBE_BYTES,
+    files_per_task: int = 64,
+) -> DataFrame:
+    """S1 probe at lake scale: (path, encoding) computed ON EXECUTORS.
+
+    The driver-side loop in ``sniff_encoding`` is O(#files) of
+    sequential local ``open()`` — fine for the reference's dozens of
+    files, a bottleneck (and object-store-incompatible) at millions.
+    Here the path list is sliced across executors and each task reads
+    only the head bytes through ``pyarrow.fs`` (LocalFileSystem for
+    bare paths, ``FileSystem.from_uri`` for s3://, hdfs://, gs://, …),
+    running the identical ``_decode_probe`` cascade. Only the
+    (path, encoding) pairs come back — never file content — so the
+    result of ``.collect()`` is metadata-sized regardless of corpus
+    size. 1M files / 64 per task ≈ 16k tasks of a few ms of I/O each.
+    """
+    import pandas as pd
+
+    encs = tuple(encodings)
+    nbytes = probe_bytes
+
+    def _probe(batches):
+        import pyarrow.fs as pafs
+
+        local = pafs.LocalFileSystem()
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                if "://" in p:
+                    fs, at = pafs.FileSystem.from_uri(p)
+                else:
+                    fs, at = local, p
+                with fs.open_input_stream(at) as f:
+                    head = f.read(nbytes)
+                out.append(_decode_probe(head, len(head) == nbytes, encs))
+            yield pd.DataFrame({"path": pdf["path"], "encoding": out})
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    n_tasks = max(1, (len(paths) + files_per_task - 1) // files_per_task)
+    return pdf.repartition(min(n_tasks, 4096)).mapInPandas(
+        _probe, "path string, encoding string"
+    )
+
+
 def read_csv_fallback(
     spark: SparkSession,
     paths: list[str] | str,
     encodings: tuple[str, ...] = DEFAULT_ENCODINGS,
     add_lineage: bool = False,
+    distributed_probe: bool | None = None,
     **csv_options,
 ) -> DataFrame:
     """S1: CSV read with per-file encoding fallback.
@@ -93,12 +150,23 @@ def read_csv_fallback(
     distributed ``spark.read.csv`` (Spark's ``encoding`` option is
     per-read), then groups union by name. ``add_lineage=True`` stamps
     ``source_file`` (S3's lineage column) via ``input_file_name()``.
+
+    ``distributed_probe`` moves the encoding sniff to executors
+    (``sniff_encodings_distributed``); default is automatic — driver
+    probe below 256 files (session-startup-free), distributed above.
+    Either way only (path, encoding) pairs reach the driver.
     """
     if isinstance(paths, str):
         paths = sorted(_glob.glob(paths)) or [paths]
+    if distributed_probe is None:
+        distributed_probe = len(paths) > 256
     groups: dict[str, list[str]] = {}
-    for p in paths:
-        groups.setdefault(sniff_encoding(p, encodings), []).append(p)
+    if distributed_probe:
+        for row in sniff_encodings_distributed(spark, paths, encodings).collect():
+            groups.setdefault(row["encoding"], []).append(row["path"])
+    else:
+        for p in paths:
+            groups.setdefault(sniff_encoding(p, encodings), []).append(p)
 
     if any(enc not in ("utf-8", "utf-8-sig") for enc in groups):
         spark.conf.set("spark.sql.legacy.javaCharsets", "true")

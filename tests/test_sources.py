@@ -46,6 +46,39 @@ def test_csv_fallback_mixed_encodings(spark, tmp_path):
     assert rows == {"1": "alpha", "2": "ไทย"}
 
 
+def test_distributed_probe_many_files_matches_driver_probe(spark, tmp_path):
+    """600 files in a 4-encoding rotation: the executor-side probe must
+    agree with the driver-side cascade on every file, and the auto
+    (>256 files) distributed path of read_csv_fallback must read all
+    rows back losslessly."""
+    paths, expect = [], {}
+    for i in range(600):
+        p = tmp_path / f"f{i}.csv"
+        if i % 4 == 0:
+            p.write_bytes(f"\ufeffk,v\n{i},bom\n".encode("utf-8"))
+            expect[str(p)] = "utf-8-sig"
+        elif i % 4 == 1:
+            p.write_bytes(f"k,v\n{i},plain\n".encode("utf-8"))
+            expect[str(p)] = "utf-8"
+        elif i % 4 == 2:
+            p.write_bytes(f"k,v\n{i},ไทย\n".encode("cp874"))
+            expect[str(p)] = "cp874"
+        else:
+            p.write_bytes(f"k,v\n{i},x\x81\n".encode("latin1"))
+            expect[str(p)] = "latin1"
+        paths.append(str(p))
+    probed = {
+        r["path"]: r["encoding"]
+        for r in readers.sniff_encodings_distributed(spark, paths).collect()
+    }
+    assert probed == expect
+    # and identical to the driver probe, file by file (shared cascade)
+    for pth in paths[:16]:
+        assert probed[pth] == readers.sniff_encoding(pth)
+    df = readers.read_csv_fallback(spark, paths, header=True)
+    assert df.count() == 600
+
+
 def test_json_pointer_object(spark, tmp_path):
     p = tmp_path / "d.json"
     p.write_text('{"meta": 1, "records": [{"a": 1}, {"a": 2}]}', encoding="utf-8")
