@@ -168,8 +168,21 @@ def fuzzy_join(
         .filter(F.length("d_name") <= 2 * k)
     )
     short_cand = short_dirty.crossJoin(F.broadcast(short_clean))
-    all_cand = cand.unionByName(
-        short_cand.select("d_id", "d_name", "c_id", "c_name")
-    ).distinct()
-    dist = F.levenshtein(F.col("d_name"), F.col("c_name"))
-    return all_cand.withColumn("dist", dist).filter(F.col("dist") <= k)
+    # length-band prefilter BEFORE the distinct shuffle and the exact
+    # verify: |len(a)-len(b)| > k already implies dist > k (each edit
+    # changes length by at most 1), so this is lossless — and it is
+    # the dominant candidate killer (segment collisions between very
+    # different-length strings never survive it)
+    band = F.abs(F.length("d_name") - F.length("c_name")) <= k
+    all_cand = (
+        cand.unionByName(short_cand.select("d_id", "d_name", "c_id", "c_name"))
+        .filter(band)
+        .distinct()
+    )
+    # thresholded levenshtein: Spark's banded O(k·n) algorithm bails
+    # out at k+1 and returns -1, instead of filling the full O(n·m)
+    # DP matrix only to discard the row
+    dist = F.levenshtein(F.col("d_name"), F.col("c_name"), k)
+    return all_cand.withColumn("dist", dist).filter(
+        (F.col("dist") >= 0) & (F.col("dist") <= k)
+    )

@@ -82,6 +82,46 @@ def test_matches_naive_join_on_random_corruptions(spark):
     assert b == n and len(b) >= 200
 
 
+def test_band_prefilter_threshold_keep_match_set_length_edits(spark):
+    """k=2 with LENGTH-CHANGING edits (insert / delete / mixed): the
+    length-band prefilter and the thresholded (-1-bailout) levenshtein
+    must return exactly the naive unthresholded cross-join's match
+    set — the prefilter is lossless because each edit moves length by
+    at most 1."""
+    clean = spark.range(150).select(
+        F.col("id").alias("id"),
+        F.format_string("vendor%04d supply co", F.col("id")).alias("name"),
+    )
+    name = F.col("name")
+    dirty = clean.select(
+        (F.col("id") + 5000).alias("id"),
+        F.when(F.col("id") % 3 == 0,
+               # delete 2 chars -> length -2
+               F.concat(F.substring(name, 1, 4), F.substring(name, 7, 100)))
+        .when(F.col("id") % 3 == 1,
+              # insert 2 chars -> length +2
+              F.concat(F.substring(name, 1, 6), F.lit("xx"),
+                       F.substring(name, 7, 100)))
+        .otherwise(
+            # substitute 1 + insert 1 -> length +1
+            F.concat(F.substring(name, 1, 2), F.lit("#"),
+                     F.substring(name, 4, 100), F.lit("z")))
+        .alias("name"),
+    )
+    blocked = fuzzy.fuzzy_join(dirty, clean, "name", "name", "id", "id", k=2)
+    naive = (
+        dirty.select(F.col("id").alias("d_id"),
+                     fuzzy.normalize_name(F.col("name")).alias("dn"))
+        .crossJoin(clean.select(F.col("id").alias("c_id"),
+                                fuzzy.normalize_name(F.col("name")).alias("cn")))
+        .filter(F.levenshtein("dn", "cn") <= 2)
+        .select("d_id", "c_id")
+    )
+    b = {(r["d_id"], r["c_id"]) for r in blocked.select("d_id", "c_id").collect()}
+    n = {(r["d_id"], r["c_id"]) for r in naive.collect()}
+    assert b == n and len(b) >= 150
+
+
 def test_short_clean_strings_still_match(spark):
     # clean names shorter than k+1 chars can't be segmented — the
     # bounded short-string path must still find them
