@@ -5,10 +5,11 @@ The multi-field generalization of the single-field fuzzy join
 (operators/fuzzy.py): candidate pairs come from an exact equi-join on
 a BLOCKING key (cheap, complete within blocks), then every candidate
 is scored by summing per-field agreement/disagreement weights — the
-Fellegi-Sunter log-likelihood-ratio framework (JASA 1969), with the
-weights supplied as fixed integers (in production they come from an
-EM fit over labeled pairs; scaled-integer log-odds keep the score
-exact and engine-portable — the same no-ln policy as the tf-idf idf).
+Fellegi-Sunter log-likelihood-ratio framework (JASA 1969). Weights
+are scaled-integer log-odds (exact, engine-portable — the same no-ln
+policy as the tf-idf idf): supply them as constants, or fit them from
+the data with ``em_fit_weights`` (unsupervised EM over the agreement-
+pattern histogram, Winkler's method).
 
 Scale shape: the blocking equi-join is the only data-sized shuffle
 and its fan-out is the block size — the blocking key must be chosen
@@ -62,6 +63,124 @@ def score_candidates(
         ).otherwise(F.lit(c.w_disagree))
         total = term if total is None else total + term
     return out.withColumn("score", total)
+
+
+def agreement_patterns(
+    pairs: DataFrame, comparators: list[Comparator]
+) -> DataFrame:
+    """Histogram of agreement PATTERNS over candidate pairs: one row
+    per distinct boolean vector (agree_f1, ..., agree_fF) with its
+    pair count. At most 2^F rows regardless of corpus size — the one
+    distributed aggregation (map-side combined, shuffles ≤2^F groups)
+    behind the EM fit, the same bounded-fit pattern as the IVF
+    centroid sample and the BPE vocabulary."""
+    scored = score_candidates(pairs, comparators)
+    flags = [F.col(f"agree_{c.name}") for c in comparators]
+    return scored.groupBy(*flags).agg(F.count(F.lit(1)).alias("n"))
+
+
+_PPB = 10**9
+
+
+def _q(x: float) -> int:
+    """floor(x + 0.5) — round-half-toward-+∞ for any finite x, the
+    same expression both engines evaluate as ``floor(x + 0.5)``
+    (Python ``round`` is banker's and DuckDB ``ROUND`` is half-away —
+    both engine-divergent)."""
+    import math
+
+    return int(math.floor(x + 0.5))
+
+
+def _clamp_ppb(v: int) -> int:
+    return min(max(v, 1), _PPB - 1)
+
+
+def em_fit_weights(
+    pairs: DataFrame,
+    comparators: list[Comparator],
+    iters: int = 2,
+    init_m_ppb: int = 900_000_000,
+    init_u_ppb: int = 100_000_000,
+    init_p_ppb: int = 500_000_000,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Fellegi-Sunter weights fitted FROM THE DATA by EM (Winkler's
+    unsupervised two-class mixture over agreement vectors), instead of
+    caller-supplied constants.
+
+    Distributed shape: the corpus-sized work is ONE aggregation — the
+    ≤2^F agreement-pattern histogram (``agreement_patterns``). EM then
+    iterates over that histogram on the driver (Splink's optimization:
+    pairs with the same pattern share the same posterior, so the
+    E-step over N pairs collapses to 2^F rows), which is bounded and
+    independent of corpus size.
+
+    Bit-determinism (the cross-engine oracle contract): every
+    probability lives as a parts-per-billion INTEGER between steps —
+    posteriors are quantized to ppb before the M-step sums, so those
+    sums are exact integer arithmetic (order-independent, no float
+    accumulation), and the m/u/p updates are double divisions of
+    int64-exact operands, re-quantized to ppb. A DuckDB SQL twin
+    replaying the same unrolled iterations lands on the same integers
+    (sums stay < 2^53 for corpora up to ~9M pairs at ppb scale; the
+    histogram collapse keeps per-pattern products in fixed field
+    order). Output weights are scaled-integer base-2 log-odds
+    (``weight_scale`` × log2(m/u)) — the same no-ln policy as the
+    tf-idf idf — ready to feed ``Comparator.w_agree/w_disagree``.
+
+    Returns one row per comparator:
+    (field, m_ppb, u_ppb, prior_ppb, w_agree, w_disagree).
+    """
+    import math
+
+    if not comparators:
+        raise ValueError("comparators must be non-empty")
+    nf = len(comparators)
+    hist = agreement_patterns(pairs, comparators).collect()
+    patterns = [
+        (tuple(bool(row[i]) for i in range(nf)), int(row["n"])) for row in hist
+    ]
+    m = [init_m_ppb] * nf
+    u = [init_u_ppb] * nf
+    p = init_p_ppb
+    for _ in range(iters):
+        sw = 0  # Σ n·wq           (exact int)
+        sn = 0  # Σ n
+        swg = [0] * nf  # Σ n·wq·g_f
+        sug = [0] * nf  # Σ n·(PPB-wq)·g_f
+        for g, n in patterns:
+            pm = p / 1e9
+            pu = (_PPB - p) / 1e9
+            for f in range(nf):
+                pm *= (m[f] if g[f] else _PPB - m[f]) / 1e9
+                pu *= (u[f] if g[f] else _PPB - u[f]) / 1e9
+            wq = _q(1.0e9 * pm / (pm + pu))
+            sw += n * wq
+            sn += n
+            for f in range(nf):
+                if g[f]:
+                    swg[f] += n * wq
+                    sug[f] += n * (_PPB - wq)
+        su = sn * _PPB - sw  # Σ n·(PPB-wq)
+        m = [_clamp_ppb(_q(float(swg[f]) / float(sw) * 1.0e9)) for f in range(nf)]
+        u = [_clamp_ppb(_q(float(sug[f]) / float(su) * 1.0e9)) for f in range(nf)]
+        p = _clamp_ppb(_q(float(sw) / float(sn)))
+    spark = pairs.sparkSession
+    rows = []
+    for f, c in enumerate(comparators):
+        w_agree = _q(
+            float(weight_scale) * math.log2(float(m[f]) / float(u[f]))
+        )
+        w_dis = _q(
+            float(weight_scale)
+            * math.log2(float(_PPB - m[f]) / float(_PPB - u[f]))
+        )
+        rows.append((c.name, m[f], u[f], p, w_agree, w_dis))
+    return spark.createDataFrame(
+        rows, "field string, m_ppb long, u_ppb long, prior_ppb long, "
+        "w_agree long, w_disagree long"
+    )
 
 
 def link(

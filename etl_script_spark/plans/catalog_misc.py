@@ -1269,6 +1269,173 @@ def link_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Fellegi-Sunter EM weight fit (operators/linkage.em_fit_weights)
+# ---------------------------------------------------------------------
+
+def _em_estep_sql(out: str, src: str, m: list[str], u: list[str], p: str) -> str:
+    """One unrolled E-step CTE: per-pattern match/non-match likelihood
+    products in FIXED field order, posterior quantized to ppb BIGINT
+    (the integer that makes the M-step sums exact in both engines)."""
+    prod_m = " * ".join(
+        f"((CASE WHEN g{i+1} THEN {m[i]} ELSE 1000000000 - {m[i]} END)/1.0e9)"
+        for i in range(len(m))
+    )
+    prod_u = " * ".join(
+        f"((CASE WHEN g{i+1} THEN {u[i]} ELSE 1000000000 - {u[i]} END)/1.0e9)"
+        for i in range(len(u))
+    )
+    gcols = ", ".join(f"g{i+1}" for i in range(len(m)))
+    return f"""{out} AS (
+      SELECT {gcols}, n,
+             CAST(floor(1.0e9 * pm / (pm + pu) + 0.5) AS BIGINT) AS wq
+      FROM (
+        SELECT {gcols}, n,
+               ({p}/1.0e9) * {prod_m} AS pm,
+               ((1000000000 - {p})/1.0e9) * {prod_u} AS pu
+        FROM {src})
+    )"""
+
+
+def _em_mstep_sql(out: str, src: str, nf: int) -> str:
+    """One unrolled M-step CTE: m/u/p updates as double divisions of
+    int64-exact sums, ppb-quantized and clamped to [1, 1e9-1]."""
+
+    def q(num: str, den: str, scale: str) -> str:
+        return (
+            f"LEAST(GREATEST(CAST(floor(CAST(CAST({num} AS BIGINT) AS DOUBLE)"
+            f" / CAST(CAST({den} AS BIGINT) AS DOUBLE){scale} + 0.5)"
+            f" AS BIGINT), 1), 999999999)"
+        )
+
+    cols = []
+    for i in range(1, nf + 1):
+        cols.append(
+            q(f"SUM(CASE WHEN g{i} THEN n*wq ELSE 0 END)", "SUM(n*wq)",
+              " * 1.0e9") + f" AS m{i}"
+        )
+    for i in range(1, nf + 1):
+        cols.append(
+            q(f"SUM(CASE WHEN g{i} THEN n*(1000000000-wq) ELSE 0 END)",
+              "SUM(n*(1000000000-wq))", " * 1.0e9") + f" AS u{i}"
+        )
+    cols.append(q("SUM(n*wq)", "SUM(n)", "") + " AS p")
+    body = ",\n             ".join(cols)
+    return f"""{out} AS (
+      SELECT {body}
+      FROM {src}
+    )"""
+
+
+_EM_FIELDS = ["name", "segment", "balance"]
+_EM_INIT_M = ["900000000"] * 3
+_EM_INIT_U = ["100000000"] * 3
+
+_EM_SQL = f"""
+    WITH dirty AS (
+      SELECT c_custkey AS d_id,
+             substr(lower(c_name), 1, 15 + (c_custkey % 3)) || 'z'
+               || substr(lower(c_name), 17 + (c_custkey % 3)) AS d_name,
+             CASE WHEN c_custkey % 7 = 0 THEN 'XX'
+                  ELSE c_mktsegment END AS d_seg,
+             c_acctbal + (c_custkey % 11) / 10.0e0 AS d_bal,
+             c_nationkey AS d_nation,
+             substr(lower(c_name), 14, 2) AS d_block
+      FROM customer
+    ),
+    cand AS (
+      SELECT COALESCE(levenshtein(d.d_name, lower(c.c_name)) <= 1, FALSE) AS g1,
+             COALESCE(d.d_seg = c.c_mktsegment, FALSE) AS g2,
+             COALESCE(abs(d.d_bal - c.c_acctbal) < 1.0e0, FALSE) AS g3
+      FROM dirty d JOIN customer c
+        ON d.d_nation = c.c_nationkey
+       AND d.d_block = substr(lower(c.c_name), 14, 2)
+    ),
+    pat AS (SELECT g1, g2, g3, CAST(COUNT(*) AS BIGINT) AS n
+            FROM cand GROUP BY 1, 2, 3),
+    {_em_estep_sql("it1", "pat", _EM_INIT_M, _EM_INIT_U, "500000000")},
+    {_em_mstep_sql("par1", "it1", 3)},
+    {_em_estep_sql("it2", "pat CROSS JOIN par1",
+                   ["par1.m1", "par1.m2", "par1.m3"],
+                   ["par1.u1", "par1.u2", "par1.u3"], "par1.p")},
+    {_em_mstep_sql("par2", "it2", 3)}
+    SELECT field, m_ppb, u_ppb, prior_ppb,
+           CAST(floor(1.0e6 * log2(CAST(m_ppb AS DOUBLE)
+                / CAST(u_ppb AS DOUBLE)) + 0.5) AS BIGINT) AS w_agree,
+           CAST(floor(1.0e6 * log2(CAST(1000000000 - m_ppb AS DOUBLE)
+                / CAST(1000000000 - u_ppb AS DOUBLE)) + 0.5) AS BIGINT)
+             AS w_disagree
+    FROM (
+      SELECT 'name' AS field, m1 AS m_ppb, u1 AS u_ppb, p AS prior_ppb FROM par2
+      UNION ALL
+      SELECT 'segment', m2, u2, p FROM par2
+      UNION ALL
+      SELECT 'balance', m3, u3, p FROM par2
+    )
+"""
+
+
+@register("link_fs_em_weights", _EM_SQL, ("linkage",))
+def link_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter m/u weights fitted FROM THE DATA by two EM
+    iterations (operators/linkage.em_fit_weights) over the same
+    blocked dirty-vs-master candidates as link_fellegi_sunter — the
+    latent match population (same custkey, perturbed fields) and the
+    in-block cross pairs separate cleanly, so the fitted agreement
+    weights land near the hand-set constants that entry uses. The
+    corpus-sized work is ONE distributed aggregation (the ≤2^3
+    agreement-pattern histogram); EM runs over the histogram with
+    every probability ppb-integer-quantized between steps, so the
+    oracle — the same two iterations unrolled into SQL CTEs — lands
+    on identical integers."""
+    from etl_script_spark.operators import linkage
+
+    c = t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    dirty = c.select(
+        key.alias("d_id"),
+        F.concat(
+            F.expr("substr(lower(c_name), 1, 15 + (c_custkey % 3))"),
+            F.lit("z"),
+            F.expr("substr(lower(c_name), 17 + (c_custkey % 3))"),
+        ).alias("d_name"),
+        F.when(key % 7 == 0, F.lit("XX"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_seg"),
+        (F.col("c_acctbal") + (key % 11) / F.lit(10.0)).alias("d_bal"),
+        F.col("c_nationkey").alias("d_nation"),
+        F.substring(F.lower(F.col("c_name")), 14, 2).alias("d_block"),
+    )
+    clean = c.select(
+        F.col("c_custkey").alias("c_id"),
+        F.lower(F.col("c_name")).alias("c_name_l"),
+        "c_mktsegment",
+        "c_acctbal",
+        "c_nationkey",
+        F.substring(F.lower(F.col("c_name")), 14, 2).alias("c_block"),
+    )
+    cand = dirty.join(
+        clean,
+        (F.col("d_nation") == F.col("c_nationkey"))
+        & (F.col("d_block") == F.col("c_block")),
+    )
+    comps = [
+        linkage.Comparator(
+            "name", F.levenshtein(F.col("d_name"), F.col("c_name_l")) <= 1, 1, -1
+        ),
+        linkage.Comparator(
+            "segment", F.col("d_seg") == F.col("c_mktsegment"), 1, -1
+        ),
+        linkage.Comparator(
+            "balance",
+            F.abs(F.col("d_bal") - F.col("c_acctbal")) < F.lit(1.0),
+            1,
+            -1,
+        ),
+    ]
+    return linkage.em_fit_weights(cand, comps, iters=2)
+
+
 _KCORE_EDGES = """
       SELECT s_suppkey AS src, (s_suppkey * 7 + 1) % 100 AS dst FROM supplier
       WHERE s_suppkey < 100

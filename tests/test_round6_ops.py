@@ -1,0 +1,122 @@
+"""Round-6 operator tests: Fellegi-Sunter EM weight fit vs a pure
+float EM reference, plus its guard rails. Seeded random (not
+hypothesis) — one Spark job per example is the cost model."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import linkage
+
+
+def _em_reference(vectors, iters, m0=0.9, u0=0.1, p0=0.5):
+    """Unquantized per-pair float EM — independent of the engine's
+    histogram-collapsed, ppb-quantized implementation."""
+    nf = len(vectors[0])
+    m, u, p = [m0] * nf, [u0] * nf, p0
+    for _ in range(iters):
+        sw, swg, sug = 0.0, [0.0] * nf, [0.0] * nf
+        for g in vectors:
+            pm, pu = p, 1.0 - p
+            for f in range(nf):
+                pm *= m[f] if g[f] else 1.0 - m[f]
+                pu *= u[f] if g[f] else 1.0 - u[f]
+            w = pm / (pm + pu)
+            sw += w
+            for f in range(nf):
+                if g[f]:
+                    swg[f] += w
+                    sug[f] += 1.0 - w
+        su = len(vectors) - sw
+        m = [swg[f] / sw for f in range(nf)]
+        u = [sug[f] / su for f in range(nf)]
+        p = sw / len(vectors)
+    return m, u, p
+
+
+def _comparators():
+    return [
+        linkage.Comparator("f1", F.col("a1") == F.col("b1"), 1, -1),
+        linkage.Comparator("f2", F.col("a2") == F.col("b2"), 1, -1),
+        linkage.Comparator("f3", F.col("a3") == F.col("b3"), 1, -1),
+    ]
+
+
+def _pairs_df(spark, vectors):
+    # encode each agreement vector as a pair row whose field equality
+    # reproduces it (equal values agree, distinct values disagree)
+    rows = []
+    for i, g in enumerate(vectors):
+        rows.append(
+            tuple(
+                [i]
+                + [1 if g[f] else 0 for f in range(3)]
+                + [1 if g[f] else 2 for f in range(3)]
+            )
+        )
+    return spark.createDataFrame(
+        rows, "pid long, a1 int, a2 int, a3 int, b1 int, b2 int, b3 int"
+    )
+
+
+def test_em_fit_matches_float_reference_on_random_patterns(spark):
+    """ppb-quantized histogram EM == unquantized per-pair float EM to
+    well inside the quantization error budget, across three seeded
+    mixtures of planted match / non-match populations."""
+    for seed in (7, 41, 97):
+        rng = random.Random(seed)
+        vectors = []
+        for _ in range(400):
+            if rng.random() < 0.3:  # latent match: fields mostly agree
+                g = tuple(rng.random() < 0.9 for _ in range(3))
+            else:  # latent non-match: fields mostly disagree
+                g = tuple(rng.random() < 0.15 for _ in range(3))
+            vectors.append(g)
+        fitted = {
+            r["field"]: r
+            for r in linkage.em_fit_weights(
+                _pairs_df(spark, vectors), _comparators(), iters=3
+            ).collect()
+        }
+        m_ref, u_ref, p_ref = _em_reference(vectors, iters=3)
+        for f, name in enumerate(["f1", "f2", "f3"]):
+            row = fitted[name]
+            assert abs(row["m_ppb"] / 1e9 - m_ref[f]) < 1e-5, (seed, name)
+            assert abs(row["u_ppb"] / 1e9 - u_ref[f]) < 1e-5, (seed, name)
+            assert abs(row["prior_ppb"] / 1e9 - p_ref) < 1e-5, (seed, name)
+            # a separating field must yield positive agreement weight
+            # and negative disagreement weight
+            assert row["w_agree"] > 0 > row["w_disagree"], (seed, name)
+
+
+def test_em_fitted_weights_feed_back_into_link(spark):
+    """The fit's output plugs straight into Comparator weights and the
+    resulting link() keeps the planted matches."""
+    vectors = [(True, True, True)] * 50 + [(False, False, False)] * 150
+    pairs = _pairs_df(spark, vectors)
+    fitted = {
+        r["field"]: r
+        for r in linkage.em_fit_weights(pairs, _comparators(), iters=2).collect()
+    }
+    comps = [
+        linkage.Comparator(
+            c.name, c.agree, fitted[c.name]["w_agree"], fitted[c.name]["w_disagree"]
+        )
+        for c in _comparators()
+    ]
+    scored = linkage.score_candidates(pairs, comps)
+    hi = scored.filter(F.col("score") > 0).count()
+    assert hi == 50  # exactly the planted all-agree population
+
+
+def test_em_fit_empty_comparators_raises(spark):
+    with pytest.raises(ValueError):
+        linkage.em_fit_weights(spark.range(1), [], iters=1)
+
+
+def test_score_candidates_empty_comparators_raises(spark):
+    with pytest.raises(ValueError):
+        linkage.score_candidates(spark.range(1), [])
