@@ -71,6 +71,46 @@ def merge_states(
     return u.groupBy(*keys).agg(*aggs)
 
 
+def maintain_join_agg(
+    prev_state: DataFrame | None,
+    delta: DataFrame,
+    dim: DataFrame,
+    on,
+    keys: list[str],
+    measures: list[str],
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fold ONE fact delta batch into a JOIN-then-AGGREGATE
+    materialized view's state:
+
+        state' = merge(state, partial_state(Δfact ⋈ dim))
+
+    The associativity/commutativity of ``merge_states`` makes the
+    result independent of HOW the fact stream was batched — one batch,
+    daily batches, or any other split finalizes bitwise-identical to a
+    from-scratch recompute (pinned by tests/test_incremental.py and
+    the inc_agg_join_maintenance oracle row).
+
+    Scale shape: each batch costs one Δ-sized join (dim broadcast by
+    default — pass ``broadcast_dim=False`` when the dim outgrows the
+    broadcast threshold and let AQE pick) plus one state-sized merge
+    shuffle (key cardinality, not data volume). The base fact table is
+    never re-read.
+
+    Scope: deltas are APPEND-ONLY and the dim snapshot must be the one
+    the view definition pins (a changing dim needs the symmetric
+    A ⋈ Δdim term — pair with scd.scd2_apply to keep the join against
+    a frozen dim version). Retractions (CDC deletes) are out: count /
+    min / max states are not retractable; a retractable view restricts
+    to sum/count carried as signed values.
+    """
+    joined = delta.join(F.broadcast(dim) if broadcast_dim else dim, on)
+    new = partial_state(joined, keys, measures)
+    if prev_state is None:
+        return new
+    return merge_states([prev_state, new], keys, measures)
+
+
 def finalize(state: DataFrame, keys: list[str], measures: list[str]) -> DataFrame:
     """State → user-facing aggregate: decimal sums cast to double,
     avg as one exact decimal-by-count division (the only place a

@@ -1114,6 +1114,52 @@ def inc_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inc_agg_join_maintenance",
+    """
+    SELECT c.c_nationkey, o.o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS o_totalprice_sum,
+           MIN(o.o_totalprice) AS o_totalprice_min,
+           MAX(o.o_totalprice) AS o_totalprice_max,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(o.o_totalprice) AS o_totalprice_avg
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, o.o_orderstatus
+    """,
+    ("IVM", "A1"),
+)
+def inc_agg_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full materialized-view maintenance loop
+    (operators/incremental.maintain_join_agg): the per-(nation,
+    status) revenue view is built by folding FOUR uneven fact batches
+    (orders split at 1995-01-01 / 1996-07-01 / 1997-07-01) through
+    state' = merge(state, partial_state(Δ ⋈ dim)) — each batch one
+    Δ-sized broadcast join plus a state-sized merge; the base is
+    never re-read. The oracle recomputes from scratch, so the green
+    row IS the IVM contract: any batching split finalizes bitwise
+    equal to full recomputation (batching-independence is separately
+    pinned across 1/2/4-way splits in tests/test_incremental.py)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cuts = ["1995-01-01", "1996-07-01", "1997-07-01"]
+    d = F.col("o_orderdate")
+    batches = [
+        o.filter(d < cuts[0]),
+        o.filter((d >= cuts[0]) & (d < cuts[1])),
+        o.filter((d >= cuts[1]) & (d < cuts[2])),
+        o.filter(d >= cuts[2]),
+    ]
+    keys, measures = ["c_nationkey", "o_orderstatus"], ["o_totalprice"]
+    state = None
+    for b in batches:
+        state = inc_ops.maintain_join_agg(
+            state, b, c, F.col("o_custkey") == F.col("c_custkey"),
+            keys, measures,
+        )
+    return inc_ops.finalize(state, keys, measures)
+
+
+@register(
     "graph_triangle_count",
     """
     WITH e AS (

@@ -242,7 +242,25 @@ def atomic_overwrite_parquet(df: DataFrame, table_dir: str) -> str:
     vanilla-parquet stand-in for a transactional table format: readers
     resolve ``<table_dir>/current`` (a symlink) and never observe a
     half-written directory. Each snapshot is a new versioned subdir;
-    old snapshots stay until vacuumed.
+    old snapshots stay until ``vacuum_snapshots``.
+
+    Concurrency contract (tests/test_sources.py pins both halves):
+
+    - SINGLE WRITER. The swap serializes nothing between writers — two
+      concurrent calls both succeed and the last ``os.replace`` wins,
+      silently dropping the other's rows (exactly the lost-update mode
+      a Delta/Iceberg optimistic-commit log would reject). The
+      reference's importers are single-writer cron jobs
+      (ImportDbdFinancial.php:209-212), and this operator keeps that
+      assumption; a shared multi-writer lake needs the transactional
+      format (README "Deployment notes").
+    - READERS NEVER BLOCK AND NEVER TEAR. ``os.replace`` of the
+      symlink is rename-atomic on POSIX: a reader resolves ``current``
+      to exactly one snapshot dir. A scan that resolved the OLD
+      snapshot keeps reading its (immutable, un-vacuumed) files to
+      completion; the next resolution sees the new snapshot. Vacuum
+      must therefore lag the longest reader (the retention knob on
+      ``vacuum_snapshots``).
 
     This is how the merge operators' returned snapshots (upsert,
     replace_children, diff_sync) persist: compute new state → write →
@@ -260,6 +278,85 @@ def atomic_overwrite_parquet(df: DataFrame, table_dir: str) -> str:
     os.symlink(snap, tmp_link)
     os.replace(tmp_link, current)  # atomic on POSIX
     return snap
+
+
+def write_audit_publish(
+    df: DataFrame,
+    table_dir: str,
+    metrics: "dict[str, Column]",
+    validate,
+) -> dict:
+    """WRITE → AUDIT → PUBLISH: the vanilla-parquet stand-in for a
+    transactional commit with expectations (Delta's
+    ``delta.constraints`` / an audit-publish pipeline stage).
+
+    The snapshot is written first; ``metrics`` are collected DURING
+    that write via ``df.observe`` (Spark's Observation API — one pass,
+    no re-read of the output); ``validate(metrics_dict)`` then decides
+    publication. Only on approval does the ``current`` symlink swap —
+    a failed audit leaves the previous snapshot live and the rejected
+    one quarantined on disk for inspection (never auto-deleted; it
+    carries the evidence). ``validate`` returns True to publish, or
+    False / a reason string to abort.
+
+    Returns ``{"published": bool, "snapshot": path,
+    "metrics": {...}, "reason": str | None}``. Single-writer, same as
+    ``atomic_overwrite_parquet``."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    obs = Observation("write_audit")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    os.makedirs(table_dir, exist_ok=True)
+    snap = tempfile.mkdtemp(prefix="snap_", dir=table_dir)
+    observed.write.mode("overwrite").parquet(snap)
+    got = dict(obs.get)
+    verdict = validate(got)
+    ok = verdict is True
+    if ok:
+        current = os.path.join(table_dir, "current")
+        tmp_link = os.path.join(table_dir, ".current_tmp")
+        if os.path.lexists(tmp_link):
+            os.unlink(tmp_link)
+        os.symlink(snap, tmp_link)
+        os.replace(tmp_link, current)
+    return {
+        "published": ok,
+        "snapshot": snap,
+        "metrics": got,
+        "reason": None if ok else (
+            verdict if isinstance(verdict, str) else "audit failed"
+        ),
+    }
+
+
+def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
+    """Delete all but the ``keep`` newest snapshots, NEVER the one
+    ``current`` resolves to. ``keep`` is the reader-lifetime knob: a
+    snapshot may only be vacuumed once every scan that resolved it has
+    finished, so size ``keep`` (or call cadence) above the longest
+    query's runtime. Returns the deleted snapshot paths."""
+    import os
+    import shutil as _shutil
+
+    current = os.path.realpath(os.path.join(table_dir, "current"))
+    snaps = sorted(
+        (
+            os.path.join(table_dir, n)
+            for n in os.listdir(table_dir)
+            if n.startswith("snap_")
+        ),
+        key=os.path.getmtime,
+    )
+    victims = [
+        s for s in snaps[: max(0, len(snaps) - keep)]
+        if os.path.realpath(s) != current
+    ]
+    for v in victims:
+        _shutil.rmtree(v, ignore_errors=True)
+    return victims
 
 
 def write_bucketed_table(

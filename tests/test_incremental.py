@@ -71,3 +71,45 @@ def test_avg_with_nullable_measure_matches_f_avg(spark):
     }
     assert out[0]["x_avg"] == ref[0] == 15.0
     assert out[1]["x_avg"] is None and ref[1] is None
+
+
+def _rows_sorted(df):
+    cols = sorted(df.columns)
+    return [tuple(r[c] for c in cols) for r in
+            sorted(df.collect(), key=lambda r: tuple(str(r[c]) for c in cols))]
+
+
+def test_join_agg_maintenance_batching_independent(spark):
+    """maintain_join_agg finalizes BITWISE identical across 1/2/4-way
+    delta splits and to a from-scratch join+groupBy."""
+    fact = spark.range(2000).select(
+        F.col("id").alias("fk_raw"),
+        (F.col("id") % 37).alias("fk"),
+        ((F.col("id") * 7919) % 1000).cast("double").alias("amt"),
+    )
+    dim = spark.range(37).select(
+        F.col("id").alias("dk"), (F.col("id") % 5).alias("grp")
+    )
+    on = F.col("fk") == F.col("dk")
+    keys, measures = ["grp"], ["amt"]
+
+    def fold(splits):
+        state = None
+        lo = 0
+        for hi in splits + [2000]:
+            b = fact.filter((F.col("fk_raw") >= lo) & (F.col("fk_raw") < hi))
+            state = inc.maintain_join_agg(state, b, dim, on, keys, measures)
+            lo = hi
+        return _rows_sorted(inc.finalize(state, keys, measures))
+
+    one = fold([])
+    two = fold([700])
+    four = fold([300, 900, 1600])
+    assert one == two == four
+    scratch = _rows_sorted(
+        inc.finalize(
+            inc.partial_state(fact.join(dim, on), keys, measures),
+            keys, measures,
+        )
+    )
+    assert one == scratch

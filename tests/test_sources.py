@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_script_spark.sources import excel, readers, writers
 
@@ -369,6 +370,73 @@ def test_atomic_overwrite_swap(spark, tmp_path):
     assert spark.read.parquet(f"{table}/current").count() == 5
     writers.atomic_overwrite_parquet(spark.range(9), table)
     assert spark.read.parquet(f"{table}/current").count() == 9
+
+
+def test_concurrent_reader_survives_swap_and_vacuum_spares_current(
+    spark, tmp_path
+):
+    """The concurrent-reader guarantee: a scan that resolved the OLD
+    snapshot completes against its immutable files even after the
+    symlink swaps; the next resolution sees the new snapshot; vacuum
+    never removes the snapshot `current` resolves to."""
+    import os
+
+    table = str(tmp_path / "gold")
+    writers.atomic_overwrite_parquet(spark.range(100), table)
+    # reader pins the OLD snapshot the way a long scan does: by the
+    # resolved physical path, not the symlink
+    pinned = os.path.realpath(f"{table}/current")
+    old_reader = spark.read.parquet(pinned)
+    assert old_reader.count() == 100
+    writers.atomic_overwrite_parquet(spark.range(250), table)
+    # post-swap: the in-flight reader still sees v1 in full...
+    assert old_reader.count() == 100
+    assert sorted(r["id"] for r in old_reader.collect()) == list(range(100))
+    # ...and a fresh resolution sees v2
+    assert spark.read.parquet(f"{table}/current").count() == 250
+    # a third snapshot, then vacuum keep=1: only non-current victims go
+    writers.atomic_overwrite_parquet(spark.range(7), table)
+    victims = writers.vacuum_snapshots(table, keep=1)
+    assert len(victims) == 2
+    cur = os.path.realpath(f"{table}/current")
+    assert cur not in [os.path.realpath(v) for v in victims]
+    assert spark.read.parquet(f"{table}/current").count() == 7
+
+
+def test_write_audit_publish_gates_the_swap(spark, tmp_path):
+    """write -> observe-metrics audit -> publish: a failing audit
+    leaves the previous snapshot live and quarantines the rejected
+    one; a passing audit swaps. Metrics come from the write pass
+    itself (Observation API), not a re-read."""
+    import os
+
+    table = str(tmp_path / "gold")
+    metrics = {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_id": F.count(F.when(F.col("id").isNull(), 1)),
+    }
+
+    def expect_at_least_50(m):
+        if m["n_null_id"] > 0:
+            return f"{m['n_null_id']} null ids"
+        return True if m["n_rows"] >= 50 else f"only {m['n_rows']} rows"
+
+    ok = writers.write_audit_publish(
+        spark.range(80), table, metrics, expect_at_least_50
+    )
+    assert ok["published"] and ok["metrics"]["n_rows"] == 80
+    assert spark.read.parquet(f"{table}/current").count() == 80
+
+    bad = writers.write_audit_publish(
+        spark.range(3), table, metrics, expect_at_least_50
+    )
+    assert not bad["published"] and bad["reason"] == "only 3 rows"
+    # previous snapshot still live; rejected one quarantined on disk
+    assert spark.read.parquet(f"{table}/current").count() == 80
+    assert os.path.isdir(bad["snapshot"])
+    assert os.path.realpath(f"{table}/current") != os.path.realpath(
+        bad["snapshot"]
+    )
 
 
 def test_bucketed_join_no_shuffle(spark, tmp_path):

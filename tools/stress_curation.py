@@ -26,20 +26,23 @@ from etl_script_spark.operators import dedup as dedup_ops  # noqa: E402
 from etl_script_spark.operators import similarity, textstats  # noqa: E402
 from etl_script_spark.session import get_spark  # noqa: E402
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+_ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+N = int(_ARGS[0]) if _ARGS else 100_000
 OUT = f"/tmp/etl_script_spark_io/stress_{N}"
 
 
-def build(spark):
+def build(spark, n=None, out=None):
     """Deterministic synthetic corpus with crawl pathologies:
     - 60-word salad from a 500-word vocab (seeded by doc_id — no rand())
     - 5% exact duplicates of doc (id - id%20)
     - 30% carry a shared 25-word boilerplate suffix (hot template)
     - 2% empty docs; one 50k-word mega-doc
     """
+    n = n if n is not None else N
+    out = out if out is not None else OUT
     tmpl = " ".join(f"boiler{i}" for i in range(25))
     base = (
-        spark.range(N)
+        spark.range(n)
         .withColumn("grp", (F.col("id") - F.col("id") % 20))
         .withColumn(
             "seed",
@@ -72,9 +75,9 @@ def build(spark):
         F.when(F.col("id") == 7, mega).otherwise(text).alias("text"),
         F.format_string("src%d", F.col("id") % 20).alias("source"),
     )
-    shutil.rmtree(OUT, ignore_errors=True)
-    df.repartition(32).write.parquet(OUT)
-    return spark.read.parquet(OUT)
+    shutil.rmtree(out, ignore_errors=True)
+    df.repartition(32).write.parquet(out)
+    return spark.read.parquet(out)
 
 
 def main():
@@ -383,5 +386,143 @@ def stress_round4_families(spark, d):
     )
 
 
+def stress_round6_decade(spark):
+    """Round-6 decade push (VERDICT r5 #7): the heavy dedup/similarity
+    families at 1M docs and the maintenance/entity families at 20M
+    rows — one decade past the round-5 sweep, looking for the next
+    superlinear wall. Run standalone:
+    ``python tools/stress_curation.py --round6``."""
+    from etl_script_spark.operators import cdc, governance, linkage, vsm
+    from etl_script_spark.operators import incremental as inc
+    from etl_script_spark.operators.similarity import (
+        kmeans_lloyd, semantic_dedup_pairs,
+    )
+
+    M = 1_000_000
+    t0 = time.time()
+    d = build(spark, n=M, out=f"/tmp/etl_script_spark_io/stress_{M}")
+    print(f"build 1M corpus: {time.time()-t0:.1f}s ({d.count()} docs)")
+
+    t0 = time.time()
+    cnt = dedup_ops.minhash_lsh_candidates(d, "doc_id", "text").count()
+    print(f"minhash_lsh_candidates 1M: {time.time()-t0:.1f}s -> {cnt} pairs")
+
+    t0 = time.time()
+    cnt = dedup_ops.simhash_near_dups(d, "doc_id", "text").count()
+    print(f"simhash_near_dups 1M: {time.time()-t0:.1f}s -> {cnt} pairs")
+
+    t0 = time.time()
+    pairs = dedup_ops.minhash_lsh_candidates(d, "doc_id", "text")
+    cc = dedup_ops.connected_components_alternating(
+        pairs.select("id_a", "id_b"), "id_a", "id_b"
+    )
+    n, k = cc.count(), cc.select("cluster_id").distinct().count()
+    print(f"minhash->CC chain 1M: {time.time()-t0:.1f}s -> {n} nodes, {k} clusters")
+
+    t0 = time.time()
+    cnt = vsm.tfidf_cosine_join(
+        d, "doc_id", "text", threshold=0.8, max_df=2000
+    ).count()
+    print(f"tfidf_cosine_join 1M (max_df=2000): {time.time()-t0:.1f}s -> {cnt} pairs")
+
+    # SemDeDup at 1M x 64-dim, k=4096 (cluster size ~244, same as the
+    # 50k/k=256 round-5 run — the contract is k ~ n/target_size)
+    vecs = spark.range(M).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: ((F.xxhash64(i, F.col("id")) % 1000) / 500.0 - 1.0
+                       ).cast("float"),
+        ).alias("embedding"),
+    )
+    vecs = vecs.unionByName(
+        vecs.filter(F.col("vec_id") % 2000 == 0).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    t0 = time.time()
+    sd = semantic_dedup_pairs(vecs, "vec_id", "embedding",
+                              threshold=0.999, k=4096, iters=1, impl="arrow")
+    planted = sd.filter(F.col("id_b") == F.col("id_a") + 10_000_000).count()
+    cnt = sd.count()
+    print(f"semantic_dedup 1M x64 k=4096 (arrow): {time.time()-t0:.1f}s "
+          f"-> {cnt} pairs, planted recall {planted}/500")
+
+    # --- cdc: 20M-change feed over 10M keys --------------------------
+    feed = spark.range(20_000_000).select(
+        (F.col("id") % 10_000_000).alias("k"),
+        F.expr("id div 10000000 + 1").cast("int").alias("seq"),
+        F.when((F.expr("id div 10000000") > 0) & (F.col("id") % 7 == 0),
+               F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        (F.col("id") * 3).alias("v"),
+    )
+    t0 = time.time()
+    cnt = cdc.apply_changes(feed, ["k"], "seq", "op").count()
+    print(f"cdc_apply 20M changes / 10M keys: {time.time()-t0:.1f}s -> {cnt} rows")
+
+    # --- linkage: 10M x 10M sides, 2M blocks -> ~50M candidates ------
+    left = spark.range(10_000_000).select(
+        F.col("id").alias("l_id"), (F.col("id") % 2_000_000).alias("l_blk"),
+        F.format_string("entity %07d corp", F.col("id")).alias("l_name"),
+    )
+    right = spark.range(10_000_000).select(
+        F.col("id").alias("r_id"), (F.col("id") % 2_000_000).alias("r_blk"),
+        F.format_string("entity %07d corp",
+                        F.col("id") + (F.col("id") % 3)).alias("r_name"),
+    )
+    comps = [linkage.Comparator(
+        "name", F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1, 24, -8)]
+    t0 = time.time()
+    cnt = linkage.link(
+        left, right, block_on=[(F.col("l_blk"), F.col("r_blk"))],
+        comparators=comps, threshold=20,
+    ).count()
+    print(f"linkage 10Mx10M 2M blocks: {time.time()-t0:.1f}s -> {cnt} links")
+
+    # EM weight fit over the same blocked candidates: the corpus-sized
+    # work is one histogram aggregation; EM itself is driver-bounded
+    cand = left.join(right, F.col("l_blk") == F.col("r_blk"))
+    t0 = time.time()
+    w = linkage.em_fit_weights(cand, comps, iters=2).collect()
+    print(f"em_fit_weights 50M candidates: {time.time()-t0:.1f}s -> "
+          f"{[(r['field'], r['m_ppb'], r['u_ppb']) for r in w]}")
+
+    # --- governance: k-anonymity over 20M rows -----------------------
+    rows = spark.range(20_000_000).select(
+        (F.col("id") % 97).alias("age_band"),
+        (F.col("id") % 1013).alias("zip3"),
+        (F.col("id") % 7).alias("diagnosis"),
+    )
+    t0 = time.time()
+    prof = governance.k_anonymity_report(
+        rows, ["age_band", "zip3"], F.col("diagnosis"), k_threshold=5
+    )
+    cnt = prof.count()
+    print(f"k_anonymity 20M rows: {time.time()-t0:.1f}s -> {cnt} classes")
+
+    # --- IVM: maintain_join_agg, 4 x 2M-row delta batches ------------
+    dim = spark.range(100_000).select(
+        F.col("id").alias("dk"), (F.col("id") % 1000).alias("grp"))
+    state = None
+    walls = []
+    for b in range(4):
+        t0 = time.time()
+        delta = spark.range(b * 2_000_000, (b + 1) * 2_000_000).select(
+            (F.col("id") % 100_000).alias("fk"),
+            ((F.col("id") * 7919) % 10_000).cast("double").alias("amt"))
+        state = inc.maintain_join_agg(
+            state, delta, dim, F.col("fk") == F.col("dk"), ["grp"], ["amt"])
+        state = state.localCheckpoint()  # deployed loop persists per batch
+        walls.append(time.time() - t0)
+    out = inc.finalize(state, ["grp"], ["amt"])
+    print(f"maintain_join_agg 4x2M batches: "
+          f"{' '.join(f'{w:.2f}s' for w in walls)} -> {out.count()} groups")
+
+
 if __name__ == "__main__":
-    main()
+    if "--round6" in sys.argv:
+        spark = get_spark(app_name="stress-round6")
+        stress_round6_decade(spark)
+        spark.stop()
+    else:
+        main()
