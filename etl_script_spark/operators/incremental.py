@@ -111,6 +111,86 @@ def maintain_join_agg(
     return merge_states([prev_state, new], keys, measures)
 
 
+def signed_partial_state(
+    df: DataFrame, keys: list[str], measures: list[str], sign_col: str
+) -> DataFrame:
+    """Per-key RETRACTABLE aggregation state: every row carries a sign
+    (+1 insert, -1 delete) and the state is the signed sum of counts
+    and measure sums. This is the sum/count-only restriction
+    ``maintain_join_agg`` documents: min/max are not retractable (a
+    deleted extremum needs a re-scan), so they are deliberately absent
+    here. Delete rows must carry the FULL measure values (CDC delete
+    images), since retraction subtracts the old contribution without
+    re-reading the base."""
+    sign = F.col(sign_col)
+    aggs = [F.sum(sign).alias("n_rows")]
+    for m in measures:
+        aggs += [
+            F.sum(sign.cast(_DEC) * F.col(m).cast(_DEC)).alias(f"{m}_sum"),
+            F.sum(
+                F.when(F.col(m).isNotNull(), sign).otherwise(F.lit(0))
+            ).alias(f"{m}_cnt"),
+        ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def maintain_join_agg_retractable(
+    prev_state: DataFrame | None,
+    delta: DataFrame,
+    dim: DataFrame,
+    on,
+    keys: list[str],
+    measures: list[str],
+    sign_col: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """``maintain_join_agg`` for CDC feeds WITH deletes: the delta
+    carries a ±1 ``sign_col`` and the fold is
+
+        state' = mergeΣ(state, signed_partial_state(Δ± ⋈ dim))
+
+    where mergeΣ sums every state column (signed counts cancel).
+    Groups whose rows have all been deleted reach n_rows = 0 and are
+    dropped at ``finalize_signed`` — so insert-then-delete any subset
+    in any batching and the finalized view is bitwise equal to
+    recomputing over the surviving rows only (pinned in
+    tests/test_incremental.py and the inc_agg_join_retract oracle).
+    Same scale shape as the append-only fold; min/max excluded by
+    construction (see signed_partial_state)."""
+    joined = delta.join(F.broadcast(dim) if broadcast_dim else dim, on)
+    new = signed_partial_state(joined, keys, measures, sign_col)
+    if prev_state is None:
+        return new
+    u = prev_state.unionByName(new)
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for m in measures:
+        aggs += [
+            F.sum(f"{m}_sum").alias(f"{m}_sum"),
+            F.sum(f"{m}_cnt").alias(f"{m}_cnt"),
+        ]
+    return u.groupBy(*keys).agg(*aggs)
+
+
+def finalize_signed(
+    state: DataFrame, keys: list[str], measures: list[str]
+) -> DataFrame:
+    """Signed state → user-facing view: empty groups (all rows
+    retracted, n_rows = 0) disappear, exactly like a from-scratch
+    groupBy over the surviving rows; avg divides the exact decimal
+    sum by the non-null signed count."""
+    live = state.filter(F.col("n_rows") > 0)
+    cols = [F.col(k) for k in keys] + [F.col("n_rows")]
+    for m in measures:
+        cols += [
+            F.col(f"{m}_sum").cast("double").alias(f"{m}_sum"),
+            F.when(
+                F.col(f"{m}_cnt") > 0,
+                F.col(f"{m}_sum").cast("double") / F.col(f"{m}_cnt"),
+            ).alias(f"{m}_avg"),
+        ]
+    return live.select(*cols)
+
+
 def finalize(state: DataFrame, keys: list[str], measures: list[str]) -> DataFrame:
     """State → user-facing aggregate: decimal sums cast to double,
     avg as one exact decimal-by-count division (the only place a

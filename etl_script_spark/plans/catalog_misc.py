@@ -1160,6 +1160,52 @@ def inc_agg_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inc_agg_join_retract",
+    """
+    SELECT c.c_nationkey, o.o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS o_totalprice_sum,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(o.o_totalprice) AS o_totalprice_avg
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 7 <> 0
+    GROUP BY c.c_nationkey, o.o_orderstatus
+    """,
+    ("IVM", "A1"),
+)
+def inc_agg_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTABLE view maintenance
+    (operators/incremental.maintain_join_agg_retractable): all orders
+    are folded in as +1 inserts (two batches), then every 7th order is
+    RETRACTED by a -1 batch carrying its CDC delete image — the base
+    is never re-read, deleted contributions are subtracted from the
+    signed sum/count state, and groups that empty out vanish at
+    finalize. The oracle recomputes over the surviving rows only, so
+    the green row proves insert+delete maintenance lands bitwise on
+    the from-scratch answer (min/max are excluded by construction —
+    they are not retractable without a re-scan)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    keys, measures = ["c_nationkey", "o_orderstatus"], ["o_totalprice"]
+    on = F.col("o_custkey") == F.col("c_custkey")
+    ins1 = o.filter(F.col("o_orderdate") < "1996-01-01").withColumn(
+        "sign", F.lit(1)
+    )
+    ins2 = o.filter(F.col("o_orderdate") >= "1996-01-01").withColumn(
+        "sign", F.lit(1)
+    )
+    dels = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "sign", F.lit(-1)
+    )
+    state = None
+    for batch in (ins1, ins2, dels):
+        state = inc_ops.maintain_join_agg_retractable(
+            state, batch, c, on, keys, measures, "sign"
+        )
+    return inc_ops.finalize_signed(state, keys, measures)
+
+
+@register(
     "graph_triangle_count",
     """
     WITH e AS (

@@ -113,3 +113,45 @@ def test_join_agg_maintenance_batching_independent(spark):
         )
     )
     assert one == scratch
+
+
+def test_retractable_fold_equals_recompute_on_survivors(spark):
+    """Insert-then-delete in arbitrary batching == from-scratch over
+    the surviving rows; fully-retracted groups vanish."""
+    fact = spark.range(3000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 41).alias("fk"),
+        ((F.col("id") * 31) % 500).cast("double").alias("amt"),
+    )
+    dim = spark.range(41).select(
+        F.col("id").alias("dk"), (F.col("id") % 6).alias("grp")
+    )
+    on = F.col("fk") == F.col("dk")
+    keys, measures = ["grp"], ["amt"]
+    # grp 5 is retracted ENTIRELY (fk % 6 == 5 -> delete every row)
+    doomed = F.col("fk") % 6 == 5
+    ins = fact.withColumn("sign", F.lit(1))
+    dels = fact.filter((F.col("rid") % 3 == 0) | doomed).withColumn(
+        "sign", F.lit(-1)
+    )
+    state = None
+    for b in (
+        ins.filter(F.col("rid") < 1000),
+        ins.filter(F.col("rid") >= 1000),
+        dels.filter(F.col("rid") % 2 == 0),
+        dels.filter(F.col("rid") % 2 == 1),
+    ):
+        state = inc.maintain_join_agg_retractable(
+            state, b, dim, on, keys, measures, "sign"
+        )
+    got = _rows_sorted(inc.finalize_signed(state, keys, measures))
+    survivors = fact.filter(~((F.col("rid") % 3 == 0) | doomed))
+    scratch_state = inc.signed_partial_state(
+        survivors.withColumn("sign", F.lit(1)).join(dim, on),
+        keys, measures, "sign",
+    )
+    want = _rows_sorted(inc.finalize_signed(scratch_state, keys, measures))
+    assert got == want
+    # the doomed group is absent from the finalized view
+    grp_idx = sorted(["grp", "n_rows", "amt_sum", "amt_avg"]).index("grp")
+    assert not any(r[grp_idx] == 5 for r in got)
