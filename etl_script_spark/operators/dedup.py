@@ -208,6 +208,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     eager: bool = True,
     unit: str = "word",
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs. ``unit='char'``
     switches to character shingles for undelimited scripts (Thai,
@@ -230,6 +231,22 @@ def minhash_lsh_candidates(
 
     Returns distinct candidate pairs (id_a < id_b) with their
     estimated Jaccard (signature agreement ratio).
+
+    ``collapse_identical`` (default True): documents with IDENTICAL
+    signatures (byte-identical or same-shingle-set texts — empty
+    docs, mirrored boilerplate pages) are collapsed to one
+    representative before the banded join, and each identity group is
+    emitted as a hub→member star. A k-document identical class would
+    otherwise enumerate Θ(k²) pairs through every band — the round-6
+    decade sweep's 1M-doc corpus has a 20k-doc empty class, 3.2B
+    pre-dedup join rows in exhaustive mode. The collapse is LOSSLESS
+    for any downstream est_jaccard threshold: star pairs carry
+    est_jaccard 1.0 (identical signatures agree everywhere), and any
+    cross pair the exhaustive join would emit has the same agreement
+    as its representatives' pair — so the thresholded candidate graph
+    has identical connected components / canonical selection. Only
+    the redundant clique enumeration inside identity groups is
+    skipped; pass False to force it.
 
     Exchange economy: the signature table feeds THREE consumers
     (banding + both sides of the agreement rejoin) — it is persisted
@@ -291,24 +308,66 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    pairs = (
-        banded.alias("a")
-        .hint("shuffle_hash")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    if collapse_identical:
+        # Identity collapse (the round-6 decade sweep's finding): a
+        # k-document identical class collides in EVERY band and would
+        # enumerate Θ(k²) pairs — 20k byte-identical docs (2% of a 1M
+        # crawl corpus being empty) alone make 3.2B pre-dedup join
+        # rows. Group docs by full-signature hash, band only the
+        # min-id representative of each identity group, and emit the
+        # group itself as a hub→member star (est_jaccard 1.0 by
+        # construction, still verified by the agreement rejoin).
+        # Lossless at any downstream threshold — see the docstring.
+        sigkey = F.xxhash64(
+            F.array_join(
+                F.transform("sig", lambda x: x.cast("string")), ","
+            )
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        # dropDuplicates' partial aggregate dedups candidate pairs
-        # map-side BEFORE the exchange — a pair appears once per
-        # agreeing band (≤16×), so pre-shuffle combining beats saving
-        # an exchange with repartition(id_a) (measured 10× worse: the
-        # full duplicated pair stream shuffles and the aggregate loses
-        # its map-side combine)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        keyed = sig.select("id", sigkey.alias("sigkey"))
+        groups = keyed.groupBy("sigkey").agg(F.min("id").alias("hub"))
+        star_pairs = (
+            keyed.hint("shuffle_hash")
+            .join(groups, "sigkey")
+            .filter(F.col("id") != F.col("hub"))
+            .select(F.col("hub").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        reps = groups.select(F.col("hub").alias("id"))
+        banded = banded.hint("shuffle_hash").join(reps, "id")
+        pairs_reps = (
+            banded.alias("a")
+            .hint("shuffle_hash")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        pairs = pairs_reps.unionByName(star_pairs).dropDuplicates(
+            ["id_a", "id_b"]
+        )
+        identity_map = keyed.join(groups, "sigkey").select("id", "hub")
+    else:
+        identity_map = None
+        pairs = (
+            banded.alias("a")
+            .hint("shuffle_hash")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            # dropDuplicates' partial aggregate dedups candidate pairs
+            # map-side BEFORE the exchange — a pair appears once per
+            # agreeing band (≤16×), so pre-shuffle combining beats
+            # saving an exchange with repartition(id_a) (measured 10×
+            # worse: the full duplicated pair stream shuffles and the
+            # aggregate loses its map-side combine)
+            .dropDuplicates(["id_a", "id_b"])
+        )
     # agreement rejoins keep the persisted sig subtree intact on the
     # build side (rename AFTER the join) so ReuseExchange collapses
     # the two sig shuffles into one
@@ -337,6 +396,11 @@ def minhash_lsh_candidates(
         sig.unpersist()
     else:
         out._sig_cache = sig  # release handle for lazy consumers
+    # identity groups (id → hub) for recall checks / cluster mapping
+    # under collapse: a cross pair of group members is represented by
+    # its hubs' pair, so pair-membership questions must map through
+    # this (lazy, |docs|-sized) frame. None when collapse is off.
+    out._identity_map = identity_map
     return out
 
 
@@ -504,6 +568,7 @@ def simhash_near_dups(
     bands: int = 4,
     eager: bool = True,
     unit: str = "word",
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit fingerprint into
     ``bands`` chunks (pigeonhole: hamming<=k pairs share at least one
@@ -520,6 +585,18 @@ def simhash_near_dups(
     the returned persisted DataFrame and unpersists the fingerprint
     intermediate — no dead cache after a catalog sweep; call
     ``.unpersist()`` on the result when done.
+
+    ``collapse_identical`` (default True): documents with an IDENTICAL
+    64-bit fingerprint collapse to one representative before the
+    banded join and are emitted as a hub→member star (hamming 0, so
+    every star pair passes any threshold). A k-document identical
+    class (empty docs, mirrored pages) would otherwise enumerate
+    Θ(k²) pairs through every band — the same decade-sweep blowup as
+    minhash_lsh_candidates, same losslessness argument: a cross pair
+    of group members has exactly its representatives' hamming, so the
+    thresholded candidate graph keeps identical connected components.
+    The returned frame carries ``_identity_map`` (id → hub) for
+    pair-membership questions under collapse.
     """
     if bands < max_hamming + 1:
         raise ValueError(
@@ -535,8 +612,23 @@ def simhash_near_dups(
             "loss); bands=1 is a full cross join"
         )
     fp = simhash_fingerprints(df, id_col, text_col, unit=unit).persist()
+    identity_map = None
+    star_pairs = None
+    if collapse_identical:
+        groups = fp.groupBy("fp").agg(F.min("id").alias("hub"))
+        identity_map = fp.join(groups, "fp").select("id", "hub")
+        star_pairs = identity_map.filter(F.col("id") != F.col("hub")).select(
+            F.col("hub").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+        fp_join = fp.hint("shuffle_hash").join(
+            groups.select(F.col("hub").alias("id")), "id"
+        )
+    else:
+        fp_join = fp
     width = 64 // bands
-    banded = fp.select(
+    banded = fp_join.select(
         "id",
         "fp",
         F.explode(
@@ -574,10 +666,13 @@ def simhash_near_dups(
     out = cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    if star_pairs is not None:
+        out = out.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
     if eager:
         out = out.persist()
         out.count()
         fp.unpersist()
+    out._identity_map = identity_map
     return out
 
 

@@ -267,17 +267,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dedup_ops.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.8
     )
-    out = (
+    # membership is checked UP TO IDENTITY CLOSURE: under the default
+    # identity collapse, a cross pair of same-signature group members
+    # is represented by its hubs' pair (same agreement by
+    # construction), so `found` maps both sides through the identity
+    # hub — same-hub pairs are found by definition (the star edges
+    # connect them), distinct-hub pairs must appear as the hub pair.
+    idm = cand._identity_map
+    ex = (
         exact.join(
-            cand.select("id_a", "id_b").withColumn("__c", F.lit(True)),
-            ["id_a", "id_b"],
-            "left",
+            idm.select(
+                F.col("id").alias("id_a"), F.col("hub").alias("hub_a")
+            ),
+            "id_a",
+        ).join(
+            idm.select(
+                F.col("id").alias("id_b"), F.col("hub").alias("hub_b")
+            ),
+            "id_b",
         )
+    )
+    ckeys = cand.select(
+        F.col("id_a").alias("ka"), F.col("id_b").alias("kb")
+    ).withColumn("__c", F.lit(True))
+    out = (
+        ex.withColumn("ka", F.least("hub_a", "hub_b"))
+        .withColumn("kb", F.greatest("hub_a", "hub_b"))
+        .join(ckeys, ["ka", "kb"], "left")
         .select(
             "id_a",
             "id_b",
             "jaccard",
-            F.coalesce(F.col("__c"), F.lit(False)).alias("found"),
+            (
+                (F.col("hub_a") == F.col("hub_b"))
+                | F.coalesce(F.col("__c"), F.lit(False))
+            ).alias("found"),
         )
         .localCheckpoint(eager=True)
     )

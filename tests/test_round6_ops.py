@@ -120,3 +120,61 @@ def test_em_fit_empty_comparators_raises(spark):
 def test_score_candidates_empty_comparators_raises(spark):
     with pytest.raises(ValueError):
         linkage.score_candidates(spark.range(1), [])
+
+
+def test_minhash_identity_collapse_preserves_clusters(spark):
+    """A 40-doc byte-identical class emits a 39-pair hub star instead
+    of the 780-pair clique; non-identical near-dups keep the full
+    enumeration; connected components are IDENTICAL to exhaustive
+    mode."""
+    from etl_script_spark.operators import dedup as dd
+
+    rows = (
+        # 40-doc byte-identical class -> one signature-identity group
+        [(i, "every page of this site is the same boilerplate text")
+         for i in range(40)]
+        # 3 near-identical but DISTINCT docs (one word varies):
+        # signatures differ, so no collapse — full pair enumeration
+        + [(100, "the quick brown fox jumps over the lazy dog tonight"),
+           (101, "the quick brown fox jumps over the lazy cat tonight"),
+           (102, "the quick brown fox jumps over the lazy pig tonight")]
+        # singletons
+        + [(200 + i, f"unique document number {i} about topic {i * 7}")
+           for i in range(5)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    star = dd.minhash_lsh_candidates(d, "doc_id", "text")
+    full = dd.minhash_lsh_candidates(
+        d, "doc_id", "text", collapse_identical=False
+    )
+    star_pairs = {(r["id_a"], r["id_b"]) for r in star.collect()}
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    dense_star = {p for p in star_pairs if p[1] < 100}
+    dense_full = {p for p in full_pairs if p[1] < 100}
+    assert dense_star == {(0, i) for i in range(1, 40)}
+    assert len(dense_full) == 780
+    # the distinct near-dup docs are NOT collapsed: both modes emit
+    # the same (banding-found) pairs among them
+    assert {p for p in star_pairs if p[0] >= 100} == {
+        p for p in full_pairs if p[0] >= 100
+    }
+    # star pairs carry est_jaccard 1.0 (identical signatures)
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in star.collect()}
+    assert all(est[p] == 1.0 for p in dense_star)
+    # identical connected components
+    cc_star = {
+        (r["id"], r["cluster_id"])
+        for r in dd.connected_components_alternating(
+            star.select("id_a", "id_b"), "id_a", "id_b"
+        ).collect()
+    }
+    cc_full = {
+        (r["id"], r["cluster_id"])
+        for r in dd.connected_components_alternating(
+            full.select("id_a", "id_b"), "id_a", "id_b"
+        ).collect()
+    }
+    assert cc_star == cc_full
+    star.unpersist()
+    full.unpersist()
