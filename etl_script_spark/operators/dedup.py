@@ -252,15 +252,22 @@ def minhash_lsh_candidates(
     (banding + both sides of the agreement rejoin) — it is persisted
     so the explode+k-aggregate signature pipeline runs exactly once
     (recomputing it 3× at 100 TB is days of cluster time). The banded
-    self-join is hinted shuffle_hash so both sides reuse ONE exchange;
+    self-join is hinted MERGE (sort-merge): both sides reuse ONE
+    exchange, and the join spills instead of dying when AQE coalesces
+    the small banded exchange into partitions whose shuffle-hash
+    build relation would exceed task memory — the round-6 1M sweep
+    killed the shuffle_hash variant exactly that way (hot template
+    band-buckets × coalesced partitions → 1 GB un-spillable build);
     pair dedup stays a dropDuplicates so its partial aggregate
     collapses the ≤bands duplicate occurrences per pair MAP-SIDE
     before the exchange (an explicit repartition(id_a) that saves the
     dedup exchange measured 10× worse — it shuffles the full
-    duplicated pair stream); both agreement rejoins shuffle the raw
-    persisted ``sig`` subtree, which AQE stage reuse collapses to one
-    shuffle (verified: 2 unique ShuffleQueryStages serve 8 plan
-    references).
+    duplicated pair stream); the agreement rejoins hint shuffle_hash
+    on the SIG side (per-partition build is |corpus|/partitions
+    signature rows — bounded; hinting the pairs side builds the
+    candidate stream into memory, which is exactly what must never
+    happen at scale), and AQE stage reuse collapses the two sig
+    shuffles into one.
 
     ``eager=True`` (default) materializes the (small) pair table into
     the returned persisted DataFrame and unpersists the signature
@@ -335,7 +342,7 @@ def minhash_lsh_candidates(
         banded = banded.hint("shuffle_hash").join(reps, "id")
         pairs_reps = (
             banded.alias("a")
-            .hint("shuffle_hash")
+            .hint("merge")
             .join(
                 banded.alias("b"),
                 (F.col("a.band") == F.col("b.band"))
@@ -352,7 +359,7 @@ def minhash_lsh_candidates(
         identity_map = None
         pairs = (
             banded.alias("a")
-            .hint("shuffle_hash")
+            .hint("merge")
             .join(
                 banded.alias("b"),
                 (F.col("a.band") == F.col("b.band"))
@@ -372,13 +379,11 @@ def minhash_lsh_candidates(
     # build side (rename AFTER the join) so ReuseExchange collapses
     # the two sig shuffles into one
     j1 = (
-        pairs.hint("shuffle_hash")
-        .join(sig, pairs["id_a"] == sig["id"])
+        pairs.join(sig.hint("shuffle_hash"), pairs["id_a"] == sig["id"])
         .select("id_a", "id_b", F.col("sig").alias("sig_a"))
     )
     scored = (
-        j1.hint("shuffle_hash")
-        .join(sig, j1["id_b"] == sig["id"])
+        j1.join(sig.hint("shuffle_hash"), j1["id_b"] == sig["id"])
         .select("id_a", "id_b", "sig_a", F.col("sig").alias("sig_b"))
     )
     agree = F.size(
@@ -576,10 +581,11 @@ def simhash_near_dups(
 
     The fingerprint table feeds both sides of the banded self-join —
     persisted so the explode+64-vote pipeline runs exactly once, and
-    the join is hinted shuffle_hash so both sides reuse ONE exchange
-    (same lesson as minhash_lsh_candidates; without it Spark
-    broadcasts one side and recomputes the full fingerprint plan for
-    each). The join shuffles four 8-byte columns per banded row.
+    the join is hinted MERGE so both sides reuse ONE exchange and the
+    join spills under AQE-coalesced partitions (same round-6 lesson as
+    minhash_lsh_candidates; an un-hinted plan broadcasts one side and
+    recomputes the full fingerprint plan for each). The join shuffles
+    four 8-byte columns per banded row.
 
     ``eager=True`` (default) materializes the (small) pair table into
     the returned persisted DataFrame and unpersists the fingerprint
@@ -647,7 +653,7 @@ def simhash_near_dups(
     ).select("id", "fp", "bb.band", "bb.chunk")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.hint("shuffle_hash")
+        a.hint("merge")
         .join(
             b,
             (F.col("a.band") == F.col("b.band"))
