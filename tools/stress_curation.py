@@ -404,20 +404,37 @@ def stress_round6_decade(spark):
     print(f"build 1M corpus: {time.time()-t0:.1f}s ({d.count()} docs)")
 
     t0 = time.time()
-    cnt = dedup_ops.minhash_lsh_candidates(d, "doc_id", "text").count()
+    pairs = dedup_ops.minhash_lsh_candidates(d, "doc_id", "text")
+    cnt = pairs.count()
     print(f"minhash_lsh_candidates 1M: {time.time()-t0:.1f}s -> {cnt} pairs")
+
+    # CC over the VERIFIED pairs (est >= 0.7) — the deployed near-dup
+    # shape. Clustering the raw candidate stream is a pipeline bug at
+    # this scale: the 30% hot template emits ~3e8 j~0.2 collisions
+    # that the agreement filter exists to discard (the first round-6
+    # attempt ran CC on them and GC-killed the driver JVM).
+    t0 = time.time()
+    good = pairs.filter(F.col("est_jaccard") >= 0.7)
+    cc = dedup_ops.connected_components_alternating(
+        good.select("id_a", "id_b"), "id_a", "id_b"
+    )
+    n, k = cc.count(), cc.select("cluster_id").distinct().count()
+    print(f"minhash(est>=0.7)->CC chain 1M: {time.time()-t0:.1f}s -> "
+          f"{n} nodes, {k} clusters")
+    pairs.unpersist()
+
+    # the documented boilerplate knob: 4-row bands cut low-j collision
+    # mass ~5x at j~0.2 (p 0.104 -> 0.021) for ~2e-4 recall loss at
+    # j=0.8
+    t0 = time.time()
+    cnt = dedup_ops.minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=48, bands=12
+    ).count()
+    print(f"minhash 48x12 (4-row bands) 1M: {time.time()-t0:.1f}s -> {cnt} pairs")
 
     t0 = time.time()
     cnt = dedup_ops.simhash_near_dups(d, "doc_id", "text").count()
     print(f"simhash_near_dups 1M: {time.time()-t0:.1f}s -> {cnt} pairs")
-
-    t0 = time.time()
-    pairs = dedup_ops.minhash_lsh_candidates(d, "doc_id", "text")
-    cc = dedup_ops.connected_components_alternating(
-        pairs.select("id_a", "id_b"), "id_a", "id_b"
-    )
-    n, k = cc.count(), cc.select("cluster_id").distinct().count()
-    print(f"minhash->CC chain 1M: {time.time()-t0:.1f}s -> {n} nodes, {k} clusters")
 
     t0 = time.time()
     cnt = vsm.tfidf_cosine_join(
