@@ -98,6 +98,11 @@ EXTRA = [
     "chat_flatten_turns",
     "graph_kcore",
     "s24_xml_roundtrip",
+    # round 6
+    "s1_encoding_probe_distributed",
+    "link_fs_em_weights",
+    "inc_agg_join_maintenance",
+    "inc_agg_join_retract",
 ]
 
 

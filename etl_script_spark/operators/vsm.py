@@ -61,7 +61,16 @@ def tfidf_weights(
     max_df. The recall loss is only on pairs whose ENTIRE similarity
     mass sits in ultra-common terms, which idf already weights toward
     zero (a df > max_df term contributes idf ≤ (N·scale)/max_df …
-    negligible against any rare-term match)."""
+    negligible against any rare-term match).
+
+    The tf ⋈ kept idf join is hinted MERGE: both sides are
+    corpus-derived aggregates whose logical size estimates are
+    garbage, and the static planner's guess picked a BroadcastHashJoin
+    with the corpus-sized tf side as build — at 1M docs that is a
+    >1 GB driver collect (`spark.driver.maxResultSize` abort, caught
+    by the round-6 decade sweep). Sort-merge shuffles both sides on
+    term and spills; neither vocab nor tf is ever materialized on the
+    driver."""
     terms = docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n, distinct=False)).alias(
@@ -86,7 +95,7 @@ def tfidf_weights(
         .filter(keep)
         .select("term", F.expr(f"(n_docs * {idf_scale}) div df").alias("idf"))
     )
-    return tf.join(kept, "term").select(
+    return tf.join(kept.hint("merge"), "term").select(
         "id", "term", (F.col("tf") * F.col("idf")).alias("w")
     )
 

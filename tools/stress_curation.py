@@ -46,7 +46,7 @@ def build(spark, n=None, out=None):
         .withColumn("grp", (F.col("id") - F.col("id") % 20))
         .withColumn(
             "seed",
-            F.when(F.col("id") % 20 < 1, F.col("grp")).otherwise(F.col("id")),
+            F.when(F.col("id") % 20 < 2, F.col("grp")).otherwise(F.col("id")),
         )
     )
     # 60-word salad regenerated from `seed` so dup groups share text
@@ -415,12 +415,13 @@ def stress_round6_decade(spark):
     # attempt ran CC on them and GC-killed the driver JVM).
     t0 = time.time()
     good = pairs.filter(F.col("est_jaccard") >= 0.7)
+    ng = good.count()
     cc = dedup_ops.connected_components_alternating(
         good.select("id_a", "id_b"), "id_a", "id_b"
     )
     n, k = cc.count(), cc.select("cluster_id").distinct().count()
     print(f"minhash(est>=0.7)->CC chain 1M: {time.time()-t0:.1f}s -> "
-          f"{n} nodes, {k} clusters")
+          f"{ng} verified pairs, {n} nodes, {k} clusters")
     pairs.unpersist()
 
     # the documented boilerplate knob: 4-row bands cut low-j collision
@@ -436,11 +437,60 @@ def stress_round6_decade(spark):
     cnt = dedup_ops.simhash_near_dups(d, "doc_id", "text").count()
     print(f"simhash_near_dups 1M: {time.time()-t0:.1f}s -> {cnt} pairs")
 
+    # Mixed-vocab corpus for the 1M tf-idf row: the shared `build()`
+    # salad draws from a 500-word vocab, so at 1M docs EVERY term's
+    # df exceeds the absolute cap and the join measures only prune
+    # cost (that behavior is pinned at 100k in stress_round5_families).
+    # Here each doc carries 40 rare terms (vocab 2M, df ~ 20) plus 20
+    # hot terms (vocab 200, df ~ 100k, pruned) and a 5% dup class, so
+    # the decade run exercises the real index join + verify path and
+    # must recover the planted dups through the cap.
+    tf_docs = (
+        spark.range(M)
+        .withColumn(
+            "seed",
+            F.when(F.col("id") % 20 < 2, F.col("id") - F.col("id") % 20
+                   ).otherwise(F.col("id")),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(39)),
+                        lambda i: F.format_string(
+                            "r%d",
+                            F.pmod(F.xxhash64(i, F.col("seed")), F.lit(2_000_000)),
+                        ),
+                    ),
+                    " ",
+                ),
+                F.lit(" "),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(19)),
+                        lambda i: F.format_string(
+                            "h%d",
+                            F.pmod(F.xxhash64(i, F.col("seed"), F.lit(1)),
+                                   F.lit(200)),
+                        ),
+                    ),
+                    " ",
+                ),
+            ).alias("text"),
+        )
+    )
     t0 = time.time()
-    cnt = vsm.tfidf_cosine_join(
-        d, "doc_id", "text", threshold=0.8, max_df=2000
+    tf_pairs = vsm.tfidf_cosine_join(
+        tf_docs, "doc_id", "text", threshold=0.8, max_df=2000
+    )
+    planted_tf = tf_pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 1) & (F.col("id_a") % 20 == 0)
     ).count()
-    print(f"tfidf_cosine_join 1M (max_df=2000): {time.time()-t0:.1f}s -> {cnt} pairs")
+    cnt = tf_pairs.count()
+    print(f"tfidf_cosine_join 1M mixed-vocab (max_df=2000): "
+          f"{time.time()-t0:.1f}s -> {cnt} pairs, planted dups "
+          f"{planted_tf}/50000")
 
     # SemDeDup at 1M x 64-dim, k=4096 (cluster size ~244, same as the
     # 50k/k=256 round-5 run — the contract is k ~ n/target_size)
@@ -514,8 +564,10 @@ def stress_round6_decade(spark):
     prof = governance.k_anonymity_report(
         rows, ["age_band", "zip3"], F.col("diagnosis"), k_threshold=5
     )
-    cnt = prof.count()
-    print(f"k_anonymity 20M rows: {time.time()-t0:.1f}s -> {cnt} classes")
+    row = prof.collect()[0]
+    print(f"k_anonymity 20M rows: {time.time()-t0:.1f}s -> "
+          f"{row['n_groups']} groups, k={row['k_anonymity']}, "
+          f"l={row['l_diversity']}")
 
     # --- IVM: maintain_join_agg, 4 x 2M-row delta batches ------------
     dim = spark.range(100_000).select(
