@@ -1574,3 +1574,46 @@ def feat_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded training-data export (operators/export.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "export_train_shards",
+    f"""
+    SELECT ('0x' || substr(md5('sh1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 8 AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    ("LLM-curation",),
+)
+def export_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final pipeline stage: export the corpus as 8 hash-assigned
+    shards (one parquet file per shard) and return the POST-WRITE
+    audit manifest — per-shard doc/token/char counts aggregated from
+    the files read back, which the oracle recomputes from the source
+    table, so a dropped or truncated shard is a hash mismatch, not a
+    silent loss. Assignment is a pure md5-mod projection (stable
+    across runs/engines, no sort); the single repartition-on-shard is
+    the export's only shuffle. See operators/export.py for the
+    100 TB sizing note (shards are multinomial-balanced; n_docs is
+    the check)."""
+    import os as _os
+    import re as _re
+
+    from etl_script_spark.operators import export as export_ops
+
+    sf = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.strip("/"))
+    d = f"/tmp/etl_script_spark_io/{sf}/train_shards"
+    _os.makedirs(d, exist_ok=True)
+    docs = t(spark, sf_dir, "documents")
+    return export_ops.write_train_shards(
+        docs, f"{d}/corpus", "doc_id", "text", n_shards=8, seed="sh1"
+    )
