@@ -103,6 +103,7 @@ EXTRA = [
     "link_fs_em_weights",
     "inc_agg_join_maintenance",
     "inc_agg_join_retract",
+    "export_train_shards",
 ]
 
 

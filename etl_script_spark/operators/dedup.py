@@ -300,14 +300,13 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
+                        # hash the band slice as an ARRAY — xxhash64
+                        # folds complex types natively; the previous
+                        # cast-to-string + array_join built a 48-char
+                        # string per band per doc (measured ~15% of
+                        # the fixture wall)
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -325,11 +324,7 @@ def minhash_lsh_candidates(
         # group itself as a hub→member star (est_jaccard 1.0 by
         # construction, still verified by the agreement rejoin).
         # Lossless at any downstream threshold — see the docstring.
-        sigkey = F.xxhash64(
-            F.array_join(
-                F.transform("sig", lambda x: x.cast("string")), ","
-            )
-        )
+        sigkey = F.xxhash64("sig")
         keyed = sig.select("id", sigkey.alias("sigkey"))
         groups = keyed.groupBy("sigkey").agg(F.min("id").alias("hub"))
         star_pairs = (
