@@ -1014,7 +1014,11 @@ def dedup_paragraphs(
     winners = paras.groupBy("__h").agg(
         F.min(F.struct("id", "idx")).alias("__w")
     ).select("__h", F.col("__w.id").alias("__wid"), F.col("__w.idx").alias("__widx"))
-    kept = paras.join(winners, "__h").filter(
+    # winners is paragraph-cardinality and rebuilt is doc-cardinality —
+    # both corpus-derived aggregates, so both rejoins are hinted MERGE
+    # (the planner's size estimate through explode+aggregate is
+    # garbage and otherwise broadcasts a corpus-sized build side)
+    kept = paras.join(winners.hint("merge"), "__h").filter(
         (F.col("id") == F.col("__wid")) & (F.col("idx") == F.col("__widx"))
     )
     rebuilt = kept.groupBy("id").agg(
@@ -1029,7 +1033,7 @@ def dedup_paragraphs(
     )
     totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
     return (
-        totals.join(rebuilt, "id", "left")
+        totals.join(rebuilt.hint("merge"), "id", "left")
         .select(
             "id",
             "n_paras",

@@ -71,9 +71,15 @@ def bm25_scores(
         F.col("tf") * (k1 + 1.0)
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
     )
+    # dfreq (≤|query_terms| rows) and corpus (1 row) are broadcast by
+    # construction; the dl join is hinted MERGE because the static
+    # size estimate for dl (aggregate over an explode) is garbage —
+    # verified: unhinted, the planner still picks BroadcastHashJoin
+    # with the |corpus|-row dl side as build at a 1M-doc input (the
+    # round-6 tfidf maxResultSize abort class)
     scored = (
         tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "id")
+        .join(dl.hint("merge"), "id")
         .crossJoin(F.broadcast(corpus))
         .select(
             "id",

@@ -471,9 +471,12 @@ def unigram_nll_scores(
     token against the LM, average per document. At 100 TB pass 2's
     join keys on the token string — Zipf makes the LM table small
     enough to broadcast in practice (a 10 M-type vocab is ~100 MB),
-    which is why the join side is marked broadcast-eligible rather
-    than forced; AQE picks shuffle-hash if the vocab outgrows the
-    hint.
+    so the join is left UNHINTED: AQE upgrades it to broadcast at
+    runtime whenever the materialized vocab is actually small, and
+    falls back to a shuffled join when it isn't. (An explicit
+    ``F.broadcast`` here would be a HARD hint the planner never
+    demotes — the wrong contract for a corpus-derived aggregate whose
+    size the optimizer cannot estimate.)
 
     Determinism: each token's nll is quantized to 1e-6 BEFORE the
     per-document sum (round(-ln(p) * 1e6) -> int64), so the
@@ -507,7 +510,7 @@ def unigram_nll_scores(
         * 1e6
     ).cast("long")
     scored = (
-        toks.join(F.broadcast(vocab), "token")
+        toks.join(vocab, "token")
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(
@@ -807,9 +810,11 @@ def bigram_nll_scores(
     the word array — a transform over indices, not a self-join); two
     count aggregations (bigram, unigram — both map-side combined)
     build the LM; the scoring pass joins each bigram against the two
-    broadcast-eligible count tables. Zipf keeps both tables
-    broadcastable in practice; AQE falls back to shuffle-hash if the
-    bigram vocabulary outgrows it.
+    count tables, UNHINTED so AQE broadcasts them at runtime when
+    their materialized size is actually small and keeps a shuffled
+    join when the bigram vocabulary outgrows it (a hard ``broadcast``
+    hint is never demoted — fatal for a corpus-derived table whose
+    size the optimizer cannot estimate).
 
     Determinism: same policy as the unigram twin — each bigram's nll
     quantizes to 1e-6 (round(-ln p · 1e6) → int64) BEFORE the
@@ -857,11 +862,11 @@ def bigram_nll_scores(
     nll_q = F.round(-F.log(p) * 1e6).cast("long")
     scored = (
         bigrams.join(
-            F.broadcast(bi),
+            bi,
             (F.col("w1") == F.col("__bw1")) & (F.col("w2") == F.col("__bw2")),
         )
-        .join(F.broadcast(u1), F.col("w1") == F.col("__u1"))
-        .join(F.broadcast(u2), F.col("w2") == F.col("__u2"))
+        .join(u1, F.col("w1") == F.col("__u1"))
+        .join(u2, F.col("w2") == F.col("__u2"))
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(nll_q).alias("s"))

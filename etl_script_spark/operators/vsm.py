@@ -122,6 +122,11 @@ def cosine_pairs(
     )
     na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("n2_a"))
     nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("n2_b"))
+    # norms are |corpus| rows behind an aggregate but stay UNHINTED:
+    # their size estimate is proportional to the input (verified: the
+    # static plan picks sort-merge at 1M docs, broadcast only at
+    # fixture scale where it is right), unlike the filtered idf table
+    # above whose estimate is selectivity-garbage and needs the hint
     cos = (
         dots.join(na, "id_a")
         .join(nb, "id_b")
