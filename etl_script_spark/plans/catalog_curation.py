@@ -1617,3 +1617,61 @@ def export_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_ops.write_train_shards(
         docs, f"{d}/corpus", "doc_id", "text", n_shards=8, seed="sh1"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_dsir_select",
+    f"""
+    WITH b AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5('dsir' || gram), 1, 8))::BIGINT % 4096 AS bucket
+      FROM (
+        SELECT doc_id, (lang = 'en') AS is_t, unnest(grams) AS gram FROM (
+          SELECT doc_id, lang,
+                 list_concat(ws, CASE WHEN len(ws) >= 2
+                   THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                   ELSE [] END) AS grams
+          FROM (SELECT doc_id, lang,
+                       list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+                FROM documents)
+        )
+      )
+    ),
+    hist AS (SELECT bucket, COUNT(*) AS rc,
+                    COUNT(*) FILTER (WHERE is_t) AS tc
+             FROM b GROUP BY bucket),
+    tot AS (SELECT SUM(rc) AS rt, SUM(tc) AS tt FROM hist),
+    tbl AS (SELECT bucket,
+                   CAST(ROUND((ln((tc + 0.5) / (tt + 2048.0))
+                             - ln((rc + 0.5) / (rt + 2048.0)))
+                              * 1000000.0) AS BIGINT) AS lr_q
+            FROM hist CROSS JOIN tot)
+    SELECT doc_id, n_grams, weight_q FROM (
+      SELECT doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(lr_q) AS BIGINT) AS weight_q
+      FROM b JOIN tbl USING (bucket) GROUP BY doc_id
+    ) ORDER BY weight_q DESC, doc_id ASC LIMIT 20
+    """,
+    ("LLM-curation",),
+)
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): keep the 20 documents
+    whose hashed unigram+bigram distribution best matches the target
+    domain (here: lang='en') relative to the raw corpus, scored by a
+    quantized-integer sum of per-bucket log-likelihood ratios. The
+    bucket table is bounded at 4096 rows BY CONSTRUCTION, so its join
+    is a safe hard broadcast at any corpus size; selection is
+    sort+limit => TakeOrdered. See operators/dsir.py for the full
+    scale analysis."""
+    from etl_script_spark.operators import dsir
+
+    d = t(spark, sf_dir, "documents")
+    w = dsir.dsir_weights(
+        d, "doc_id", "text", F.col("lang") == "en", n_buckets=4096, alpha=0.5
+    )
+    return dsir.dsir_select(w, "doc_id", 20)

@@ -178,3 +178,76 @@ def test_minhash_identity_collapse_preserves_clusters(spark):
     assert cc_star == cc_full
     star.unpersist()
     full.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_corpus(spark, n_noise=30):
+    # target-domain docs (science-ish vocabulary) + distinctive
+    # candidates: two science-flavored, the rest cooking-flavored
+    rows = []
+    for i in range(10):
+        rows.append((i, f"the quantum field theory of particle {i} physics", True))
+    rows.append((100, "quantum physics of the field and particle decay", False))
+    rows.append((101, "field theory explains quantum particle states", False))
+    for i in range(n_noise):
+        rows.append((200 + i, f"chop the onion {i} and simmer the garlic broth", False))
+    return spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+
+
+def test_dsir_science_docs_outrank_cooking(spark):
+    from etl_script_spark.operators import dsir
+
+    d = _dsir_corpus(spark)
+    w = dsir.dsir_weights(d, "doc_id", "text", F.col("is_t"), n_buckets=512)
+    picked = {
+        r.doc_id
+        for r in dsir.dsir_select(w, "doc_id", 12).collect()
+    }
+    # the two held-out science docs must be selected ahead of cooking noise
+    assert {100, 101} <= picked
+    assert not any(i >= 200 for i in picked)
+
+
+def test_dsir_weights_invariant_under_partitioning(spark):
+    from etl_script_spark.operators import dsir
+
+    d = _dsir_corpus(spark)
+    base = {
+        r.doc_id: (r.n_grams, r.weight_q)
+        for r in dsir.dsir_weights(
+            d.coalesce(1), "doc_id", "text", F.col("is_t"), n_buckets=512
+        ).collect()
+    }
+    shuffled = {
+        r.doc_id: (r.n_grams, r.weight_q)
+        for r in dsir.dsir_weights(
+            d.repartition(7), "doc_id", "text", F.col("is_t"), n_buckets=512
+        ).collect()
+    }
+    assert base == shuffled  # quantized-integer sums: bit-equal
+
+
+def test_dsir_empty_docs_produce_no_rows(spark):
+    from etl_script_spark.operators import dsir
+
+    d = spark.createDataFrame(
+        [(1, "hello world", True), (2, "", False), (3, None, False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    got = dsir.dsir_weights(d, "doc_id", "text", F.col("is_t")).collect()
+    assert {r.doc_id for r in got} == {1}
+    # unigrams (2) + bigram (1)
+    assert got[0].n_grams == 3
+
+
+def test_dsir_validation():
+    from etl_script_spark.operators import dsir
+
+    with pytest.raises(ValueError):
+        dsir.gram_buckets(F.col("text"), n_buckets=0)
+    with pytest.raises(ValueError):
+        dsir.dsir_select(None, "doc_id", 0)
