@@ -1061,3 +1061,43 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", F.coalesce(F.col("__f"), F.lit(False)).alias("found")
         )
     )
+
+
+@register(
+    "ann_ivfpq_topk",
+    """
+    SELECT vec_id AS query_id, TRUE AS self_found, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+    ("LLM-similarity",),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k (coarse cells + 32-way product
+    quantization + ADC scoring + exact rerank of an 8k shortlist) —
+    the memory-bounded ANN serving shape where the corpus is stored
+    as ~m bytes per vector and raw embeddings are touched only for
+    the shortlist (operators/similarity.py:ivfpq_topk). Same
+    driver-checkable invariant contract as ann_ivf_topk: per query,
+    (a) the query's own vector appears in its top-10 and (b) overlap
+    with the exact brute-force top-10 computed IN this query is >= 4
+    (observed 6..8 at sf0.001/0.01/0.1 with nprobe=4, ksub=32,
+    refine=8; the floor leaves margin without going vacuous). The
+    oracle enumerates query ids with both flags TRUE."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pq = similarity.ivfpq_topk(
+        e, queries, k=10, n_centroids=8, nprobe=4, m=8, ksub=32, dim=64,
+        refine=8,
+    )
+    exact = similarity.brute_force_topk(e, queries, k=10)
+    j = pq.select("query_id", "vec_id").join(
+        exact.select("query_id", "vec_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.max(F.col("vec_id") == F.col("query_id")).alias("self_found"),
+        (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) >= 4).alias("recall_ok"),
+    )

@@ -251,3 +251,87 @@ def test_dsir_validation():
         dsir.gram_buckets(F.col("text"), n_buckets=0)
     with pytest.raises(ValueError):
         dsir.dsir_select(None, "doc_id", 0)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization / IVF-PQ (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_pq_codes_in_range_and_partition_invariant(spark):
+    from etl_script_spark.operators import similarity
+
+    e = _emb(spark)
+    books = similarity.pq_fit(e, dim=64, m=8, ksub=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    codes1 = {
+        r.vec_id: r.codes
+        for r in e.coalesce(1)
+        .select("vec_id", similarity.pq_encode("embedding", books).alias("codes"))
+        .collect()
+    }
+    codes2 = {
+        r.vec_id: r.codes
+        for r in e.repartition(5)
+        .select("vec_id", similarity.pq_encode("embedding", books).alias("codes"))
+        .collect()
+    }
+    assert codes1 == codes2
+    for c in codes1.values():
+        assert len(c) == 8 and all(0 <= v < 16 for v in c)
+
+
+def test_pq_adc_tracks_exact_cosine(spark):
+    from etl_script_spark.operators import similarity
+    from pyspark.sql import functions as SF
+
+    e = _emb(spark)
+    books = similarity.pq_fit(e, dim=64, m=8, ksub=32)
+    qrow = e.filter(SF.col("vec_id") == 0).first()
+    q = [float(v) for v in qrow.embedding]
+    qlit = (
+        "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in q) + ")"
+    )
+    coded = e.select(
+        "vec_id",
+        "embedding",
+        similarity.pq_encode("embedding", books).alias("__codes"),
+    )
+    both = coded.select(
+        "vec_id",
+        similarity.pq_adc_score("__codes", qlit, books).alias("adc"),
+        (
+            similarity.dot(SF.col("embedding"), SF.expr(qlit))
+            / (
+                similarity.l2_norm(SF.col("embedding"))
+                * similarity.l2_norm(SF.expr(qlit))
+            )
+        ).alias("exact"),
+    ).collect()
+    err = sum(abs(r.adc - r.exact) for r in both) / len(both)
+    assert err < 0.08, err  # ADC is approximate but must track closely
+
+
+def test_pq_fit_validation(spark):
+    from etl_script_spark.operators import similarity
+
+    e = _emb(spark)
+    with pytest.raises(ValueError):
+        similarity.pq_fit(e, dim=64, m=7)
+    with pytest.raises(ValueError):
+        similarity.pq_fit(e, dim=64, m=8, ksub=0)
+
+
+def test_ivfpq_plan_no_python_no_cartesian(spark):
+    from etl_script_spark.plans.catalog import CATALOG
+
+    df = CATALOG["ann_ivfpq_topk"].spark(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan
