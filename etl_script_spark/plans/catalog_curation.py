@@ -1675,3 +1675,72 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", F.col("lang") == "en", n_buckets=4096, alpha=0.5
     )
     return dsir.dsir_select(w, "doc_id", 20)
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes classifier (operators/classify.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_nb_classifier",
+    f"""
+    WITH d AS (
+      SELECT doc_id, COALESCE(lang = 'en', FALSE) AS y,
+             ('0x' || substr(md5('nb' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10 < 8 AS tr,
+             list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    toks_tr AS (SELECT y, unnest(ws) AS token FROM d WHERE tr),
+    vocab AS (SELECT token,
+                     COUNT(*) FILTER (WHERE y) AS c1,
+                     COUNT(*) FILTER (WHERE NOT y) AS c0
+              FROM toks_tr GROUP BY token),
+    stats AS (SELECT SUM(c1) AS n1, SUM(c0) AS n0, COUNT(*) AS v FROM vocab),
+    model AS (SELECT token,
+                     CAST(ROUND((ln((c1 + 0.5) / (n1 + 0.5 * v))
+                               - ln((c0 + 0.5) / (n0 + 0.5 * v)))
+                                * 1000000.0) AS BIGINT) AS llr_q
+              FROM vocab CROSS JOIN stats),
+    prior AS (SELECT CAST(ROUND((ln(COUNT(*) FILTER (WHERE y) + 0.5)
+                               - ln(COUNT(*) FILTER (WHERE NOT y) + 0.5))
+                                * 1000000.0) AS BIGINT) AS prior_q
+              FROM d WHERE tr),
+    toks_sc AS (SELECT doc_id, unnest(ws) AS token FROM d WHERE NOT tr)
+    SELECT doc_id, n_tokens, score_q, score_q > 0 AS predicted FROM (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(prior_q + SUM(llr_q) AS BIGINT) AS score_q
+      FROM toks_sc JOIN model USING (token) CROSS JOIN prior
+      GROUP BY doc_id, prior_q
+    )
+    """,
+    ("LLM-curation",),
+)
+def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned corpus gate: multinomial Naive Bayes trained on a
+    deterministic md5 80/20 split of the corpus (label: lang='en' —
+    the fastText-langid-style task) and scored on the held-out 20%.
+    Training is one map-side-combined token aggregation; scoring is
+    one vocab join (pinned sort-merge — unhinted, the planner
+    broadcast the corpus-sized held-out token explode off a garbage
+    filter estimate; see operators/classify.py) + one
+    quantized-integer sum, so predictions are
+    bit-identical across engines and partitionings. On the fixture
+    corpus lang is independent of the token distribution (shared
+    31-word vocabulary), so this entry is the cross-engine MECHANICS
+    contract; learnability on separable data is pinned in
+    tests/test_round6_ops.py. See operators/classify.py for the full
+    scale/determinism analysis."""
+    from etl_script_spark.operators import classify
+    from etl_script_spark.operators.export import shard_id
+
+    d = t(spark, sf_dir, "documents")
+    return classify.nb_train_score(
+        d,
+        "doc_id",
+        "text",
+        F.coalesce(F.col("lang") == "en", F.lit(False)),
+        shard_id(F.col("doc_id"), 10, seed="nb") < 8,
+        alpha=0.5,
+    )
