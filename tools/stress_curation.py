@@ -588,10 +588,74 @@ def stress_round6_decade(spark):
           f"{' '.join(f'{w:.2f}s' for w in walls)} -> {out.count()} groups")
 
 
+def stress_round6b_newops(spark):
+    """Scale rows for the round-6 additions: DSIR and the NB
+    classifier at 1M docs, IVF-PQ over 1M synthetic 64-dim vectors.
+    Run standalone: ``python tools/stress_curation.py --round6b``."""
+    from etl_script_spark.operators import classify, dsir, similarity
+
+    M = 1_000_000
+    t0 = time.time()
+    d = build(spark, n=M, out=f"/tmp/etl_script_spark_io/stress_{M}")
+    print(f"build 1M corpus: {time.time()-t0:.1f}s ({d.count()} docs)")
+
+    t0 = time.time()
+    w = dsir.dsir_weights(
+        d, "doc_id", "text",
+        F.col("source").isin("src0", "src1", "src2", "src3"),
+        n_buckets=4096,
+    )
+    sel = dsir.dsir_select(w, "doc_id", 10_000).count()
+    print(f"dsir_weights+select 1M: {time.time()-t0:.1f}s -> {sel} kept")
+
+    t0 = time.time()
+    scored = classify.nb_train_score(
+        d, "doc_id", "text",
+        F.col("source").isin("src0", "src1", "src2", "src3"),
+        F.col("doc_id") % 10 < 8,
+    ).count()
+    print(f"nb_train_score 1M (80/20): {time.time()-t0:.1f}s -> {scored} scored")
+
+    # 1M x 64 deterministic embeddings (no rand()): clustered around
+    # 16 latent centers so IVF cells are data-adapted, plus per-dim
+    # hash jitter
+    emb = spark.range(M).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id") % 16, i), F.lit(1000)).cast("double")
+                / 500.0
+                + F.pmod(F.xxhash64(F.col("id"), i), F.lit(200)).cast("double")
+                / 1000.0
+            ),
+        ).alias("embedding"),
+    )
+    emb.write.mode("overwrite").parquet("/tmp/etl_script_spark_io/stress_emb_1m")
+    emb = spark.read.parquet("/tmp/etl_script_spark_io/stress_emb_1m")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    t0 = time.time()
+    pq = similarity.ivfpq_topk(
+        emb, q, k=10, n_centroids=16, nprobe=4, m=8, ksub=32, dim=64, refine=8
+    ).count()
+    print(f"ivfpq_topk 1Mx64 (16 cells, nprobe 4): {time.time()-t0:.1f}s "
+          f"-> {pq} rows")
+    t0 = time.time()
+    bf = similarity.brute_force_topk(emb, q, k=10).count()
+    print(f"brute_force_topk 1Mx64 (comparison): {time.time()-t0:.1f}s "
+          f"-> {bf} rows")
+
+
 if __name__ == "__main__":
     if "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
         stress_round6_decade(spark)
+        spark.stop()
+    elif "--round6b" in sys.argv:
+        spark = get_spark(app_name="stress-round6b")
+        stress_round6b_newops(spark)
         spark.stop()
     else:
         main()
