@@ -508,3 +508,90 @@ def st_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").alias("last_seq"),
         F.col("op").alias("last_op"),
     )
+
+
+_NDG_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "st_stream_neardup_gate",
+    f"""
+    WITH src AS (
+      SELECT b.doc_id,
+             CASE WHEN b.doc_id % 20 = 18 THEN b.doc_id - 4
+                  WHEN b.doc_id % 10 = 1 THEN b.doc_id - 1
+                  ELSE b.doc_id END AS src_id,
+             b.doc_id % 4 AS ep
+      FROM documents b
+    ),
+    tx AS (
+      SELECT s.doc_id, s.ep, d.text
+      FROM src s JOIN documents d ON d.doc_id = s.src_id
+    ),
+    f AS (SELECT doc_id, ep, md5({_NDG_NORM}) AS fp FROM tx),
+    store0 AS (SELECT DISTINCT fp FROM f WHERE ep = 0),
+    e1 AS (SELECT doc_id, fp FROM (
+             SELECT doc_id, fp,
+                    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) rn
+             FROM f WHERE ep = 1) WHERE rn = 1),
+    a1 AS (SELECT doc_id, fp FROM e1
+           WHERE fp NOT IN (SELECT fp FROM store0)),
+    store1 AS (SELECT fp FROM store0 UNION SELECT fp FROM a1),
+    e2 AS (SELECT doc_id, fp FROM (
+             SELECT doc_id, fp,
+                    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) rn
+             FROM f WHERE ep = 2) WHERE rn = 1),
+    a2 AS (SELECT doc_id, fp FROM e2
+           WHERE fp NOT IN (SELECT fp FROM store1)),
+    store2 AS (SELECT fp FROM store1 UNION SELECT fp FROM a2),
+    e3 AS (SELECT doc_id, fp FROM (
+             SELECT doc_id, fp,
+                    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) rn
+             FROM f WHERE ep = 3) WHERE rn = 1),
+    a3 AS (SELECT doc_id, fp FROM e3
+           WHERE fp NOT IN (SELECT fp FROM store2))
+    SELECT doc_id, fp FROM a1
+    UNION ALL SELECT doc_id, fp FROM a2
+    UNION ALL SELECT doc_id, fp FROM a3
+    """,
+    ("streaming-cdc", "LLM-dedup"),
+)
+def st_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming duplicate-ingest gate: the corpus is split into
+    an initial store (doc_id%4==0) and three epoch files streamed
+    with maxFilesPerTrigger=1; each micro-batch is deduped within
+    itself (keep min id per fingerprint) and anti-joined against the
+    accumulated fingerprint store, and survivors' fingerprints join
+    the store for the NEXT epoch. Cross-epoch duplicates are planted
+    (doc_id%10==1 copies the previous doc, which lives in the
+    previous epoch; doc_id%20==18 copies a same-epoch doc), so the
+    oracle — the whole chain unrolled as CTEs — proves the store
+    CHAINING, including drops caused by a previous epoch's ADMITTED
+    doc (not just the initial store). Exact-md5 mode; the simhash
+    banded mode of the same gate (hamming<=k vs the store via
+    pigeonhole bands) has no SQL-expressible truth and is covered by
+    planted-near-dup tests (tests/test_streaming.py). Store holds
+    fingerprints only — 16 bytes/doc at 100 TB, and the per-epoch
+    work is one hash anti-join."""
+    from etl_script_spark.streaming import neardup
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 20 == 18, F.col("doc_id") - 4)
+        .when(F.col("doc_id") % 10 == 1, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+        .alias("src_id"),
+        (F.col("doc_id") % 4).alias("ep"),
+    )
+    tx = src.join(
+        d.select(F.col("doc_id").alias("src_id"), "text"), "src_id"
+    ).select("doc_id", "ep", "text")
+    store = tx.filter(F.col("ep") == 0).select("doc_id", "text")
+    epochs = [
+        tx.filter(F.col("ep") == i).select("doc_id", "text") for i in (1, 2, 3)
+    ]
+    feed = neardup.write_epoch_feed(epochs, prefix=f"ndg_{_tag(sf_dir)}")
+    return neardup.stream_neardup_gate(
+        spark, feed, "doc_id bigint, text string", store, mode="exact"
+    )

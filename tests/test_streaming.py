@@ -251,3 +251,83 @@ def test_watermark_drops_late_events_across_batches(spark, tmp_path):
     # arrival neither reopened it nor appeared anywhere
     assert final.get("2024-01-01 00:00:00") == 1
     assert sum(final.values()) <= 3
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup ingest gate (streaming/neardup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_gate_simhash_drops_planted_near_dups(spark):
+    """Simhash mode: epoch-2 docs that are one-word edits of epoch-1
+    admitted docs (hamming 2-7 on word-vote fingerprints for these
+    fixtures) must be rejected at max_hamming=7/8 bands; genuinely
+    distinct docs (hamming ~32 between random vocabularies) must be
+    admitted."""
+    from pyspark.sql import functions as F
+
+    from etl_script_spark.streaming import neardup
+
+    base = [
+        (i, " ".join(f"tok{(i * 13 + j) % 97}" for j in range(30)))
+        for i in range(10)
+    ]
+    store = spark.createDataFrame(base, "doc_id long, text string")
+    # epoch 1: 5 fresh docs (disjoint vocab region)
+    e1 = spark.createDataFrame(
+        [
+            (100 + i, " ".join(f"fresh{(i * 17 + j) % 89}" for j in range(30)))
+            for i in range(5)
+        ],
+        "doc_id long, text string",
+    )
+    e1_rows = {r.doc_id: r.text for r in e1.collect()}
+    # epoch 2: near-copies of epoch-1 docs (one word changed) + 2 fresh
+    near = [
+        (200 + i, e1_rows[100 + i].replace(f"fresh{(i * 17) % 89}", "zzz", 1))
+        for i in range(3)
+    ]
+    fresh2 = [
+        (300 + i, " ".join(f"other{(i * 31 + j) % 83}" for j in range(30)))
+        for i in range(2)
+    ]
+    e2 = spark.createDataFrame(near + fresh2, "doc_id long, text string")
+    feed = neardup.write_epoch_feed([e1, e2], prefix="ndg_test")
+    out = neardup.stream_neardup_gate(
+        spark, feed, "doc_id bigint, text string", store, mode="simhash",
+        max_hamming=7, bands=8,
+    )
+    got = {r.doc_id for r in out.collect()}
+    assert {100, 101, 102, 103, 104} <= got          # epoch 1 all admitted
+    assert got.isdisjoint({200, 201, 202})           # near-dups rejected
+    assert {300, 301} <= got                         # fresh epoch-2 admitted
+
+
+def test_neardup_gate_exact_within_batch_keeps_min_id(spark):
+    from etl_script_spark.streaming import neardup
+
+    store = spark.createDataFrame([(0, "seed doc")], "doc_id long, text string")
+    e1 = spark.createDataFrame(
+        [(5, "same text here"), (3, "same text here"), (7, "Other Text")],
+        "doc_id long, text string",
+    )
+    feed = neardup.write_epoch_feed([e1], prefix="ndg_min")
+    out = neardup.stream_neardup_gate(
+        spark, feed, "doc_id bigint, text string", store, mode="exact"
+    )
+    got = {r.doc_id for r in out.collect()}
+    assert got == {3, 7}
+
+
+def test_neardup_gate_validation(spark):
+    import pytest
+
+    from etl_script_spark.streaming import neardup
+
+    store = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        neardup.stream_neardup_gate(spark, "/tmp/x", "s", store, mode="bogus")
+    with pytest.raises(ValueError):
+        neardup.stream_neardup_gate(
+            spark, "/tmp/x", "s", store, mode="simhash", max_hamming=3, bands=2
+        )
