@@ -1041,3 +1041,105 @@ def dedup_paragraphs(
             F.coalesce(F.col("text"), F.lit("")).alias("text"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 50,
+) -> DataFrame:
+    """Cross-document duplicate-span REMOVAL — the cutting half of
+    exact substring dedup (Lee et al. 2022: don't drop the whole
+    document, cut the verbatim span and keep the rest). Where
+    ``repeated_spans`` audits, this rewrites: every n-word window
+    whose md5 also occurs in a LOWER-id document is cut from the
+    higher-id document (first occurrence wins, the C4/paragraph-dedup
+    convention); surviving words are reassembled in order.
+
+    Distributed shape (a full suffix array does not distribute;
+    fixed-length n-gram anchors are the standard corpus-scale
+    approximation):
+    1. window explode: (id, pos, md5(n-gram)) — positions over the
+       normalized word array, computed once per doc;
+    2. one map-side-combined aggregation: span -> min(id) owner;
+    3. rejoin windows to owners — both sides corpus-derived, so the
+       join is hinted MERGE (size estimates through aggregates are
+       garbage; the round-6 audit contract);
+    4. duplicated windows fan out n positions each (bounded n-fold
+       blowup of DUPLICATED material only), distinct per (id, pos);
+    5. anti-join the exploded tokens, reassemble with the
+       deterministic ordered aggregation
+       (sort_array(collect_list(struct(pos, word)))), and LEFT-join
+       back to the doc list so fully-cut documents surface with
+       clean_text = '' instead of vanishing.
+
+    Within-document repeats are NOT cut (self-windows share their
+    own id; only strictly-lower owners trigger removal) — matching
+    the audit's cross-document contract. Documents shorter than n
+    words pass through verbatim. md5 (not xxhash64) keys the spans so
+    the DuckDB oracle replays ownership exactly.
+
+    Returns (id_col, clean_text, n_tokens, n_removed).
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
+        ).alias("ws"),
+    ).filter(F.size("ws") > 0)
+    # sequence(1, 0) DESCENDS in Spark ([1, 0]) — docs shorter than n
+    # must take the empty-array branch, not a clamped upper bound
+    wins = base.filter(F.size("ws") >= n).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - n + 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice(F.col("ws"), i, n), " ")
+                    ).alias("g"),
+                ),
+            )
+        ).alias("w"),
+    ).select("id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+    owners = wins.groupBy("g").agg(F.min("id").alias("owner"))
+    dup_pos = (
+        wins.join(owners.hint("merge"), "g")
+        .filter(F.col("owner") < F.col("id"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "id", F.posexplode("ws").alias("tpos0", "word")
+    ).select("id", (F.col("tpos0") + 1).alias("tpos"), "word")
+    kept = toks.join(dup_pos.hint("merge"), ["id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("tpos"), F.col("word")))
+            ).getField("word"),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("id", F.size("ws").alias("n_tokens"))
+        .join(rebuilt.hint("merge"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -1101,3 +1101,82 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("vec_id") == F.col("query_id")).alias("self_found"),
         (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) >= 4).alias("recall_ok"),
     )
+
+
+_BP = "bp0 bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8 bp9"
+
+
+@register(
+    "dedup_substring_remove",
+    f"""
+    WITH d0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' {_BP}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    b AS (SELECT doc_id,
+                 list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+          FROM d0),
+    b2 AS (SELECT doc_id, ws, len(ws) AS m FROM b WHERE len(ws) > 0),
+    w AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(ws[pos:pos+7], ' ')) AS g
+      FROM (SELECT doc_id, ws,
+                   unnest(CASE WHEN m >= 8 THEN range(1, m - 6)
+                          ELSE [] END) AS pos
+            FROM b2)
+    ),
+    owners AS (SELECT g, MIN(doc_id) AS owner FROM w GROUP BY g),
+    dup_pos AS (
+      SELECT DISTINCT doc_id, tpos FROM (
+        SELECT w.doc_id, unnest(range(w.pos, w.pos + 8)) AS tpos
+        FROM w JOIN owners USING (g) WHERE owners.owner < w.doc_id
+      )
+    ),
+    toks AS (
+      SELECT doc_id, pos AS tpos, ws[pos] AS word
+      FROM (SELECT doc_id, ws, unnest(range(1, m + 1)) AS pos FROM b2)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.word
+      FROM toks t LEFT JOIN dup_pos p
+        ON t.doc_id = p.doc_id AND t.tpos = p.tpos
+      WHERE p.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY tpos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b2.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           b2.m AS n_tokens,
+           CAST(b2.m - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM b2 LEFT JOIN rebuilt r ON b2.doc_id = r.doc_id
+    """,
+    ("LLM-dedup", "LLM-curation"),
+)
+def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span CUTTING (Lee et al. 2022): every 8-word
+    window whose md5 also occurs in a lower-id document is removed
+    from the higher-id document, first occurrence wins, and the
+    surviving words are reassembled in order — the rewrite
+    counterpart of the dedup_repeated_spans audit. The fixture plants
+    a shared 10-word boilerplate suffix on every 7th document (so
+    partial cuts are exercised, not just the corpus's full-copy
+    dups, which cut to ''). Oracle replays window ownership,
+    coverage, and reassembly verbatim. See
+    operators/dedup.py:remove_duplicate_spans for the 100 TB shape
+    (one gram aggregation + merge-hinted rejoin; duplicated material
+    fans out n positions, bounded)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BP)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup_ops.remove_duplicate_spans(d, "text", "doc_id", n=8)

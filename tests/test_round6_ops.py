@@ -417,3 +417,53 @@ def test_nb_score_join_not_broadcast(spark):
     assert "SortMergeJoin" in plan
     for mode in re.findall(r"BroadcastExchange (\w+)", plan):
         assert mode == "IdentityBroadcastMode", plan
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span removal (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_remove_cuts_cross_doc_spans_only(spark):
+    from etl_script_spark.operators import dedup as dd
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y z a b c d e f g h i j q r"),  # embeds doc 1 verbatim
+        (3, "completely different words only here present"),
+        (4, "a b c d e f g h i j"),            # exact copy -> fully cut
+        (5, "p q r s p q r s p q r s"),        # WITHIN-doc repeat: kept
+        (6, "tiny doc"),                        # shorter than n: verbatim
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in dd.remove_duplicate_spans(d, "text", "doc_id", n=5).collect()
+    }
+    assert got[1] == ("a b c d e f g h i j", 10, 0)
+    assert got[2] == ("x y z q r", 15, 10)
+    assert got[3] == ("completely different words only here present", 6, 0)
+    assert got[4] == ("", 10, 10)
+    assert got[5] == ("p q r s p q r s p q r s", 12, 0)
+    assert got[6] == ("tiny doc", 2, 0)
+
+
+def test_substring_remove_partition_invariant_and_validates(spark):
+    from etl_script_spark.operators import dedup as dd
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in dd.remove_duplicate_spans(
+            d.coalesce(1), "text", "doc_id", n=8
+        ).collect()
+    }
+    b = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in dd.remove_duplicate_spans(
+            d.repartition(7), "text", "doc_id", n=8
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        dd.remove_duplicate_spans(d, "text", "doc_id", n=1)
