@@ -633,19 +633,32 @@ def stress_round6b_newops(spark):
     )
     emb.write.mode("overwrite").parquet("/tmp/etl_script_spark_io/stress_emb_1m")
     emb = spark.read.parquet("/tmp/etl_script_spark_io/stress_emb_1m")
-    q = emb.filter(F.col("vec_id") < 5).select(
+    q = emb.filter(F.col("vec_id") < 64).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    # the production split: index build is a one-time amortized cost,
+    # serve is what repeats per query batch (64 queries here — the
+    # regime the index exists for; brute force scales linearly in
+    # queries, the served path in queries·nprobe/n_centroids)
+    t0 = time.time()
+    index, model = similarity.build_ivfpq_index(
+        emb, n_centroids=16, m=8, ksub=32, dim=64
+    )
+    ipath = "/tmp/etl_script_spark_io/stress_ivfpq_index"
+    index.write.mode("overwrite").parquet(ipath)
+    print(f"ivfpq index build+write 1Mx64: {time.time()-t0:.1f}s")
+    index = spark.read.parquet(ipath)
     t0 = time.time()
     pq = similarity.ivfpq_topk(
-        emb, q, k=10, n_centroids=16, nprobe=4, m=8, ksub=32, dim=64, refine=8
+        emb, q, k=10, n_centroids=16, nprobe=4, m=8, ksub=32, dim=64,
+        refine=8, index=index, model=model,
     ).count()
-    print(f"ivfpq_topk 1Mx64 (16 cells, nprobe 4): {time.time()-t0:.1f}s "
-          f"-> {pq} rows")
+    print(f"ivfpq_topk serve 1Mx64, 64 queries (nprobe 4/16): "
+          f"{time.time()-t0:.1f}s -> {pq} rows")
     t0 = time.time()
     bf = similarity.brute_force_topk(emb, q, k=10).count()
-    print(f"brute_force_topk 1Mx64 (comparison): {time.time()-t0:.1f}s "
-          f"-> {bf} rows")
+    print(f"brute_force_topk 1Mx64, 64 queries (comparison): "
+          f"{time.time()-t0:.1f}s -> {bf} rows")
 
 
 if __name__ == "__main__":
