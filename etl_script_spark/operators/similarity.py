@@ -746,6 +746,80 @@ def pq_adc_score(
     )
 
 
+def pca_fit(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 16,
+    sample_size: int = 2048,
+) -> dict:
+    """PCA fit on a bounded, hash-ordered driver sample (same
+    deterministic unbiased fit-sample discipline as ``ivf_centroids``
+    / ``pq_fit``): mean + covariance + symmetric eigendecomposition
+    in numpy on at most sample_size × dim doubles. Model fit is
+    O(sample) driver work BY DESIGN; the projection — the part that
+    touches the corpus — stays fully distributed.
+
+    Returns {"mean", "components" (k×dim, rows orthonormal, sorted by
+    descending eigenvalue), "eigvals" (top-k), "total_var"}. Sign
+    convention: each component is flipped so its largest-|coordinate|
+    entry is positive — eigenvector sign is otherwise arbitrary and
+    would make the fit run-to-run unstable."""
+    import numpy as np
+
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([list(map(float, r[vec_col])) for r in rows], dtype=np.float64)
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = (xc.T @ xc) / max(len(x) - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": [float(v) for v in mean],
+        "components": [[float(v) for v in c] for c in comps],
+        "eigvals": [float(vals[o]) for o in order],
+        "total_var": float(vals.sum()),
+    }
+
+
+def pca_project(vec_sql: str, model: dict, whiten: bool = False) -> Column:
+    """Distributed PCA projection: array<double> of k scores,
+    score_j = (x - mean)·c_j = x·c_j - (mean·c_j), the second term a
+    driver-side constant. Straight-line element_at arithmetic (one
+    flat dot per component — see ``_dot_flat_sql``), so projecting a
+    100 TB corpus is a scan-stage map with no shuffle. ``whiten``
+    scales each score by 1/sqrt(eigval) (unit variance per
+    component; eigvals floored at 1e-12)."""
+    comps = model["components"]
+    mean = model["mean"]
+    terms = []
+    for j, c in enumerate(comps):
+        off = sum(float(mi) * float(ci) for mi, ci in zip(mean, c))
+        # HOF dot, not _dot_flat_sql: k×dim flat terms (1024 at the
+        # defaults) overflow Janino's generated-method limit when the
+        # projection fuses with downstream operators in one codegen
+        # stage; k HOF dots per row is the ivf_assign cost profile
+        expr = f"({_dot_sql(vec_sql, c)} - CAST('{off!r}' AS DOUBLE))"
+        if whiten:
+            scale = 1.0 / math.sqrt(max(model["eigvals"][j], 1e-12))
+            expr = f"({expr} * CAST('{scale!r}' AS DOUBLE))"
+        terms.append(expr)
+    return F.expr(f"array({','.join(terms)})")
+
+
 def pq_adc_lut(qvec_sql: str, codebooks: list[list[list[float]]]) -> Column:
     """Per-QUERY ADC lookup table: lut[s][j] = dot(q_s, c[s][j]) as
     one array<array<double>> column — m·ksub flat dots evaluated once

@@ -1180,3 +1180,56 @@ def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return dedup_ops.remove_duplicate_spans(d, "text", "doc_id", n=8)
+
+
+@register(
+    "embedding_pca_rotation",
+    """
+    SELECT vec_id, TRUE AS ok_parseval, TRUE AS ok_contract
+    FROM embeddings
+    """,
+    ("LLM-similarity",),
+)
+def embedding_pca_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit + distributed projection, certified by exact linear-
+    algebra invariants (the fixture embeddings are near-isotropic, so
+    neighbor recall cannot gate this — a rotation identity can):
+    with k=dim the component matrix is a full orthonormal basis, so
+    Parseval holds per row, ||P64(x)||^2 == ||x - mean||^2 (to fp
+    tolerance); with k=16 the projection is a contraction,
+    ||P16(x)||^2 <= ||x - mean||^2. Both flags are computed IN this
+    query from the same literal model the projection uses — a wrong
+    eigenvector, dropped mean term, or sign-handling bug breaks
+    Parseval on every row. Fit is the bounded hash-ordered driver
+    sample (ivf_centroids discipline); projection is a scan-stage
+    map (operators/similarity.py:pca_fit/pca_project)."""
+    e = t(spark, sf_dir, "embeddings")
+    full = similarity.pca_fit(e, dim=64, k=64)
+    part = similarity.pca_fit(e, dim=64, k=16)
+    mean = full["mean"]
+    mlit = "array(" + ",".join(
+        f"CAST('{float(v)!r}' AS DOUBLE)" for v in mean
+    ) + ")"
+    centered_sq = (
+        f"aggregate(zip_with(embedding, {mlit}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+    sq = "aggregate({c}, 0.0D, (acc, v) -> acc + v * v)"
+    p = e.select(
+        "vec_id",
+        similarity.pca_project("embedding", full).alias("p64"),
+        similarity.pca_project("embedding", part).alias("p16"),
+        F.expr(centered_sq).alias("__csq"),
+        similarity.l2_norm(F.col("embedding")).alias("__n"),
+    )
+    tol = F.lit(1e-6) * (F.lit(1.0) + F.col("__n") * F.col("__n"))
+    return p.select(
+        "vec_id",
+        (
+            F.abs(F.expr(sq.format(c="p64")) - F.col("__csq")) <= tol
+        ).alias("ok_parseval"),
+        (
+            F.expr(sq.format(c="p16")) <= F.col("__csq") + tol
+        ).alias("ok_contract"),
+    )

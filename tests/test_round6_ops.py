@@ -467,3 +467,65 @@ def test_substring_remove_partition_invariant_and_validates(spark):
     assert a == b
     with pytest.raises(ValueError):
         dd.remove_duplicate_spans(d, "text", "doc_id", n=1)
+
+
+# ---------------------------------------------------------------------------
+# PCA fit / projection (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_components_orthonormal_and_ordered(spark):
+    import numpy as np
+
+    from etl_script_spark.operators import similarity
+
+    e = _emb(spark)
+    m = similarity.pca_fit(e, dim=64, k=16)
+    C = np.asarray(m["components"])
+    assert np.allclose(C @ C.T, np.eye(16), atol=1e-9)
+    ev = m["eigvals"]
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+    assert sum(ev) <= m["total_var"] + 1e-9
+
+
+def test_pca_projection_partition_invariant_and_whiten(spark):
+    from etl_script_spark.operators import similarity
+
+    e = _emb(spark)
+    m = similarity.pca_fit(e, dim=64, k=8)
+    a = {
+        r.vec_id: tuple(r.p)
+        for r in e.coalesce(1)
+        .select("vec_id", similarity.pca_project("embedding", m).alias("p"))
+        .collect()
+    }
+    b = {
+        r.vec_id: tuple(r.p)
+        for r in e.repartition(5)
+        .select("vec_id", similarity.pca_project("embedding", m).alias("p"))
+        .collect()
+    }
+    assert a == b  # literal-model projection: bit-equal anywhere
+    w = {
+        r.vec_id: r.p
+        for r in e.select(
+            "vec_id",
+            similarity.pca_project("embedding", m, whiten=True).alias("p"),
+        ).collect()
+    }
+    # whitened scores = plain scores / sqrt(eigval), componentwise
+    import math
+
+    for vid, plain in list(a.items())[:20]:
+        for j in range(8):
+            exp = plain[j] / math.sqrt(max(m["eigvals"][j], 1e-12))
+            assert abs(w[vid][j] - exp) < 1e-9
+
+
+def test_pca_fit_validation(spark):
+    from etl_script_spark.operators import similarity
+
+    with pytest.raises(ValueError):
+        similarity.pca_fit(_emb(spark), dim=64, k=0)
+    with pytest.raises(ValueError):
+        similarity.pca_fit(_emb(spark), dim=64, k=65)
