@@ -321,3 +321,163 @@ def pipeline_remittance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("\n", line0, line1, noise, total_line).alias("text"),
     )
     return remittance.reconcile(pages)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 curation composition: DSIR select -> substring cut -> shard manifest
+# ---------------------------------------------------------------------------
+
+_R6_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_R6_BP = "bp0 bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8 bp9"
+
+
+@register(
+    "pipeline_r6_curation_e2e",
+    f"""
+    WITH d0 AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' {_R6_BP}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    -- stage 1: DSIR select (top-30 docs toward lang='en')
+    db AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5('dsir' || gram), 1, 8))::BIGINT % 4096
+               AS bucket
+      FROM (
+        SELECT doc_id, COALESCE(lang = 'en', FALSE) AS is_t,
+               unnest(grams) AS gram FROM (
+          SELECT doc_id, lang,
+                 list_concat(ws, CASE WHEN len(ws) >= 2
+                   THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                   ELSE [] END) AS grams
+          FROM (SELECT doc_id, lang,
+                       list_filter(string_split({_R6_NORM}, ' '),
+                                   w -> w <> '') AS ws
+                FROM d0)
+        )
+      )
+    ),
+    hist AS (SELECT bucket, COUNT(*) AS rc,
+                    COUNT(*) FILTER (WHERE is_t) AS tc
+             FROM db GROUP BY bucket),
+    tot AS (SELECT SUM(rc) AS rt, SUM(tc) AS tt FROM hist),
+    tbl AS (SELECT bucket,
+                   CAST(ROUND((ln((tc + 0.5) / (tt + 2048.0))
+                             - ln((rc + 0.5) / (rt + 2048.0)))
+                              * 1000000.0) AS BIGINT) AS lr_q
+            FROM hist CROSS JOIN tot),
+    sel AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, CAST(SUM(lr_q) AS BIGINT) AS weight_q
+        FROM db JOIN tbl USING (bucket) GROUP BY doc_id
+      ) ORDER BY weight_q DESC, doc_id ASC LIMIT 30
+    ),
+    -- stage 2: exact-substring cut WITHIN the selected set
+    b2 AS (
+      SELECT d0.doc_id,
+             list_filter(string_split({_R6_NORM}, ' '), w -> w <> '') AS ws
+      FROM d0 JOIN sel USING (doc_id)
+    ),
+    b3 AS (SELECT doc_id, ws, len(ws) AS m FROM b2 WHERE len(ws) > 0),
+    w AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(ws[pos:pos+7], ' ')) AS g
+      FROM (SELECT doc_id, ws,
+                   unnest(CASE WHEN m >= 8 THEN range(1, m - 6)
+                          ELSE [] END) AS pos
+            FROM b3)
+    ),
+    owners AS (SELECT g, MIN(doc_id) AS owner FROM w GROUP BY g),
+    dup_pos AS (
+      SELECT DISTINCT doc_id, tpos FROM (
+        SELECT w.doc_id, unnest(range(w.pos, w.pos + 8)) AS tpos
+        FROM w JOIN owners USING (g) WHERE owners.owner < w.doc_id
+      )
+    ),
+    toks AS (
+      SELECT doc_id, pos AS tpos, ws[pos] AS word
+      FROM (SELECT doc_id, ws, unnest(range(1, m + 1)) AS pos FROM b3)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.word
+      FROM toks t LEFT JOIN dup_pos p
+        ON t.doc_id = p.doc_id AND t.tpos = p.tpos
+      WHERE p.doc_id IS NULL
+    ),
+    cleaned AS (
+      SELECT b3.doc_id,
+             COALESCE(r.clean_text, '') AS clean_text,
+             b3.m - COALESCE(r.n_kept, 0) AS n_removed
+      FROM b3 LEFT JOIN (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY tpos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+      ) r ON b3.doc_id = r.doc_id
+    )
+    -- stage 3: shard manifest over the CLEANED text
+    SELECT ('0x' || substr(md5('r6' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 4 AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN clean_text = '' THEN 0
+                    ELSE len(string_split(clean_text, ' ')) END) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(length(clean_text)) AS BIGINT) AS n_chars,
+           CAST(SUM(n_removed) AS BIGINT) AS n_removed
+    FROM cleaned
+    GROUP BY 1
+    """,
+    ("LLM-curation", "LLM-dedup"),
+)
+def pipeline_r6_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 operators composed end-to-end and hash-checked as ONE
+    chain: (1) DSIR importance selection of the 30 most target-like
+    documents (lang='en'), (2) exact-substring span cutting within
+    the selected set (shared boilerplate planted on every 7th doc so
+    real cuts occur), (3) the md5-sharded export manifest aggregated
+    over the CLEANED text, with per-shard removed-token accounting.
+    The oracle replays all three stages in one statement — the
+    composition contract, not just the operators (same rationale as
+    pipeline_curation_e2e). Scale shape: each stage's own analysis
+    holds unchanged (bounded DSIR broadcast; merge-hinted span
+    rejoin; manifest is one aggregation)."""
+    from etl_script_spark.operators import dedup as dd
+    from etl_script_spark.operators import dsir
+    from etl_script_spark.operators.export import shard_id
+
+    d0 = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _R6_BP)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    wts = dsir.dsir_weights(
+        d0, "doc_id", "text",
+        F.coalesce(F.col("lang") == "en", F.lit(False)), n_buckets=4096,
+    )
+    sel = dsir.dsir_select(wts, "doc_id", 30).select("doc_id")
+    picked = d0.join(sel, "doc_id").select("doc_id", "text")
+    cleaned = dd.remove_duplicate_spans(picked, "text", "doc_id", n=8)
+    toks = F.when(F.col("clean_text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("clean_text"), " "))
+    )
+    return (
+        cleaned.select(
+            shard_id(F.col("doc_id"), 4, seed="r6").alias("shard"),
+            toks.alias("__t"),
+            F.length("clean_text").alias("__c"),
+            "n_removed",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+            F.sum("__c").cast("long").alias("n_chars"),
+            F.sum("n_removed").cast("long").alias("n_removed"),
+        )
+    )
