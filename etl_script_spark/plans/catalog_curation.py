@@ -1744,3 +1744,56 @@ def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_id(F.col("doc_id"), 10, seed="nb") < 8,
         alpha=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (operators/htmlextract.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "extract_html_main_text",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(regexp_replace(COALESCE(text, ''),
+                                                '\\s+', ' ', 'g'))) >= 30
+                THEN trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                ELSE '' END AS main_text
+    FROM documents
+    """,
+    ("LLM-curation", "S8"),
+)
+def extract_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal with a FIRST-PRINCIPLES oracle: each
+    document's text is wrapped in a deterministic page skeleton —
+    nav link bar, a long link-farm div (75 chars of pure anchor
+    text: passes min_len, killed by link density), a too-short
+    block, a script body, and a footer — and the extractor must
+    return exactly the planted content, whitespace-collapsed. The
+    oracle states the expected answer directly from the source
+    table (no algorithm replay): a wrong block split, strip order,
+    or density threshold fails the hash on every row. Pure
+    regex/HOF projection, scan-stage at 100 TB
+    (operators/htmlextract.py)."""
+    from etl_script_spark.operators import htmlextract
+
+    d = t(spark, sf_dir, "documents")
+    spam = "spam link text " * 5
+    html = F.concat(
+        F.lit(
+            '<div class="nav"><a href="/">home</a> <a href="/a">about</a>'
+            ' <a href="/c">contact</a></div>'
+            "<script>var x = '<p>not text</p>';</script>"
+        ),
+        F.lit("<p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p>"),
+        F.lit(
+            f'<div><a href="#">{spam}</a></div>'
+            "<p>ok</p>"
+            '<div class="footer">copyright <a href="/t">terms</a></div>'
+        ),
+    )
+    return htmlextract.extract_main_text(
+        d.select("doc_id", html.alias("html")), "html", "doc_id"
+    )

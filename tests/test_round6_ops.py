@@ -529,3 +529,48 @@ def test_pca_fit_validation(spark):
         similarity.pca_fit(_emb(spark), dim=64, k=0)
     with pytest.raises(ValueError):
         similarity.pca_fit(_emb(spark), dim=64, k=65)
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (operators/htmlextract.py)
+# ---------------------------------------------------------------------------
+
+
+def test_html_extract_density_and_length_rules(spark):
+    from etl_script_spark.operators import htmlextract
+
+    long_txt = "this is a long enough paragraph of genuine running text"
+    pages = [
+        # nav + content + footer: only content survives
+        (1, f'<div><a href="/">home</a> <a>about</a></div><p>{long_txt}</p>'
+            '<div class="footer">copyright <a>terms</a></div>'),
+        # link farm: long but pure anchor text -> dropped
+        (2, f'<div><a href="#">{"spam link text " * 6}</a></div>'),
+        # mixed block: long text with one small link -> kept
+        (3, f'<p>{long_txt} see <a href="x">here</a></p>'),
+        # script containing fake markup must not leak
+        (4, f"<script>var a = '<p>{long_txt}</p>';</script><p>{long_txt}</p>"),
+        (5, None),
+        (6, "<p>short</p>"),
+    ]
+    d = spark.createDataFrame(pages, "doc_id long, html string")
+    got = {
+        r.doc_id: r.main_text
+        for r in htmlextract.extract_main_text(d, "html", "doc_id").collect()
+    }
+    assert got[1] == long_txt
+    assert got[2] == ""
+    assert got[3] == f"{long_txt} see here"
+    assert got[4] == long_txt
+    assert got[5] == ""
+    assert got[6] == ""
+
+
+def test_html_extract_validation(spark):
+    from etl_script_spark.operators import htmlextract
+
+    d = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    with pytest.raises(ValueError):
+        htmlextract.extract_main_text(d, "html", "doc_id", min_len=0)
+    with pytest.raises(ValueError):
+        htmlextract.extract_main_text(d, "html", "doc_id", max_link_density=2.0)
