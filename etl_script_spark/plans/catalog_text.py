@@ -1233,3 +1233,47 @@ def embedding_pca_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(sq.format(c="p16")) <= F.col("__csq") + tol
         ).alias("ok_contract"),
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    f"""
+    {_CC_CTES},
+    q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents)
+    SELECT doc_id, cluster_id, quality FROM (
+      SELECT c.id AS doc_id, c.cluster_id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.id ASC) AS rn
+      FROM cc c JOIN q ON q.doc_id = c.id
+    ) WHERE rn = 1
+    """,
+    ("LLM-dedup", "LLM-curation"),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each transitive
+    near-dup cluster keep the HIGHEST-quality member (tie -> min id),
+    not the first-seen — the curation policy when near-dups differ in
+    extraction quality (C4 keeps first; RefinedWeb-style pipelines
+    keep best). Composition: n-gram Jaccard pairs -> alternating-star
+    CC -> one window over (cluster, quality). The quality score is
+    the same oracle-green expression as text_quality_score, so the
+    cross-engine double compares exactly. Scale shape: inherits the
+    pair/CC analysis; the selection adds one window shuffle keyed on
+    cluster_id."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    cc = dedup_ops.connected_components_alternating(pairs)
+    q = d.select(
+        "doc_id", textstats.quality_score(F.col("text")).alias("quality")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("id").asc()
+    )
+    return (
+        cc.join(q, cc["id"] == q["doc_id"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "cluster_id", "quality")
+    )
