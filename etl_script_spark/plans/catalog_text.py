@@ -1277,3 +1277,47 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("doc_id", "cluster_id", "quality")
     )
+
+
+@register(
+    "tok_unigram_roundtrip",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           COALESCE(len(ws), 0) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+                AS BIGINT) AS n_chars
+    FROM w
+    """,
+    ("LLM-tokenize",),
+)
+def tok_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenization end-to-end: the
+    vocabulary is fit by deterministic hard-EM + pruning on the
+    corpus's own collected word-frequency table (bounded driver fit,
+    the bpe/IVF pattern), then applied to every document via
+    Arrow-batched Viterbi segmentation with the quantized-int piece
+    costs broadcast. Same falsifiable contract as tok_bpe_roundtrip:
+    ``n_chars`` is rederived from the emitted PIECES on the Spark
+    side but from the raw text on the oracle side, so any character
+    dropped or duplicated by segmentation breaks the hash; the
+    segmentation-quality invariants (optimality vs brute force,
+    compression vs characters, determinism) live in
+    tests/test_round6_ops.py."""
+    from etl_script_spark.operators import unigram_tok
+
+    d = t(spark, sf_dir, "documents")
+    vocab = unigram_tok.train_unigram(
+        unigram_tok.word_frequencies(d, "text", limit=4096),
+        vocab_size=512,
+        max_piece_len=8,
+    )
+    out = unigram_tok.tokenize_unigram(d, "text", "doc_id", vocab)
+    return out.select("id", "n_words", "n_chars")

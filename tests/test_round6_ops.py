@@ -574,3 +574,112 @@ def test_html_extract_validation(spark):
         htmlextract.extract_main_text(d, "html", "doc_id", min_len=0)
     with pytest.raises(ValueError):
         htmlextract.extract_main_text(d, "html", "doc_id", max_link_density=2.0)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (operators/unigram_tok.py)
+# ---------------------------------------------------------------------------
+
+
+def _brute_best(word, nll_q):
+    # enumerate all segmentations (word short), same tie-break as
+    # viterbi: (cost, start-of-last-piece asc == longer last, piece)
+    best = None
+    oov = max(nll_q.values(), default=0) + 10_000_000
+
+    def rec(i, acc, cost):
+        nonlocal best
+        if i == len(word):
+            key = (cost, tuple(acc))
+            if best is None or cost < best[0]:
+                best = (cost, list(acc))
+            return
+        for j in range(i + 1, len(word) + 1):
+            p = word[i:j]
+            c = nll_q.get(p)
+            if c is None:
+                if j - i > 1:
+                    continue
+                c = oov
+            rec(j, acc + [p], cost + c)
+
+    rec(0, [], 0)
+    return best[0]
+
+
+def test_unigram_viterbi_optimal_and_lossless():
+    import random
+
+    from etl_script_spark.operators import unigram_tok as ut
+
+    rng = random.Random(11)
+    alphabet = "abc"
+    for _ in range(60):
+        word = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+        vocab = {c: rng.randint(1, 50) * 1000 for c in alphabet}
+        for _ in range(6):
+            i = rng.randrange(len(word))
+            j = rng.randint(i + 1, min(i + 4, len(word)))
+            vocab[word[i:j]] = rng.randint(1, 80) * 1000
+        seg = ut.viterbi_segment(word, vocab)
+        assert "".join(seg) == word  # lossless always
+        cost = sum(
+            vocab.get(p, max(vocab.values()) + 10_000_000) for p in seg
+        )
+        assert cost == _brute_best(word, vocab)  # optimal always
+
+
+def test_unigram_train_learns_repeated_substrings_and_is_deterministic():
+    from etl_script_spark.operators import unigram_tok as ut
+
+    freqs = [("internationalization", 50), ("internationalist", 40),
+             ("nationalize", 30), ("rationalize", 20), ("zebra", 5)]
+    v1 = ut.train_unigram(freqs, vocab_size=40, max_piece_len=8)
+    v2 = ut.train_unigram(list(reversed(freqs)), vocab_size=40,
+                          max_piece_len=8)
+    assert v1 == v2  # order of the frequency table must not matter
+    # the shared stem must surface as a multi-char piece and be USED
+    seg = ut.viterbi_segment("internationalization", v1)
+    assert "".join(seg) == "internationalization"
+    assert len(seg) < len("internationalization")  # compresses
+    assert any(len(p) >= 4 for p in seg)
+    # unseen characters fall back to per-char OOV, never fail
+    seg_oov = ut.viterbi_segment("zebraqqq", v1)
+    assert "".join(seg_oov) == "zebraqqq"
+
+
+def test_unigram_tokenize_mass_checks(spark):
+    from etl_script_spark.operators import unigram_tok as ut
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab = ut.train_unigram(
+        ut.word_frequencies(d, "text", limit=1024), vocab_size=256
+    )
+    out = {r.id: r for r in ut.tokenize_unigram(
+        d, "text", "doc_id", vocab
+    ).collect()}
+    from pyspark.sql import functions as SF
+
+    exp = {
+        r.doc_id: (r.nw, r.nc)
+        for r in d.select(
+            "doc_id",
+            SF.size(SF.filter(
+                SF.split(SF.trim(SF.regexp_replace(SF.lower("text"), r"\s+", " ")), " "),
+                lambda w: w != "",
+            )).alias("nw"),
+            SF.aggregate(
+                SF.filter(
+                    SF.split(SF.trim(SF.regexp_replace(SF.lower("text"), r"\s+", " ")), " "),
+                    lambda w: w != "",
+                ),
+                SF.lit(0),
+                lambda a, w: a + SF.length(w),
+            ).alias("nc"),
+        ).collect()
+    }
+    for did, r in out.items():
+        assert (r.n_words, r.n_chars) == exp[did], did
+        assert r.n_tokens <= r.n_chars  # never more pieces than chars
+        if r.n_words:
+            assert r.n_tokens >= r.n_words  # at least one piece per word
