@@ -118,3 +118,60 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "id", "n_terms_matched", "score"
     )
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrase: list[str],
+) -> DataFrame:
+    """Exact phrase search over a positional posting stream — the
+    capability BM25's bag-of-words scoring cannot express ("foo bar"
+    as adjacent words, not co-occurrence).
+
+    Shape (one explode + one broadcast join + one aggregation — no
+    positional-index self-joins): each posting (id, pos, token) that
+    matches phrase[i] votes for the candidate start base = pos - i;
+    a base where ALL phrase positions voted (count distinct i ==
+    len(phrase)) is an occurrence. The phrase table (len(phrase)
+    rows) is broadcast; the posting stream is filtered to phrase
+    tokens BEFORE the join, so per-query cost tracks matching
+    postings, not corpus size. A repeated token in the phrase votes
+    once per (i, pos) pair, which is exactly what the distinct-i
+    count requires.
+
+    Returns (id_col, n_matches) for documents with >= 1 occurrence.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    terms = [str(t).lower() for t in phrase]
+    spark = docs.sparkSession
+    ptab = F.broadcast(
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(terms)], "i int, token string"
+        )
+    )
+    postings = (
+        fan_out(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select(
+            "id",
+            F.posexplode(
+                F.filter(words(F.col(text_col)), lambda w: w != "")
+            ).alias("pos", "token"),
+        )
+        .filter(F.col("token").isin(terms))
+    )
+    votes = postings.join(ptab, "token").select(
+        "id", (F.col("pos") - F.col("i")).alias("base"), "i"
+    )
+    hits = (
+        votes.groupBy("id", "base")
+        .agg(F.count_distinct("i").alias("__k"))
+        .filter(F.col("__k") == len(terms))
+    )
+    return (
+        hits.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .select(F.col("id").alias(id_col), "n_matches")
+    )

@@ -1321,3 +1321,58 @@ def tok_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = unigram_tok.tokenize_unigram(d, "text", "doc_id", vocab)
     return out.select("id", "n_words", "n_chars")
+
+
+@register(
+    "search_phrase_positional",
+    f"""
+    WITH d0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' the quick brown fox'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    b AS (SELECT doc_id,
+                 list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+          FROM d0),
+    toks AS (
+      SELECT doc_id, pos - 1 AS pos, ws[pos] AS token
+      FROM (SELECT doc_id, ws,
+                   unnest(range(1, len(ws) + 1)) AS pos FROM b)
+    ),
+    p(i, token) AS (VALUES (0, 'the'), (1, 'quick'), (2, 'brown'),
+                           (3, 'fox')),
+    hits AS (
+      SELECT doc_id, pos - i AS base
+      FROM toks JOIN p USING (token)
+      GROUP BY doc_id, pos - i
+      HAVING COUNT(DISTINCT i) = 4
+    )
+    SELECT doc_id, COUNT(*) AS n_matches FROM hits GROUP BY doc_id
+    """,
+    ("LLM-text", "search"),
+)
+def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("the quick brown fox" as ADJACENT words)
+    via positional vote counting: each posting matching phrase[i]
+    votes for start base = pos - i; a base with all distinct i's is
+    an occurrence — one explode + one broadcast phrase join + one
+    aggregation, no positional self-joins
+    (operators/search.py:phrase_occurrences). The fixture plants the
+    phrase as a suffix on every 5th document; 'the' also occurs
+    naturally, so the oracle proves order-sensitivity (bag-of-words
+    co-occurrence would over-match)."""
+    from etl_script_spark.operators.search import phrase_occurrences
+
+    d0 = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" the quick brown fox")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return phrase_occurrences(
+        d0, "text", "doc_id", ["the", "quick", "brown", "fox"]
+    )

@@ -683,3 +683,37 @@ def test_unigram_tokenize_mass_checks(spark):
         assert r.n_tokens <= r.n_chars  # never more pieces than chars
         if r.n_words:
             assert r.n_tokens >= r.n_words  # at least one piece per word
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (operators/search.py)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_order_sensitive_and_overlapping(spark):
+    from etl_script_spark.operators.search import phrase_occurrences
+
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps the quick brown fox"),
+            (2, "quick brown the fox"),            # words present, order wrong
+            (3, "The  Quick   BROWN fox"),          # case/ws normalization
+            (4, "a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_matches
+        for r in phrase_occurrences(
+            d, "text", "doc_id", ["quick", "brown", "fox"]
+        ).collect()
+    }
+    assert got == {1: 2, 3: 1}
+    # repeated-token phrase: overlapping matches all count
+    rep = {
+        r.doc_id: r.n_matches
+        for r in phrase_occurrences(d, "text", "doc_id", ["a", "a"]).collect()
+    }
+    assert rep == {4: 3}
+    with pytest.raises(ValueError):
+        phrase_occurrences(d, "text", "doc_id", [])
