@@ -876,3 +876,82 @@ def bigram_nll_scores(
         "n_bigrams",
         (F.col("s") / (F.lit(1e6) * F.col("n_bigrams"))).alias("avg_nll"),
     )
+
+
+def sample_match_distribution(
+    df,
+    key_col: str,
+    bucket: "Column",
+    target: "Column",
+    seed: str = "ld",
+) -> "DataFrame":
+    """Distribution-matched sampling: keep a deterministic subset of
+    ``df`` whose BUCKET histogram is proportional to the ``target``
+    subset's histogram — the curation move when a raw crawl's length
+    (or domain, or quality-band) mix must match a reference mix
+    without discarding more than necessary.
+
+    Rate derivation (exact integer arithmetic, so both engines agree
+    to the bit): with corpus counts c_b and target counts t_b, the
+    binding bucket maximizes t_b/c_b (computed as the DECIMAL(38,0)
+    quotient q_b = t_b·10^12 div c_b; max, ties irrelevant — equal
+    q means equal rate); keep-rate r_b = (t_b/c_b)/(q_max/10^12),
+    materialized as the integer threshold
+    thr_b = min(16^8, t_b·16^8·10^12 div (c_b·q_max)) and applied as
+    the pure per-row predicate md5int(seed‖key) < thr_b. The binding
+    bucket keeps ~100% and every other bucket keeps the fraction
+    that equalizes the mix — no corpus shuffle, the histogram join
+    is a broadcast of a bounded bucket table, and selection is
+    reproducible across runs/engines/cluster sizes (the
+    ``hash_sample`` family contract).
+
+    Buckets with zero target mass are dropped entirely (rate 0).
+    Returns the kept rows of ``df`` with an added ``__bucket``
+    column."""
+    hist = (
+        df.select(bucket.alias("__bucket"), target.alias("__t"))
+        .groupBy("__bucket")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t"),
+        )
+    )
+    # FLOOR the quotients explicitly: Spark's decimal cast rounds
+    # half-up while integer div in the SQL twin floors — a .5
+    # boundary would silently flip a threshold between engines
+    P = 10**12
+    q = F.floor(
+        (F.col("t").cast("decimal(20,0)") * F.lit(P))
+        / F.col("c").cast("decimal(20,0)")
+    ).cast("decimal(38,0)")
+    hist = hist.withColumn("__q", q)
+    qmax = hist.agg(F.max("__q").alias("__qmax"))
+    thr = F.least(
+        F.lit(16**8).cast("decimal(38,0)"),
+        F.floor(
+            (
+                F.col("t").cast("decimal(20,0)")
+                * F.lit(16**8)
+                * F.lit(P)
+            )
+            / (F.col("c").cast("decimal(20,0)") * F.col("__qmax"))
+        ).cast("decimal(38,0)"),
+    )
+    rates = F.broadcast(
+        hist.crossJoin(F.broadcast(qmax))
+        .filter(F.col("t") > 0)
+        .select("__bucket", thr.cast("long").alias("__thr"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.withColumn("__bucket", bucket)
+        .join(rates, "__bucket")
+        .filter(h < F.col("__thr"))
+        .drop("__thr")
+    )

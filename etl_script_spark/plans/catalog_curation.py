@@ -1797,3 +1797,56 @@ def extract_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return htmlextract.extract_main_text(
         d.select("doc_id", html.alias("html")), "html", "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-matched sampling (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_match_length_dist",
+    """
+    WITH hist AS (
+      SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS b,
+             COUNT(*) AS c,
+             COUNT(*) FILTER (WHERE lang = 'en') AS t
+      FROM documents GROUP BY 1
+    ),
+    q AS (SELECT b, c, t,
+                 (CAST(t AS HUGEINT) * 1000000000000) // c AS qv
+          FROM hist),
+    m AS (SELECT MAX(qv) AS qmax FROM q),
+    rates AS (
+      SELECT b,
+             LEAST(4294967296,
+                   (CAST(t AS HUGEINT) * 4294967296 * 1000000000000)
+                     // (CAST(c AS HUGEINT) * qmax)) AS thr
+      FROM q CROSS JOIN m WHERE t > 0
+    )
+    SELECT d.doc_id, r.b AS bucket_lo
+    FROM documents d
+    JOIN rates r ON CAST(floor(d.n_chars / 100) * 100 AS BIGINT) = r.b
+    WHERE ('0x' || substr(md5('ld' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            < r.thr
+    """,
+    ("LLM-curation",),
+)
+def sample_match_length_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep a deterministic subset of the corpus whose LENGTH
+    histogram is proportional to the lang='en' subset's histogram —
+    distribution matching via exact-integer per-bucket keep rates
+    (binding bucket keeps ~all) applied as a pure md5 predicate.
+    Histogram and rate table are bounded and broadcast; no corpus
+    shuffle; reproducible across engines/cluster sizes. The oracle
+    replays the integer rate derivation and the predicate verbatim
+    (operators/textstats.py:sample_match_distribution)."""
+    d = t(spark, sf_dir, "documents")
+    kept = textstats.sample_match_distribution(
+        d,
+        "doc_id",
+        (F.floor(F.col("n_chars") / 100) * 100).cast("long"),
+        F.col("lang") == "en",
+        seed="ld",
+    )
+    return kept.select("doc_id", F.col("__bucket").alias("bucket_lo"))

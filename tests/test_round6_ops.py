@@ -717,3 +717,40 @@ def test_phrase_search_order_sensitive_and_overlapping(spark):
     assert rep == {4: 3}
     with pytest.raises(ValueError):
         phrase_occurrences(d, "text", "doc_id", [])
+
+
+# ---------------------------------------------------------------------------
+# Distribution-matched sampling (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+
+def test_match_distribution_proportional_and_deterministic(spark):
+    from etl_script_spark.operators import textstats as ts
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    kept = ts.sample_match_distribution(d, "doc_id", bucket, F.col("lang") == "en")
+    kh = {r["__bucket"]: r["count"] for r in kept.groupBy("__bucket").count().collect()}
+    th = {
+        r["b"]: r["count"]
+        for r in d.filter(F.col("lang") == "en")
+        .groupBy(bucket.alias("b"))
+        .count()
+        .collect()
+    }
+    # kept/target ratio must be (nearly) constant across buckets:
+    # every bucket within 35% of the overall ratio (hash sampling is
+    # multinomial; fixture buckets hold 30-300 docs)
+    overall = sum(kh.values()) / sum(th.values())
+    for b, tcount in th.items():
+        assert b in kh, b
+        assert abs(kh[b] / tcount - overall) <= 0.35 * overall, (b, kh[b], tcount)
+    # deterministic: same call, same rows
+    ids1 = {r.doc_id for r in kept.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in ts.sample_match_distribution(
+            d.repartition(7), "doc_id", bucket, F.col("lang") == "en"
+        ).select("doc_id").collect()
+    }
+    assert ids1 == ids2
