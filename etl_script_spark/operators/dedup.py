@@ -1066,13 +1066,14 @@ def remove_duplicate_spans(
     3. rejoin windows to owners — both sides corpus-derived, so the
        join is hinted MERGE (size estimates through aggregates are
        garbage; the round-6 audit contract);
-    4. duplicated windows fan out n positions each (bounded n-fold
-       blowup of DUPLICATED material only), distinct per (id, pos);
-    5. anti-join the exploded tokens, reassemble with the
-       deterministic ordered aggregation
-       (sort_array(collect_list(struct(pos, word)))), and LEFT-join
-       back to the doc list so fully-cut documents surface with
-       clean_text = '' instead of vanishing.
+    4. duplicated window STARTS (never the n-fold token fan-out)
+       aggregate per document and fold into disjoint merged [s, e]
+       intervals — a boilerplate run is ONE interval however long;
+    5. the interval table LEFT-joins the corpus once and the cleaned
+       text is rebuilt by pure array expressions in that projection
+       (filter positions outside every interval, re-join words) —
+       no token explode, no ordered re-collect shuffle; fully-cut
+       documents surface with clean_text = ''.
 
     Within-document repeats are NOT cut (self-windows share their
     own id; only strictly-lower owners trigger removal) — matching
@@ -1107,39 +1108,87 @@ def remove_duplicate_spans(
         ).alias("w"),
     ).select("id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
     owners = wins.groupBy("g").agg(F.min("id").alias("owner"))
-    dup_pos = (
+    # duplicated WINDOW STARTS only — the n-fold token fan-out never
+    # happens; coverage is reconstructed as intervals below
+    dup_start = (
         wins.join(owners.hint("merge"), "g")
         .filter(F.col("owner") < F.col("id"))
-        .select(
-            "id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-            ).alias("tpos"),
-        )
+        .select("id", "pos")
         .distinct()
     )
-    toks = base.select(
-        "id", F.posexplode("ws").alias("tpos0", "word")
-    ).select("id", (F.col("tpos0") + 1).alias("tpos"), "word")
-    kept = toks.join(dup_pos.hint("merge"), ["id", "tpos"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("tpos"), F.col("word")))
-            ).getField("word"),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    return (
-        base.select("id", F.size("ws").alias("n_tokens"))
-        .join(rebuilt.hint("merge"), "id", "left")
+    # Removal is applied as MERGED INTERVALS, array-natively: the
+    # duplicated window starts collapse to disjoint [s, e] token
+    # intervals per document (boilerplate runs -> ONE interval), the
+    # interval table joins the corpus ONCE, and the cleaned text is
+    # rebuilt by pure array expressions in the same projection. Two
+    # earlier shapes lost to this at the 1M stress: exploding every
+    # token through an anti-join + ordered re-collect (96 s — the
+    # rebuild shuffle carried 60M tokens, mostly for unchanged docs),
+    # and a touched/untouched split (145-229 s — every branch
+    # re-shuffled the fat ws-array corpus rows through its own
+    # sort-merge join). This shape: 77 s — the residual wall is the
+    # window-explode md5 itself (53M windows, the oracle's hash
+    # contract), with one thin corpus join and no token shuffle.
+    ivs = (
+        dup_start.groupBy("id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("__ps"))
         .select(
-            F.col("id").alias(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
-                "n_removed"
+            "id",
+            F.aggregate(
+                "__ps",
+                F.array().cast("array<struct<s:int,e:int>>"),
+                lambda acc, p: F.when(
+                    (F.size(acc) > 0)
+                    & (p <= F.element_at(acc, -1)["e"] + 1),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)["s"].alias("s"),
+                                F.greatest(
+                                    F.element_at(acc, -1)["e"],
+                                    (p + n - 1).cast("int"),
+                                ).alias("e"),
+                            )
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        acc,
+                        F.array(
+                            F.struct(
+                                p.cast("int").alias("s"),
+                                (p + n - 1).cast("int").alias("e"),
+                            )
+                        ),
+                    )
+                ),
+            ).alias("__ivs"),
+        )
+    )
+    joined = base.join(ivs, "id", "left")
+    kept_pos = F.when(F.col("__ivs").isNull(), None).otherwise(
+        F.filter(
+            F.sequence(F.lit(1), F.size("ws")),
+            lambda t: ~F.exists(
+                F.col("__ivs"), lambda iv: (iv["s"] <= t) & (t <= iv["e"])
             ),
         )
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.when(
+            F.col("__ivs").isNull(), F.array_join("ws", " ")
+        )
+        .otherwise(
+            F.array_join(
+                F.transform(kept_pos, lambda t: F.element_at("ws", t)), " "
+            )
+        )
+        .alias("clean_text"),
+        F.size("ws").alias("n_tokens"),
+        F.when(F.col("__ivs").isNull(), F.lit(0))
+        .otherwise(F.size("ws") - F.size(kept_pos))
+        .cast("long")
+        .alias("n_removed"),
     )

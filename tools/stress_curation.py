@@ -661,10 +661,57 @@ def stress_round6b_newops(spark):
           f"{time.time()-t0:.1f}s -> {bf} rows")
 
 
+def stress_round6c_textops(spark):
+    """Scale rows for the late round-6 text operators at 1M docs:
+    exact-substring span removal (the 5%-dup + 30%-boilerplate
+    pathological corpus is its natural prey), unigram-LM tokenize,
+    and positional phrase search. Run standalone:
+    ``python tools/stress_curation.py --round6c``."""
+    from etl_script_spark.operators import unigram_tok
+    from etl_script_spark.operators.search import phrase_occurrences
+
+    M = 1_000_000
+    t0 = time.time()
+    d = build(spark, n=M, out=f"/tmp/etl_script_spark_io/stress_{M}")
+    print(f"build 1M corpus: {time.time()-t0:.1f}s ({d.count()} docs)")
+
+    t0 = time.time()
+    out = dedup_ops.remove_duplicate_spans(d, "text", "doc_id", n=8)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_removed").alias("rm"),
+        F.sum(F.when(F.col("clean_text") == "", 1).otherwise(0)).alias("cut"),
+    ).collect()[0]
+    print(f"remove_duplicate_spans 1M: {time.time()-t0:.1f}s -> "
+          f"{stats['n']} docs, {stats['rm']} tokens cut, "
+          f"{stats['cut']} fully-cut")
+
+    t0 = time.time()
+    vocab = unigram_tok.train_unigram(
+        unigram_tok.word_frequencies(d, "text", limit=4096), vocab_size=512
+    )
+    fit_s = time.time() - t0
+    t0 = time.time()
+    n = unigram_tok.tokenize_unigram(d, "text", "doc_id", vocab).count()
+    print(f"unigram fit {fit_s:.1f}s + tokenize 1M: {time.time()-t0:.1f}s "
+          f"-> {n} docs")
+
+    t0 = time.time()
+    hits = phrase_occurrences(
+        d, "text", "doc_id", ["boiler0", "boiler1", "boiler2"]
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("n_matches").alias("m")).collect()[0]
+    print(f"phrase_occurrences 1M (3-gram, 30% hit rate): "
+          f"{time.time()-t0:.1f}s -> {hits['n']} docs, {hits['m']} matches")
+
+
 if __name__ == "__main__":
     if "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
         stress_round6_decade(spark)
+        spark.stop()
+    elif "--round6c" in sys.argv:
+        spark = get_spark(app_name="stress-round6c")
+        stress_round6c_textops(spark)
         spark.stop()
     elif "--round6b" in sys.argv:
         spark = get_spark(app_name="stress-round6b")
