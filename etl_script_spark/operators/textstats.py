@@ -955,3 +955,45 @@ def sample_match_distribution(
         .filter(h < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def weighted_sample_topk(
+    df, key_col: str, weight: "Column", n: int, seed: str = "gk"
+) -> "DataFrame":
+    """EXACT-SIZE weighted sampling without replacement (Efraimidis &
+    Spirakis, IPL 2006 A-Res: key_i = u_i^(1/w_i), keep the n largest
+    keys — each subset's selection probability matches sequential
+    weighted draws without replacement). The Bernoulli samplers in
+    this module (``hash_sample`` family) cannot pin the output SIZE;
+    this one returns exactly n rows (or all rows with positive
+    weight, if fewer).
+
+    Deterministic and cross-engine exact: u_i = (md5int(seed‖key)+1)
+    / (16^8+1) ∈ (0,1), and the ranking key is ln(u)/w QUANTIZED to
+    1e-9 (int64) — ln of a dyadic rational and one division evaluate
+    identically on both engines, and ties break on the row key.
+    Selection is a pure projection + sort-limit (TakeOrdered: per-
+    partition top-n heaps, no global sort shuffle). Rows with
+    weight <= 0 are never selected (filtered; a zero-weight row has
+    selection probability 0 in the limit anyway).
+
+    Returns the sampled rows with ``__w`` (the weight used) and
+    ``__lkey_q`` (the quantized ranking key) attached."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(16**8 + 1))
+    lkey_q = F.round(F.log(u) / weight.cast("double") * 1e9).cast("long")
+    return (
+        df.withColumn("__w", weight)
+        .filter(F.col("__w") > 0)
+        .withColumn("__lkey_q", lkey_q)
+        .orderBy(F.col("__lkey_q").desc(), F.col(key_col).asc())
+        .limit(n)
+    )

@@ -1850,3 +1850,35 @@ def sample_match_length_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed="ld",
     )
     return kept.select("doc_id", F.col("__bucket").alias("bucket_lo"))
+
+
+@register(
+    "sample_weighted_gumbel_topk",
+    """
+    SELECT doc_id, w, lkey_q FROM (
+      SELECT doc_id, n_chars + 1 AS w,
+             CAST(ROUND(ln((('0x' || substr(md5('gk' || CAST(doc_id AS VARCHAR)),
+                                            1, 8))::BIGINT + 1)
+                           / 4294967297.0)
+                        / (n_chars + 1) * 1000000000.0) AS BIGINT) AS lkey_q
+      FROM documents WHERE n_chars + 1 > 0
+    ) ORDER BY lkey_q DESC, doc_id ASC LIMIT 50
+    """,
+    ("LLM-curation",),
+)
+def sample_weighted_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size weighted sampling without replacement (A-Res /
+    Gumbel-top-k family): 50 documents drawn with probability
+    proportional to length weight n_chars+1, as one projection +
+    TakeOrdered — no shuffle, reproducible across engines and
+    cluster sizes (quantized ln(u)/w ranking keys; the oracle
+    replays key derivation and ranking verbatim). Complements the
+    Bernoulli md5 samplers, which cannot pin the output size
+    (operators/textstats.py:weighted_sample_topk)."""
+    d = t(spark, sf_dir, "documents")
+    out = textstats.weighted_sample_topk(
+        d, "doc_id", F.col("n_chars") + 1, n=50, seed="gk"
+    )
+    return out.select(
+        "doc_id", F.col("__w").alias("w"), F.col("__lkey_q").alias("lkey_q")
+    )

@@ -754,3 +754,52 @@ def test_match_distribution_proportional_and_deterministic(spark):
         ).select("doc_id").collect()
     }
     assert ids1 == ids2
+
+
+# ---------------------------------------------------------------------------
+# Exact-size weighted sampling without replacement (A-Res / Gumbel top-k)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_topk_exact_size_and_partition_invariant(spark):
+    from etl_script_spark.operators import textstats as ts
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    w = F.col("n_chars") + 1
+    out = ts.weighted_sample_topk(d, "doc_id", w, n=50)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert len({r.doc_id for r in rows}) == 50  # without replacement
+    # same sample regardless of physical partitioning
+    ids2 = {
+        r.doc_id
+        for r in ts.weighted_sample_topk(d.repartition(13), "doc_id", w, n=50)
+        .select("doc_id")
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == ids2
+    # zero/negative weights are never selected; n > population returns all
+    small = d.limit(20).withColumn(
+        "w2", F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(F.lit(5))
+    )
+    sel = ts.weighted_sample_topk(small, "doc_id", F.col("w2"), n=100).collect()
+    assert all(r.doc_id % 2 == 1 for r in sel)
+    assert len(sel) == small.filter("w2 > 0").count()
+    with pytest.raises(ValueError):
+        ts.weighted_sample_topk(d, "doc_id", w, n=0)
+
+
+def test_weighted_topk_favors_heavy_rows(spark):
+    """Statistical pull: with 100 rows where 10 carry 100x the weight of
+    the rest, a 20-row sample must contain far more heavy rows than the
+    2 expected under uniform sampling (heavy selection prob ~1 each)."""
+    from etl_script_spark.operators import textstats as ts
+
+    rows = [(i, 1000 if i < 10 else 10) for i in range(100)]
+    d = spark.createDataFrame(rows, "id long, w long")
+    heavy = sum(
+        1
+        for r in ts.weighted_sample_topk(d, "id", F.col("w"), n=20).collect()
+        if r.id < 10
+    )
+    assert heavy >= 7, heavy
