@@ -1,0 +1,232 @@
+"""Corpus-level distribution diagnostics: two-sample drift tests and
+rank-frequency (Zipf) fit.
+
+These are the QA gates a training-data pipeline runs between corpus
+snapshots (old crawl vs new crawl, pre- vs post-filter): has the
+length / quality / domain distribution drifted, and does the token
+frequency spectrum still look like natural language?
+
+Scale shape (all three operators): one map-side-combinable groupBy
+reduces the 100 TB corpus to |distinct values| (KS) or |buckets|
+(PSI) or |top-k tokens| (Zipf) rows, and only that reduced frame goes
+through the single-partition ordered pass (cumulative window / OLS
+aggregate). Nothing here joins or shuffles raw rows twice.
+
+Cross-engine determinism: KS is EXACT INTEGER arithmetic throughout
+(cum_a*n_b - cum_b*n_a in DECIMAL(38,0) — no floats, no ties to
+break). PSI and the Zipf slope need ln(); each ln is quantized to a
+fixed grid (int64 micro-units) immediately, so partial sums are
+integer and partition-order-independent — the established
+quantized-int pattern (see operators/textstats.py bigram_nll_scores).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_D38 = "decimal(38,0)"
+
+
+def ks_two_sample(df: DataFrame, value_col: str, side_a) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the rows where
+    ``side_a`` (a boolean Column) holds and the rest, over the numeric
+    ``value_col``. Returns ONE row:
+
+    ``n_a, n_b, ks_num, ks_den, ks_ppb`` where the KS statistic is
+    exactly ``ks_num / ks_den`` = max over the merged support of
+    |F_a(v) - F_b(v)|, computed as max |cum_a*n_b - cum_b*n_a| over
+    n_a*n_b — all integers (DECIMAL(38,0): at 1e12 rows per side the
+    cross product is 1e24, past int64), so the result is bit-identical
+    on any engine and any partitioning. ``ks_ppb`` is the statistic in
+    parts-per-billion (integer floor division).
+
+    Shape: groupBy(value) with two conditional counts (map-side
+    combine: the 100 TB input reduces to |distinct values| rows), then
+    a single-partition ordered cumulative over the distinct values —
+    the unavoidable serial step of any exact CDF comparison; bucket
+    ``value_col`` first if its cardinality is itself huge.
+    """
+    per_v = (
+        df.select(
+            F.col(value_col).alias("__v"),
+            side_a.cast("boolean").alias("__a"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(
+            F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("__cb"),
+        )
+    )
+    w_cum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()  # totals over the reduced frame
+    cum = per_v.select(
+        F.sum("__ca").over(w_cum).cast(_D38).alias("__cuma"),
+        F.sum("__cb").over(w_cum).cast(_D38).alias("__cumb"),
+        F.sum("__ca").over(w_all).cast(_D38).alias("__na"),
+        F.sum("__cb").over(w_all).cast(_D38).alias("__nb"),
+    )
+    diff = F.abs(
+        F.col("__cuma") * F.col("__nb") - F.col("__cumb") * F.col("__na")
+    )
+    base = cum.agg(
+        F.max(F.col("__na")).cast("long").alias("n_a"),
+        F.max(F.col("__nb")).cast("long").alias("n_b"),
+        F.max(diff).alias("ks_num"),
+        F.max(F.col("__na") * F.col("__nb")).alias("ks_den"),
+    )
+    # integral DIV, not decimal '/': Spark rounds a decimal quotient to
+    # the result scale BEFORE floor(), which can disagree with true
+    # floor division within ~1e-6 of an integer; DIV is exact (the
+    # graph.py PageRank lesson). All operands positive -> DIV == //.
+    return base.withColumn(
+        "ks_ppb",
+        F.expr(
+            "CAST((ks_num * CAST(1000000000 AS DECIMAL(38,0)))"
+            " DIV ks_den AS LONG)"
+        ),
+    )
+
+
+def psi_drift(df: DataFrame, bucket_col, side_a) -> DataFrame:
+    """Population Stability Index between the ``side_a`` rows and the
+    rest, over the (low-cardinality) buckets given by ``bucket_col``
+    (a Column). Returns one row per bucket plus the headline:
+
+    per bucket: ``bucket, c_a, c_b, psi_term_micro`` — the bucket's
+    contribution (p_a - p_b) * ln(p_a / p_b) in integer micro-units;
+    the caller sums ``psi_term_micro`` for the index (>= 0 always;
+    ~< 0.1 stable, > 0.25 major shift, the standard reading).
+
+    Laplace smoothing (+1 per bucket on both sides, denominator
+    n + |buckets|) keeps every term finite when a bucket is empty on
+    one side — the smoothed probabilities are exact dyadic-rational
+    divisions, identical on any IEEE engine; the single ln per bucket
+    is quantized to micro-units at once, so the per-bucket term is an
+    int64 and the total is partition-order-independent.
+    """
+    per_b = (
+        df.select(bucket_col.alias("bucket"), side_a.cast("boolean").alias("__a"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("c_a"),
+            F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("c_b"),
+        )
+    )
+    w_all = Window.partitionBy()
+    sm = per_b.select(
+        "bucket",
+        "c_a",
+        "c_b",
+        (
+            (F.col("c_a") + 1).cast("double")
+            / (F.sum("c_a").over(w_all) + F.count(F.lit(1)).over(w_all)).cast(
+                "double"
+            )
+        ).alias("__pa"),
+        (
+            (F.col("c_b") + 1).cast("double")
+            / (F.sum("c_b").over(w_all) + F.count(F.lit(1)).over(w_all)).cast(
+                "double"
+            )
+        ).alias("__pb"),
+    )
+    term = (F.col("__pa") - F.col("__pb")) * F.log(
+        F.col("__pa") / F.col("__pb")
+    )
+    return sm.select(
+        "bucket",
+        "c_a",
+        "c_b",
+        F.round(term * 1e6).cast("long").alias("psi_term_micro"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str, top_k: int = 1000, min_rank: int = 10
+) -> DataFrame:
+    """Zipf rank-frequency fit over whitespace tokens: the OLS slope of
+    ln(frequency) on ln(rank) across ranks ``min_rank..top_k`` (the
+    head of the spectrum is known to bend away from the power law, so
+    the fit conventionally starts past it). Natural-language corpora
+    sit near slope -1; a corpus whose slope drifts toward 0 (flat =
+    template/boilerplate spam) or below -1.5 (degenerate vocabulary)
+    fails QA. Returns ONE row: ``n_ranks, slope_ppb, intercept_ppb``.
+
+    Shape: one token-count aggregation (map-side combine) reduces the
+    corpus to its vocabulary; TakeOrdered-style ranking keeps the top
+    ``top_k`` (count desc, token asc tie-break — deterministic); the
+    OLS runs as one aggregate over <= top_k rows. ln(rank) and
+    ln(count) are quantized to nano-units (int64) immediately; the
+    OLS moment sums are DECIMAL(38,0) products of those int64s, so
+    the slope is engine- and partition-order-independent.
+    """
+    if top_k <= min_rank:
+        raise ValueError(f"top_k={top_k} must exceed min_rank={min_rank}")
+    toks = df.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+        ).alias("__t")
+    ).filter(F.col("__t") != "")
+    freq = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    ranked = (
+        freq.orderBy(F.col("__c").desc(), F.col("__t").asc())
+        .limit(top_k)
+        .select(
+            "__c",
+            F.row_number()
+            .over(Window.orderBy(F.col("__c").desc(), F.col("__t").asc()))
+            .alias("__r"),
+        )
+        .filter(F.col("__r") >= min_rank)
+    )
+    # nano-quantized logs -> exact integer OLS moments
+    x = F.round(F.log(F.col("__r").cast("double")) * 1e9).cast("long")
+    y = F.round(F.log(F.col("__c").cast("double")) * 1e9).cast("long")
+    pts = ranked.select(
+        x.cast(_D38).alias("__x"), y.cast(_D38).alias("__y")
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+    )
+    # sign-split round-toward-zero ppb division: DIV truncates toward
+    # zero while floor division floors, and the Zipf slope is negative
+    # — dividing |num| (positive: truncate == floor on both engines)
+    # and re-applying the sign is the only form the two engines agree
+    # on bit-for-bit. Oracles must replay the same abs//sign split.
+    moments = agg.withColumn(
+        "__num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).withColumn(
+        "__den", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    slope_ppb = F.expr(
+        "CAST(CASE WHEN __num < 0 THEN "
+        "-((-__num * CAST(1000000000 AS DECIMAL(38,0))) DIV __den) "
+        "ELSE (__num * CAST(1000000000 AS DECIMAL(38,0))) DIV __den "
+        "END AS LONG)"
+    )
+    # intercept = (sy - slope*sx) / n in the same nano units as x/y:
+    # reuse the integer slope_ppb so both engines derive it identically
+    with_slope = moments.withColumn("slope_ppb", slope_ppb).withColumn(
+        "__inum",
+        F.col("sy") * F.lit(1_000_000_000).cast(_D38)
+        - F.col("slope_ppb").cast(_D38) * F.col("sx"),
+    )
+    intercept_ppb = F.expr(
+        "CAST(CASE WHEN __inum < 0 THEN "
+        "-((-__inum) DIV (n * CAST(1000000000 AS DECIMAL(38,0)))) "
+        "ELSE __inum DIV (n * CAST(1000000000 AS DECIMAL(38,0))) "
+        "END AS LONG)"
+    )
+    return with_slope.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.col("slope_ppb"),
+        intercept_ppb.alias("intercept_ppb"),
+    )

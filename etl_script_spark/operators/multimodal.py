@@ -212,3 +212,35 @@ def audio_chunk_plan(
         .cast("long")
         .alias("n_samples"),
     )
+
+
+def binary_simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    hex_col: str,
+    max_hamming: int = 7,
+    bands: int = 8,
+) -> DataFrame:
+    """Decoder-free near-dup pairs over binary media payloads: SimHash
+    on byte-level windows (4 hex chars = 2 bytes) of the hex-encoded
+    payload, pigeonhole-banded hamming join. ``df`` must carry the
+    payload pre-hexed (``F.hex(content)``) so the binary column itself
+    is pruned before any shuffle — only the 8-byte fingerprints move.
+
+    This is the media twin of text SimHash (same guarantees: a
+    hamming<=k pair shares one of k+1 bands, identical payloads
+    collapse before the band join); the wider default threshold
+    (7 under 8 bands) reflects that byte-level edits — container
+    re-muxing, metadata/trailer changes — perturb more windows than a
+    word edit does in text. Returns the persisted pair frame from
+    ``dedup.simhash_near_dups``; call ``.unpersist()`` when done."""
+    from etl_script_spark.operators import dedup as _dedup
+
+    return _dedup.simhash_near_dups(
+        df,
+        id_col,
+        hex_col,
+        max_hamming=max_hamming,
+        bands=bands,
+        unit="char",
+    )

@@ -997,3 +997,37 @@ def weighted_sample_topk(
         .orderBy(F.col("__lkey_q").desc(), F.col(key_col).asc())
         .limit(n)
     )
+
+
+def stratified_exact_sample(
+    df, key_col: str, strata_col: str, n_per_stratum: int, seed: str = "ps"
+) -> "DataFrame":
+    """EXACT-SIZE per-stratum sampling: exactly ``n_per_stratum`` rows
+    from every stratum (or the whole stratum, if smaller) — the
+    balanced eval-set / per-domain-audit primitive the rate-based
+    ``stratified_hash_sample`` cannot provide (a rate pins the
+    expectation, not the count).
+
+    Selection is rank-by-deterministic-hash within each stratum:
+    row_number() over (partition by stratum order by md5(seed‖key),
+    key) <= n. One shuffle on the stratum key, partition-count
+    invariant, reproducible across engines (md5 is the shared
+    uniform; the key breaks md5 ties, so the sample is unique even
+    under hash collisions). At 100 TB this is the same shuffle any
+    per-stratum top-k needs; skewed strata cost their row count, not
+    a cross product.
+
+    Returns the sampled rows plus ``__rank`` (1-based rank within the
+    stratum)."""
+    from pyspark.sql import Window
+
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    w = Window.partitionBy(F.col(strata_col)).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n_per_stratum)
+    )

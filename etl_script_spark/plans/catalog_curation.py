@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_script_spark.operators import (
+    corpusstats,
     decontam,
     multimodal,
     redact,
@@ -1882,3 +1883,166 @@ def sample_weighted_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("__w").alias("w"), F.col("__lkey_q").alias("lkey_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus distribution diagnostics (operators/corpusstats.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_ks_drift",
+    """
+    WITH per_v AS (
+      SELECT n_chars AS v,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cb
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+    ), cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cuma,
+             SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cumb,
+             SUM(ca) OVER () AS na,
+             SUM(cb) OVER () AS nb
+      FROM per_v
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST((MAX(ABS(CAST(cuma AS HUGEINT) * nb
+                         - CAST(cumb AS HUGEINT) * na)) * 1000000000)
+                // (CAST(MAX(na) AS HUGEINT) * MAX(nb)) AS BIGINT) AS ks_ppb
+    FROM cum
+    """,
+    ("LLM-curation",),
+)
+def corpus_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between corpus slices
+    (here: English vs non-English document lengths) — the snapshot-QA
+    gate that says 'this crawl's length distribution moved'. EXACT
+    integer arithmetic end-to-end (cum_a*n_b - cum_b*n_a in
+    DECIMAL(38,0)); one map-side-combined groupBy reduces the corpus
+    to its distinct lengths before the single ordered CDF pass
+    (operators/corpusstats.py:ks_two_sample)."""
+    d = t(spark, sf_dir, "documents")
+    out = corpusstats.ks_two_sample(d, "n_chars", F.col("lang") == "en")
+    return out.select("n_a", "n_b", "ks_ppb")
+
+
+@register(
+    "corpus_psi_drift",
+    """
+    WITH per_b AS (
+      SELECT CAST(floor(n_chars / 200) * 200 AS BIGINT) AS bucket,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_a,
+             SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS c_b
+      FROM documents GROUP BY 1
+    ), sm AS (
+      SELECT bucket, c_a, c_b,
+             CAST(c_a + 1 AS DOUBLE)
+               / (SUM(c_a) OVER () + COUNT(*) OVER ()) AS pa,
+             CAST(c_b + 1 AS DOUBLE)
+               / (SUM(c_b) OVER () + COUNT(*) OVER ()) AS pb
+      FROM per_b
+    )
+    SELECT bucket, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           CAST(ROUND((pa - pb) * ln(pa / pb) * 1000000.0) AS BIGINT)
+             AS psi_term_micro
+    FROM sm
+    """,
+    ("LLM-curation",),
+)
+def corpus_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index terms per length bucket between the
+    English and non-English corpus slices — the bucketed drift metric
+    (sum the terms; >0.25 = major shift). Laplace-smoothed so empty-
+    on-one-side buckets stay finite; each bucket's single ln() is
+    quantized to integer micro-units immediately, so the hashed output
+    is engine-exact (operators/corpusstats.py:psi_drift)."""
+    d = t(spark, sf_dir, "documents")
+    return corpusstats.psi_drift(
+        d,
+        (F.floor(F.col("n_chars") / 200) * 200).cast("long"),
+        F.col("lang") == "en",
+    )
+
+
+@register(
+    "corpus_zipf_slope",
+    r"""
+    WITH freq AS (
+      SELECT t AS tok, COUNT(*) AS c FROM (
+        SELECT UNNEST(string_split(trim(regexp_replace(lower(text),
+                                                       '\s+', ' ', 'g')),
+                      ' ')) AS t
+        FROM documents
+      ) WHERE t <> '' GROUP BY 1
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r
+      FROM freq ORDER BY c DESC, tok ASC LIMIT 1000
+    ), pts AS (
+      SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000000.0) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000000.0) AS BIGINT) AS y
+      FROM ranked WHERE r >= 10
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM pts
+    ), mom AS (
+      SELECT n, sx, sy,
+             n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+      FROM agg
+    ), sl AS (
+      SELECT n, sx, sy,
+             CASE WHEN num < 0 THEN -((-num * 1000000000) // den)
+                  ELSE (num * 1000000000) // den END AS slope_ppb
+      FROM mom
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           CAST(slope_ppb AS BIGINT) AS slope_ppb,
+           CAST(CASE WHEN sy * 1000000000 - slope_ppb * sx < 0
+                     THEN -((-(sy * 1000000000 - slope_ppb * sx))
+                            // (n * 1000000000))
+                     ELSE (sy * 1000000000 - slope_ppb * sx)
+                          // (n * 1000000000) END AS BIGINT) AS intercept_ppb
+    FROM sl
+    """,
+    ("LLM-curation",),
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus token spectrum (OLS of
+    ln freq on ln rank over ranks 10..1000): natural language sits
+    near -1; boilerplate-heavy or degenerate corpora drift away — a
+    one-number corpus-health check. One vocabulary aggregation +
+    top-k; nano-quantized logs make the OLS moments exact integers,
+    and the ppb divisions are sign-split round-toward-zero on both
+    engines (operators/corpusstats.py:zipf_slope)."""
+    d = t(spark, sf_dir, "documents")
+    return corpusstats.zipf_slope(d, "text", top_k=1000, min_rank=10)
+
+
+@register(
+    "sample_exact_per_stratum",
+    """
+    SELECT source, doc_id, rnk FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('ps' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rnk
+      FROM documents
+    ) WHERE rnk <= 20
+    """,
+    ("LLM-curation",),
+)
+def sample_exact_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size per-stratum sample: exactly 20 documents per source
+    (balanced eval-set construction — rate-based sampling pins only
+    the expectation). Rank-by-md5 within each stratum: one shuffle on
+    the stratum key, deterministic across engines and partitionings
+    (operators/textstats.py:stratified_exact_sample)."""
+    d = t(spark, sf_dir, "documents")
+    out = textstats.stratified_exact_sample(d, "doc_id", "source", 20)
+    return out.select("source", "doc_id", F.col("__rank").alias("rnk"))

@@ -1587,3 +1587,87 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s.select(k.alias("src"), ((k * 3) % 100).alias("dst")))
     )
     return graph.kcore_peel(edges, k=3, rounds=3)
+
+
+@register(
+    "mm_binary_simhash_neardup",
+    """
+    SELECT doc_id AS media_a, doc_id + 1000000 AS media_b, TRUE AS found
+    FROM documents WHERE doc_id < 50
+    """,
+    ("LLM-multimodal", "LLM-dedup"),
+)
+def mm_binary_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup detection over OPAQUE BINARY payloads — no
+    decoder required: hex-encode the bytes, SimHash over byte-level
+    4-hex-char shingles (2-byte windows), pigeonhole-banded hamming
+    join. This is the media-dedup primitive for environments where
+    the decode library is absent or payloads are undecodable — a
+    copy sharing almost all byte windows lands a few bits away while
+    unrelated media are ~32 bits away. Driver invariant (the
+    dedup_simhash shape, scale-independent): an exact binary copy of
+    each of the first 50 payloads yields an IDENTICAL fingerprint, so
+    identity closure must connect every planted pair end-to-end
+    through hex, vote aggregation, collapse, and the banded join.
+    Near-miss recovery (trailer-perturbed copies at hamming 1..7) has
+    no scale-independent truth — short payloads flip low-margin vote
+    bits — and is covered by the recall-rate pytest
+    (tests/test_corpusstats.py). Everything is JVM-side: hex(),
+    xxhash64 votes, banded equi-join
+    (operators/dedup.py:simhash_near_dups); binary payloads never
+    shuffle — only 8-byte fingerprints do, which is the whole 100 TB
+    story for media dedup."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    planted = d.filter(F.col("doc_id") < 50)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    ).unionByName(
+        planted.select(
+            (F.col("doc_id") + 1000000).alias("media_id"),
+            F.encode(F.col("text"), "utf-8").alias("content"),
+        )
+    )
+    hx = media.select(
+        "media_id", F.hex(F.col("content")).alias("hx")
+    )
+    pairs = multimodal.binary_simhash_near_dups(hx, "media_id", "hx")
+    # membership up to identity closure (the dedup_minhash_lsh
+    # pattern): under identity collapse a member's pair is represented
+    # by its hub's pair, so map both sides through the identity map —
+    # same-hub pairs are connected by construction, distinct-hub pairs
+    # must appear as the hub pair.
+    idm = pairs._identity_map
+    expected = (
+        planted.select(
+            F.col("doc_id").alias("media_a"),
+            (F.col("doc_id") + 1000000).alias("media_b"),
+        )
+        .join(
+            idm.select(F.col("id").alias("media_a"), F.col("hub").alias("hub_a")),
+            "media_a",
+        )
+        .join(
+            idm.select(F.col("id").alias("media_b"), F.col("hub").alias("hub_b")),
+            "media_b",
+        )
+    )
+    ckeys = pairs.select(
+        F.col("id_a").alias("ka"), F.col("id_b").alias("kb")
+    ).withColumn("__hit", F.lit(True))
+    out = (
+        expected.withColumn("ka", F.least("hub_a", "hub_b"))
+        .withColumn("kb", F.greatest("hub_a", "hub_b"))
+        .join(ckeys, ["ka", "kb"], "left")
+        .select(
+            "media_a",
+            "media_b",
+            (
+                (F.col("hub_a") == F.col("hub_b"))
+                | F.coalesce(F.col("__hit"), F.lit(False))
+            ).alias("found"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs.unpersist()
+    return out

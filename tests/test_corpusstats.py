@@ -1,0 +1,221 @@
+"""Corpus distribution diagnostics: two-sample KS, PSI drift terms,
+Zipf rank-frequency slope (operators/corpusstats.py), plus the
+exact-size per-stratum sampler and the decoder-free binary near-dup."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import corpusstats as cs
+from etl_script_spark.operators import multimodal
+from etl_script_spark.operators import textstats as ts
+
+
+# ---------------------------------------------------------------------------
+# ks_two_sample
+# ---------------------------------------------------------------------------
+
+
+def test_ks_identical_samples_is_zero(spark):
+    d = spark.range(200).select(
+        (F.col("id") % 17).alias("v"), (F.col("id") % 2 == 0).alias("a")
+    )
+    # both sides see the same value multiset (ids alternate sides
+    # uniformly over the v cycle) -> per-value counts equal -> KS = 0
+    row = cs.ks_two_sample(
+        d.select("v", F.lit(True).alias("x")).union(
+            d.select("v", F.lit(False).alias("x"))
+        ),
+        "v",
+        F.col("x"),
+    ).collect()[0]
+    assert row.ks_ppb == 0 and int(row.ks_num) == 0
+    assert row.n_a == 200 and row.n_b == 200
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    d = spark.range(100).select(
+        F.when(F.col("id") < 50, F.col("id"))
+        .otherwise(F.col("id") + 1000)
+        .alias("v"),
+        (F.col("id") < 50).alias("a"),
+    )
+    row = cs.ks_two_sample(d, "v", F.col("a")).collect()[0]
+    assert row.ks_ppb == 1_000_000_000  # max |CDF diff| = 1 exactly
+
+
+def test_ks_matches_reference_and_partition_invariant(spark):
+    # hand-computable case: A = {1,2,3,4}, B = {3,4,5,6}
+    # merged support CDFs: at v=2 F_a=.5 F_b=0 -> diff .5 (max)
+    rows = [(1, True), (2, True), (3, True), (4, True),
+            (3, False), (4, False), (5, False), (6, False)]
+    d = spark.createDataFrame(rows, "v int, a boolean")
+    r1 = cs.ks_two_sample(d, "v", F.col("a")).collect()[0]
+    assert (int(r1.ks_num), int(r1.ks_den)) == (8, 16)
+    assert r1.ks_ppb == 500_000_000
+    r2 = cs.ks_two_sample(d.repartition(7), "v", F.col("a")).collect()[0]
+    assert (int(r2.ks_num), r2.ks_ppb) == (8, 500_000_000)
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_identical_distribution_near_zero_and_nonnegative(spark):
+    d = spark.range(1000).select(
+        (F.col("id") % 5).alias("b"), (F.col("id") % 2 == 0).alias("a")
+    )
+    terms = cs.psi_drift(d, F.col("b"), F.col("a")).collect()
+    assert len(terms) == 5
+    # identical per-bucket shares -> every term rounds to 0 micro-units
+    assert all(t.psi_term_micro == 0 for t in terms)
+
+
+def test_psi_shifted_distribution_flags_and_smoothing_is_finite(spark):
+    # side A lives in buckets 0-1, side B in buckets 8-9: maximal drift;
+    # empty-on-one-side buckets must stay finite via +1 smoothing
+    d = spark.range(400).select(
+        F.when(F.col("id") % 2 == 0, F.col("id") % 2)
+        .otherwise(8 + F.col("id") % 2)
+        .alias("b"),
+        (F.col("id") % 2 == 0).alias("a"),
+    )
+    terms = cs.psi_drift(d, F.col("b"), F.col("a")).collect()
+    psi = sum(t.psi_term_micro for t in terms) / 1e6
+    assert psi > 0.25  # the standard "major shift" threshold
+    assert all(t.psi_term_micro >= 0 for t in terms)
+
+
+# ---------------------------------------------------------------------------
+# zipf_slope
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_recovers_power_law_slope(spark):
+    # exact power law: token w_r appears round(6000 / r) times,
+    # r = 1..1200 -> OLS slope of ln f on ln r over ranks 10..1000
+    # must sit near -1 (quantization + round(freq) wiggle only)
+    rows = []
+    for r in range(1, 1201):
+        rows.append((f"w{r:05d}", round(6000 / r)))
+    docs = spark.createDataFrame(rows, "tok string, n int").select(
+        F.concat_ws(
+            " ", F.array_repeat(F.col("tok"), F.col("n"))
+        ).alias("text")
+    )
+    out = cs.zipf_slope(docs, "text", top_k=1000, min_rank=10).collect()[0]
+    assert out.n_ranks == 991
+    assert abs(out.slope_ppb / 1e9 + 1.0) < 0.05, out.slope_ppb
+    # intercept in nano-ln units should approximate ln(6000)
+    assert abs(out.intercept_ppb / 1e9 - math.log(6000)) < 0.2
+
+
+def test_zipf_partition_invariant_and_validates(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = cs.zipf_slope(d, "text", top_k=200, min_rank=5).collect()[0]
+    b = cs.zipf_slope(d.repartition(13), "text", top_k=200, min_rank=5).collect()[0]
+    assert (a.slope_ppb, a.intercept_ppb, a.n_ranks) == (
+        b.slope_ppb,
+        b.intercept_ppb,
+        b.n_ranks,
+    )
+    with pytest.raises(ValueError):
+        cs.zipf_slope(d, "text", top_k=10, min_rank=10)
+
+
+# ---------------------------------------------------------------------------
+# stratified_exact_sample
+# ---------------------------------------------------------------------------
+
+
+def test_exact_per_stratum_counts_and_determinism(spark):
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = ts.stratified_exact_sample(d, "doc_id", "source", 15)
+    per = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    avail = {r["source"]: r["count"] for r in d.groupBy("source").count().collect()}
+    for s, n in per.items():
+        assert n == min(15, avail[s]), (s, n)
+    assert set(per) == set(avail)  # no stratum dropped
+    ids1 = {r.doc_id for r in out.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in ts.stratified_exact_sample(d.repartition(9), "doc_id", "source", 15)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+    with pytest.raises(ValueError):
+        ts.stratified_exact_sample(d, "doc_id", "source", 0)
+
+
+# ---------------------------------------------------------------------------
+# binary_simhash_near_dups
+# ---------------------------------------------------------------------------
+
+
+def test_binary_neardup_exact_copies_always_connected(spark):
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(20)
+        .select("doc_id", F.encode("text", "utf-8").alias("content"))
+    )
+    media = d.unionByName(
+        d.select((F.col("doc_id") + 10_000).alias("doc_id"), "content")
+    )
+    hx = media.select("doc_id", F.hex("content").alias("hx"))
+    pairs = multimodal.binary_simhash_near_dups(hx, "doc_id", "hx")
+    idm = {r.id: r.hub for r in pairs._identity_map.collect()}
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for r in d.select("doc_id").collect():
+        a, b = idm[r.doc_id], idm[r.doc_id + 10_000]
+        assert a == b or (min(a, b), max(a, b)) in got, r.doc_id
+    pairs.unpersist()
+
+
+def test_binary_neardup_trailer_perturbed_recall(spark):
+    """Near-miss behavior (statistical, not an invariant): a 3-byte
+    trailer append on a >=200-char payload flips only low-margin vote
+    bits, so most — not provably all — perturbed copies land within
+    the hamming-7/8-band envelope. Assert high recall plus the
+    pigeonhole contract: every pair the fingerprints place at
+    hamming<=7 IS connected (closure over the banded join)."""
+    d = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("n_chars") >= 200)
+        .limit(40)
+        .select("doc_id", F.encode("text", "utf-8").alias("content"))
+    )
+    media = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100_000).alias("doc_id"),
+            F.concat(F.col("content"), F.encode(F.lit(" v2"), "utf-8")).alias(
+                "content"
+            ),
+        )
+    )
+    hx = media.select("doc_id", F.hex("content").alias("hx"))
+    from etl_script_spark.operators import dedup as dd
+
+    fp = {
+        r.id: r.fp
+        for r in dd.simhash_fingerprints(hx, "doc_id", "hx", unit="char").collect()
+    }
+    pairs = multimodal.binary_simhash_near_dups(hx, "doc_id", "hx")
+    idm = {r.id: r.hub for r in pairs._identity_map.collect()}
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    found = 0
+    total = 0
+    for r in d.select("doc_id").collect():
+        total += 1
+        a, b = idm[r.doc_id], idm[r.doc_id + 100_000]
+        connected = a == b or (min(a, b), max(a, b)) in got
+        ham = bin(fp[r.doc_id] ^ fp[r.doc_id + 100_000]).count("1")
+        if ham <= 7:
+            assert connected, (r.doc_id, ham)  # pigeonhole: never missed
+        found += connected
+    assert found / total >= 0.8, (found, total)
+    pairs.unpersist()
