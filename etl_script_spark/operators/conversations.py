@@ -60,3 +60,42 @@ def flatten_turns(
             "transcript", F.substring(F.col("transcript"), 1, max_chars)
         )
     return agg
+
+
+def preference_pairs(
+    df: DataFrame, group_col: str, id_col: str, score_col: Column
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction: within each prompt group,
+    pair the highest-scored response (chosen) with the lowest-scored
+    (rejected). Groups with a single response — or where every response
+    ties exactly (margin 0, no training signal) — emit no pair.
+
+    One aggregation: ``max(struct(score, id))`` / ``min(struct(...))``
+    give the lexicographic extremes in a single map-side-combinable
+    groupBy — no window, no second shuffle, which is the shape that
+    holds when the preference corpus is billions of (prompt, response)
+    rows. Tie policy is part of the contract (deterministic across
+    engines): on equal scores the chosen is the LARGEST id, the
+    rejected the SMALLEST — struct comparison ordering — so reruns and
+    SQL replays pick identical pairs.
+
+    Returns ``(group, chosen_id, rejected_id, margin)`` with margin =
+    score(chosen) - score(rejected) > 0 or the tie (margin 0 but
+    different ids) — strictly: pairs where chosen == rejected are
+    dropped (single-response groups); zero-margin pairs with distinct
+    ids are KEPT (ranking ties still carry weak signal; filter on
+    margin downstream if not)."""
+    agg = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.max(
+            F.struct(score_col.alias("s"), F.col(id_col).alias("i"))
+        ).alias("__hi"),
+        F.min(
+            F.struct(score_col.alias("s"), F.col(id_col).alias("i"))
+        ).alias("__lo"),
+    )
+    return agg.filter(F.col("__hi.i") != F.col("__lo.i")).select(
+        "group",
+        F.col("__hi.i").alias("chosen_id"),
+        F.col("__lo.i").alias("rejected_id"),
+        (F.col("__hi.s") - F.col("__lo.s")).alias("margin"),
+    )

@@ -149,3 +149,30 @@ def split(
     passing = tagged.filter(F.size("violated") == 0).drop("violated", *aux)
     quarantined = tagged.filter(F.size("violated") > 0).drop(*aux)
     return passing, quarantined
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-level data profile: one row per column with
+    ``(column, n_rows, n_null, n_distinct)`` — the snapshot summary a
+    profile-drift check compares between dataset versions.
+
+    Single aggregation pass: every column's null count and exact
+    distinct count compute in ONE agg (Spark plans multi-distinct via
+    expand — acceptable for the handful of profiled columns; swap
+    ``approx_count_distinct`` in at 100 TB if exactness isn't needed,
+    same shape), then the wide row unpivots to long form with a
+    stack — no per-column scan, no per-column job."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __null_{c}, __dist_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stacked}) AS (column_name, n_null, n_distinct)",
+    ).select("column_name", "n_rows", "n_null", "n_distinct")

@@ -85,3 +85,39 @@ def reconcile_totals(
         diff.alias("difference"),
         (diff <= tolerance).alias("ok"),
     )
+
+
+def rank_calibrate(
+    df: DataFrame, id_col: str, stratum_col: str, score: Column
+) -> DataFrame:
+    """Per-stratum percent-rank calibration of a quality score — the
+    cross-domain comparability fix: a raw score of 0.7 means different
+    things for web crawl vs curated books, but 'better than 90% of its
+    own source' is comparable everywhere, so mixing/filtering can use
+    ONE global threshold over the calibrated rank.
+
+    Exact integer output (engine-portable): rank is ``row_number``
+    over (score asc, id asc) — the id tiebreak makes it unique — and
+    the calibrated value is ``pr_ppm = (rank-1)*1e6 DIV (n-1)``
+    (percent-rank in parts-per-million; single-row strata calibrate
+    to 0). One shuffle on the stratum key; per-stratum sort, no global
+    order anywhere."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col(stratum_col)).orderBy(
+        score.asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(F.col(stratum_col))
+    return (
+        df.withColumn("__rnk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "pr_ppm",
+            F.expr(
+                "CAST(CASE WHEN __n <= 1 THEN 0 ELSE "
+                "((__rnk - 1) * 1000000) DIV (__n - 1) END AS LONG)"
+            ),
+        )
+        .drop("__n")
+        .withColumnRenamed("__rnk", "rnk")
+    )

@@ -1031,3 +1031,57 @@ def stratified_exact_sample(
         df.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= n_per_stratum)
     )
+
+
+def token_budget_select(
+    df, id_col: str, score, tokens, budget: int
+) -> "DataFrame":
+    """Token-budget-constrained corpus selection: keep the
+    highest-scored documents whose token counts fit a global budget —
+    'the best N-billion-token subset' — WITHOUT a global sort.
+
+    Two-pass threshold design (the 100 TB shape): (1) aggregate token
+    mass per distinct score grade (map-side combine; the corpus
+    reduces to |grades| rows), cumulative-sum the grades best-first to
+    find the boundary grade where the budget runs out; (2) join the
+    (broadcast-sized) grade table back — grades wholly under budget
+    keep every document with no per-row ordering at all; only the ONE
+    boundary grade ranks its documents (by id, deterministic) and
+    keeps a prefix. Grade scores finely (integer millis, not 1-10) so
+    the boundary grade stays small — the within-grade window is the
+    only per-row ordered step.
+
+    ``score`` and ``tokens`` must be integer Columns (exact
+    cumulative arithmetic; quantize a float score first). Documents
+    with tokens <= 0 are never selected. Returns
+    ``(id, score, n_tok)`` of the selected set."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        score.cast("long").alias("score"),
+        tokens.cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    grades = base.groupBy("score").agg(F.sum("n_tok").alias("__gtok"))
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lim = (
+        grades.withColumn("__cum", F.sum("__gtok").over(w))
+        .withColumn("__before", F.col("__cum") - F.col("__gtok"))
+        .select("score", "__before", "__cum")
+    )
+    joined = base.join(F.broadcast(lim), "score")
+    full = joined.filter(F.col("__cum") <= budget)
+    w2 = Window.partitionBy("score").orderBy(F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boundary = (
+        joined.filter((F.col("__before") < budget) & (F.col("__cum") > budget))
+        .withColumn("__dcum", F.sum("n_tok").over(w2))
+        .filter(F.col("__before") + F.col("__dcum") <= budget)
+        .drop("__dcum")
+    )
+    return full.unionByName(boundary).select("id", "score", "n_tok")

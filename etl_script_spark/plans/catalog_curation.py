@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_script_spark.operators import (
+    conversations,
     corpusstats,
     decontam,
+    expectations,
     multimodal,
     redact,
     similarity,
@@ -22,8 +24,10 @@ from etl_script_spark.operators import (
     urls,
 )
 from etl_script_spark.operators import dedup as dedup_ops
+from etl_script_spark.operators import quality as quality_ops
 from etl_script_spark.plans.catalog import register, t
 from etl_script_spark.plans.catalog_text import _QUALITY_EXPR
+from etl_script_spark.plans.catalog_text import _WS as _WS_SQL
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -2046,3 +2050,217 @@ def sample_exact_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     out = textstats.stratified_exact_sample(d, "doc_id", "source", 20)
     return out.select("source", "doc_id", F.col("__rank").alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6b curation operators: preference pairs, budgeted selection,
+# score calibration, profile drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rlhf_preference_pairs",
+    """
+    WITH scored AS (
+      SELECT doc_id % 97 AS grp, doc_id, n_chars AS score FROM documents
+    ),
+    best AS (
+      SELECT grp, doc_id AS chosen_id, score AS s_hi,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY score DESC, doc_id DESC) AS rn
+      FROM scored
+    ),
+    worst AS (
+      SELECT grp, doc_id AS rejected_id, score AS s_lo,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY score ASC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT b.grp AS "group", b.chosen_id, w.rejected_id,
+           b.s_hi - w.s_lo AS margin
+    FROM best b JOIN worst w ON b.grp = w.grp
+    WHERE b.rn = 1 AND w.rn = 1 AND b.chosen_id <> w.rejected_id
+    """,
+    ("LLM-curation",),
+)
+def rlhf_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction: per prompt group, pair
+    the best-scored response with the worst (fixture: doc_id%97 as the
+    prompt group, n_chars as the reward). ONE map-side-combinable
+    aggregation via max/min(struct(score,id)) — no window, no second
+    shuffle at billions of (prompt, response) rows; the tie policy
+    (chosen = largest id, rejected = smallest) is deterministic struct
+    ordering, replayed by the oracle's ranked CTEs
+    (operators/conversations.py:preference_pairs)."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.col("doc_id") % 97).alias("grp"), "doc_id", F.col("n_chars")
+    )
+    out = conversations.preference_pairs(
+        scored, "grp", "doc_id", F.col("n_chars")
+    )
+    return out.select(
+        F.col("group"), "chosen_id", "rejected_id", "margin"
+    )
+
+
+@register(
+    "curation_token_budget_select",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id, doc_id % 37 AS score,
+             len({_WS_SQL}) AS n_tok
+      FROM documents
+    ), grades AS (
+      SELECT score, SUM(n_tok) AS gtok FROM base WHERE n_tok > 0 GROUP BY 1
+    ), lim AS (
+      SELECT score,
+             SUM(gtok) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cum,
+             SUM(gtok) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) - gtok AS bef
+      FROM grades
+    ), j AS (
+      SELECT b.id, b.score, b.n_tok, l.cum, l.bef
+      FROM base b JOIN lim l USING (score) WHERE b.n_tok > 0
+    )
+    SELECT id, score, n_tok FROM j WHERE cum <= 10000
+    UNION ALL
+    SELECT id, score, n_tok FROM (
+      SELECT id, score, n_tok, bef,
+             SUM(n_tok) OVER (PARTITION BY score ORDER BY id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND
+                              CURRENT ROW) AS dcum
+      FROM j WHERE bef < 10000 AND cum > 10000
+    ) WHERE bef + dcum <= 10000
+    """,
+    ("LLM-curation",),
+)
+def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained selection: the best-scored documents
+    that fit a 10k-token budget, WITHOUT a global sort — per-grade
+    token mass + a cumulative pass over the (tiny) grade table finds
+    the boundary grade; whole grades keep with no per-row ordering and
+    only the boundary grade ranks its rows (fixture: doc_id%37 as the
+    model grade, whitespace tokens)
+    (operators/textstats.py:token_budget_select)."""
+    d = t(spark, sf_dir, "documents")
+    out = textstats.token_budget_select(
+        d,
+        "doc_id",
+        F.col("doc_id") % 37,
+        textstats.token_count_ws(F.col("text")),
+        budget=10_000,
+    )
+    return out.select(F.col("id"), "score", "n_tok")
+
+
+@register(
+    "quality_rank_calibration",
+    """
+    SELECT doc_id, source, rnk,
+           CAST(CASE WHEN n <= 1 THEN 0
+                     ELSE ((rnk - 1) * 1000000) // (n - 1) END AS BIGINT)
+             AS pr_ppm
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars ASC, doc_id ASC) AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    """,
+    ("LLM-curation",),
+)
+def quality_rank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percent-rank calibration of a quality score (fixture:
+    n_chars as the raw score): 'better than X% of its own source' is
+    the cross-domain-comparable quantity one global mixing threshold
+    can act on. Exact integer ppm (rank-1)*1e6 DIV (n-1); one shuffle
+    on source (operators/quality.py:rank_calibrate)."""
+    d = t(spark, sf_dir, "documents")
+    out = quality_ops.rank_calibrate(d, "doc_id", "source", F.col("n_chars"))
+    return out.select("doc_id", "source", "rnk", "pr_ppm")
+
+
+@register(
+    "dq_profile_drift",
+    """
+    WITH old AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN NULL ELSE lang END AS lang,
+             source
+      FROM documents WHERE doc_id % 10 <> 2
+    ),
+    po AS (
+      SELECT 'lang' AS column_name, COUNT(*) AS n_rows,
+             SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_null,
+             COUNT(DISTINCT lang) AS n_distinct FROM old
+      UNION ALL
+      SELECT 'source', COUNT(*),
+             SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT source) FROM old
+    ),
+    pn AS (
+      SELECT 'lang' AS column_name, COUNT(*) AS n_rows,
+             SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_null,
+             COUNT(DISTINCT lang) AS n_distinct FROM new
+      UNION ALL
+      SELECT 'source', COUNT(*),
+             SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT source) FROM new
+    )
+    SELECT po.column_name,
+           CAST(po.n_rows AS BIGINT) AS old_rows,
+           CAST(po.n_null AS BIGINT) AS old_null,
+           CAST(po.n_distinct AS BIGINT) AS old_distinct,
+           CAST(pn.n_rows AS BIGINT) AS new_rows,
+           CAST(pn.n_null AS BIGINT) AS new_null,
+           CAST(pn.n_distinct AS BIGINT) AS new_distinct
+    FROM po JOIN pn USING (column_name)
+    """,
+    ("LLM-curation", "DQ"),
+)
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift between two dataset snapshots: per-column
+    (rows, nulls, exact distincts) computed in ONE aggregation pass per
+    snapshot, unpivoted and joined — the schema-health companion to
+    corpus_snapshot_diff's row-level diff (fixture: the new snapshot
+    nulls lang for doc_id%7=3 and shifts membership by the same %10
+    rule). At 100 TB swap count_distinct for approx_count_distinct —
+    same single-pass shape
+    (operators/expectations.py:profile_columns)."""
+    d = t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 != 7).select("doc_id", "lang", "source")
+    new = d.filter(F.col("doc_id") % 10 != 2).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 3, F.lit(None)).otherwise(
+            F.col("lang")
+        ).alias("lang"),
+        "source",
+    )
+    po = expectations.profile_columns(old, ["lang", "source"])
+    pn = expectations.profile_columns(new, ["lang", "source"])
+    return po.select(
+        "column_name",
+        F.col("n_rows").alias("old_rows"),
+        F.col("n_null").alias("old_null"),
+        F.col("n_distinct").alias("old_distinct"),
+    ).join(
+        pn.select(
+            "column_name",
+            F.col("n_rows").alias("new_rows"),
+            F.col("n_null").alias("new_null"),
+            F.col("n_distinct").alias("new_distinct"),
+        ),
+        "column_name",
+    ).select(
+        "column_name",
+        "old_rows",
+        "old_null",
+        "old_distinct",
+        "new_rows",
+        "new_null",
+        "new_distinct",
+    )

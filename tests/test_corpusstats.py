@@ -219,3 +219,86 @@ def test_binary_neardup_trailer_perturbed_recall(spark):
         found += connected
     assert found / total >= 0.8, (found, total)
     pairs.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Round-6b curation operators
+# ---------------------------------------------------------------------------
+
+
+def test_preference_pairs_extremes_ties_and_singletons(spark):
+    from etl_script_spark.operators import conversations as cv
+
+    rows = [
+        ("p1", 1, 10), ("p1", 2, 30), ("p1", 3, 20),   # clear winner/loser
+        ("p2", 4, 5), ("p2", 5, 5),                    # exact tie, 2 ids
+        ("p3", 6, 9),                                  # singleton -> no pair
+    ]
+    d = spark.createDataFrame(rows, "grp string, rid long, score long")
+    out = {
+        r.group: (r.chosen_id, r.rejected_id, r.margin)
+        for r in cv.preference_pairs(d, "grp", "rid", F.col("score")).collect()
+    }
+    assert out["p1"] == (2, 1, 20)
+    # tie policy: chosen = largest id, rejected = smallest, margin 0 kept
+    assert out["p2"] == (5, 4, 0)
+    assert "p3" not in out
+
+
+def test_token_budget_select_respects_budget_and_order(spark):
+    from etl_script_spark.operators import textstats as ts
+
+    # grades 3,2,1 with 4 docs x 10 tokens each; budget 65 keeps grade 3
+    # (40) + grade 2 (40 -> only first 2 docs fit: 40+20=60 <= 65)
+    rows = [(g * 10 + i, g, 10) for g in (1, 2, 3) for i in range(4)]
+    d = spark.createDataFrame(rows, "id long, g long, tok long")
+    sel = ts.token_budget_select(d, "id", F.col("g"), F.col("tok"), budget=65)
+    got = sorted(r.id for r in sel.collect())
+    assert got == [20, 21, 30, 31, 32, 33]  # all of grade 3, first 2 of grade 2
+    assert sum(r.n_tok for r in sel.collect()) <= 65
+    # budget >= total keeps everything; partition invariance
+    assert ts.token_budget_select(d, "id", F.col("g"), F.col("tok"), 10_000).count() == 12
+    got2 = sorted(
+        r.id
+        for r in ts.token_budget_select(
+            d.repartition(7), "id", F.col("g"), F.col("tok"), 65
+        ).collect()
+    )
+    assert got2 == got
+    with pytest.raises(ValueError):
+        ts.token_budget_select(d, "id", F.col("g"), F.col("tok"), 0)
+
+
+def test_token_budget_select_oversized_top_grade_takes_prefix(spark):
+    from etl_script_spark.operators import textstats as ts
+
+    d = spark.createDataFrame(
+        [(i, 5, 30) for i in range(10)], "id long, g long, tok long"
+    )
+    sel = sorted(r.id for r in ts.token_budget_select(
+        d, "id", F.col("g"), F.col("tok"), budget=100).collect())
+    assert sel == [0, 1, 2]  # 3 x 30 = 90 <= 100 < 120, prefix by id
+
+
+def test_rank_calibrate_exact_ppm_and_single_row_stratum(spark):
+    from etl_script_spark.operators import quality as q
+
+    rows = [("a", 1, 50), ("a", 2, 70), ("a", 3, 60), ("b", 4, 99)]
+    d = spark.createDataFrame(rows, "src string, rid long, score long")
+    out = {r.rid: r.pr_ppm for r in q.rank_calibrate(d, "rid", "src", F.col("score")).collect()}
+    assert out == {1: 0, 3: 500_000, 2: 1_000_000, 4: 0}
+
+
+def test_profile_columns_counts_and_validation(spark):
+    from etl_script_spark.operators import expectations as ex
+
+    d = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "en"), (4, "th")], "id long, lang string"
+    )
+    rows = {r.column_name: r for r in ex.profile_columns(d, ["lang", "id"]).collect()}
+    assert rows["lang"].n_rows == 4
+    assert rows["lang"].n_null == 1
+    assert rows["lang"].n_distinct == 2
+    assert rows["id"].n_null == 0 and rows["id"].n_distinct == 4
+    with pytest.raises(ValueError):
+        ex.profile_columns(d, [])
