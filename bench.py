@@ -104,6 +104,13 @@ EXTRA = [
     "inc_agg_join_maintenance",
     "inc_agg_join_retract",
     "export_train_shards",
+    # round 6: corpus diagnostics / curation batch
+    "corpus_ks_drift",
+    "corpus_zipf_slope",
+    "curation_token_budget_select",
+    "rlhf_preference_pairs",
+    "mm_binary_simhash_neardup",
+    "sample_weighted_gumbel_topk",
 ]
 
 

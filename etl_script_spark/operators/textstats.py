@@ -1085,3 +1085,73 @@ def token_budget_select(
         .drop("__dcum")
     )
     return full.unionByName(boundary).select("id", "score", "n_tok")
+
+
+def mlm_mask(
+    df,
+    text_col: str,
+    id_col: str,
+    rate: float = 0.15,
+    mask_token: str = "[MASK]",
+    seed: str = "mm",
+) -> "DataFrame":
+    """Denoising-corpus preparation (BERT-style masked LM): replace a
+    deterministic ~``rate`` fraction of whitespace tokens with
+    ``mask_token`` and emit the masked text, the ordered list of
+    masked (position, original) targets, and the mask count.
+
+    Selection is per-(document, position) via md5 — reproducible
+    across runs, engines, and partitionings, and INDEPENDENT per
+    position (no RNG stream to keep in sync). The whole op is
+    higher-order array functions over the token array — zero explode,
+    zero shuffle, zero UDF: at 100 TB it runs at parquet-scan speed in
+    whole-stage codegen, and the targets column serializes to JSON so
+    downstream (and the SQL oracle) compare it exactly.
+
+    Returns ``(id, masked_text, targets_json, n_masked)``; ``targets``
+    are ``pos:token`` strings in position order (0-based)."""
+    if not 0.0 < rate < 1.0:
+        raise ValueError(f"rate must be in (0,1), got {rate}")
+    thr = format(int(rate * 16**8), "08x")
+
+    def is_masked(i: Column) -> Column:
+        # i is the 0-based position; hash (seed, id, pos)
+        return (
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit(seed),
+                        F.col(id_col).cast("string"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            )
+            < F.lit(thr)
+        )
+
+    ws = words(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(ws) - 1)
+    masked = F.zip_with(
+        ws,
+        idx,
+        lambda w, i: F.when(is_masked(i), F.lit(mask_token)).otherwise(w),
+    )
+    targets = F.filter(
+        F.zip_with(
+            ws,
+            idx,
+            lambda w, i: F.when(
+                is_masked(i), F.concat(i.cast("string"), F.lit(":"), w)
+            ).otherwise(F.lit(None)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(masked, " ").alias("masked_text"),
+        F.to_json(targets).alias("targets_json"),
+        F.size(targets).alias("n_masked"),
+    )

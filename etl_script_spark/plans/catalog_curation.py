@@ -2264,3 +2264,47 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_null",
         "new_distinct",
     )
+
+
+@register(
+    "augment_mlm_mask",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(ws) AS tok,
+             unnest(range(0, len(ws))) AS pos
+      FROM (SELECT doc_id, {_WS_SQL} AS ws FROM documents)
+    ), marked AS (
+      SELECT doc_id, tok, pos,
+             substr(md5('mm' || chr(31) || CAST(doc_id AS VARCHAR)
+                        || chr(31) || CAST(pos AS VARCHAR)), 1, 8)
+               < '26666666' AS m
+      FROM toks
+    )
+    SELECT doc_id AS id,
+           string_agg(CASE WHEN m THEN '[MASK]' ELSE tok END, ' '
+                      ORDER BY pos) AS masked_text,
+           COALESCE(CAST(to_json(list(CAST(pos AS VARCHAR) || ':' || tok
+                                      ORDER BY pos) FILTER (WHERE m))
+                         AS VARCHAR), '[]') AS targets_json,
+           COUNT(*) FILTER (WHERE m) AS n_masked
+    FROM marked GROUP BY doc_id
+    """,
+    ("LLM-curation",),
+)
+def augment_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising-objective corpus prep: deterministically mask ~15% of
+    tokens per document (BERT-style MLM), emitting the masked text and
+    the position-ordered recovery targets. Per-(doc, position) md5
+    selection — no RNG stream, reproducible anywhere; the Spark side
+    is pure higher-order array functions (zip_with/filter — zero
+    explode, zero shuffle, scan-speed at 100 TB) while the oracle
+    replays it relationally via positional unnest + reassembly
+    (operators/textstats.py:mlm_mask). 0x26666666/16^8 = 0.15."""
+    d = t(spark, sf_dir, "documents")
+    out = textstats.mlm_mask(d, "text", "doc_id", rate=0.15, seed="mm")
+    return out.select(
+        "id",
+        "masked_text",
+        "targets_json",
+        F.col("n_masked").cast("long").alias("n_masked"),
+    )

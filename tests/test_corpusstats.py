@@ -302,3 +302,47 @@ def test_profile_columns_counts_and_validation(spark):
     assert rows["id"].n_null == 0 and rows["id"].n_distinct == 4
     with pytest.raises(ValueError):
         ex.profile_columns(d, [])
+
+
+# ---------------------------------------------------------------------------
+# mlm_mask
+# ---------------------------------------------------------------------------
+
+
+def test_mlm_mask_rate_recoverability_and_determinism(spark):
+    import json
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = ts.mlm_mask(d, "text", "doc_id", rate=0.15).collect()
+    total_tok = 0
+    total_masked = 0
+    from etl_script_spark.operators.dedup import normalize_text
+
+    norm = {
+        r.doc_id: r.n
+        for r in d.select(
+            "doc_id", normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    for r in out:
+        toks = r.masked_text.split(" ")
+        targets = json.loads(r.targets_json)
+        assert len(targets) == r.n_masked
+        # recoverability: substituting targets back yields the original
+        for t in targets:
+            pos, _, orig = t.partition(":")
+            assert toks[int(pos)] == "[MASK]"
+            toks[int(pos)] = orig
+        assert " ".join(toks) == norm[r.id]
+        total_tok += len(toks)
+        total_masked += r.n_masked
+    # md5 selection is Bernoulli(0.15) per position
+    assert abs(total_masked / total_tok - 0.15) < 0.03, (total_masked, total_tok)
+    # partition invariance
+    again = {
+        r.id: (r.masked_text, r.targets_json)
+        for r in ts.mlm_mask(d.repartition(11), "text", "doc_id", 0.15).collect()
+    }
+    assert all(again[r.id] == (r.masked_text, r.targets_json) for r in out)
+    with pytest.raises(ValueError):
+        ts.mlm_mask(d, "text", "doc_id", rate=0.0)

@@ -704,6 +704,84 @@ def stress_round6c_textops(spark):
           f"{time.time()-t0:.1f}s -> {hits['n']} docs, {hits['m']} matches")
 
 
+def stress_round6d_corpusops(spark):
+    """Scale rows for the corpus-diagnostics / sampling / curation
+    batch: KS + PSI + Zipf + budget-select + calibration +
+    preference pairs at 10-20M rows, binary SimHash at 200k payloads.
+    Run standalone: ``python tools/stress_curation.py --round6d``."""
+    from etl_script_spark.operators import (
+        conversations,
+        corpusstats,
+        multimodal,
+        quality as quality_ops,
+    )
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        cnt = out.count() if hasattr(out, "count") else out
+        print(f"{name}: {time.time()-t0:.1f}s  -> {cnt} rows")
+
+    M10, M20 = 10_000_000, 20_000_000
+    # 10M synthetic rows: integer value with ~100k distinct values
+    # (the KS reduced frame), 2-sided split, 37-grade score, token count
+    rows = spark.range(M10).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("v"),
+        (F.col("id") % 3 == 0).alias("is_a"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(37)).alias("grade"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(900)) + 100).alias("n_tok"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(20)).alias("src"),
+    )
+    rows.write.mode("overwrite").parquet("/tmp/etl_script_spark_io/stress_rows_10m")
+    rows = spark.read.parquet("/tmp/etl_script_spark_io/stress_rows_10m")
+
+    run("ks_two_sample 10M (100k distinct)", lambda: corpusstats.ks_two_sample(
+        rows, "v", F.col("is_a")))
+    run("psi_drift 10M (500 buckets)", lambda: corpusstats.psi_drift(
+        rows, F.col("v") % 500, F.col("is_a")))
+    run("token_budget_select 10M (37 grades, 30% budget)",
+        lambda: textstats.token_budget_select(
+            rows, "id", F.col("grade"), F.col("n_tok"),
+            budget=int(M10 * 550 * 0.3)))
+    run("rank_calibrate 10M (20 strata)", lambda: quality_ops.rank_calibrate(
+        rows, "id", "src", F.col("n_tok")))
+    run("stratified_exact_sample 10M (20 strata x 1000)",
+        lambda: textstats.stratified_exact_sample(rows, "id", "src", 1000))
+    run("weighted_sample_topk 10M (n=10k)", lambda: textstats.weighted_sample_topk(
+        rows, "id", F.col("n_tok") + 1, n=10_000))
+
+    prefs = spark.range(M20).select(
+        F.pmod(F.xxhash64("id"), F.lit(2_000_000)).alias("grp"),
+        F.col("id").alias("rid"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)).alias("score"),
+    )
+    run("preference_pairs 20M (2M groups)", lambda: conversations.preference_pairs(
+        prefs, "grp", "rid", F.col("score")))
+
+    # Zipf over the 1M-doc pathological corpus (rebuilds if absent)
+    t0 = time.time()
+    d = build(spark, n=1_000_000, out="/tmp/etl_script_spark_io/stress_1000000")
+    print(f"build 1M corpus: {time.time()-t0:.1f}s")
+    run("zipf_slope 1M docs (60M tokens)", lambda: corpusstats.zipf_slope(
+        d, "text", top_k=1000, min_rank=10))
+
+    # binary SimHash near-dup over 200k payloads (2x100k: half exact
+    # copies) — fingerprint cost dominates (hex doubles the bytes)
+    media = build(
+        spark, n=100_000, out="/tmp/etl_script_spark_io/stress_100000"
+    ).select("doc_id", F.hex(F.encode("text", "utf-8")).alias("hx"))
+    both = media.unionByName(
+        media.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "hx")
+    )
+    def _mm():
+        p = multimodal.binary_simhash_near_dups(both, "doc_id", "hx")
+        n = p.count()
+        p.unpersist()
+        return n
+    run("binary_simhash_near_dups 200k payloads", _mm)
+
+
 if __name__ == "__main__":
     if "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
@@ -716,6 +794,10 @@ if __name__ == "__main__":
     elif "--round6b" in sys.argv:
         spark = get_spark(app_name="stress-round6b")
         stress_round6b_newops(spark)
+        spark.stop()
+    elif "--round6d" in sys.argv:
+        spark = get_spark(app_name="stress-round6d")
+        stress_round6d_corpusops(spark)
         spark.stop()
     else:
         main()
