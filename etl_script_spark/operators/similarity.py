@@ -1270,3 +1270,70 @@ def _banded_arrow(
     return df.select(id_col, vec_col).mapInPandas(
         fn, schema=f"{out} long, band int, bucket long"
     )
+
+
+def inbatch_negatives(
+    df: DataFrame, id_col: str, k: int = 4, n_batches: int = 1024,
+    seed: str = "b",
+) -> DataFrame:
+    """In-batch negative sampling for contrastive training: assign rows
+    to pseudo-random batches (md5 bucket — engine-replayable, unlike
+    xxhash64), order each batch on a second md5 ring, and give every
+    anchor its next ``k`` ring neighbors (cyclic) as negatives —
+    exactly the in-batch-negatives scheme contrastive losses use, made
+    deterministic and reproducible across runs/engines/partitionings.
+
+    One shuffle (groupBy batch), then pure array functions over the
+    collected batch — batches are corpus_size/n_batches rows, so size
+    ``n_batches`` to keep each batch at the intended training batch
+    size (the collect_list per group is bounded by that choice, not by
+    data volume). Self-pairing is impossible: offsets run 1..min(k,
+    m-1) around a ring of m distinct members; singleton batches emit
+    nothing. Returns exploded ``(id, negative_id, off)`` pairs."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_batches < 1:
+        raise ValueError(f"n_batches must be >= 1, got {n_batches}")
+    sid = F.col(id_col).cast("string")
+    batch = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), sid)), 1, 8), 16, 10
+    ).cast("long") % n_batches
+    ring = F.md5(F.concat(F.lit("r"), sid))
+    grouped = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            batch.alias("__batch"),
+            ring.alias("__ring"),
+        )
+        .groupBy("__batch")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__ring"), F.col("__id")))
+                ),
+                lambda s: s["__id"],
+            ).alias("__ids")
+        )
+    )
+    m = F.size("__ids")
+    pairs = grouped.select(
+        "__batch",
+        "__ids",
+        F.posexplode("__ids").alias("__i", "id"),
+    ).filter(m > 1)
+    offs = F.sequence(F.lit(1), F.least(F.lit(k), F.size("__ids") - 1))
+    return (
+        pairs.select(
+            "id",
+            "__ids",
+            "__i",
+            F.explode(offs).alias("off"),
+        )
+        .select(
+            "id",
+            F.col("__ids")[
+                (F.col("__i") + F.col("off")) % F.size("__ids")
+            ].alias("negative_id"),
+            "off",
+        )
+    )

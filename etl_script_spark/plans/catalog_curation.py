@@ -2308,3 +2308,42 @@ def augment_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         "targets_json",
         F.col("n_masked").cast("long").alias("n_masked"),
     )
+
+
+@register(
+    "contrastive_inbatch_negatives",
+    """
+    WITH b AS (
+      SELECT vec_id,
+             ('0x' || substr(md5('b' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 16 AS batch,
+             md5('r' || CAST(vec_id AS VARCHAR)) AS ring
+      FROM embeddings
+    ), p AS (
+      SELECT vec_id, batch,
+             ROW_NUMBER() OVER (PARTITION BY batch
+                                ORDER BY ring ASC, vec_id ASC) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY batch) AS m
+      FROM b
+    ), a AS (
+      SELECT vec_id AS id, batch, i, m,
+             unnest(range(1, CAST(least(4, m - 1) AS BIGINT) + 1)) AS off
+      FROM p WHERE m > 1
+    )
+    SELECT a.id, q.vec_id AS negative_id, CAST(a.off AS INT) AS off
+    FROM a JOIN p q ON q.batch = a.batch AND q.i = (a.i + a.off) % a.m
+    """,
+    ("LLM-similarity",),
+)
+def contrastive_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch negative sampling over the embedding corpus: md5-bucket
+    rows into 16 pseudo-random batches, ring-order each batch, and
+    emit every anchor's next <=4 cyclic neighbors as its contrastive
+    negatives — deterministic, self-pair-free, one shuffle + array
+    functions; the oracle replays it relationally (ranked positions +
+    modular self-join) (operators/similarity.py:inbatch_negatives)."""
+    d = t(spark, sf_dir, "embeddings")
+    out = similarity.inbatch_negatives(d, "vec_id", k=4, n_batches=16)
+    return out.select(
+        F.col("id"), "negative_id", F.col("off").cast("int").alias("off")
+    )

@@ -346,3 +346,37 @@ def test_mlm_mask_rate_recoverability_and_determinism(spark):
     assert all(again[r.id] == (r.masked_text, r.targets_json) for r in out)
     with pytest.raises(ValueError):
         ts.mlm_mask(d, "text", "doc_id", rate=0.0)
+
+
+# ---------------------------------------------------------------------------
+# inbatch_negatives
+# ---------------------------------------------------------------------------
+
+
+def test_inbatch_negatives_contract(spark):
+    from etl_script_spark.operators import similarity as sim
+
+    d = spark.range(200).select(F.col("id").alias("vid"))
+    out = sim.inbatch_negatives(d, "vid", k=4, n_batches=8).collect()
+    by_anchor = {}
+    for r in out:
+        assert r.negative_id != r.id  # never self
+        by_anchor.setdefault(r.id, []).append(r.negative_id)
+    # every anchor present (200 ids over 8 batches -> no singletons here)
+    assert len(by_anchor) == 200
+    for negs in by_anchor.values():
+        assert 1 <= len(negs) <= 4
+        assert len(set(negs)) == len(negs)  # distinct negatives
+    # deterministic under repartitioning
+    again = sim.inbatch_negatives(d.repartition(7), "vid", 4, 8).collect()
+    assert {(r.id, r.negative_id, r.off) for r in again} == {
+        (r.id, r.negative_id, r.off) for r in out
+    }
+    # singleton batches emit nothing; k larger than batch wraps safely
+    one = spark.createDataFrame([(1,)], "vid long")
+    assert sim.inbatch_negatives(one, "vid", 4, 8).count() == 0
+    two = spark.createDataFrame([(1,), (2,)], "vid long")
+    rows = sim.inbatch_negatives(two, "vid", 4, 1).collect()
+    assert {(r.id, r.negative_id) for r in rows} == {(1, 2), (2, 1)}
+    with pytest.raises(ValueError):
+        sim.inbatch_negatives(d, "vid", 0, 8)
