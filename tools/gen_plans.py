@@ -162,6 +162,29 @@ SHOW = {
         "exchange + one sort + one Window operator, the weighted sum "
         "fully inside whole-stage codegen."
     ),
+    "corpus_ks_drift": (
+        "Two-sample KS: the map-side-combined groupBy reduces the "
+        "corpus to |distinct values| rows BEFORE the single-partition "
+        "cumulative window — the unavoidable serial CDF pass runs over "
+        "the reduced frame, never raw rows; the ppb division is exact "
+        "integer DIV over DECIMAL(38,0)."
+    ),
+    "curation_token_budget_select": (
+        "Budgeted selection without a global sort: per-grade token "
+        "mass aggregates map-side, the cumulative pass runs over the "
+        "tiny grade table, and the grade limits BROADCAST back onto "
+        "the corpus — only the one boundary grade orders its rows."
+    ),
+    "augment_mlm_mask": (
+        "MLM masking: scan + ONE codegen Project — zip_with/filter "
+        "higher-order functions, zero explode, zero exchange, zero "
+        "Python; denoising-corpus prep at parquet-scan speed."
+    ),
+    "rlhf_preference_pairs": (
+        "Preference pairs: max/min of (score,id) structs in a single "
+        "map-side-combinable aggregation — one exchange total, no "
+        "window, deterministic tie policy by struct ordering."
+    ),
 }
 
 
