@@ -218,8 +218,8 @@ def binary_simhash_near_dups(
     df: DataFrame,
     id_col: str,
     hex_col: str,
-    max_hamming: int = 7,
-    bands: int = 8,
+    max_hamming: int = 3,
+    bands: int = 4,
 ) -> DataFrame:
     """Decoder-free near-dup pairs over binary media payloads: SimHash
     on byte-level windows (4 hex chars = 2 bytes) of the hex-encoded
@@ -227,13 +227,17 @@ def binary_simhash_near_dups(
     payload pre-hexed (``F.hex(content)``) so the binary column itself
     is pruned before any shuffle — only the 8-byte fingerprints move.
 
-    This is the media twin of text SimHash (same guarantees: a
-    hamming<=k pair shares one of k+1 bands, identical payloads
-    collapse before the band join); the wider default threshold
-    (7 under 8 bands) reflects that byte-level edits — container
-    re-muxing, metadata/trailer changes — perturb more windows than a
-    word edit does in text. Returns the persisted pair frame from
-    ``dedup.simhash_near_dups``; call ``.unpersist()`` when done."""
+    Media twin of text SimHash, same guarantees: a hamming<=k pair
+    shares one of k+1 bands, identical payloads collapse before the
+    band join. DO NOT raise ``bands`` past 4 to widen the threshold:
+    band-bucket entropy is 2^(64/bands), so 8 bands means 8-bit chunks
+    — 256 possible values — and every band bucket holds n/256 of the
+    corpus, turning the band join quadratic (the round-6 200k-payload
+    stress run generated ~600M candidate pairs under bands=8 before it
+    was killed; bands=4 keeps buckets at n/65536). A wider hamming
+    envelope needs a longer fingerprint, not narrower bands. Returns
+    the persisted pair frame from ``dedup.simhash_near_dups``; call
+    ``.unpersist()`` when done."""
     from etl_script_spark.operators import dedup as _dedup
 
     return _dedup.simhash_near_dups(

@@ -1609,7 +1609,7 @@ def mm_binary_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     each of the first 50 payloads yields an IDENTICAL fingerprint, so
     identity closure must connect every planted pair end-to-end
     through hex, vote aggregation, collapse, and the banded join.
-    Near-miss recovery (trailer-perturbed copies at hamming 1..7) has
+    Near-miss recovery (trailer-perturbed copies at small hamming) has
     no scale-independent truth — short payloads flip low-margin vote
     bits — and is covered by the recall-rate pytest
     (tests/test_corpusstats.py). Everything is JVM-side: hex(),
