@@ -118,27 +118,38 @@ def shingles(c: Column, n: int = 3, distinct: bool = True) -> Column:
     return let(F.split(normalize_text(c), " "), build)
 
 
-def char_shingles(c: Column, n: int = 5) -> Column:
+def char_shingles(c: Column, n: int = 5, stride: int = 1) -> Column:
     """Character n-gram shingle set (array<string>, distinct) of the
     normalized text. The unit for scripts that do not delimit words
     with whitespace (Thai, CJK) — word shingles over such text
     degenerate to one giant token and near-dup detection goes blind.
     Character positions, not bytes, so multibyte scripts are safe.
-    Normalized text is let-bound (see ``shingles``: an inlined subtree
-    inside the lambda goes quadratic in document length)."""
+
+    Built from a let-bound single-character array with O(1)
+    ``element_at`` indexing — NOT per-position ``substr``: UTF8String
+    substring re-scans from the head to find the codepoint boundary,
+    so windowed substr is O(len^2) per document (invisible on
+    sentence-length CJK, 30x wall on the round-6 200k x 700-char
+    hex-payload stress; this build is O(len*n) and emits the identical
+    shingle values, so fingerprints are unchanged)."""
     from etl_script_spark.functions.exprs import let
 
-    def build(txt: Column) -> Column:
-        k = F.length(txt) - F.lit(n - 1)
+    def build(chars: Column) -> Column:
+        k = F.size(chars) - F.lit(n - 1)
         grams = F.when(
             k > 0,
             F.transform(
-                F.sequence(F.lit(1), k), lambda i: txt.substr(i, F.lit(n))
+                F.sequence(F.lit(1), k, F.lit(stride)),
+                lambda i: F.concat(
+                    *[F.element_at(chars, i + F.lit(j)) for j in range(n)]
+                ),
             ),
-        ).otherwise(F.array(txt))
+        ).otherwise(F.array(F.array_join(chars, "")))
         return F.array_distinct(grams)
 
-    return let(normalize_text(c), build)
+    return let(
+        F.filter(F.split(normalize_text(c), ""), lambda x: x != ""), build
+    )
 
 
 def minhash_signatures(
@@ -530,11 +541,16 @@ def simhash_fingerprints(
 
     ``unit='word'`` (default) votes over whitespace words;
     ``unit='char'`` over character 4-grams for undelimited scripts
-    (Thai, CJK).
+    (Thai, CJK); ``unit='byte-hex'`` over BYTE-ALIGNED 2-byte windows
+    of a hex-encoded binary payload (4 hex chars at stride 2 — half
+    the features of sliding char grams, and each feature is a real
+    byte pair, which is the unit container/trailer edits move in).
     """
     feats = (
         char_shingles(F.col(text_col), 4)
         if unit == "char"
+        else char_shingles(F.col(text_col), 4, stride=2)
+        if unit == "byte-hex"
         else F.split(normalize_text(F.col(text_col)), " ")
     )
     ex = _fan_out(df).select(

@@ -246,5 +246,5 @@ def binary_simhash_near_dups(
         hex_col,
         max_hamming=max_hamming,
         bands=bands,
-        unit="char",
+        unit="byte-hex",
     )

@@ -204,7 +204,9 @@ def test_binary_neardup_trailer_perturbed_recall(spark):
 
     fp = {
         r.id: r.fp
-        for r in dd.simhash_fingerprints(hx, "doc_id", "hx", unit="char").collect()
+        for r in dd.simhash_fingerprints(
+            hx, "doc_id", "hx", unit="byte-hex"
+        ).collect()
     }
     pairs = multimodal.binary_simhash_near_dups(hx, "doc_id", "hx")
     idm = {r.id: r.hub for r in pairs._identity_map.collect()}
