@@ -72,3 +72,59 @@ def contamination_report(
     return hits.groupBy(id_col).agg(
         F.count_distinct("gram").alias("n_overlap")
     )
+
+
+def contamination_report_bloom(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    m_bits: int = 1 << 17,
+) -> DataFrame:
+    """Two-phase contamination report for benchmark suites too large
+    to broadcast as an exact gram set: (1) a Bloom filter over the
+    benchmark grams (fixed ``m_bits`` bits regardless of suite size)
+    prunes the corpus gram stream executor-side — no shuffle, no
+    broadcast of the exact set; (2) ONLY the pruned survivors join the
+    benchmark grams exactly, so the expensive equi-join sees a stream
+    already reduced by the Bloom's true-negative rate.
+
+    EXACT output: Bloom filters have no false negatives, and phase 2
+    re-verifies every survivor by hash AND string — identical rows to
+    ``contamination_report`` at any m_bits (an undersized filter only
+    costs phase-2 volume, never correctness), which is what the SQL
+    oracle replays. Size m_bits ~ 10x the distinct benchmark gram
+    count for a ~1% false-positive rate."""
+    from etl_script_spark.operators.dedup import _fan_out
+    from etl_script_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    bench_grams = (
+        bench.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+        .select(F.xxhash64("gram").alias("gh"), "gram")
+    )
+    bitmap = bloom_build(bench_grams.select("gram"), "gram", m_bits)
+    corpus_grams = _fan_out(
+        corpus.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    )
+    survivors = corpus_grams.filter(
+        bloom_might_contain(F.col("gram"), bitmap, m_bits)
+    )
+    hits = survivors.join(
+        F.broadcast(bench_grams).withColumnRenamed("gram", "bgram"),
+        on=[
+            F.xxhash64(survivors["gram"]) == F.col("gh"),
+            survivors["gram"] == F.col("bgram"),
+        ],
+        how="inner",
+    )
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("gram").alias("n_overlap")
+    )

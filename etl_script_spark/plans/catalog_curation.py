@@ -2347,3 +2347,68 @@ def contrastive_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(
         F.col("id"), "negative_id", F.col("off").cast("int").alias("off")
     )
+
+
+@register(
+    "decontam_bloom_ngram",
+    f"""
+    WITH bench(s) AS (VALUES {_BENCH_VALUES}),
+    bg AS (
+      SELECT flatten(list({_GRAMS8.format(ws="string_split(s, ' ')")})) AS grams
+      FROM bench
+    ),
+    sent AS (SELECT list(s ORDER BY s) AS arr FROM bench),
+    inj AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(
+               text || CASE WHEN doc_id % 10 = 3 THEN ' ' ||
+                 arr[CAST((doc_id // 10) % 3 AS INT) + 1]
+               ELSE '' END), '\\s+', ' ', 'g')) AS norm
+      FROM documents CROSS JOIN sent
+    ),
+    hits AS (
+      SELECT doc_id,
+             len(list_intersect(
+               {_GRAMS8.format(ws="string_split(norm, ' ')")},
+               grams)) AS n_overlap
+      FROM inj CROSS JOIN bg
+    )
+    SELECT doc_id, n_overlap FROM hits WHERE n_overlap > 0
+    """,
+    ("LLM-curation",),
+)
+def decontam_bloom_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned benchmark decontamination — the scale path when
+    the eval-suite gram set outgrows an exact broadcast: a fixed-width
+    Bloom bitmap (2-16 KB however large the suite) prunes the corpus
+    gram stream executor-side, and only survivors hit the exact
+    verify join. Output is EXACT (no false negatives + string
+    re-verify), so the oracle is the same exact-overlap SQL as
+    decontam_ngram_overlap; same planted fixture
+    (operators/decontam.py:contamination_report_bloom)."""
+    d = t(spark, sf_dir, "documents")
+    bench_sorted = sorted(_BENCH)
+    arr = F.array(*[F.lit(s) for s in bench_sorted])
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 3,
+                F.concat(
+                    F.lit(" "),
+                    F.element_at(
+                        arr,
+                        ((F.col("doc_id") / F.lit(10)).cast("long") % 3).cast(
+                            "int"
+                        )
+                        + 1,
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    bench = spark.createDataFrame([(s,) for s in bench_sorted], ["text"])
+    return decontam.contamination_report_bloom(
+        corpus, bench, "text", "doc_id", n=8, m_bits=1 << 14
+    )

@@ -595,3 +595,114 @@ def st_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.stream_neardup_gate(
         spark, feed, "doc_id bigint, text string", store, mode="exact"
     )
+
+
+@register(
+    "st_stream_drift_monitor",
+    """
+    WITH bucketed AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts)/86400) AS BIGINT)
+                            * 86400 * 1000000) AS win_start,
+             CAST(floor(value / 50) * 50 AS BIGINT) AS bucket
+      FROM events
+    ),
+    wc AS (SELECT win_start, bucket, COUNT(*) AS n FROM bucketed
+           GROUP BY 1, 2),
+    base AS (SELECT bucket, COUNT(*) AS bc FROM bucketed GROUP BY 1),
+    grid AS (
+      SELECT w.win_start, b.bucket, b.bc, COALESCE(wc.n, 0) AS wcn
+      FROM (SELECT DISTINCT win_start FROM wc) w
+      CROSS JOIN base b
+      LEFT JOIN wc ON wc.win_start = w.win_start AND wc.bucket = b.bucket
+    ),
+    tot AS (
+      SELECT win_start, bucket, wcn, bc,
+             SUM(wcn) OVER (PARTITION BY win_start) AS wn,
+             COUNT(*) OVER (PARTITION BY win_start) AS nb,
+             SUM(bc) OVER (PARTITION BY win_start) AS bn
+      FROM grid
+    )
+    SELECT win_start, bucket, CAST(wcn AS BIGINT) AS n_events,
+           CAST(ROUND((CAST(wcn + 1 AS DOUBLE) / (wn + nb)
+                       - CAST(bc + 1 AS DOUBLE) / (bn + nb))
+                      * ln((CAST(wcn + 1 AS DOUBLE) / (wn + nb))
+                           / (CAST(bc + 1 AS DOUBLE) / (bn + nb)))
+                      * 1000000.0) AS BIGINT) AS psi_term_micro
+    FROM tot
+    """,
+    ("streaming-window", "LLM-curation"),
+)
+def st_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming distribution-drift monitor: the value-bucket
+    histogram aggregates per 1-day tumbling window INSIDE the stream
+    (watermark + complete mode, AvailableNow drain), then each drained
+    window's distribution scores a Laplace-smoothed PSI against the
+    static whole-corpus baseline — the alert a production feed raises
+    when today's traffic stops looking like the training distribution.
+    The stream only carries (window, bucket, count) state — bucket
+    cardinality x windows rows, never events; the PSI arithmetic runs
+    batch-side on the tiny drained frame (same quantized-micro
+    formula as corpusstats.psi_drift)."""
+    from pyspark.sql import Window as W
+
+    sdf = ingest.stream_events(spark, sf_dir)
+    bucket = (F.floor(F.col("value") / 50) * 50).cast("long")
+    counts = windows.tumbling_agg(
+        windows.watermarked(sdf, "ts", "1 hour").withColumn(
+            "bucket", bucket
+        ),
+        "ts",
+        "1 day",
+        ["bucket"],
+        [F.count(F.lit(1)).alias("n")],
+    ).select(
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+        "bucket",
+        "n",
+    )
+    drained = ingest.run_available_now(
+        counts,
+        f"st_stream_drift_{_tag(sf_dir)}",
+        output_mode="complete",
+    )
+    e = t(spark, sf_dir, "events")
+    base = e.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("bc")
+    )
+    # rename on the distinct side: the grid joins back to its own
+    # ancestor (drained), and shared attribute ids make the equi-join
+    # ambiguous otherwise
+    wins = drained.select(F.col("win_start").alias("ws")).distinct()
+    dr = drained.select(
+        F.col("win_start").alias("dws"),
+        F.col("bucket").alias("dbucket"),
+        "n",
+    )
+    grid = (
+        wins.crossJoin(F.broadcast(base))
+        .join(
+            dr,
+            (F.col("ws") == F.col("dws"))
+            & (F.col("bucket") == F.col("dbucket")),
+            "left",
+        )
+        .withColumn("wcn", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumnRenamed("ws", "win_start")
+        .drop("dws", "dbucket", "n")
+    )
+    ww = W.partitionBy("win_start")
+    tot = (
+        grid.withColumn("wn", F.sum("wcn").over(ww))
+        .withColumn("nb", F.count(F.lit(1)).over(ww))
+        .withColumn("bn", F.sum("bc").over(ww))
+    )
+    pa = (F.col("wcn") + 1).cast("double") / (F.col("wn") + F.col("nb"))
+    pb = (F.col("bc") + 1).cast("double") / (F.col("bn") + F.col("nb"))
+    return tot.select(
+        "win_start",
+        "bucket",
+        F.col("wcn").cast("long").alias("n_events"),
+        F.round((pa - pb) * F.log(pa / pb) * 1e6)
+        .cast("long")
+        .alias("psi_term_micro"),
+    )

@@ -384,3 +384,32 @@ def test_inbatch_negatives_contract(spark):
     assert {(r.id, r.negative_id) for r in rows} == {(1, 2), (2, 1)}
     with pytest.raises(ValueError):
         sim.inbatch_negatives(d, "vid", 0, 8)
+
+
+# ---------------------------------------------------------------------------
+# contamination_report_bloom
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontam_matches_exact_even_undersized(spark):
+    from etl_script_spark.operators import decontam as dc
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 7 == 2).select("text")
+    corpus = d.select("doc_id", "text")
+    exact = {
+        (r.doc_id, r.n_overlap)
+        for r in dc.contamination_report(corpus, bench, "text", "doc_id", n=8).collect()
+    }
+    # an UNDERSIZED bloom (256 bits) floods phase 2 with false
+    # positives — output must still be byte-identical to the exact
+    # report (no false negatives + string re-verify)
+    for m_bits in (1 << 8, 1 << 14):
+        got = {
+            (r.doc_id, r.n_overlap)
+            for r in dc.contamination_report_bloom(
+                corpus, bench, "text", "doc_id", n=8, m_bits=m_bits
+            ).collect()
+        }
+        assert got == exact, m_bits
+    assert exact  # fixture actually plants overlaps
