@@ -111,6 +111,8 @@ EXTRA = [
     "rlhf_preference_pairs",
     "mm_binary_simhash_neardup",
     "sample_weighted_gumbel_topk",
+    "decontam_bloom_ngram",
+    "st_stream_drift_monitor",
 ]
 
 
