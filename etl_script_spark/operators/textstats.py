@@ -1155,3 +1155,142 @@ def mlm_mask(
         F.to_json(targets).alias("targets_json"),
         F.size(targets).alias("n_masked"),
     )
+
+
+def span_corrupt(
+    df,
+    text_col: str,
+    id_col: str,
+    start_rate: float = 0.05,
+    seed: str = "sc",
+) -> "DataFrame":
+    """T5-style span corruption: replace contiguous token spans with
+    numbered sentinels and emit the (input, target) pair — the
+    denoising-objective companion to ``mlm_mask`` for encoder-decoder
+    training corpora.
+
+    Span selection is deterministic per (document, position): a
+    position starts a span when md5(seed‖id‖pos) falls under
+    ``start_rate`` (mean span length 3: lengths 2-4 from the next hash
+    nibble, ~15% of tokens corrupted at the default rate); overlapping
+    spans MERGE into one (the T5 non-overlap constraint, realized as
+    interval union — same running-max trick as the repeated-span
+    remover). Sentinels number left to right: input keeps clean tokens
+    and one ``<extra_id_k>`` per merged span; target lists each
+    sentinel followed by the tokens it hides, closed by the final
+    sentinel.
+
+    Shape: posexplode + three window passes over (doc, position) —
+    ONE shuffle on the doc id, linear per document, engine-replayable
+    (running max / running sum / string_agg all exist in ANSI SQL).
+    Returns ``(id, corrupted, target, n_spans)``."""
+    if not 0.0 < start_rate < 1.0:
+        raise ValueError(f"start_rate must be in (0,1), got {start_rate}")
+    from pyspark.sql import Window
+
+    thr = format(int(start_rate * 16**8), "08x")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "tok"),
+    )
+    h = F.md5(
+        F.concat_ws(
+            "\x1f", F.lit(seed), F.col("id").cast("string"),
+            F.col("pos").cast("string"),
+        )
+    )
+    # span start + its reach (exclusive end): pos + 2..4 tokens
+    marked = toks.withColumn(
+        "__reach",
+        F.when(
+            F.substring(h, 1, 8) < F.lit(thr),
+            F.col("pos")
+            + 2
+            + F.conv(F.substring(h, 9, 1), 16, 10).cast("int") % 3,
+        ).otherwise(F.lit(-1)),
+    )
+    w_cum = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        marked.withColumn(
+            "__covered", F.max("__reach").over(w_cum) > F.col("pos")
+        )
+        .withColumn(
+            "__new_span",
+            F.col("__covered")
+            & ~F.coalesce(
+                (F.max("__reach").over(w_prev) > F.col("pos")), F.lit(False)
+            ),
+        )
+        .withColumn(
+            "__span_id",
+            F.sum(F.col("__new_span").cast("int")).over(w_cum),
+        )
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("__span_id") - 1).cast("string"), F.lit(">")
+    )
+    # input: clean tokens verbatim, one sentinel at each span head,
+    # nothing for span continuation positions
+    inp_piece = F.when(~F.col("__covered"), F.col("tok")).when(
+        F.col("__new_span"), sentinel
+    )
+    # target: sentinel ahead of each span's tokens, then the span tokens
+    tgt_piece = F.when(
+        F.col("__covered"),
+        F.when(
+            F.col("__new_span"), F.concat(sentinel, F.lit(" "), F.col("tok"))
+        ).otherwise(F.col("tok")),
+    )
+    agg = cov.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            inp_piece.isNotNull(),
+                            F.struct(F.col("pos"), inp_piece.alias("p")),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        ).alias("__inp"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            tgt_piece.isNotNull(),
+                            F.struct(F.col("pos"), tgt_piece.alias("p")),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        ).alias("__tgt"),
+        F.max("__span_id").cast("long").alias("n_spans"),
+    )
+    closing = F.concat(
+        F.lit("<extra_id_"), F.col("n_spans").cast("string"), F.lit(">")
+    )
+    return agg.select(
+        "id",
+        F.col("__inp").alias("corrupted"),
+        F.when(
+            F.col("n_spans") > 0, F.concat(F.col("__tgt"), F.lit(" "), closing)
+        )
+        .otherwise(closing)
+        .alias("target"),
+        "n_spans",
+    )

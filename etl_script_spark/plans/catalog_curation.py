@@ -2412,3 +2412,76 @@ def decontam_bloom_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.contamination_report_bloom(
         corpus, bench, "text", "doc_id", n=8, m_bits=1 << 14
     )
+
+
+@register(
+    "augment_span_corruption",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(ws) AS tok,
+             unnest(range(0, len(ws))) AS pos
+      FROM (SELECT doc_id, {_WS_SQL} AS ws FROM documents)
+    ), marked AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN substr(md5('sc' || chr(31) || CAST(doc_id AS VARCHAR)
+                                  || chr(31) || CAST(pos AS VARCHAR)), 1, 8)
+                       < '0ccccccc'
+                  THEN pos + 2 +
+                       (('0x' || substr(md5('sc' || chr(31)
+                                             || CAST(doc_id AS VARCHAR)
+                                             || chr(31)
+                                             || CAST(pos AS VARCHAR)),
+                                        9, 1))::INT % 3)
+                  ELSE -1 END AS reach
+      FROM toks
+    ), cov AS (
+      SELECT *,
+             MAX(reach) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                              ROW) > pos AS covered,
+             COALESCE(MAX(reach) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) > pos,
+                      FALSE) AS covered_prev
+      FROM marked
+    ), sp AS (
+      SELECT *,
+             SUM(CASE WHEN covered AND NOT covered_prev THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS span_id,
+             covered AND NOT covered_prev AS new_span
+      FROM cov
+    ), pieces AS (
+      SELECT doc_id, pos, span_id,
+             CASE WHEN NOT covered THEN tok
+                  WHEN new_span THEN '<extra_id_'
+                       || CAST(span_id - 1 AS VARCHAR) || '>' END AS ip,
+             CASE WHEN covered THEN
+               CASE WHEN new_span THEN '<extra_id_'
+                         || CAST(span_id - 1 AS VARCHAR) || '> ' || tok
+                    ELSE tok END END AS tp
+      FROM sp
+    )
+    SELECT doc_id AS id,
+           COALESCE(string_agg(ip, ' ' ORDER BY pos)
+                      FILTER (WHERE ip IS NOT NULL), '') AS corrupted,
+           COALESCE(string_agg(tp, ' ' ORDER BY pos)
+                      FILTER (WHERE tp IS NOT NULL) || ' ', '')
+             || '<extra_id_' || CAST(MAX(span_id) AS VARCHAR) || '>'
+             AS target,
+           CAST(MAX(span_id) AS BIGINT) AS n_spans
+    FROM pieces GROUP BY doc_id
+    """,
+    ("LLM-curation",),
+)
+def augment_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pairs over the corpus: ~15% of tokens
+    hidden in merged 2-4-token spans behind numbered sentinels, input
+    and target emitted per document. Deterministic per (doc, position)
+    md5 span starts; overlaps merge by interval union (running-max
+    window). One shuffle on doc_id, linear per document; the oracle
+    replays every window relationally
+    (operators/textstats.py:span_corrupt). 0x0ccccccc/16^8 = 0.05."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.span_corrupt(d, "text", "doc_id", start_rate=0.05)

@@ -413,3 +413,46 @@ def test_bloom_decontam_matches_exact_even_undersized(spark):
         }
         assert got == exact, m_bits
     assert exact  # fixture actually plants overlaps
+
+
+# ---------------------------------------------------------------------------
+# span_corrupt
+# ---------------------------------------------------------------------------
+
+
+def test_span_corrupt_recoverable_and_deterministic(spark):
+    import re
+
+    from etl_script_spark.operators.dedup import normalize_text
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = ts.span_corrupt(d, "text", "doc_id", start_rate=0.05).collect()
+    norm = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", normalize_text(F.col("text")).alias("n")).collect()
+    }
+    tot_tok = 0
+    tot_hidden = 0
+    for r in out:
+        # parse target into {sentinel: tokens}; closing sentinel is empty
+        parts = re.split(r"<extra_id_(\d+)>", r.target)
+        spans = {}
+        for i in range(1, len(parts) - 1, 2):
+            spans[int(parts[i])] = parts[i + 1].strip()
+        assert int(parts[-2]) == r.n_spans  # closing sentinel number
+        # splice spans back into the corrupted input -> original text
+        def repl(m):
+            return spans[int(m.group(1))]
+        rebuilt = re.sub(r"<extra_id_(\d+)>", repl, r.corrupted)
+        rebuilt = re.sub(r"\s+", " ", rebuilt).strip()
+        assert rebuilt == norm[r.id], r.id
+        n_tok = len(norm[r.id].split(" "))
+        tot_tok += n_tok
+        tot_hidden += sum(len(v.split(" ")) for k, v in spans.items() if v)
+    # ~5% starts x mean span 3 => ~14-15% tokens hidden (merges shave it)
+    assert 0.08 < tot_hidden / tot_tok < 0.22, tot_hidden / tot_tok
+    again = {r.id: (r.corrupted, r.target) for r in ts.span_corrupt(
+        d.repartition(11), "text", "doc_id", 0.05).collect()}
+    assert all(again[r.id] == (r.corrupted, r.target) for r in out)
+    with pytest.raises(ValueError):
+        ts.span_corrupt(d, "text", "doc_id", start_rate=1.5)
