@@ -84,7 +84,14 @@ def preference_pairs(
     different ids) — strictly: pairs where chosen == rejected are
     dropped (single-response groups); zero-margin pairs with distinct
     ids are KEPT (ranking ties still carry weak signal; filter on
-    margin downstream if not)."""
+    margin downstream if not).
+
+    NULL-scored responses are EXCLUDED before the extremes: struct
+    ordering sorts NULL first, so an unscored response would otherwise
+    be selected as 'rejected' with a NULL margin — an unscored row is
+    no evidence of badness, so it must not appear in either slot (a
+    group whose responses are all unscored emits nothing)."""
+    df = df.filter(score_col.isNotNull())
     agg = df.groupBy(F.col(group_col).alias("group")).agg(
         F.max(
             F.struct(score_col.alias("s"), F.col(id_col).alias("i"))

@@ -39,7 +39,9 @@ def ks_two_sample(df: DataFrame, value_col: str, side_a) -> DataFrame:
     n_a*n_b — all integers (DECIMAL(38,0): at 1e12 rows per side the
     cross product is 1e24, past int64), so the result is bit-identical
     on any engine and any partitioning. ``ks_ppb`` is the statistic in
-    parts-per-billion (integer floor division).
+    parts-per-billion (integer floor division); it is NULL when either
+    side is empty (the statistic is undefined — check it before
+    thresholding).
 
     Shape: groupBy(value) with two conditional counts (map-side
     combine: the 100 TB input reduces to |distinct values| rows), then
@@ -82,11 +84,14 @@ def ks_two_sample(df: DataFrame, value_col: str, side_a) -> DataFrame:
     # the result scale BEFORE floor(), which can disagree with true
     # floor division within ~1e-6 of an integer; DIV is exact (the
     # graph.py PageRank lesson). All operands positive -> DIV == //.
+    # nullif: an empty side makes ks_den 0 and the KS statistic
+    # undefined — emit NULL ks_ppb (the caller's signal that the split
+    # predicate matched nothing) instead of an ANSI DIVIDE_BY_ZERO.
     return base.withColumn(
         "ks_ppb",
         F.expr(
             "CAST((ks_num * CAST(1000000000 AS DECIMAL(38,0)))"
-            " DIV ks_den AS LONG)"
+            " DIV nullif(ks_den, 0) AS LONG)"
         ),
     )
 
@@ -94,11 +99,13 @@ def ks_two_sample(df: DataFrame, value_col: str, side_a) -> DataFrame:
 def psi_drift(df: DataFrame, bucket_col, side_a) -> DataFrame:
     """Population Stability Index between the ``side_a`` rows and the
     rest, over the (low-cardinality) buckets given by ``bucket_col``
-    (a Column). Returns one row per bucket plus the headline:
+    (a Column). Returns one row per bucket:
 
     per bucket: ``bucket, c_a, c_b, psi_term_micro`` — the bucket's
-    contribution (p_a - p_b) * ln(p_a / p_b) in integer micro-units;
-    the caller sums ``psi_term_micro`` for the index (>= 0 always;
+    contribution (p_a - p_b) * ln(p_a / p_b) in integer micro-units.
+    The headline index is the SUM of ``psi_term_micro`` over the
+    returned rows — left to the caller so per-bucket attribution
+    survives (>= 0 always;
     ~< 0.1 stable, > 0.25 major shift, the standard reading).
 
     Laplace smoothing (+1 per bucket on both sides, denominator
@@ -154,7 +161,9 @@ def zipf_slope(
     the fit conventionally starts past it). Natural-language corpora
     sit near slope -1; a corpus whose slope drifts toward 0 (flat =
     template/boilerplate spam) or below -1.5 (degenerate vocabulary)
-    fails QA. Returns ONE row: ``n_ranks, slope_ppb, intercept_ppb``.
+    fails QA. Returns ONE row: ``n_ranks, slope_ppb, intercept_ppb``
+    (NULL slope/intercept when fewer than two ranks survive
+    ``min_rank`` — a vocabulary that small has no spectrum to fit).
 
     Shape: one token-count aggregation (map-side combine) reduces the
     corpus to its vocabulary; TakeOrdered-style ranking keeps the top
@@ -206,10 +215,15 @@ def zipf_slope(
     ).withColumn(
         "__den", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
+    # nullif: a degenerate spectrum (fewer than 2 surviving ranks, or
+    # all-identical points) has zero OLS variance — slope undefined,
+    # emit NULL instead of an ANSI DIVIDE_BY_ZERO
     slope_ppb = F.expr(
         "CAST(CASE WHEN __num < 0 THEN "
-        "-((-__num * CAST(1000000000 AS DECIMAL(38,0))) DIV __den) "
-        "ELSE (__num * CAST(1000000000 AS DECIMAL(38,0))) DIV __den "
+        "-((-__num * CAST(1000000000 AS DECIMAL(38,0)))"
+        " DIV nullif(__den, 0)) "
+        "ELSE (__num * CAST(1000000000 AS DECIMAL(38,0)))"
+        " DIV nullif(__den, 0) "
         "END AS LONG)"
     )
     # intercept = (sy - slope*sx) / n in the same nano units as x/y:
@@ -221,8 +235,8 @@ def zipf_slope(
     )
     intercept_ppb = F.expr(
         "CAST(CASE WHEN __inum < 0 THEN "
-        "-((-__inum) DIV (n * CAST(1000000000 AS DECIMAL(38,0)))) "
-        "ELSE __inum DIV (n * CAST(1000000000 AS DECIMAL(38,0))) "
+        "-((-__inum) DIV nullif(n * CAST(1000000000 AS DECIMAL(38,0)), 0)) "
+        "ELSE __inum DIV nullif(n * CAST(1000000000 AS DECIMAL(38,0)), 0) "
         "END AS LONG)"
     )
     return with_slope.select(

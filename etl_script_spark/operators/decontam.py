@@ -117,11 +117,17 @@ def contamination_report_bloom(
     survivors = corpus_grams.filter(
         bloom_might_contain(F.col("gram"), bitmap, m_bits)
     )
-    hits = survivors.join(
-        F.broadcast(bench_grams).withColumnRenamed("gram", "bgram"),
+    # phase 2 must NOT broadcast the exact benchmark gram set — the
+    # premise of this variant is that it does not fit; both sides are
+    # corpus/suite-derived aggregates whose size estimates the planner
+    # cannot trust (the tfidf broadcast-abort lesson), so pin a
+    # spillable sort-merge join on the 64-bit gram hash.
+    hits = survivors.withColumn("__gh", F.xxhash64("gram")).hint("merge").join(
+        bench_grams.withColumnRenamed("gram", "bgram"),
         on=[
-            F.xxhash64(survivors["gram"]) == F.col("gh"),
-            survivors["gram"] == F.col("bgram"),
+            F.col("__gh") == F.col("gh"),
+            # collision guard: the hash narrows, the string decides
+            F.col("gram") == F.col("bgram"),
         ],
         how="inner",
     )

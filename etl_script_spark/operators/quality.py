@@ -113,9 +113,13 @@ def rank_calibrate(
         .withColumn("__n", F.count(F.lit(1)).over(wn))
         .withColumn(
             "pr_ppm",
+            # row_number is INT: the *1e6 product overflows 32 bits for
+            # any stratum past ~2148 rows (ANSI throws; legacy wraps
+            # negative) — widen BEFORE the multiply
             F.expr(
                 "CAST(CASE WHEN __n <= 1 THEN 0 ELSE "
-                "((__rnk - 1) * 1000000) DIV (__n - 1) END AS LONG)"
+                "((CAST(__rnk AS BIGINT) - 1) * 1000000) DIV (__n - 1) "
+                "END AS LONG)"
             ),
         )
         .drop("__n")

@@ -456,3 +456,65 @@ def test_span_corrupt_recoverable_and_deterministic(spark):
     assert all(again[r.id] == (r.corrupted, r.target) for r in out)
     with pytest.raises(ValueError):
         ts.span_corrupt(d, "text", "doc_id", start_rate=1.5)
+
+
+# ---------------------------------------------------------------------------
+# review fixes: overflow / null / degenerate-input guards
+# ---------------------------------------------------------------------------
+
+
+def test_rank_calibrate_survives_large_stratum(spark):
+    """row_number is INT: (rnk-1)*1e6 overflowed 32 bits past ~2148
+    rows per stratum (ANSI ARITHMETIC_OVERFLOW) until widened."""
+    from etl_script_spark.operators import quality as q
+
+    d = spark.range(5000).select(
+        F.lit("one").alias("src"), F.col("id").alias("rid"),
+        F.col("id").alias("score"),
+    )
+    rows = q.rank_calibrate(d, "rid", "src", F.col("score")).collect()
+    assert len(rows) == 5000
+    top = max(rows, key=lambda r: r.rnk)
+    assert (top.rnk, top.pr_ppm) == (5000, 1_000_000)
+
+
+def test_preference_pairs_ignores_null_scores(spark):
+    from etl_script_spark.operators import conversations as cv
+
+    rows = [("p", 1, 5), ("p", 2, 3), ("p", 3, None),
+            ("q", 4, None), ("q", 5, None)]
+    d = spark.createDataFrame(rows, "grp string, rid long, score long")
+    out = {r.group: r for r in cv.preference_pairs(d, "grp", "rid", F.col("score")).collect()}
+    # the unscored response must appear in NEITHER slot
+    assert (out["p"].chosen_id, out["p"].rejected_id, out["p"].margin) == (1, 2, 2)
+    assert "q" not in out  # all-unscored group emits nothing
+
+
+def test_ks_empty_side_yields_null_not_crash(spark):
+    d = spark.range(100).select(F.col("id").alias("v"), F.lit(False).alias("a"))
+    row = cs.ks_two_sample(d, "v", F.col("a")).collect()[0]
+    assert row.ks_ppb is None
+    assert row.n_a == 0 and row.n_b == 100
+
+
+def test_zipf_degenerate_vocab_yields_null_not_crash(spark):
+    # exactly one rank survives min_rank -> zero OLS variance
+    rows = [(f"w{r}", 20 - r) for r in range(1, 11)]  # 10 tokens
+    docs = spark.createDataFrame(rows, "tok string, n int").select(
+        F.concat_ws(" ", F.array_repeat(F.col("tok"), F.col("n"))).alias("text")
+    )
+    out = cs.zipf_slope(docs, "text", top_k=100, min_rank=10).collect()[0]
+    assert out.n_ranks == 1
+    assert out.slope_ppb is None and out.intercept_ppb is None
+
+
+def test_bloom_decontam_never_broadcasts_bench_grams(spark):
+    from etl_script_spark.operators import decontam as dc
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 7 == 2).select("text")
+    out = dc.contamination_report_bloom(
+        d.select("doc_id", "text"), bench, "text", "doc_id", n=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan[:500]

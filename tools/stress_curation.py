@@ -717,10 +717,21 @@ def stress_round6d_corpusops(spark):
     )
 
     def run(name, fn):
+        # evaluate through the noop SINK, not count(): count() lets the
+        # optimizer prune projected columns that feed no filter, so an
+        # expression-level bug (or its cost) in the output columns is
+        # silently skipped — rank_calibrate's pr_ppm INT overflow hid
+        # behind exactly this until the review caught it
         t0 = time.time()
         out = fn()
-        cnt = out.count() if hasattr(out, "count") else out
-        print(f"{name}: {time.time()-t0:.1f}s  -> {cnt} rows")
+        if hasattr(out, "write"):
+            out.write.mode("overwrite").format("noop").save()
+            wall = time.time() - t0
+            cnt = out.count()
+        else:
+            wall = time.time() - t0
+            cnt = out
+        print(f"{name}: {wall:.1f}s  -> {cnt} rows")
 
     M10, M20 = 10_000_000, 20_000_000
     # 10M synthetic rows: integer value with ~100k distinct values
