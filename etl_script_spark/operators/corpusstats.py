@@ -244,3 +244,54 @@ def zipf_slope(
         F.col("slope_ppb"),
         intercept_ppb.alias("intercept_ppb"),
     )
+
+
+def heaps_curve(
+    df: DataFrame, text_col: str, id_col: str, n_points: int = 8
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct-vocabulary size V(N)
+    at geometrically spaced corpus prefixes (N, N/2, N/4, ... docs in
+    ``id_col`` order). Natural corpora follow V(N) ~ K·N^b with
+    b ≈ 0.4-0.6; a flattening curve means the crawl has started
+    re-reading itself (template/dup mass), a linear one means noise —
+    the companion diagnostic to ``zipf_slope``.
+
+    Distributed shape — NO per-prefix passes: one token aggregation
+    computes each token's FIRST document (min id; map-side combine),
+    then every prefix answers from that tiny (token, first_id) frame:
+    V(prefix) = #tokens with first_id <= prefix boundary. The corpus
+    is read once however many points are on the curve. Prefix
+    boundaries are the exact doc ids at geometric ranks, derived from
+    an ordered count (one more reduced-frame pass).
+
+    Returns ``(prefix_docs, vocab)`` rows, ascending."""
+    if n_points < 2:
+        raise ValueError(f"n_points must be >= 2, got {n_points}")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " "
+            )
+        ).alias("__t"),
+    ).filter(F.col("__t") != "")
+    first = toks.groupBy("__t").agg(F.min("__id").alias("__first"))
+    # geometric prefixes by document RANK: rank docs once (reduced
+    # frame: distinct ids), pick ids at ranks n, n/2, n/4, ...
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    w = Window.orderBy("__id")
+    ranked = ids.withColumn("__r", F.row_number().over(w))
+    n_docs = ids.count()
+    ranks = sorted(
+        {max(1, n_docs // (2**k)) for k in range(n_points)} | {n_docs}
+    )
+    bounds = ranked.filter(F.col("__r").isin(ranks)).select(
+        F.col("__r").alias("prefix_docs"), F.col("__id").alias("__bound")
+    )
+    return (
+        bounds.crossJoin(first)
+        .filter(F.col("__first") <= F.col("__bound"))
+        .groupBy("prefix_docs")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+        .orderBy("prefix_docs")
+    )

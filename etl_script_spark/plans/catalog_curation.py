@@ -2485,3 +2485,48 @@ def augment_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textstats.py:span_corrupt). 0x0ccccccc/16^8 = 0.05."""
     d = t(spark, sf_dir, "documents")
     return textstats.span_corrupt(d, "text", "doc_id", start_rate=0.05)
+
+
+@register(
+    "corpus_heaps_law",
+    f"""
+    WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS n_docs FROM ids),
+    ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS r FROM ids
+    ),
+    rk AS (
+      SELECT DISTINCT greatest(1, n_docs >> k.k) AS r
+      FROM n CROSS JOIN (SELECT unnest(range(0, 8)) AS k) k
+    ),
+    bounds AS (
+      SELECT rk.r AS prefix_docs, ranked.doc_id AS bound
+      FROM rk JOIN ranked ON ranked.r = rk.r
+    ),
+    toks AS (
+      SELECT doc_id, unnest(ws) AS t
+      FROM (SELECT doc_id, {_WS_SQL} AS ws FROM documents)
+    ),
+    first AS (
+      SELECT t, MIN(doc_id) AS first_id FROM toks WHERE t <> ''
+      GROUP BY t
+    )
+    SELECT b.prefix_docs, COUNT(*) AS vocab
+    FROM bounds b JOIN first f ON f.first_id <= b.bound
+    GROUP BY 1
+    """,
+    ("LLM-curation",),
+)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: distinct-vocabulary size at
+    geometric corpus prefixes (N, N/2, ..., N/128 documents in id
+    order) — the crawl-health companion to corpus_zipf_slope (a
+    flattening curve = the crawl is re-reading itself). One token
+    aggregation computes each token's first document; every curve
+    point answers from that reduced frame — the corpus is read once
+    regardless of points (operators/corpusstats.py:heaps_curve)."""
+    d = t(spark, sf_dir, "documents")
+    out = corpusstats.heaps_curve(d, "text", "doc_id", n_points=8)
+    return out.select(
+        F.col("prefix_docs").cast("long").alias("prefix_docs"), "vocab"
+    )

@@ -1286,3 +1286,39 @@ def s24_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(out)
         .select("s_suppkey", "s_name", "acctbal")
     )
+
+
+@register(
+    "s25_fixed_width_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    ("S1", "S13"),
+)
+def s25_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (positional) flat-file roundtrip — the
+    mainframe/bank-export format next to the CSV/Excel/XML family:
+    write nation space-padded to (6, 25, 6) columns, parse it back by
+    position with try_cast typing. The parse is one codegen Project
+    over spark.read.text (no quoting state — files split at any byte
+    boundary); the oracle is the source table, so the roundtrip must
+    be lossless (sources/readers.py:read_fixed_width,
+    sources/writers.py:write_fixed_width)."""
+    from etl_script_spark.sources.readers import read_fixed_width
+    from etl_script_spark.sources.writers import write_fixed_width
+
+    d = _workdir(sf_dir, "s25")
+    out = f"{d}/nation_fw"
+    src = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_fixed_width(src, out, widths=[6, 25, 6])
+    return read_fixed_width(
+        spark,
+        out,
+        [
+            ("n_nationkey", 6, "long"),
+            ("n_name", 25, "string"),
+            ("n_regionkey", 6, "long"),
+        ],
+    )

@@ -377,3 +377,45 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.mode(mode).saveAsTable(table_name)
+
+
+def write_fixed_width(
+    df: DataFrame,
+    path: str,
+    widths: list[int],
+    mode: str = "overwrite",
+) -> None:
+    """Fixed-width flat-file sink: each column left-justified and
+    space-padded to its width (the classic mainframe/bank layout the
+    matching ``read_fixed_width`` parses back). A value wider than its
+    field raises at write time — silent truncation would corrupt the
+    positional layout for every later column on the line."""
+    if len(widths) != len(df.columns):
+        raise ValueError(
+            f"widths ({len(widths)}) must match columns ({len(df.columns)})"
+        )
+    # NULL -> all-blank field (the classic fixed-width convention;
+    # a NULL anywhere in a concat would otherwise null the whole line)
+    line = F.concat(
+        *[
+            F.rpad(F.coalesce(F.col(c).cast("string"), F.lit("")), w, " ")
+            for c, w in zip(df.columns, widths)
+        ]
+    )
+    # rpad TRUNCATES overlong values; guard with an ANSI-raising check
+    guard = F.concat_ws(
+        "",
+        *[
+            F.when(
+                F.length(F.col(c).cast("string")) > w,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"fixed-width overflow in column {c}: "),
+                        F.col(c).cast("string"),
+                    )
+                ),
+            ).otherwise(F.lit(""))
+            for c, w in zip(df.columns, widths)
+        ],
+    )
+    df.select(F.concat(line, guard).alias("value")).write.mode(mode).text(path)

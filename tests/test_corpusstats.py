@@ -518,3 +518,65 @@ def test_bloom_decontam_never_broadcasts_bench_grams(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan, plan[:500]
+
+
+# ---------------------------------------------------------------------------
+# heaps_curve
+# ---------------------------------------------------------------------------
+
+
+def test_heaps_curve_monotone_and_matches_bruteforce(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pts = cs.heaps_curve(d, "text", "doc_id", n_points=4).collect()
+    assert [p.prefix_docs for p in pts] == sorted(p.prefix_docs for p in pts)
+    # monotone non-decreasing vocabulary
+    vocabs = [p.vocab for p in pts]
+    assert vocabs == sorted(vocabs)
+    # brute-force check of every point: vocab of the first-k docs
+    rows = sorted(
+        (r.doc_id, r.n) for r in d.select(
+            "doc_id",
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            ).alias("n"),
+        ).collect()
+    )
+    for p in pts:
+        vocab = set()
+        for doc_id, toks in rows[: p.prefix_docs]:
+            vocab.update(t for t in toks if t)
+        assert len(vocab) == p.vocab, p.prefix_docs
+    with pytest.raises(ValueError):
+        cs.heaps_curve(d, "text", "doc_id", n_points=1)
+
+
+# ---------------------------------------------------------------------------
+# fixed-width source/sink
+# ---------------------------------------------------------------------------
+
+
+def test_fixed_width_roundtrip_and_overflow_guard(spark, tmp_path):
+    from etl_script_spark.sources.readers import read_fixed_width
+    from etl_script_spark.sources.writers import write_fixed_width
+
+    d = spark.createDataFrame(
+        [(1, "alpha", 3.5), (22, "beta x", None)],
+        "k long, name string, v double",
+    )
+    out = str(tmp_path / "fw")
+    write_fixed_width(d, out, widths=[4, 8, 10])
+    back = read_fixed_width(
+        spark, out, [("k", 4, "long"), ("name", 8, "string"), ("v", 10, "double")]
+    )
+    got = {(r.k, r.name, r.v) for r in back.collect()}
+    # NULL writes as an all-blank field and reads back as NULL
+    assert got == {(1, "alpha", 3.5), (22, "beta x", None)}
+    # overflow must raise, never silently truncate
+    wide = spark.createDataFrame([(1, "waaaaay too long", 1.0)],
+                                 "k long, name string, v double")
+    with pytest.raises(Exception, match="fixed-width overflow"):
+        write_fixed_width(wide, out, widths=[4, 8, 10])
+    with pytest.raises(ValueError):
+        write_fixed_width(d, out, widths=[4, 8])
+    with pytest.raises(ValueError):
+        read_fixed_width(spark, out, [])
