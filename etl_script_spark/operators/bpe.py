@@ -24,6 +24,8 @@ id-ordered, so ingest order cannot bias the vocabulary.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -156,7 +158,18 @@ def tokenize(
         for pdf in batches:
             ids, n_words, n_chars, n_tokens, ok = [], [], [], [], []
             for did, text in zip(pdf["id"], pdf["text"]):
-                ws = [w for w in (text or "").lower().split() if w]
+                # ASCII \s split — Python str.split() breaks on
+                # Unicode whitespace (NBSP etc.) that the JVM-side
+                # words()/oracle tokenizer (Java regex \s+, ASCII-only)
+                # keeps inside tokens; re.ASCII pins both engines to
+                # the same boundaries
+                ws = [
+                    w
+                    for w in re.split(
+                        r"\s+", (text or "").lower(), flags=re.ASCII
+                    )
+                    if w
+                ]
                 total = 0
                 chars = 0
                 doc_ok = True

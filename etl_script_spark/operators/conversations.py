@@ -39,8 +39,16 @@ def flatten_turns(
     renders as ``role: content``; turns join with ``sep`` in
     ``order_cols`` order; ``max_chars`` truncates the assembled
     transcript (a character budget — token budgets come later in the
-    pipeline, where a tokenizer exists)."""
-    line = F.concat(role, F.lit(": "), content)
+    pipeline, where a tokenizer exists).
+
+    NULL role/content renders as the empty string: a NULL would make
+    the whole line NULL, which ``array_join`` silently drops —
+    desynchronizing n_turns from the transcript's actual turn count."""
+    line = F.concat(
+        F.coalesce(role, F.lit("")),
+        F.lit(": "),
+        F.coalesce(content, F.lit("")),
+    )
     ordered = F.struct(
         *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
         line.alias("__line"),

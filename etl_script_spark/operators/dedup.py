@@ -1047,7 +1047,18 @@ def dedup_paragraphs(
             sep,
         ).alias("text"),
     )
-    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
+    # totals come from the CORPUS, not the exploded frame: a document
+    # whose paragraphs are all blank has no paras rows and would
+    # otherwise vanish from the output — the contract keeps every row
+    # (n_paras 0, text '') so the caller decides the drop policy
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), sep), lambda p: F.trim(p) != ""
+            )
+        ).alias("n_paras"),
+    )
     return (
         totals.join(rebuilt.hint("merge"), "id", "left")
         .select(
@@ -1106,7 +1117,10 @@ def remove_duplicate_spans(
         F.filter(
             F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
         ).alias("ws"),
-    ).filter(F.size("ws") > 0)
+    )
+    # (empty/whitespace-only docs stay in `base` — they take the
+    # no-intervals branch below and pass through as clean_text '',
+    # keeping output cardinality equal to input)
     # sequence(1, 0) DESCENDS in Spark ([1, 0]) — docs shorter than n
     # must take the empty-array branch, not a clamped upper bound
     wins = base.filter(F.size("ws") >= n).select(

@@ -141,6 +141,11 @@ def em_fit_weights(
     patterns = [
         (tuple(bool(row[i]) for i in range(nf)), int(row["n"])) for row in hist
     ]
+    if not patterns:
+        raise ValueError(
+            "em_fit_weights: candidate-pair set is empty (blocking matched "
+            "nothing) — EM has no data; check the blocking key"
+        )
     m = [init_m_ppb] * nf
     u = [init_u_ppb] * nf
     p = init_p_ppb
@@ -163,6 +168,12 @@ def em_fit_weights(
                     swg[f] += n * wq
                     sug[f] += n * (_PPB - wq)
         su = sn * _PPB - sw  # Σ n·(PPB-wq)
+        # degenerate posteriors (every pair quantized to pure match or
+        # pure non-match) zero a denominator — freeze the estimates
+        # instead of a ZeroDivisionError; the clamp keeps them interior
+        if sw == 0 or su == 0:
+            p = _clamp_ppb(_q(float(sw) / float(sn)))
+            break
         m = [_clamp_ppb(_q(float(swg[f]) / float(sw) * 1.0e9)) for f in range(nf)]
         u = [_clamp_ppb(_q(float(sug[f]) / float(su) * 1.0e9)) for f in range(nf)]
         p = _clamp_ppb(_q(float(sw) / float(sn)))

@@ -325,18 +325,33 @@ def repetition_metrics(
     # per-(doc, gram) counts -> per-doc max; map-side combine collapses
     # repeated grams before each shuffle; explode_outer keeps zero-gram
     # docs (they surface with a NULL gram and top fraction 0)
+    # shuffle key is the 64-bit gram HASH, never the gram text (a
+    # shuffle keyed on raw bigrams carries ~2x the corpus over the
+    # wire); only counts are needed downstream, so a same-doc hash
+    # collision (2^-64 per gram pair) merely merges two counts —
+    # the same tradeoff repeated_spans already documents. NULL grams
+    # (explode_outer's zero-gram docs) stay NULL through the hash.
     agg = (
         base.select(
-            F.col(id_col), F.col("w"), F.explode_outer("grams").alias("gram")
+            F.col(id_col),
+            F.col("w"),
+            F.explode_outer("grams").alias("gram"),
         )
-        .groupBy(id_col, "gram")
+        .select(
+            F.col(id_col),
+            F.col("w"),
+            F.when(
+                F.col("gram").isNotNull(), F.xxhash64("gram")
+            ).alias("gh"),
+        )
+        .groupBy(id_col, "gh")
         .agg(F.count(F.lit(1)).alias("cnt"), F.first("w").alias("w"))
         .groupBy(id_col)
         .agg(
-            F.max(F.when(F.col("gram").isNotNull(), F.col("cnt"))).alias(
+            F.max(F.when(F.col("gh").isNotNull(), F.col("cnt"))).alias(
                 "top_cnt"
             ),
-            F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt"))).alias(
+            F.sum(F.when(F.col("gh").isNotNull(), F.col("cnt"))).alias(
                 "n_grams"
             ),
             F.first("w").alias("w"),
@@ -426,7 +441,12 @@ def chunk_text(
         id_col,
         "chunk_idx",
         "chunk_text",
-        F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+        # split('') yields [''] — the kept empty chunk of a blank doc
+        # must report 0 tokens, not a phantom 1 (pack_sequences budgets
+        # from this count)
+        F.when(F.col("chunk_text") == "", F.lit(0))
+        .otherwise(F.size(F.split("chunk_text", " ")))
+        .alias("n_tokens"),
     )
 
 
@@ -678,6 +698,12 @@ def temperature_mix_sample(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    # NULL-stratum rows are EXCLUDED from both the rate fit and the
+    # output: a NULL group would otherwise set n_min (collapsing every
+    # real stratum's keep rate toward zero) while its own rows drop
+    # anyway — NULL never equi-joins its rate row and the threshold
+    # comparison evaluates NULL. Assign strata upstream to keep them.
+    df = df.filter(F.col(strata_col).isNotNull())
     counts = df.groupBy(F.col(strata_col).alias("__s")).agg(
         F.count(F.lit(1)).alias("__ns")
     )

@@ -37,6 +37,8 @@ distinct words per batch).
 
 from __future__ import annotations
 
+import re
+
 import math
 
 from pyspark.sql import DataFrame
@@ -194,7 +196,18 @@ def tokenize_unigram(
         for pdf in batches:
             ids, n_words, n_chars, n_tokens = [], [], [], []
             for did, text in zip(pdf["id"], pdf["text"]):
-                ws = [w for w in (text or "").lower().split() if w]
+                # ASCII \s split — Python str.split() breaks on
+                # Unicode whitespace (NBSP etc.) that the JVM-side
+                # words()/oracle tokenizer (Java regex \s+, ASCII-only)
+                # keeps inside tokens; re.ASCII pins both engines to
+                # the same boundaries
+                ws = [
+                    w
+                    for w in re.split(
+                        r"\s+", (text or "").lower(), flags=re.ASCII
+                    )
+                    if w
+                ]
                 toks = 0
                 chars = 0
                 for w in ws:

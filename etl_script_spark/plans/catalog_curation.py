@@ -380,7 +380,8 @@ def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM n
     )
     SELECT doc_id, u.i AS chunk_idx, u.c AS chunk_text,
-           len(string_split(u.c, ' ')) AS n_tokens
+           CASE WHEN u.c = '' THEN 0
+                ELSE len(string_split(u.c, ' ')) END AS n_tokens
     FROM e
     """,
     ("LLM-curation",),

@@ -580,3 +580,81 @@ def test_fixed_width_roundtrip_and_overflow_guard(spark, tmp_path):
         write_fixed_width(d, out, widths=[4, 8])
     with pytest.raises(ValueError):
         read_fixed_width(spark, out, [])
+
+
+# ---------------------------------------------------------------------------
+# earlier-round-6 review fixes (cross-cutting edge cases)
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_ignores_null_stratum(spark):
+    # 10 NULL-stratum rows must not become n_min (which would collapse
+    # every real stratum's keep rate), and must not appear in output
+    rows = [(i, None if i < 10 else f"s{i % 2}") for i in range(1010)]
+    d = spark.createDataFrame(rows, "rid long, src string")
+    out = ts.temperature_mix_sample(d, "rid", "src", alpha=0.5)
+    got = out.collect()
+    assert all(r.src is not None for r in got)
+    # both real strata have ~500 rows -> rate ~1.0 -> nearly all kept
+    assert len(got) > 900, len(got)
+
+
+def test_bpe_tokenize_matches_jvm_on_unicode_whitespace(spark):
+    from etl_script_spark.operators import bpe
+
+    # NBSP inside — JVM words() (Java \s, ASCII) keeps it in ONE token
+    d = spark.createDataFrame(
+        [(1, "foo bar baz"), (2, "plain text")], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe(bpe.word_frequencies(d, "text"), 5)
+    out = {r.id: r for r in bpe.tokenize(d, "text", "doc_id", merges).collect()}
+    jvm = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", F.size(ts.words(F.col("text"))).alias("n")).collect()
+    }
+    assert out[1].n_words == jvm[1] == 2  # 'foo\xa0bar' + 'baz'
+    assert out[2].n_words == jvm[2] == 2
+
+
+def test_span_removal_keeps_empty_docs(spark):
+    from etl_script_spark.operators import dedup as dd
+
+    d = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "some real words here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dd.remove_duplicate_spans(d, "text", "doc_id", n=3).collect()}
+    assert set(out) == {1, 2, 3}  # cardinality preserved
+    assert out[1].clean_text == "" and out[1].n_tokens == 0
+    assert out[2].clean_text == "" and out[2].n_tokens == 0
+
+
+def test_flatten_turns_counts_null_content_consistently(spark):
+    from etl_script_spark.operators import conversations as cv
+
+    d = spark.createDataFrame(
+        [(1, 0, "user", "hi"), (1, 1, "assistant", None), (1, 2, "user", "bye")],
+        "conv long, turn long, role string, content string",
+    )
+    r = cv.flatten_turns(
+        d, ["conv"], ["turn"], F.col("role"), F.col("content")
+    ).collect()[0]
+    assert r.n_turns == 3
+    assert len(r.transcript.split("\n")) == 3  # no silently dropped turn
+    assert "assistant: " in r.transcript
+
+
+def test_chunk_text_blank_doc_reports_zero_tokens(spark):
+    d = spark.createDataFrame([(1, ""), (2, "a b c")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in ts.chunk_text(d, "text", "doc_id", 40, 8).collect()}
+    assert rows[1].n_tokens == 0 and rows[1].chunk_text == ""
+    assert rows[2].n_tokens == 3
+
+
+def test_em_fit_empty_pairs_raises(spark):
+    from etl_script_spark.operators import linkage as lk
+
+    empty = spark.createDataFrame([], "a_name string, b_name string")
+    comps = [lk.Comparator("name", F.col("a_name") == F.col("b_name"), 10, -5)]
+    with pytest.raises(ValueError, match="empty"):
+        lk.em_fit_weights(empty, comps)

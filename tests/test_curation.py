@@ -577,4 +577,7 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
     assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
     assert out[2]["text"] == "gamma three"
     assert out[3]["n_kept"] == 1 and out[3]["text"] == "delta four"
-    assert 4 not in out  # no non-empty paragraphs -> no row
+    # all-blank doc KEEPS its row (n_paras 0, text '') — the docstring
+    # contract: the caller decides the drop policy
+    assert out[4]["n_paras"] == 0 and out[4]["n_kept"] == 0
+    assert out[4]["text"] == ""
