@@ -793,6 +793,44 @@ def stress_round6d_corpusops(spark):
     run("binary_simhash_near_dups 200k payloads", _mm)
 
 
+def stress_round6e_augment(spark):
+    """Scale rows for the augmentation / diagnostics closers: MLM mask
+    and span corruption at 1 M docs (60 M tokens), Heaps curve at 1 M,
+    in-batch negatives at 10 M ids, Bloom decontam at 1 M corpus vs a
+    50k-gram benchmark. Run: ``python tools/stress_curation.py
+    --round6e``."""
+    from etl_script_spark.operators import corpusstats, decontam, similarity
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        if hasattr(out, "write"):
+            out.write.mode("overwrite").format("noop").save()
+            wall = time.time() - t0
+            cnt = out.count()
+        else:
+            wall = time.time() - t0
+            cnt = out
+        print(f"{name}: {wall:.1f}s  -> {cnt} rows")
+
+    d = build(spark, n=1_000_000, out="/tmp/etl_script_spark_io/stress_1000000")
+    print(f"corpus ready ({d.count()} docs)")
+
+    run("mlm_mask 1M docs", lambda: textstats.mlm_mask(d, "text", "doc_id"))
+    run("span_corrupt 1M docs", lambda: textstats.span_corrupt(
+        d, "text", "doc_id"))
+    run("heaps_curve 1M docs", lambda: corpusstats.heaps_curve(
+        d, "text", "doc_id", n_points=8))
+    ids = spark.range(10_000_000).select(F.col("id").alias("vid"))
+    run("inbatch_negatives 10M (k=4, 64k batches)",
+        lambda: similarity.inbatch_negatives(ids, "vid", k=4, n_batches=65536))
+    bench = d.filter(F.col("doc_id") % 97 == 3).select("text")
+    run("contamination_report_bloom 1M corpus vs ~10k-doc bench",
+        lambda: decontam.contamination_report_bloom(
+            d.select("doc_id", "text"), bench, "text", "doc_id",
+            n=8, m_bits=1 << 22))
+
+
 if __name__ == "__main__":
     if "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
@@ -805,6 +843,10 @@ if __name__ == "__main__":
     elif "--round6b" in sys.argv:
         spark = get_spark(app_name="stress-round6b")
         stress_round6b_newops(spark)
+        spark.stop()
+    elif "--round6e" in sys.argv:
+        spark = get_spark(app_name="stress-round6e")
+        stress_round6e_augment(spark)
         spark.stop()
     elif "--round6d" in sys.argv:
         spark = get_spark(app_name="stress-round6d")
