@@ -99,7 +99,7 @@ def contamination_report_bloom(
     from etl_script_spark.operators.dedup import _fan_out
     from etl_script_spark.operators.sketches import (
         bloom_build,
-        bloom_might_contain,
+        bloom_might_contain_col,
     )
 
     bench_grams = (
@@ -114,8 +114,17 @@ def contamination_report_bloom(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), n)).alias("gram"),
     )
-    survivors = corpus_grams.filter(
-        bloom_might_contain(F.col("gram"), bitmap, m_bits)
+    # the bitmap rides a one-row BROADCAST frame, not a plan literal:
+    # a suite-sized filter (2^20+ bits) as a literal array re-enters
+    # every task's codegen; as a broadcast it ships once per executor
+    spark = corpus.sparkSession
+    bm = F.broadcast(
+        spark.createDataFrame([(bitmap,)], "bm array<long>")
+    )
+    survivors = (
+        corpus_grams.crossJoin(bm)
+        .filter(bloom_might_contain_col(F.col("gram"), F.col("bm"), m_bits))
+        .drop("bm")
     )
     # phase 2 must NOT broadcast the exact benchmark gram set — the
     # premise of this variant is that it does not fit; both sides are

@@ -355,3 +355,22 @@ def approx_topk_items(
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
     )
+
+
+def bloom_might_contain_col(
+    key: Column, bm_col: Column, m_bits: int
+) -> Column:
+    """Membership predicate against a bitmap carried in a COLUMN
+    (``array<long>``) rather than a plan literal. For small filters the
+    literal form (``bloom_might_contain``) is fine; past ~2^16 bits the
+    literal array bloats every task's codegen (a 2^22-bit filter is a
+    65k-element literal in the plan). Attach the bitmap as a one-row
+    broadcast frame (``F.broadcast(spark.createDataFrame([(bitmap,)],
+    'bm array<long>'))`` cross-joined in) and probe it through this
+    predicate — the bitmap ships once per executor via the broadcast
+    exchange, and the plan stays O(1)."""
+    cond = F.lit(True)
+    for word, mask in _bloom_positions(key, m_bits):
+        hit = F.element_at(bm_col, word + 1).bitwiseAND(mask) != 0
+        cond = cond & hit
+    return cond
