@@ -124,6 +124,23 @@ _CHECKED = frozenset(
         "st_stream_cdc_apply", "st_stream_static_enrich",
         "st_stream_stream_join", "text_bigram_nll", "ts_ewma_fir",
         "ts_mad_outliers",
+        # --- round 6 (all 50 sampled rows green; the 34 new entries) ---
+        "ann_ivfpq_topk", "augment_mlm_mask", "augment_span_corruption",
+        "contrastive_inbatch_negatives", "corpus_heaps_law",
+        "corpus_ks_drift", "corpus_psi_drift", "corpus_zipf_slope",
+        "curation_dsir_select", "curation_token_budget_select",
+        "decontam_bloom_ngram", "dedup_keep_best_quality",
+        "dedup_substring_remove", "dq_profile_drift",
+        "embedding_pca_rotation", "export_train_shards",
+        "extract_html_main_text", "inc_agg_join_maintenance",
+        "inc_agg_join_retract", "link_fs_em_weights",
+        "mm_binary_simhash_neardup", "pipeline_r6_curation_e2e",
+        "quality_nb_classifier", "quality_rank_calibration",
+        "rlhf_preference_pairs", "s1_encoding_probe_distributed",
+        "s25_fixed_width_roundtrip", "sample_exact_per_stratum",
+        "sample_match_length_dist", "sample_weighted_gumbel_topk",
+        "search_phrase_positional", "st_stream_drift_monitor",
+        "st_stream_neardup_gate", "tok_unigram_roundtrip",
     }
 )
 

@@ -942,25 +942,24 @@ def sample_match_distribution(
             F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t"),
         )
     )
-    # FLOOR the quotients explicitly: Spark's decimal cast rounds
-    # half-up while integer div in the SQL twin floors — a .5
-    # boundary would silently flip a threshold between engines
+    # EXACT integer division (DIV), not decimal '/' + floor: Spark
+    # rounds a decimal quotient HALF_UP to the result scale (6
+    # fractional digits here) BEFORE floor, so a true quotient within
+    # ~5e-7 below an integer floors one higher than DuckDB's exact
+    # HUGEINT '//' twin. Needs a >~2M-row bucket to bite, so only the
+    # 100 TB contract sees it — same pitfall already fixed with DIV in
+    # corpusstats.ks_two_sample / zipf_slope.
     P = 10**12
-    q = F.floor(
-        (F.col("t").cast("decimal(20,0)") * F.lit(P))
-        / F.col("c").cast("decimal(20,0)")
+    q = F.expr(
+        f"(CAST(t AS DECIMAL(38,0)) * {P}) DIV CAST(c AS DECIMAL(38,0))"
     ).cast("decimal(38,0)")
     hist = hist.withColumn("__q", q)
     qmax = hist.agg(F.max("__q").alias("__qmax"))
     thr = F.least(
         F.lit(16**8).cast("decimal(38,0)"),
-        F.floor(
-            (
-                F.col("t").cast("decimal(20,0)")
-                * F.lit(16**8)
-                * F.lit(P)
-            )
-            / (F.col("c").cast("decimal(20,0)") * F.col("__qmax"))
+        F.expr(
+            f"(CAST(t AS DECIMAL(38,0)) * {16 ** 8} * {P}) "
+            "DIV (CAST(c AS DECIMAL(38,0)) * CAST(__qmax AS DECIMAL(38,0)))"
         ).cast("decimal(38,0)"),
     )
     rates = F.broadcast(
@@ -1197,8 +1196,13 @@ def span_corrupt(
 
     Span selection is deterministic per (document, position): a
     position starts a span when md5(seed‖id‖pos) falls under
-    ``start_rate`` (mean span length 3: lengths 2-4 from the next hash
-    nibble, ~15% of tokens corrupted at the default rate); overlapping
+    ``start_rate``; the span length is 2-4 tokens drawn from the next
+    hash nibble mod 3 — NOT uniform: 16 nibble values over 3 residues
+    give lengths 2/3/4 probabilities 6/16, 5/16, 5/16 (mean 2.9375),
+    so the realized corruption rate at the default is ~14.7%, slightly
+    under the nominal 15%. The mild bias is harmless (the oracle
+    replays the same draw bit-for-bit) and cheaper than a two-nibble
+    rejection-free draw. Overlapping
     spans MERGE into one (the T5 non-overlap constraint, realized as
     interval union — same running-max trick as the repeated-span
     remover). Sentinels number left to right: input keeps clean tokens

@@ -187,7 +187,11 @@ def stream_neardup_gate(
             f"stream_neardup_gate: stream did not finish in {timeout}s"
         )
     if not admitted:
-        return spark.createDataFrame([], "id long, fp string").select(
+        # the fallback schema must agree with the non-empty case:
+        # exact mode carries fp as the md5 hex STRING, simhash mode as
+        # the 64-bit BIGINT fingerprint
+        fp_type = "string" if mode == "exact" else "bigint"
+        return spark.createDataFrame([], f"id long, fp {fp_type}").select(
             F.col("id").alias(id_col), "fp"
         )
     out = admitted[0]

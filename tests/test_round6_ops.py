@@ -803,3 +803,28 @@ def test_weighted_topk_favors_heavy_rows(spark):
         if r.id < 10
     )
     assert heavy >= 7, heavy
+
+
+def test_match_distribution_quotient_is_exact_integer_div(spark):
+    # ADVICE r6: decimal '/' + F.floor rounds the quotient HALF_UP to
+    # 6 fractional digits BEFORE floor, so a true quotient within
+    # ~5e-7 below an integer floors one higher than DuckDB's exact
+    # '//'. Pin the DIV form on the adversarial boundary: t=2999992,
+    # c=3000001 gives t*10^12 = k*c - 1 (quotient k - 1/c with
+    # 1/c ≈ 3.3e-7 < 5e-7), where the broken form yields k.
+    t, c, want = 2_999_992, 3_000_001, 999_997_000_000
+    row = spark.createDataFrame([(t, c)], "t long, c long")
+    div_form = row.select(
+        F.expr(
+            "(CAST(t AS DECIMAL(38,0)) * 1000000000000) "
+            "DIV CAST(c AS DECIMAL(38,0))"
+        ).alias("q")
+    ).collect()[0]["q"]
+    assert int(div_form) == want
+    broken = row.select(
+        F.floor(
+            (F.col("t").cast("decimal(20,0)") * F.lit(10**12))
+            / F.col("c").cast("decimal(20,0)")
+        ).alias("q")
+    ).collect()[0]["q"]
+    assert int(broken) == want + 1  # documents WHY the DIV form is required

@@ -331,3 +331,21 @@ def test_neardup_gate_validation(spark):
         neardup.stream_neardup_gate(
             spark, "/tmp/x", "s", store, mode="simhash", max_hamming=3, bands=2
         )
+
+
+def test_neardup_gate_empty_feed_schema_matches_mode(spark):
+    # ADVICE r6: an empty feed must return fp with the same type the
+    # non-empty path produces — md5 hex STRING in exact mode, 64-bit
+    # BIGINT fingerprint in simhash mode.
+    from etl_script_spark.streaming import neardup
+
+    store = spark.createDataFrame([(0, "seed doc")], "doc_id long, text string")
+    for mode, want in (("exact", "string"), ("simhash", "bigint")):
+        feed = neardup.write_epoch_feed([], prefix=f"ndg_empty_{mode}")
+        out = neardup.stream_neardup_gate(
+            spark, feed, "doc_id bigint, text string", store, mode=mode,
+            max_hamming=7, bands=8,
+        )
+        assert out.count() == 0
+        got = dict(out.dtypes)["fp"]
+        assert got == want, f"mode={mode}: fp dtype {got}, want {want}"
