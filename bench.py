@@ -115,6 +115,16 @@ EXTRA = [
     "st_stream_drift_monitor",
 ]
 
+# Entries whose plans are dominated by codegen'd lambda aggregates
+# (sort_array+collect_list+transform) or per-invocation fixed costs
+# (micro-batch setup, iterative peeling): C2 compiles these over ~6
+# executions, so min-of-2-after-one-warm lands mid-compilation and
+# scatters up to 2x round-over-round (r6 flagged chat_flatten_turns
+# 2.21x; isolated 6-pass re-measure converged 1.12 -> 0.63 s, i.e. no
+# regression). These get three extra passes so the reported number is
+# the steady state a long-lived cluster runs at.
+DEEP_WARM = {"chat_flatten_turns", "st_stream_cdc_apply", "graph_kcore"}
+
 
 def _release(spark) -> None:
     """Free cross-query session state between manifest entries: cached
@@ -189,7 +199,7 @@ def main() -> None:
         # each pass clears caches/persisted RDDs so every pass is a
         # full recompute, never a cache scan.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(5 if name in DEEP_WARM else 2):
             _release(spark)
             start = time.perf_counter()
             q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -224,7 +234,16 @@ def main() -> None:
             "suite growth); extra entries are steady-state (after "
             "warm-up) in a second session; all other manifest entries "
             "are a SINGLE COLD pass each (JIT/codegen compile included) "
-            "- regression attribution, not throughput"
+            "- regression attribution, not throughput. DEEP_WARM "
+            "entries (chat_flatten_turns, st_stream_cdc_apply, "
+            "graph_kcore) are min-of-5: their lambda-aggregate / "
+            "fixed-overhead plans need ~6 executions for C2 to finish, "
+            "so min-of-2 numbers for them scattered up to 2x across "
+            "rounds (r6 outliers re-measured isolated in r7: chat "
+            "1.12->0.63 s over 6 passes with unchanged code; cdc/kcore "
+            "code untouched since r5, scatter band 1.3-2.1 s / "
+            "1.3-1.6 s). Deltas on DEEP_WARM entries from r5/r6 "
+            "reflect this protocol change, not operator changes."
         ),
     }
     if errors:
