@@ -1089,10 +1089,24 @@ def remove_duplicate_spans(
     approximation):
     1. window explode: (id, pos, md5(n-gram)) — positions over the
        normalized word array, computed once per doc;
-    2. one map-side-combined aggregation: span -> min(id) owner;
-    3. rejoin windows to owners — both sides corpus-derived, so the
-       join is hinted MERGE (size estimates through aggregates are
-       garbage; the round-6 audit contract);
+    2. one map-side-combined aggregation: span -> (min(id) owner,
+       max(id)) — grams whose every occurrence sits in ONE document
+       (max == min: unique grams, which dominate any real corpus, and
+       within-doc repeats) can never satisfy owner < id, so they are
+       dropped from the owner table BEFORE the rejoin (1M stress
+       corpus: 50.7M distinct grams -> 3.0M cross-doc duplicated);
+    3. rejoin windows to the duplicated-gram owners, UNHINTED: the
+       static plan is SortMergeJoin (the planner's estimate through
+       explode+aggregate is conservatively large, verified at 1M),
+       and AQE re-decides from the MEASURED post-aggregation size —
+       a real corpus's dup-gram table collapses to a broadcast join
+       and the window side never shuffles; a pathological boilerplate
+       corpus keeps the sort-merge. (A round-7 A/B killed two fancier
+       shapes: an eager count + Bloom-bitmap prefilter of the window
+       side costs a full extra explode+agg action that local shuffle
+       savings never repay — 106 s vs 60 s at 1M — and a forced merge
+       hint blocks the AQE broadcast downgrade that makes the
+       fixture-scale rejoin free);
     4. duplicated window STARTS (never the n-fold token fan-out)
        aggregate per document and fold into disjoint merged [s, e]
        intervals — a boilerplate run is ONE interval however long;
@@ -1137,11 +1151,16 @@ def remove_duplicate_spans(
             )
         ).alias("w"),
     ).select("id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
-    owners = wins.groupBy("g").agg(F.min("id").alias("owner"))
+    owners = (
+        wins.groupBy("g")
+        .agg(F.min("id").alias("owner"), F.max("id").alias("__mx"))
+        .filter(F.col("__mx") > F.col("owner"))
+        .select("g", "owner")
+    )
     # duplicated WINDOW STARTS only — the n-fold token fan-out never
     # happens; coverage is reconstructed as intervals below
     dup_start = (
-        wins.join(owners.hint("merge"), "g")
+        wins.join(owners, "g")
         .filter(F.col("owner") < F.col("id"))
         .select("id", "pos")
         .distinct()
