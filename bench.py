@@ -113,6 +113,14 @@ EXTRA = [
     "sample_weighted_gumbel_topk",
     "decontam_bloom_ngram",
     "st_stream_drift_monitor",
+    # round 7
+    "text_winnow_fingerprints",
+    "dedup_containment_pairs",
+    "dedup_sentences_global",
+    "text_novelty_vs_reference",
+    "gov_source_datacard",
+    "split_group_aware",
+    "tok_fertility_stats",
 ]
 
 # Entries whose plans are dominated by codegen'd lambda aggregates

@@ -994,6 +994,7 @@ def dedup_paragraphs(
     text_col: str,
     id_col: str,
     sep: str = "\n\n",
+    join_sep: str | None = None,
 ) -> DataFrame:
     """Corpus-wide EXACT paragraph dedup (the C4/RefinedWeb line-level
     rule, at paragraph granularity): every repeated paragraph keeps
@@ -1015,7 +1016,14 @@ def dedup_paragraphs(
     they rejoin the exploded stream on the hash — a second keyed
     shuffle — then regroup by document. Raw paragraph text never
     shuffles twice: the winner table carries only (hash, doc, idx).
+
+    ``sep`` is a Java regex (F.split); ``join_sep`` is the LITERAL
+    string used to reassemble survivors and defaults to ``sep`` —
+    pass it explicitly whenever ``sep`` is a non-literal pattern
+    (``dedup_sentences`` does).
     """
+    if join_sep is None:
+        join_sep = sep
     paras = (
         _fan_out(df)
         .select(
@@ -1044,7 +1052,7 @@ def dedup_paragraphs(
                 F.array_sort(F.collect_list(F.struct("idx", "p"))),
                 lambda s: s["p"],
             ),
-            sep,
+            join_sep,
         ).alias("text"),
     )
     # totals come from the CORPUS, not the exploded frame: a document
@@ -1240,4 +1248,109 @@ def remove_duplicate_spans(
         .otherwise(F.size("ws") - F.size(kept_pos))
         .cast("long")
         .alias("n_removed"),
+    )
+
+
+def dedup_sentences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Corpus-wide exact SENTENCE dedup — ``dedup_paragraphs`` one
+    granularity finer (the C4 line-level rule applied to terminal-
+    punctuation segments). Sentences are the segments produced by
+    splitting NORMALIZED text on runs of ``. ! ?`` followed by
+    optional whitespace; terminal punctuation is consumed by the
+    split (lookbehind would keep it, but RE2 — the oracle engine's
+    regex — has no lookbehind, and the segment text is what the
+    dedup keys on anyway). Survivors reassemble joined by ``'. '``.
+
+    Same first-occurrence-wins contract and two-keyed-shuffle shape
+    as the paragraph form; returns (id, n_paras, n_kept, text) with
+    n_paras counting the document's non-blank sentences.
+    """
+    normed = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__sent_norm")
+    )
+    return dedup_paragraphs(
+        normed, "__sent_norm", id_col, sep="[.!?]+\\s*", join_sep=". "
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold_ppm: int = 800_000,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection: EXACT n-gram containment
+    C(A in B) = |grams(A) ∩ grams(B)| / |grams(A)| — the measure
+    Jaccard misses. A short document quoted whole inside a long one
+    has near-total containment but tiny Jaccard (the union is
+    dominated by B), so symmetric dedup keeps both; containment
+    flags A as subsumed. Broder's resemblance-vs-containment
+    distinction (SEQUENCES 1997) — this is the containment half.
+
+    Shape mirrors ``dedup_ngram_jaccard``: per-doc DISTINCT word
+    n-gram 64-bit hashes (gram text never shuffles), inverted-index
+    self-join on the hash, one (a, b) aggregation counting
+    intersections, containment as exact integer ppm (DIV — both
+    engines floor). Pairs are emitted DIRECTED: (contained_id,
+    container_id, ...) for every ordered pair with containment >=
+    threshold_ppm and a != b; fan-out per gram is its document
+    frequency (Bayardo bound) — the exact-oracle complement of the
+    MinHash family, which is the scale path past fixture sizes.
+
+    Returns (contained_id, container_id, n_grams_a, n_common,
+    containment_ppm).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    ws = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
+    )
+    grams_arr = F.when(
+        F.size(ws) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - n + 1),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(ws, i, n), " ")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(grams_arr).alias("g"),
+        F.size(grams_arr).alias("n_g"),
+    )
+    a = g.select(
+        F.col("id").alias("contained_id"),
+        "g",
+        F.col("n_g").alias("n_grams_a"),
+    )
+    b = g.select(F.col("id").alias("container_id"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(
+            F.first("n_grams_a").alias("n_grams_a"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("(n_common * CAST(1000000 AS BIGINT)) DIV n_grams_a"),
+        )
+        .filter(F.col("containment_ppm") >= F.lit(threshold_ppm))
+    )
+    return pairs.select(
+        "contained_id", "container_id", "n_grams_a", "n_common",
+        "containment_ppm",
     )

@@ -74,3 +74,121 @@ def suppress_small_groups(
         .filter(F.col("__gsz") >= k_threshold)
         .drop("__gsz")
     )
+
+
+def l_diversity_groups(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive: Column,
+    l_threshold: int = 2,
+) -> DataFrame:
+    """The actionable complement of ``k_anonymity_report``'s single
+    l-diversity metric: the CONCRETE quasi-identifier groups whose
+    sensitive attribute has fewer than ``l_threshold`` distinct
+    values — the groups where membership alone discloses the
+    sensitive value (Machanavajjhala et al., ICDE 2006). The report
+    says "l = 1 somewhere"; this says WHERE, which is what a
+    suppression/generalization pass consumes next
+    (``suppress_small_groups`` is the k-side analogue).
+
+    One aggregation over the quasi keys; output is group-cardinality.
+    Returns (quasi..., group_size, l_distinct)."""
+    if l_threshold < 1:
+        raise ValueError(f"l_threshold must be >= 1, got {l_threshold}")
+    return (
+        group_profile(df, quasi_cols, sensitive)
+        .filter(F.col("l_distinct") < l_threshold)
+    )
+
+
+def source_datacard(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    lang_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-source data card: the governance summary a dataset release
+    ships (Datasheets for Datasets, Gebru et al. 2018): document
+    count, token mass, exact-duplicate rate, dominant language, and
+    exact length percentiles. Everything a mixing-weight decision or
+    an audit reads first, computed in one pass over the corpus plus
+    group-cardinality follow-ups.
+
+    Shape: one groupBy(source) aggregation carries counts, token
+    sums and the distinct-text count (count_distinct over the 128-bit
+    md5 — never the text); the p50/p90 character lengths are EXACT
+    (sort-based percentile_disc semantics: the value at rank
+    ceil(p*n), replayable by any SQL engine) via one window rank over
+    (source, n_chars); the dominant language is max-by-count with
+    (count DESC, lang ASC) deterministic tie order. Three shuffles,
+    all on the source key or group-cardinality data.
+
+    Returns (source, n_docs, n_tokens, n_distinct_text,
+    dup_per_myriad, top_lang, p50_chars, p90_chars)."""
+    from etl_script_spark.operators.dedup import normalize_text
+    from etl_script_spark.operators.textstats import words
+
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.size(F.filter(words(F.col(text_col)), lambda w: w != "")).alias(
+            "__tok"
+        ),
+        F.md5(normalize_text(F.col(text_col))).alias("__fp"),
+        F.length(F.col(text_col).cast("string")).alias("__len"),
+    )
+    core = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").cast("long").alias("n_tokens"),
+        F.count_distinct("__fp").alias("n_distinct_text"),
+    )
+    core = core.withColumn(
+        "dup_per_myriad",
+        F.expr("((n_docs - n_distinct_text) * 10000) DIV n_docs"),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("__lc")
+    )
+    # dominant language = max count, ties to the lexicographically
+    # FIRST lang (max(struct(c, lang)) would break ties to the LAST)
+    top_lang = (
+        lang_counts.join(
+            lang_counts.groupBy("source").agg(F.max("__lc").alias("__mx")),
+            "source",
+        )
+        .filter(F.col("__lc") == F.col("__mx"))
+        .groupBy("source")
+        .agg(F.min("lang").alias("top_lang"))
+    )
+    ranked = base.select("source", "__len").withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("source").orderBy("__len"))
+    )
+    sizes = base.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    pcts = (
+        ranked.join(F.broadcast(sizes), "source")
+        .groupBy("source")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__rn") >= F.ceil(F.col("__n") * 0.5),
+                    F.col("__len"),
+                )
+            ).alias("p50_chars"),
+            F.min(
+                F.when(
+                    F.col("__rn") >= F.ceil(F.col("__n") * 0.9),
+                    F.col("__len"),
+                )
+            ).alias("p90_chars"),
+        )
+    )
+    return (
+        core.join(top_lang, "source")
+        .join(pcts, "source")
+        .select(
+            "source", "n_docs", "n_tokens", "n_distinct_text",
+            "dup_per_myriad", "top_lang", "p50_chars", "p90_chars",
+        )
+    )

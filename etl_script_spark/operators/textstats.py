@@ -1324,3 +1324,95 @@ def span_corrupt(
         .alias("target"),
         "n_spans",
     )
+
+
+def script_profile(c: Column) -> list[Column]:
+    """Per-document writing-script composition over normalized text
+    (whitespace excluded): counts of basic-Latin letters, digits,
+    Cyrillic, CJK-unified and everything else, plus the dominant
+    script label. The language-ID companion for MIXED-script corpora:
+    an n-gram language model is blind until the text is routed to the
+    right script pipeline (word shingles for Latin/Cyrillic,
+    char shingles for CJK — see ``char_shingles``), and a
+    high "other" share is itself a quality signal (mojibake, math
+    spam, encoding damage).
+
+    Counts are length-after-stripping-the-complement — one
+    regexp_replace per class over explicit code-point ranges (the
+    same ranges an RE2-based oracle replays; \\p{} class NAMES
+    diverge across regex engines, raw ranges do not). Pure scan-stage
+    Column expressions; zero shuffle.
+
+    Returns [n_chars, n_latin, n_digit, n_cyrillic, n_cjk, n_other,
+    dominant] — alias and select at the call site."""
+    norm = F.regexp_replace(
+        F.lower(c.cast("string")), r"\s+", ""
+    )
+
+    def cnt(rng: str) -> Column:
+        return F.length(F.regexp_replace(norm, f"[^{rng}]", ""))
+
+    n_all = F.length(norm)
+    n_latin = cnt("a-z")
+    n_digit = cnt("0-9")
+    n_cyr = cnt("Ѐ-ӿ")
+    n_cjk = cnt("一-鿿")
+    n_other = n_all - n_latin - n_digit - n_cyr - n_cjk
+    dominant = (
+        F.when(n_all == 0, F.lit("empty"))
+        .when(
+            (n_latin >= n_cyr) & (n_latin >= n_cjk) & (n_latin >= n_digit)
+            & (n_latin >= n_other),
+            F.lit("latin"),
+        )
+        .when((n_cyr >= n_cjk) & (n_cyr >= n_digit) & (n_cyr >= n_other),
+              F.lit("cyrillic"))
+        .when((n_cjk >= n_digit) & (n_cjk >= n_other), F.lit("cjk"))
+        .when(n_digit >= n_other, F.lit("digit"))
+        .otherwise(F.lit("other"))
+    )
+    return [n_all, n_latin, n_digit, n_cyr, n_cjk, n_other, dominant]
+
+
+def tokenizer_fertility(
+    df, text_col: str, group_col: str
+) -> "DataFrame":
+    """Per-group tokenizer fertility diagnostics: how many subword
+    tokens the (BPE-ish) tokenizer spends per whitespace word, and
+    how many characters each token carries. THE go/no-go metric when
+    choosing a tokenizer for a data mix — fertility creep on a
+    domain (code, non-English) silently multiplies its training cost
+    — and the per-source table is what a data card reports.
+
+    One aggregation: sums of whitespace words, subword pieces
+    (``token_count_bpe_ish``) and non-space characters per group;
+    ratios as exact integer ppm (DIV, zero-guarded) so the oracle
+    replays them bit-for-bit. Map-side combinable, shuffle carries
+    one row per group.
+
+    Returns (group, n_docs, n_words, n_tokens, n_chars,
+    fertility_ppm, chars_per_token_ppm)."""
+    nonblank = F.filter(words(F.col(text_col)), lambda w: w != "")
+    n_chars = F.length(
+        F.regexp_replace(F.lower(F.col(text_col).cast("string")), r"\s+", "")
+    )
+    return (
+        df.groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(nonblank)).cast("long").alias("n_words"),
+            F.sum(token_count_bpe_ish(F.col(text_col))).cast("long").alias(
+                "n_tokens"
+            ),
+            F.sum(n_chars).cast("long").alias("n_chars"),
+        )
+        .select(
+            "group", "n_docs", "n_words", "n_tokens", "n_chars",
+            F.expr(
+                "(n_tokens * CAST(1000000 AS BIGINT)) DIV greatest(n_words, 1)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "(n_chars * CAST(1000000 AS BIGINT)) DIV greatest(n_tokens, 1)"
+            ).alias("chars_per_token_ppm"),
+        )
+    )

@@ -2531,3 +2531,39 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("prefix_docs").cast("long").alias("prefix_docs"), "vocab"
     )
+
+
+@register(
+    "split_group_aware",
+    f"""
+    WITH g AS (
+      SELECT doc_id, md5({_NORM}) AS group_fp FROM documents
+    )
+    SELECT doc_id, group_fp,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, group_fp,
+             ('0x' || substr(md5('split' || group_fp), 1, 8))::BIGINT % 100
+               AS b
+      FROM g
+    )
+    """,
+    ("LLM-curation", "LLM-sampling"),
+)
+def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is assigned to the
+    exact-content GROUP (md5 of normalized text), not the document,
+    so every duplicate lands on the same side of the train/test fence
+    by construction — the GroupShuffleSplit contract done with
+    deterministic hashing (operators/splits.py:group_aware_split;
+    pass a near-dup cluster id for the fuzzy-leakage variant).
+    80/10/10 on md5 buckets; pure scan-stage projection, zero
+    shuffle, engine-replayable assignment."""
+    from etl_script_spark.operators import splits
+
+    d = t(spark, sf_dir, "documents")
+    return splits.group_aware_split(d, "doc_id", text_col="text").select(
+        "doc_id", "group_fp", "split"
+    )

@@ -156,3 +156,99 @@ def gov_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_acctbal") < 0, "neg").otherwise("nonneg"),
         k_threshold=5,
     )
+
+
+@register(
+    "gov_l_diversity_groups",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS group_size,
+           CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                    ELSE 'nonneg' END) AS BIGINT)
+             AS l_distinct
+    FROM customer
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                               ELSE 'nonneg' END) < 2
+    """,
+    ("governance",),
+)
+def gov_l_diversity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half of l-diversity: the CONCRETE
+    quasi-identifier groups (nation, market segment) whose sensitive
+    attribute (account-balance sign) takes fewer than l=2 distinct
+    values — where membership alone discloses the value
+    (operators/governance.py:l_diversity_groups; Machanavajjhala
+    et al. 2006). gov_k_anonymity reports that min-l exists; this
+    lists the groups a suppression pass consumes. One aggregation,
+    group-cardinality output."""
+    from etl_script_spark.operators import governance as gov
+
+    c = t(spark, sf_dir, "customer")
+    return gov.l_diversity_groups(
+        c,
+        ["c_nationkey", "c_mktsegment"],
+        F.when(F.col("c_acctbal") < 0, "neg").otherwise("nonneg"),
+        l_threshold=2,
+    )
+
+
+@register(
+    "gov_source_datacard",
+    """
+    WITH base AS (
+      SELECT source, doc_id, lang,
+             len(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               w -> w != '')) AS tok,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             length(text) AS ln
+      FROM documents
+    ),
+    core AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_text
+      FROM base GROUP BY source
+    ),
+    lc AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY 1, 2),
+    tl AS (
+      SELECT lc.source, MIN(lc.lang) AS top_lang
+      FROM lc JOIN (SELECT source, MAX(c) AS mx FROM lc GROUP BY 1) m
+        ON m.source = lc.source AND lc.c = m.mx
+      GROUP BY lc.source
+    ),
+    rk AS (
+      SELECT source, ln,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY ln) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM base
+    ),
+    pc AS (
+      SELECT source,
+             MIN(CASE WHEN rn >= ceil(n * 0.5) THEN ln END) AS p50_chars,
+             MIN(CASE WHEN rn >= ceil(n * 0.9) THEN ln END) AS p90_chars
+      FROM rk GROUP BY source
+    )
+    SELECT c.source, c.n_docs, c.n_tokens, c.n_distinct_text,
+           ((c.n_docs - c.n_distinct_text) * 10000) // c.n_docs
+             AS dup_per_myriad,
+           tl.top_lang, pc.p50_chars, pc.p90_chars
+    FROM core c JOIN tl ON tl.source = c.source
+    JOIN pc ON pc.source = c.source
+    """,
+    ("governance", "LLM-curation"),
+)
+def gov_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card (Datasheets for Datasets): document count,
+    token mass, exact-dup rate (per-myriad, integer DIV), dominant
+    language (max count, lexicographic tie), and EXACT p50/p90
+    character lengths (value at rank ceil(p*n) — percentile_disc
+    semantics any SQL engine replays). The first table a mixing
+    decision or release audit reads
+    (operators/governance.py:source_datacard). Shuffles only on the
+    source key and group-cardinality follow-ups."""
+    from etl_script_spark.operators import governance as gov
+
+    d = t(spark, sf_dir, "documents")
+    return gov.source_datacard(d, "source", "text", "lang", "doc_id")

@@ -706,3 +706,54 @@ def st_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("psi_term_micro"),
     )
+
+
+@register(
+    "st_stream_quota_gate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, doc_id % 3 AS ep,
+             CAST(len(list_filter(string_split({_NDG_NORM}, ' '),
+                                  w -> w != '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY ep, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tok
+      FROM toks
+    )
+    SELECT doc_id, source, n_tok, cum_tok
+    FROM cum WHERE cum_tok <= 800
+    """,
+    ("streaming-cdc", "LLM-curation"),
+)
+def st_stream_quota_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming per-source token-quota gate
+    (streaming/quota.py:stream_quota_gate): the corpus streams as
+    three epoch files (doc_id%3) with maxFilesPerTrigger=1; each
+    micro-batch admits a source's documents while the source's
+    cumulative token count — carried state plus the in-batch running
+    sum in ascending id order — stays within quota, and the state
+    advances by every token SEEN, so admission is a prefix of the
+    global (epoch, id) stream. That prefix contract is exactly why
+    the whole multi-epoch run unrolls to ONE window cumsum in the
+    oracle: state chaining across micro-batches must reproduce the
+    global cumulative sum or the hash breaks. State is one counter
+    per source; per-batch work is a window over the batch plus a
+    broadcast join against the counter table."""
+    from etl_script_spark.streaming import quota
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    epochs = [
+        d.filter(F.col("doc_id") % 3 == i).select("doc_id", "source", "text")
+        for i in (0, 1, 2)
+    ]
+    feed = quota.write_epoch_feed(epochs, prefix=f"qg_{_tag(sf_dir)}")
+    return quota.stream_quota_gate(
+        spark,
+        feed,
+        "doc_id bigint, source string, text string",
+        quota_tokens=800,
+    )

@@ -1376,3 +1376,372 @@ def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_occurrences(
         d0, "text", "doc_id", ["the", "quick", "brown", "fox"]
     )
+
+
+# =====================================================================
+# Round 7: winnowing, novelty, containment, sentence dedup, script
+# profile, tokenizer fertility
+# =====================================================================
+
+
+@register(
+    "text_winnow_fingerprints",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN length(s) >= 5 THEN
+               [('0x' || substr(md5(s[i:i+4]), 1, 8))::BIGINT
+                for i in range(1, length(s) - 3)]
+             ELSE []::BIGINT[] END AS H
+      FROM nm
+    ),
+    sel AS (
+      SELECT doc_id, H,
+             [i for i in range(1, len(H) + 1)
+              if len(H) >= 4
+                 and (len([d for d in range(1, least(3, i - 1) + 1)
+                           if list_min(H[i-d:i-1]) >= H[i]])
+                      + len([d for d in range(1, least(3, len(H) - i) + 1)
+                             if list_min(H[i+1:i+d]) > H[i]])) >= 3
+                 and i - len([d for d in range(1, least(3, i - 1) + 1)
+                              if list_min(H[i-d:i-1]) >= H[i]]) + 3
+                     <= len(H)] AS sel
+      FROM h
+    )
+    SELECT doc_id AS id,
+           CAST(len(H) AS INTEGER) AS n_positions,
+           CAST(len(sel) AS INTEGER) AS n_fps,
+           CAST(coalesce(list_sum(list_transform(sel, i -> H[i])), 0)
+                AS BIGINT) AS fp_sum
+    FROM sel
+    """,
+    ("LLM-dedup", "LLM-text"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): character
+    5-gram hashes, window 4, rightmost-minimum selection, realized as
+    a position-local run-length predicate so the whole operator is
+    array HOFs in one scan-stage projection — zero shuffle, zero UDF
+    (operators/winnow.py:winnow_fingerprints, derivation in the
+    docstring). The oracle recomputes every hash, replays the same
+    local rule through list comprehensions, and checks the exact
+    fingerprint SUM per document — one mis-selected position anywhere
+    breaks the hash."""
+    from etl_script_spark.operators import winnow
+
+    d = t(spark, sf_dir, "documents")
+    return winnow.winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
+
+
+@register(
+    "text_novelty_vs_reference",
+    f"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), w -> w != '') AS ws
+      FROM documents
+    ),
+    dg AS (
+      SELECT doc_id, unnest(list_distinct(
+               [('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')),
+                                1, 8))::BIGINT
+                for i in range(1, len(ws) - 1)])) AS g
+      FROM ws WHERE len(ws) >= 3
+    ),
+    ref AS (SELECT DISTINCT g FROM dg WHERE doc_id % 7 = 0),
+    per AS (
+      SELECT dg.doc_id,
+             COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM dg LEFT JOIN ref r ON dg.g = r.g
+      GROUP BY 1
+    )
+    SELECT d.doc_id AS id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(p.n_novel, 0) AS n_novel,
+           CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 1000000
+                ELSE (p.n_novel * 1000000) // p.n_grams END AS novelty_ppm
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """,
+    ("LLM-curation", "LLM-text"),
+)
+def text_novelty_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus (every 7th
+    document): the ppm fraction of the doc's distinct word trigrams
+    absent from the reference — the freshness signal of incremental
+    crawls (a near-zero-novelty doc adds nothing the last snapshot
+    didn't have). One distinct-gram aggregation per side + one LEFT
+    join on the 8-byte gram hash (gram text never shuffles) + one
+    count aggregation; exact integer ppm
+    (operators/winnow.py:ngram_novelty). Reference docs score low on
+    themselves — the planted truth the oracle pins."""
+    from etl_script_spark.operators import winnow
+
+    d = t(spark, sf_dir, "documents")
+    return winnow.ngram_novelty(
+        d, d.filter(F.col("doc_id") % 7 == 0), "text", "doc_id", n=3
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(
+               list_filter(string_split({_NORM}, ' '), w -> w != '')[1:12],
+               ' ') AS text
+      FROM documents WHERE doc_id % 9 = 2
+    ),
+    ws AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               w -> w != '') AS ws
+      FROM base
+    ),
+    gr AS (
+      SELECT doc_id, len(gs) AS n_g, unnest(gs) AS g FROM (
+        SELECT doc_id, list_distinct(
+                 [('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')),
+                                  1, 8))::BIGINT
+                  for i in range(1, len(ws) - 1)]) AS gs
+        FROM ws WHERE len(ws) >= 3
+      )
+    )
+    SELECT contained_id, container_id, n_grams_a, n_common,
+           containment_ppm
+    FROM (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             CAST(any_value(a.n_g) AS INTEGER) AS n_grams_a,
+             COUNT(*) AS n_common,
+             (COUNT(*) * 1000000) // any_value(a.n_g) AS containment_ppm
+      FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    ) WHERE containment_ppm >= 800000
+    """,
+    ("LLM-dedup",),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection via EXACT n-gram containment
+    (Broder's resemblance-vs-containment distinction): a 12-word
+    excerpt doc (planted for every 9th document, id + 1e6) is ~fully
+    CONTAINED in its source while its Jaccard is tiny — symmetric
+    dedup keeps both, containment flags the subsumed one. Inverted-
+    index self-join on 8-byte gram hashes, one pair aggregation,
+    exact integer ppm with DIV
+    (operators/dedup.py:containment_pairs)."""
+    from etl_script_spark.operators import dedup as dd
+    from etl_script_spark.operators.dedup import normalize_text
+
+    d = t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda w: w != ""
+    )
+    excerpts = d.filter(F.col("doc_id") % 9 == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, 12), " ").alias("text"),
+    )
+    base = d.select("doc_id", "text").unionByName(excerpts)
+    return dd.containment_pairs(
+        base, "text", "doc_id", n=3, threshold_ppm=800000
+    )
+
+
+@register(
+    "dedup_sentences_global",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    sb AS (
+      SELECT doc_id,
+             array_to_string(
+               [array_to_string(ws[(i*12+1):(i*12+12)], ' ')
+                for i in range(0, CAST(ceil(len(ws) / 12.0) AS INT))],
+               '. ')
+             || CASE WHEN doc_id % 3 = 0 THEN
+                  '. this site uses cookies to improve your experience'
+                ELSE '' END AS stext
+      FROM w
+    ),
+    sents AS (
+      SELECT doc_id, idx, p FROM (
+        SELECT doc_id,
+               unnest([{{'i': i, 'p': lst[i]}}
+                       for i in range(1, len(lst) + 1)]) AS u
+        FROM (SELECT doc_id,
+                     string_split_regex(stext, '[.!?]+\\s*') AS lst
+              FROM sb)
+      ) t(doc_id, u), LATERAL (SELECT u['i'] AS idx, u['p'] AS p) l
+      WHERE trim(p) <> ''
+    ),
+    kept AS (
+      SELECT doc_id, idx, p FROM (
+        SELECT doc_id, idx, p,
+               ROW_NUMBER() OVER (PARTITION BY p ORDER BY doc_id, idx)
+                 AS rn
+        FROM sents
+      ) WHERE rn = 1
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM sents GROUP BY doc_id),
+    reb AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(p, '. ' ORDER BY idx)) AS text_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id AS id, t.n_paras,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.text_md5, md5('')) AS text_md5
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+    ("LLM-dedup", "LLM-curation"),
+)
+def dedup_sentences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact SENTENCE dedup — the C4 line-level rule one
+    granularity below paragraphs (operators/dedup.py:dedup_sentences,
+    built on the same first-occurrence-wins machinery with a regex
+    sentence splitter and a literal rejoin separator). Fixture:
+    documents restructured into 12-word sentences with a cookie-banner
+    sentence planted on every 3rd doc — the planted truth is that it
+    survives exactly once corpus-wide. Same two-keyed-shuffle shape
+    as the paragraph form; the 128-bit sentence hash is the only
+    corpus-sized shuffle key."""
+    from etl_script_spark.operators.dedup import (
+        dedup_sentences,
+        normalize_text,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda w: w != ""
+    )
+    n_s = F.ceil(F.size(ws) / 12.0).cast("int")
+    sents = F.when(
+        n_s > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_s - 1),
+            lambda i: F.array_join(F.slice(ws, i * 12 + 1, 12), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stext = F.concat(
+        F.array_join(sents, ". "),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(". this site uses cookies to improve your experience"),
+        ).otherwise(F.lit("")),
+    )
+    fixed = d.select("doc_id", stext.alias("stext"))
+    out = dedup_sentences(fixed, "stext", "doc_id")
+    return out.select(
+        "id", "n_paras", "n_kept", F.md5("text").alias("text_md5")
+    )
+
+
+@register(
+    "text_script_profile",
+    """
+    WITH nm AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '\\s+', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(length(s) AS INTEGER) AS n_chars,
+             CAST(length(regexp_replace(s, '[^a-z]', '', 'g')) AS INTEGER)
+               AS n_latin,
+             CAST(length(regexp_replace(s, '[^0-9]', '', 'g')) AS INTEGER)
+               AS n_digit,
+             CAST(length(regexp_replace(s, '[^\\x{0400}-\\x{04FF}]', '',
+                                        'g')) AS INTEGER) AS n_cyrillic,
+             CAST(length(regexp_replace(s, '[^\\x{4E00}-\\x{9FFF}]', '',
+                                        'g')) AS INTEGER) AS n_cjk
+      FROM nm
+    )
+    SELECT doc_id, n_chars, n_latin, n_digit, n_cyrillic, n_cjk,
+           n_chars - n_latin - n_digit - n_cyrillic - n_cjk AS n_other,
+           CASE WHEN n_chars = 0 THEN 'empty'
+                WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+                     AND n_latin >= n_digit
+                     AND n_latin >= n_chars - n_latin - n_digit
+                                    - n_cyrillic - n_cjk THEN 'latin'
+                WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_digit
+                     AND n_cyrillic >= n_chars - n_latin - n_digit
+                                       - n_cyrillic - n_cjk
+                  THEN 'cyrillic'
+                WHEN n_cjk >= n_digit
+                     AND n_cjk >= n_chars - n_latin - n_digit
+                                  - n_cyrillic - n_cjk THEN 'cjk'
+                WHEN n_digit >= n_chars - n_latin - n_digit
+                                - n_cyrillic - n_cjk THEN 'digit'
+                ELSE 'other' END AS dominant
+    FROM c
+    """,
+    ("LLM-text",),
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document writing-script composition (explicit code-point
+    ranges — engine-portable where \\p{{}} class names are not):
+    basic-Latin / digit / Cyrillic / CJK / other counts and the
+    dominant script with a fixed deterministic tie order. The routing
+    signal for script-aware pipelines (word shingles vs char
+    shingles) and a mojibake detector (high 'other'). Pure scan-stage
+    Column expressions (operators/textstats.py:script_profile)."""
+    d = t(spark, sf_dir, "documents")
+    p = textstats.script_profile(F.col("text"))
+    names = [
+        "n_chars", "n_latin", "n_digit", "n_cyrillic", "n_cjk", "n_other",
+        "dominant",
+    ]
+    return d.select(
+        "doc_id", *[c.cast("int").alias(n) if n != "dominant" else c.alias(n)
+                    for c, n in zip(p, names)]
+    )
+
+
+@register(
+    "tok_fertility_stats",
+    f"""
+    WITH per AS (
+      SELECT source,
+             len(list_filter(string_split({_NORM}, ' '), w -> w != ''))
+               AS n_w,
+             CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               w -> w != ''),
+                   w -> greatest(CAST(ceil(length(w) / 4.0) AS BIGINT), 1))))
+               AS BIGINT) AS n_t,
+             length(regexp_replace(lower(text), '\\s+', '', 'g')) AS n_c
+      FROM documents
+    )
+    SELECT source AS "group",
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_w) AS BIGINT) AS n_words,
+           CAST(SUM(n_t) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_c) AS BIGINT) AS n_chars,
+           (CAST(SUM(n_t) AS BIGINT) * 1000000)
+             // greatest(CAST(SUM(n_w) AS BIGINT), 1) AS fertility_ppm,
+           (CAST(SUM(n_c) AS BIGINT) * 1000000)
+             // greatest(CAST(SUM(n_t) AS BIGINT), 1)
+             AS chars_per_token_ppm
+    FROM per GROUP BY source
+    """,
+    ("LLM-text", "governance"),
+)
+def tok_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility: subword tokens per whitespace
+    word and characters per token, in exact integer ppm — the metric
+    that catches a domain whose tokenization silently multiplies its
+    training cost (operators/textstats.py:tokenizer_fertility). One
+    map-side-combinable aggregation; shuffle carries one row per
+    source."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.tokenizer_fertility(d, "text", "source")

@@ -1,0 +1,355 @@
+"""Round-7 operator batch: winnowing, novelty, containment, sentence
+dedup, script profile, tokenizer fertility, l-diversity groups,
+source data cards, group-aware splits, streaming quota gate."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import *  # noqa: F401,F403  (spark fixture)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (operators/winnow.py)
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(text: str, k: int = 5, w: int = 4):
+    """Textbook reference: rightmost-min per window, dedup across
+    windows. Returns (n_positions, selected {pos: hash})."""
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    n = len(norm) - k + 1
+    if n < 1:
+        return 0, {}
+    hs = [
+        int(hashlib.md5(norm[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(n)
+    ]
+    sel = {}
+    for j in range(w - 1, n):
+        win = hs[j - w + 1 : j + 1]
+        m = min(win)
+        # rightmost minimum
+        off = max(idx for idx, v in enumerate(win) if v == m)
+        pos = j - w + 1 + off
+        sel[pos] = hs[pos]
+    return n, sel
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "aaaaaaaaaaaaaaaaaaaaaa",                      # all-tie pathology
+        "abcabcabcabcabcabcabc",                       # periodic
+        "short",                                       # n < w
+        "tiny",                                        # len < k
+        "",                                            # empty
+        "x y  z   multiple   spaces   collapse  here please",
+    ],
+)
+def test_winnow_matches_textbook_reference(spark, text):
+    from etl_script_spark.operators import winnow
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = winnow.winnow_fingerprints(df, "text", "doc_id").collect()[0]
+    n_pos, sel = _py_winnow(text)
+    assert row["n_positions"] == n_pos
+    assert row["n_fps"] == len(sel)
+    assert row["fp_sum"] == sum(sel.values())
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    # guarantee: a shared substring of length >= k + w - 1 (= 8)
+    # yields at least one common selected fingerprint
+    from etl_script_spark.operators import winnow
+
+    shared = "identical boilerplate fragment present in both documents"
+    df = spark.createDataFrame(
+        [
+            (1, "left preamble text " + shared),
+            (2, shared + " right epilogue text entirely different"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", F.col("text")
+        ).join(
+            winnow.winnow_fingerprints(df, "text", "doc_id").withColumnRenamed(
+                "id", "doc_id"
+            ),
+            "doc_id",
+        ).collect()
+    }
+    _, sel1 = _py_winnow(out[1]["text"])
+    _, sel2 = _py_winnow(out[2]["text"])
+    assert set(sel1.values()) & set(sel2.values()), "no shared fingerprint"
+
+
+def test_winnow_validation(spark):
+    from etl_script_spark.operators import winnow
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        winnow.winnow_fingerprints(df, "text", "doc_id", k=1)
+    with pytest.raises(ValueError):
+        winnow.winnow_fingerprints(df, "text", "doc_id", w=1)
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (operators/winnow.py)
+# ---------------------------------------------------------------------------
+
+
+def test_novelty_planted_extremes(spark):
+    from etl_script_spark.operators import winnow
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),     # reference member
+            (2, "alpha beta gamma delta epsilon"),     # copy of reference
+            (3, "totally novel words nowhere else"),   # fully novel
+            (4, "alpha beta gamma completely new tail words"),  # mixed
+            (5, "ab"),                                  # < n words
+        ],
+        "doc_id long, text string",
+    )
+    ref = docs.filter(F.col("doc_id") == 1)
+    out = {
+        r["id"]: r
+        for r in winnow.ngram_novelty(docs, ref, "text", "doc_id").collect()
+    }
+    assert out[1]["novelty_ppm"] == 0
+    assert out[2]["novelty_ppm"] == 0
+    assert out[3]["novelty_ppm"] == 1000000
+    assert 0 < out[4]["novelty_ppm"] < 1000000
+    assert out[5]["n_grams"] == 0 and out[5]["novelty_ppm"] == 1000000
+    assert len(out) == 5  # cardinality contract
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_directed_excerpt(spark):
+    from etl_script_spark.operators import dedup as dd
+
+    long_text = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen"
+    )
+    excerpt = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, long_text), (2, excerpt), (3, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["contained_id"], r["container_id"]): r["containment_ppm"]
+        for r in dd.containment_pairs(
+            df, "text", "doc_id", n=3, threshold_ppm=800000
+        ).collect()
+    }
+    assert pairs == {(2, 1): 1000000}  # directed; reverse NOT flagged
+
+
+# ---------------------------------------------------------------------------
+# Sentence dedup (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_sentence_dedup_first_occurrence_wins(spark):
+    from etl_script_spark.operators import dedup as dd
+
+    banner = "this site uses cookies"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique opening line. {banner}. closing thought one"),
+            (2, f"{banner}! second doc body text"),
+            (3, "independent doc? with two sentences. " + banner),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in dd.dedup_sentences(df, "text", "doc_id").collect()}
+    # banner survives only in doc 1 (smallest id, earliest idx)
+    assert banner in out[1]["text"]
+    assert banner not in out[2]["text"]
+    assert banner not in out[3]["text"]
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["n_paras"] == 3 and out[3]["n_kept"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Script profile / fertility (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+
+def test_script_profile_dominant_labels(spark):
+    from etl_script_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain english text"),
+            (2, "привет мир как дела сегодня"),
+            (3, "你好世界这是中文测试文本"),
+            (4, "1234567890 123456"),
+            (5, ""),
+            (6, "mixed привет text latin wins here"),
+        ],
+        "doc_id long, text string",
+    )
+    p = ts.script_profile(F.col("text"))
+    names = ["n_chars", "n_latin", "n_digit", "n_cyrillic", "n_cjk",
+             "n_other", "dominant"]
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(n) for c, n in zip(p, names)]
+        ).collect()
+    }
+    assert out[1]["dominant"] == "latin"
+    assert out[2]["dominant"] == "cyrillic" and out[2]["n_cyrillic"] > 0
+    assert out[3]["dominant"] == "cjk" and out[3]["n_cjk"] == 12
+    assert out[4]["dominant"] == "digit"
+    assert out[5]["dominant"] == "empty" and out[5]["n_chars"] == 0
+    assert out[6]["dominant"] == "latin"
+    for r in out.values():  # counts partition n_chars
+        assert (
+            r["n_latin"] + r["n_digit"] + r["n_cyrillic"] + r["n_cjk"]
+            + r["n_other"]
+            == r["n_chars"]
+        )
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from etl_script_spark.operators import textstats as ts
+
+    # "hello world" -> 2 words, pieces: ceil(5/4)*2 = 4 tokens,
+    # 10 non-space chars
+    df = spark.createDataFrame(
+        [(1, "hello world", "a"), (2, "hi", "a"), (3, "", "b")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["group"]: r
+        for r in ts.tokenizer_fertility(df, "text", "source").collect()
+    }
+    a = out["a"]
+    assert a["n_docs"] == 2 and a["n_words"] == 3
+    assert a["n_tokens"] == 5  # hello(2) world(2) hi(1)
+    assert a["n_chars"] == 12
+    assert a["fertility_ppm"] == (5 * 1000000) // 3
+    b = out["b"]
+    assert b["n_words"] == 0 and b["fertility_ppm"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Governance additions (operators/governance.py)
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_groups_flags_homogeneous(spark):
+    from etl_script_spark.operators import governance as gov
+
+    df = spark.createDataFrame(
+        [
+            ("us", "a", "x"), ("us", "a", "x"),            # l=1 -> flagged
+            ("us", "b", "x"), ("us", "b", "y"),            # l=2 -> ok
+            ("de", "a", "z"),                              # l=1 -> flagged
+        ],
+        "nation string, seg string, sensitive string",
+    )
+    out = gov.l_diversity_groups(
+        df, ["nation", "seg"], F.col("sensitive"), l_threshold=2
+    ).collect()
+    flagged = {(r["nation"], r["seg"]) for r in out}
+    assert flagged == {("us", "a"), ("de", "a")}
+    with pytest.raises(ValueError):
+        gov.l_diversity_groups(df, ["nation"], F.col("sensitive"), 0)
+
+
+def test_source_datacard_hand_computed(spark):
+    from etl_script_spark.operators import governance as gov
+
+    rows = [
+        (1, "one two", "en", "s1"),
+        (2, "one two", "en", "s1"),          # exact dup of 1
+        (3, "three four five", "de", "s1"),
+        (4, "six", "de", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    r = gov.source_datacard(df, "source", "text", "lang", "doc_id").collect()[0]
+    assert r["n_docs"] == 4 and r["n_tokens"] == 2 + 2 + 3 + 1
+    assert r["n_distinct_text"] == 3
+    assert r["dup_per_myriad"] == (1 * 10000) // 4
+    assert r["top_lang"] == "de"  # 2-2 tie -> lexicographically first
+    # lengths sorted: 3,7,7,15 -> p50 = rank ceil(2)=2 -> 7; p90 rank 4 -> 15
+    assert r["p50_chars"] == 7 and r["p90_chars"] == 15
+
+
+# ---------------------------------------------------------------------------
+# Group-aware split (operators/splits.py)
+# ---------------------------------------------------------------------------
+
+
+def test_split_group_aware_no_leakage_and_determinism(spark):
+    from etl_script_spark.operators import splits
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i % 40}") for i in range(400)],
+        "doc_id long, text string",
+    )
+    out = splits.group_aware_split(df, "doc_id").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_fp"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())  # no group straddles
+    labels = {r["split"] for r in out}
+    assert labels <= {"train", "val", "test"}
+    # deterministic across repartitioning
+    out2 = splits.group_aware_split(df.repartition(7), "doc_id").collect()
+    assert {(r["doc_id"], r["split"]) for r in out} == {
+        (r["doc_id"], r["split"]) for r in out2
+    }
+    with pytest.raises(ValueError):
+        splits.group_aware_split(df, "doc_id", train_pct=90, val_pct=20)
+
+
+# ---------------------------------------------------------------------------
+# Streaming quota gate (streaming/quota.py)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_quota_gate_prefix_semantics_across_epochs(spark):
+    from etl_script_spark.streaming import quota
+
+    # source "a": 3-token docs; quota 7 -> docs 1, 2 admitted (cum 3, 6),
+    # doc 3 overflows in epoch 1 (cum 9); the 1-token doc 4 in epoch 2
+    # must STAY rejected (state advanced past quota by seen tokens)
+    e1 = spark.createDataFrame(
+        [
+            (1, "a", "w w w"), (2, "a", "w w w"), (3, "a", "w w w"),
+            (10, "b", "w w w w w w"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    e2 = spark.createDataFrame(
+        [(4, "a", "w"), (11, "b", "w")],
+        "doc_id long, source string, text string",
+    )
+    feed = quota.write_epoch_feed([e1, e2], prefix="qg_test")
+    out = quota.stream_quota_gate(
+        spark, feed, "doc_id bigint, source string, text string",
+        quota_tokens=7,
+    )
+    got = {(r["doc_id"], r["cum_tok"]) for r in out.collect()}
+    assert got == {(1, 3), (2, 6), (10, 6), (11, 7)}
+    with pytest.raises(ValueError):
+        quota.stream_quota_gate(spark, feed, "x string", quota_tokens=0)

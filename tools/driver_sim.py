@@ -11,6 +11,7 @@ failure.
 
 from __future__ import annotations
 
+import os
 import sys
 import traceback
 
@@ -24,7 +25,7 @@ from __spark_entry__ import _CHECKED  # noqa: E402
 from etl_script_spark.plans.catalog import CATALOG  # noqa: E402
 from tests.oracle_utils import make_duckdb  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:

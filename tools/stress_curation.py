@@ -831,6 +831,76 @@ def stress_round6e_augment(spark):
             n=8, m_bits=1 << 22))
 
 
+
+
+def stress_round7_decade(spark):
+    """Round-7 decade push for the round-6 closers: the augmentation
+    pair at 10 M docs (600 M tokens — one decade past round-6e) and
+    the streaming near-dup gate at 128 epochs (two decades past the
+    3-epoch fixture). Run: ``python tools/stress_curation.py
+    --round7``."""
+    from etl_script_spark.streaming import neardup
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        if hasattr(out, "write"):
+            out.write.mode("overwrite").format("noop").save()
+            wall = time.time() - t0
+            cnt = out.count()
+        else:
+            wall = time.time() - t0
+            cnt = out
+        print(f"{name}: {wall:.1f}s  -> {cnt} rows")
+
+    M = 10_000_000
+    t0 = time.time()
+    d = build(spark, n=M, out=f"/tmp/etl_script_spark_io/stress_{M}")
+    print(f"build 10M corpus: {time.time()-t0:.1f}s ({d.count()} docs)")
+
+    run("mlm_mask 10M docs", lambda: textstats.mlm_mask(d, "text", "doc_id"))
+    run("span_corrupt 10M docs", lambda: textstats.span_corrupt(
+        d, "text", "doc_id"))
+
+    # 128-epoch gate: each epoch carries 1k fresh docs + 500 repeats
+    # of an earlier epoch's text (cross-epoch near-dups the store must
+    # reject). Store state compounds across epochs - the shape under
+    # test is per-epoch cost as a function of accumulated state.
+    epochs = []
+    for e in range(128):
+        fresh = spark.range(e * 1500, e * 1500 + 1000).select(
+            F.col("id").alias("doc_id"),
+            F.format_string("fresh doc %d epoch " + str(e), F.col("id"))
+            .alias("text"),
+        )
+        rep_src = max(0, e - 1)
+        rep = spark.range(e * 1500 + 1000, e * 1500 + 1500).select(
+            F.col("id").alias("doc_id"),
+            F.format_string(
+                "fresh doc %d epoch " + str(rep_src),
+                F.lit(rep_src * 1500) + F.pmod(F.col("id"), F.lit(1000)),
+            ).alias("text"),
+        )
+        epochs.append(fresh.unionByName(rep))
+    t0 = time.time()
+    feed = neardup.write_epoch_feed(epochs, prefix="ndg_128")
+    print(f"write 128-epoch feed: {time.time()-t0:.1f}s")
+    store = spark.createDataFrame([], "doc_id long, text string")
+    t0 = time.time()
+    out = neardup.stream_neardup_gate(
+        spark, feed, "doc_id bigint, text string", store, mode="exact",
+        timeout=1200,
+    )
+    n = out.count()
+    wall = time.time() - t0
+    # epoch 0: 1000 fresh + 500 repeats of itself -> repeats collide
+    # in-batch with their source (same text, higher id) and are
+    # rejected; epochs 1+: the 500 repeats duplicate the PREVIOUS
+    # epoch's admitted texts -> rejected by the store
+    print(f"neardup gate 128 epochs (192k docs): {wall:.1f}s -> "
+          f"{n} admitted ({wall / 128:.2f}s/epoch)")
+
+
 if __name__ == "__main__":
     if "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
@@ -847,6 +917,10 @@ if __name__ == "__main__":
     elif "--round6e" in sys.argv:
         spark = get_spark(app_name="stress-round6e")
         stress_round6e_augment(spark)
+        spark.stop()
+    elif "--round7" in sys.argv:
+        spark = get_spark(app_name="stress-round7")
+        stress_round7_decade(spark)
         spark.stop()
     elif "--round6d" in sys.argv:
         spark = get_spark(app_name="stress-round6d")
