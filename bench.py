@@ -121,6 +121,9 @@ EXTRA = [
     "gov_source_datacard",
     "split_group_aware",
     "tok_fertility_stats",
+    "dedup_jaccard_prefix_filter",
+    "ann_maxsim_topk",
+    "scd2_point_in_time_join",
 ]
 
 # Entries whose plans are dominated by codegen'd lambda aggregates

@@ -164,3 +164,58 @@ def quantile_bin(
     )
     w = Window.partitionBy(group_col).orderBy(*order)
     return df.withColumn(out_col, F.ntile(n_bins).over(w))
+
+
+def weighted_quantile_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    p_num: int = 1,
+    p_den: int = 2,
+) -> DataFrame:
+    """EXACT weighted quantile per group (default p = 1/2: the
+    weighted median): the smallest value v whose cumulative weight
+    reaches p of the group's total — ``p_den * cumweight(<= v) >=
+    p_num * totweight``, all in integer arithmetic, so any engine
+    replays the selection bit-for-bit (no float quantile
+    interpolation, no sampling). The robust-center primitive
+    ``group_moments``' mean cannot provide when weights are token
+    masses or importance weights and the tail is heavy.
+
+    Shape: one (group, value) pre-aggregation collapses ties and
+    bounds the window input at distinct-value cardinality, then one
+    cumulative-sum window per group and a min-conditional aggregate.
+    Two shuffles, both on the group key — the same cost as any exact
+    per-group percentile; weights must be non-negative integers
+    (raise otherwise is the caller's contract — negative mass has no
+    quantile semantics).
+
+    Returns (group_cols..., tot_weight, wq_value).
+    """
+    if not (0 < p_num <= p_den):
+        raise ValueError(f"need 0 < p_num <= p_den, got {p_num}/{p_den}")
+    gv = df.groupBy(
+        *group_cols, F.col(value_col).alias("__v")
+    ).agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = gv.withColumn("__cw", F.sum("__w").over(w_cum)).withColumn(
+        "__tw", F.sum("__w").over(w_tot)
+    )
+    return (
+        cum.groupBy(*group_cols)
+        .agg(
+            F.max("__tw").alias("tot_weight"),
+            F.min(
+                F.when(
+                    F.col("__cw") * p_den >= F.col("__tw") * p_num,
+                    F.col("__v"),
+                )
+            ).alias("wq_value"),
+        )
+    )

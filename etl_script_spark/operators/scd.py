@@ -119,3 +119,47 @@ def as_of(dim: DataFrame, ts: str) -> DataFrame:
     """Point-in-time view: the row version live at ``ts``."""
     t = F.lit(ts).cast("timestamp_ntz")
     return dim.filter((F.col("valid_from") <= t) & (F.col("valid_to") > t))
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    fact_ts: str,
+) -> DataFrame:
+    """Bitemporal fact enrichment: join every fact row to the dim
+    VERSION that was live at the fact's OWN timestamp — "what did we
+    believe about this customer when the order was placed", the query
+    a Type-2 dimension exists to answer and a Type-1 overwrite
+    destroys (``as_of`` is the constant-timestamp special case; this
+    is per-row).
+
+    Shape: equi-join on the natural key plus the interval predicate
+    ``valid_from <= ts < valid_to`` applied as the join's residual
+    condition — the shuffle is keyed on the natural key alone
+    (version count per key is small by construction: one row per
+    CHANGE, so the residual scan per key is bounded by the key's
+    change history, never the fact count). No interval/range join
+    machinery needed — this is the standard shape at any scale
+    because the dimension side is version-per-change, not
+    event-cardinality. Facts whose timestamp precedes the key's
+    first version (or whose key is absent) keep NULL dim columns
+    (left join — auditability beats silent row loss).
+    """
+    t = F.col(f"__f.{fact_ts}")
+    cond = None
+    for k in keys:
+        c = F.col(f"__f.{k}") == F.col(f"__d.{k}")
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (F.col("__d.valid_from") <= t)
+        & (F.col("__d.valid_to") > t)
+    )
+    f = facts.alias("__f")
+    d = dim.alias("__d")
+    dim_cols = [c for c in dim.columns if c not in keys]
+    return f.join(d, cond, "left").select(
+        *[F.col(f"__f.{c}").alias(c) for c in facts.columns],
+        *[F.col(f"__d.{c}").alias(c) for c in dim_cols],
+    )

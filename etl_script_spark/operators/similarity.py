@@ -1337,3 +1337,93 @@ def inbatch_negatives(
             "off",
         )
     )
+
+
+def maxsim_topk(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    k: int = 3,
+    doc_id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    idx_col: str = "vec_idx",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Late-interaction multi-vector retrieval (ColBERT MaxSim,
+    Khattab & Zaharia, SIGIR 2020): score(q, d) = sum over the
+    query's vectors of the MAX cosine against any of the document's
+    vectors. The single-vector rankers in this module collapse a
+    document to one point; MaxSim keeps per-token vectors and matches
+    each query facet to its best document facet — the standard rerank
+    stage over an ANN candidate set (``ivf_topk``/``ivfpq_topk``
+    generate candidates at corpus scale; this scores them — the
+    brute-force form here IS the rerank shape, candidates = corpus at
+    fixture size).
+
+    Inputs are EXPLODED multi-vector frames: (doc_id, vec_idx,
+    embedding) and (query_id, vec_idx, embedding). Queries broadcast
+    (the rerank shape: few queries x candidate set), so the document
+    side never shuffles for the join; the (query, qvec, doc) max and
+    the (query, doc) sum are map-side-combinable aggregates keyed by
+    query-bounded cardinality.
+
+    Determinism: max over doubles is order-free; the per-(q, d) SUM
+    of maxes is folded in qvec_idx order from an ordered collect
+    (float addition does not commute across partition orders — a
+    plain SUM(double) would drift run-to-run and engine-to-engine).
+    Ranking ties break on doc id.
+
+    Returns (query_id, doc_id, maxsim, rank), top-k rows per query.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    d = doc_vecs.select(
+        F.col(doc_id_col).alias("__did"),
+        F.col(vec_col).alias("__dv"),
+    ).withColumn("__dn", l2_norm(F.col("__dv")))
+    q = query_vecs.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(idx_col).alias("__qv_idx"),
+        F.col(vec_col).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    pair_max = (
+        d.crossJoin(F.broadcast(q))
+        .select(
+            "__qid",
+            "__qv_idx",
+            "__did",
+            (
+                dot(F.col("__dv"), F.col("__qv"))
+                / (F.col("__dn") * F.col("__qn"))
+            ).alias("__cos"),
+        )
+        .groupBy("__qid", "__qv_idx", "__did")
+        .agg(F.max("__cos").alias("__mx"))
+    )
+    scored = (
+        pair_max.groupBy("__qid", "__did")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("__qv_idx", "__mx"))
+                    ),
+                    lambda s: s["__mx"],
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ).alias("maxsim")
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("maxsim").desc(), F.col("__did").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__did").alias(doc_id_col),
+            "maxsim",
+            "rank",
+        )
+    )

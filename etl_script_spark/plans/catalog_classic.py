@@ -10,7 +10,7 @@ pick — these are the shapes the 100 TB cluster runs all day.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_script_spark.plans.catalog import DEC, cents, register, t
@@ -1023,4 +1023,55 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "sql_window_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS od,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist,
+           first_value(o_orderkey) OVER w AS first_order,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    ("O1", "A1", "X-sql-surface"),
+)
+def sql_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window SQL surface in one declared query: lag /
+    lead / row_number / ntile / percent_rank / cume_dist /
+    first_value / running sum over each customer's order history,
+    all sharing ONE window spec — and therefore ONE shuffle + ONE
+    sort (the plan pin the suite exists for: Spark computes every
+    frame-compatible function in a single Window node; a naive
+    per-metric spelling would stack eight sorts). percent_rank and
+    cume_dist are exact rationals of row counts, so the doubles
+    replay bit-for-bit; the running money sum rides scaled-integer
+    cents (the q1 fast-exact pattern)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("od"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .over(wcum)
+        .alias("run_cents"),
     )

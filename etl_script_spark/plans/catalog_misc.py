@@ -1671,3 +1671,94 @@ def mm_binary_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs.unpersist()
     return out
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    dim AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             CASE WHEN c_custkey % 6 = 0 THEN TIMESTAMP '2024-02-01 00:00:00'
+                  ELSE TIMESTAMP '9999-12-31 00:00:00' END AS valid_to
+      FROM base
+      UNION ALL
+      SELECT c_custkey, 'CHANGED', c_acctbal + 100,
+             TIMESTAMP '2024-02-01 00:00:00',
+             TIMESTAMP '9999-12-31 00:00:00'
+      FROM base WHERE c_custkey % 6 = 0
+    ),
+    facts AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN TIMESTAMP '2024-01-15 00:00:00'
+                  ELSE TIMESTAMP '2024-02-15 00:00:00' END AS fact_ts
+      FROM orders
+    )
+    SELECT f.o_orderkey, f.o_custkey,
+           CAST(f.fact_ts AS VARCHAR) AS fact_ts,
+           d.c_mktsegment AS seg_at_ts,
+           CAST(d.c_acctbal AS DOUBLE) AS bal_at_ts,
+           CAST(d.valid_from AS VARCHAR) AS valid_from
+    FROM facts f LEFT JOIN dim d
+      ON d.c_custkey = f.o_custkey
+     AND d.valid_from <= f.fact_ts AND d.valid_to > f.fact_ts
+    """,
+    ("X-scd2", "J1"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal fact enrichment (operators/scd.py:point_in_time_join):
+    every order joins the customer-dimension VERSION live at the
+    order's own timestamp — half the orders dated before the T1
+    change batch see the original segment, half see CHANGED where it
+    applies; the 'what did we believe when the fact happened' query
+    the Type-1 reference importers cannot answer
+    (ImportDbdFinancial.php overwrites in place). Equi-join on the
+    natural key with the validity interval as residual predicate —
+    the shuffle is keyed on the customer key alone, and the residual
+    scan per key is bounded by that key's CHANGE COUNT, not the fact
+    count, which is why this shape needs no range-join machinery at
+    any scale."""
+    from etl_script_spark.operators import scd
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    dim = scd.scd2_init(c, "2024-01-01 00:00:00")
+    k = F.col("c_custkey")
+    batch = c.filter(k % 6 == 0).select(
+        "c_custkey",
+        F.lit("CHANGED").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+    )
+    dim = scd.scd2_apply(
+        dim, batch, ["c_custkey"], ["c_mktsegment", "c_acctbal"],
+        "2024-02-01 00:00:00",
+    )
+    o = t(spark, sf_dir, "orders")
+    facts = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.lit("2024-01-15 00:00:00"),
+        )
+        .otherwise(F.lit("2024-02-15 00:00:00"))
+        .cast("timestamp_ntz")
+        .alias("fact_ts"),
+    )
+    out = scd.point_in_time_join(
+        facts,
+        dim.withColumnRenamed("c_custkey", "o_custkey"),
+        ["o_custkey"],
+        "fact_ts",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("fact_ts").cast("string").alias("fact_ts"),
+        F.col("c_mktsegment").alias("seg_at_ts"),
+        F.col("c_acctbal").cast("double").alias("bal_at_ts"),
+        F.col("valid_from").cast("string").alias("valid_from"),
+    )

@@ -481,3 +481,119 @@ def pipeline_r6_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_removed").cast("long").alias("n_removed"),
         )
     )
+
+
+@register(
+    "pipeline_r7_curation_e2e",
+    f"""
+    WITH ws AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm,
+             list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               w -> w != '') AS ws
+      FROM documents
+    ),
+    gr AS (
+      SELECT doc_id, len(gs) AS n_g, unnest(gs) AS g FROM (
+        SELECT doc_id, list_distinct(
+                 [('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')),
+                                  1, 8))::BIGINT
+                  for i in range(1, len(ws) - 1)]) AS gs
+        FROM ws WHERE len(ws) >= 3
+      )
+    ),
+    cont AS (
+      SELECT DISTINCT contained FROM (
+        SELECT a.doc_id AS contained,
+               (COUNT(*) * 1000000) // any_value(a.n_g) AS cppm
+        FROM gr a JOIN gr b ON a.g = b.g AND b.doc_id < a.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ) WHERE cppm >= 900000
+    ),
+    surv1 AS (
+      SELECT w.* FROM ws w
+      WHERE w.doc_id NOT IN (SELECT contained FROM cont)
+    ),
+    refg AS (SELECT DISTINCT g FROM gr WHERE doc_id % 7 = 0),
+    nov AS (
+      SELECT gr.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM gr LEFT JOIN refg r ON gr.g = r.g
+      WHERE gr.doc_id IN (SELECT doc_id FROM surv1)
+      GROUP BY 1
+    ),
+    surv2 AS (
+      SELECT s.* FROM surv1 s LEFT JOIN nov ON nov.doc_id = s.doc_id
+      WHERE nov.doc_id IS NULL
+         OR (nov.n_novel * 1000000) // nov.n_grams >= 100000
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(ws)) AS BIGINT) AS n_tokens,
+           CAST(SUM(('0x' || substr(md5(nm), 1, 8))::BIGINT) AS BIGINT)
+             AS membership_checksum
+    FROM (
+      SELECT ws, nm,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT ws, nm,
+               ('0x' || substr(md5('split' || md5(nm)), 1, 8))::BIGINT % 100
+                 AS b
+        FROM surv2
+      )
+    ) GROUP BY split
+    """,
+    ("LLM-curation", "pipeline"),
+)
+def pipeline_r7_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 curation pipeline end-to-end, composing this round's
+    operators: (1) asymmetric-containment dedup — drop every document
+    >= 90% n-gram-contained in a LOWER-id document (subsumed quotes /
+    exact dups; operators/dedup.py:containment_pairs applied, not
+    just reported); (2) novelty gate — survivors keep >= 10% novel
+    trigrams vs the reference slice (doc_id%7;
+    winnow.ngram_novelty), dropping what the last snapshot already
+    had; (3) leakage-safe group split (splits.group_aware_split);
+    (4) per-split audit aggregate with an order-free membership
+    checksum (sum of content-hash ints), so the driver hash pins the
+    exact surviving document SET through the whole chain, not just
+    counts. Stage shapes are the individual operators' shapes; the
+    composition adds two anti-join/semi-join boundaries, both keyed
+    on doc id."""
+    from etl_script_spark.operators import dedup as dd
+    from etl_script_spark.operators import splits, winnow
+    from etl_script_spark.operators.dedup import normalize_text
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dd.containment_pairs(
+        d, "text", "doc_id", n=3, threshold_ppm=900000
+    )
+    dropped = (
+        pairs.filter(F.col("container_id") < F.col("contained_id"))
+        .select(F.col("contained_id").alias("doc_id"))
+        .distinct()
+    )
+    surv1 = d.join(dropped, "doc_id", "left_anti")
+    nov = winnow.ngram_novelty(
+        surv1, d.filter(F.col("doc_id") % 7 == 0), "text", "doc_id", n=3
+    )
+    keep = nov.filter(F.col("novelty_ppm") >= 100000).select(
+        F.col("id").alias("doc_id")
+    )
+    surv2 = surv1.join(keep, "doc_id", "left_semi")
+    split = splits.group_aware_split(surv2, "doc_id", text_col="text")
+    nm = normalize_text(F.col("text"))
+    ws = F.filter(F.split(nm, " "), lambda w: w != "")
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(ws)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.conv(F.substring(F.md5(nm), 1, 8), 16, 10).cast("long")
+            ).cast("long").alias("membership_checksum"),
+        )
+    )

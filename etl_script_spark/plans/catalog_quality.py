@@ -252,3 +252,47 @@ def gov_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return gov.source_datacard(d, "source", "text", "lang", "doc_id")
+
+
+@register(
+    "feat_weighted_median",
+    """
+    WITH gv AS (
+      SELECT c_nationkey, c_acctbal AS v,
+             CAST(SUM(c_custkey % 5 + 1) AS BIGINT) AS w
+      FROM customer GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT c_nationkey, v, w,
+             CAST(SUM(w) OVER (PARTITION BY c_nationkey ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY c_nationkey) AS BIGINT) AS tw
+      FROM gv
+    )
+    SELECT c_nationkey,
+           CAST(MAX(tw) AS BIGINT) AS tot_weight,
+           MIN(CASE WHEN cw * 2 >= tw THEN v END) AS wq_value
+    FROM cum GROUP BY c_nationkey
+    """,
+    ("A1", "X-robust-stats"),
+)
+def feat_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median of customer account balance per nation,
+    weighted by a deterministic integer mass (custkey%5+1 — standing
+    in for token counts / importance weights): the smallest value
+    whose cumulative weight reaches half the group total, selected in
+    pure integer arithmetic so both engines agree to the bit — no
+    float interpolation, no approx sketch
+    (operators/features.py:weighted_quantile_groups). One
+    tie-collapsing (group, value) aggregation bounds the window input,
+    then one cumsum window per group; two shuffles on the group key —
+    the same cost as any exact per-group percentile."""
+    from etl_script_spark.operators import features
+
+    c = t(spark, sf_dir, "customer")
+    return features.weighted_quantile_groups(
+        c.withColumn("__w", F.col("c_custkey") % 5 + 1),
+        ["c_nationkey"],
+        "c_acctbal",
+        "__w",
+    )

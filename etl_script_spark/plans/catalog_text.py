@@ -1745,3 +1745,99 @@ def tok_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     source."""
     d = t(spark, sf_dir, "documents")
     return textstats.tokenizer_fertility(d, "text", "source")
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle, len({_SHINGLES}) AS n_sh
+      FROM documents
+    )
+    SELECT id_a, id_b, jaccard_ppm FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             (COUNT(*) * 1000000)
+               // (any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*))
+               AS jaccard_ppm
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ) WHERE jaccard_ppm >= 500000
+    """,
+    ("LLM-dedup",),
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard >= 0.5 via PPJoin-style prefix
+    filtering (operators/dedup.py:jaccard_pairs_prefix_filtered;
+    Chaudhuri ICDE'06 / Bayardo WWW'07): candidates come only from
+    each document's |A|-ceil(t|A|)+1 globally-RAREST shingles under
+    the (df, hash) total order — a stop-word shingle indexes nobody —
+    and candidates verify exactly via array_intersect on the carried
+    hash arrays. The ORACLE is the naive every-shingle inverted join:
+    identical output is the whole claim (same pairs, same exact ppm
+    values), with the candidate volume collapsed. The exact-form
+    complement of dedup_minhash_lsh's approximate candidate
+    generation."""
+    from etl_script_spark.operators import dedup as dd
+
+    d = t(spark, sf_dir, "documents")
+    return dd.jaccard_pairs_prefix_filtered(
+        d, "text", "doc_id", threshold_ppm=500000, shingle_n=3
+    )
+
+
+@register(
+    "ann_maxsim_topk",
+    """
+    WITH v AS (
+      SELECT vec_id // 5 AS did, vec_id % 5 AS vidx,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    q AS (SELECT did AS qid, vidx AS qv, vec AS qvec FROM v WHERE did < 4),
+    pm AS (
+      SELECT q.qid, q.qv, v.did,
+             MAX(list_dot_product(v.vec, q.qvec)
+                 / (sqrt(list_dot_product(v.vec, v.vec))
+                    * sqrt(list_dot_product(q.qvec, q.qvec)))) AS mx
+      FROM v CROSS JOIN q GROUP BY 1, 2, 3
+    ),
+    sc AS (
+      SELECT qid, did,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(mx ORDER BY qv)),
+               (a, x) -> a + x) AS maxsim
+      FROM pm GROUP BY qid, did
+    )
+    SELECT query_id, doc_id, maxsim, rank FROM (
+      SELECT qid AS query_id, did AS doc_id, maxsim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY maxsim DESC, did)
+                  AS INTEGER) AS rank
+      FROM sc
+    ) WHERE rank <= 3
+    """,
+    ("LLM-similarity",),
+)
+def ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction multi-vector retrieval (ColBERT MaxSim,
+    SIGIR 2020; operators/similarity.py:maxsim_topk): documents are
+    5-vector groups of the embeddings table (vec_id DIV 5), queries
+    the first 4 such groups; score = sum over query vectors of the
+    max cosine against any document vector, summed in qvec order
+    from an ordered collect (float addition does not commute — a
+    plain SUM(double) drifts across partition orders and engines).
+    Queries broadcast, the corpus side never shuffles for the join;
+    this is the rerank stage an IVF/IVF-PQ candidate set feeds at
+    100 TB (candidates = corpus at fixture scale)."""
+    from etl_script_spark.operators import similarity
+
+    e = t(spark, sf_dir, "embeddings")
+    mv = e.select(
+        F.expr("vec_id DIV 5").alias("doc_id"),
+        (F.col("vec_id") % 5).alias("vec_idx"),
+        "embedding",
+    )
+    qv = mv.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"), "vec_idx", "embedding"
+    )
+    return similarity.maxsim_topk(mv, qv, k=3)

@@ -353,3 +353,142 @@ def test_stream_quota_gate_prefix_semantics_across_epochs(spark):
     assert got == {(1, 3), (2, 6), (10, 6), (11, 7)}
     with pytest.raises(ValueError):
         quota.stream_quota_gate(spark, feed, "x string", quota_tokens=0)
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: point-in-time join, weighted median, prefix-filtered
+# jaccard, MaxSim
+# ---------------------------------------------------------------------------
+
+
+def test_point_in_time_join_picks_live_version(spark):
+    from etl_script_spark.operators import scd
+
+    dim0 = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "k long, attr string"
+    )
+    dim = scd.scd2_init(dim0, "2024-01-01 00:00:00")
+    dim = scd.scd2_apply(
+        dim,
+        spark.createDataFrame([(1, "A2")], "k long, attr string"),
+        ["k"], ["attr"], "2024-02-01 00:00:00",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-15 00:00:00"),   # before change -> A
+            (101, 1, "2024-02-15 00:00:00"),   # after change  -> A2
+            (102, 1, "2024-02-01 00:00:00"),   # boundary: new version open
+            (103, 2, "2024-03-01 00:00:00"),   # unchanged key -> B
+            (104, 9, "2024-03-01 00:00:00"),   # unknown key -> NULL
+            (105, 1, "2023-12-01 00:00:00"),   # before first version -> NULL
+        ],
+        "fid long, k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {
+        r["fid"]: r["attr"]
+        for r in scd.point_in_time_join(facts, dim, ["k"], "ts").collect()
+    }
+    assert out == {100: "A", 101: "A2", 102: "A2", 103: "B",
+                   104: None, 105: None}
+
+
+def test_weighted_quantile_hand_computed(spark):
+    from etl_script_spark.operators import features
+
+    # group g: values 1(w=1), 2(w=1), 10(w=3): tot=5, half=2.5 ->
+    # smallest v with cw*2 >= 5 is 10 (cw(2)=2, 4 < 5)
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 10.0, 3),
+         ("h", 5.0, 2), ("h", 7.0, 1)],
+        "grp string, v double, w long",
+    )
+    out = {
+        r["grp"]: r
+        for r in features.weighted_quantile_groups(
+            df, ["grp"], "v", "w"
+        ).collect()
+    }
+    assert out["g"]["wq_value"] == 10.0 and out["g"]["tot_weight"] == 5
+    assert out["h"]["wq_value"] == 5.0  # cw(5)=2, 4 >= 3
+    # p = 90th percentile
+    p90 = {
+        r["grp"]: r["wq_value"]
+        for r in features.weighted_quantile_groups(
+            df, ["grp"], "v", "w", p_num=9, p_den=10
+        ).collect()
+    }
+    assert p90["g"] == 10.0 and p90["h"] == 7.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        features.weighted_quantile_groups(df, ["grp"], "v", "w", 3, 2)
+
+
+def test_prefix_filtered_jaccard_matches_naive(spark):
+    from etl_script_spark.operators import dedup as dd
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fast = {
+        (r["id_a"], r["id_b"]): r["jaccard_ppm"]
+        for r in dd.jaccard_pairs_prefix_filtered(
+            d, "text", "doc_id", threshold_ppm=500000
+        ).collect()
+    }
+    # naive: inverted join on EVERY shingle
+    sh = (
+        d.select(
+            F.col("doc_id"),
+            F.explode(dd.shingles(F.col("text"), 3)).alias("s"),
+        )
+        .select("doc_id", F.xxhash64("s").alias("g"))
+        .distinct()
+    )
+    n = sh.groupBy("doc_id").count().withColumnRenamed("count", "n_sh")
+    a = sh.join(n, "doc_id").select(
+        F.col("doc_id").alias("id_a"), "g", F.col("n_sh").alias("na")
+    )
+    b = sh.join(n, "doc_id").select(
+        F.col("doc_id").alias("id_b"), "g", F.col("n_sh").alias("nb")
+    )
+    naive = {
+        (r["id_a"], r["id_b"]): r["j"]
+        for r in a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .withColumn("j", F.expr("(i * 1000000) DIV (na + nb - i)"))
+        .filter(F.col("j") >= 500000)
+        .collect()
+    }
+    assert fast == naive and len(fast) > 0
+
+
+def test_maxsim_prefers_facet_coverage(spark):
+    from etl_script_spark.operators import similarity
+
+    # query has two orthogonal facets; doc A covers both, doc B
+    # duplicates one facet twice -> MaxSim must rank A over B even
+    # though B's best single vector matches perfectly
+    rows = [
+        ("q", 0, [1.0, 0.0]), ("q", 1, [0.0, 1.0]),
+    ]
+    docs = [
+        ("A", 0, [1.0, 0.0]), ("A", 1, [0.0, 1.0]),
+        ("B", 0, [1.0, 0.0]), ("B", 1, [1.0, 0.0]),
+    ]
+    qv = spark.createDataFrame(
+        rows, "query_id string, vec_idx int, embedding array<double>"
+    )
+    dv = spark.createDataFrame(
+        docs, "doc_id string, vec_idx int, embedding array<double>"
+    )
+    out = sorted(
+        similarity.maxsim_topk(dv, qv, k=2).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert out[0]["doc_id"] == "A" and abs(out[0]["maxsim"] - 2.0) < 1e-12
+    assert out[1]["doc_id"] == "B" and abs(out[1]["maxsim"] - 1.0) < 1e-12
