@@ -124,6 +124,21 @@ EXTRA = [
     "dedup_jaccard_prefix_filter",
     "ann_maxsim_topk",
     "scd2_point_in_time_join",
+    "text_readability_flesch",
+    "text_stupid_backoff",
+    "hier_flatten_paths",
+    "gov_randomized_response",
+    "feat_quantile_normalize",
+    "basket_part_pairs_lift",
+    "mm_video_scene_segments",
+    "text_code_detect",
+    "ts_ohlc_resample",
+    "ev_markov_transitions",
+    "stat_ols_slope_groups",
+    "cust_gini_by_nation",
+    "ts_cusum_changepoints",
+    "ts_seasonality_index",
+    "dq_benford_first_digit",
 ]
 
 # Entries whose plans are dominated by codegen'd lambda aggregates

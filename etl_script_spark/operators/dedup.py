@@ -1362,6 +1362,7 @@ def jaccard_pairs_prefix_filtered(
     id_col: str,
     threshold_ppm: int = 500_000,
     shingle_n: int = 3,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard >= t via PREFIX FILTERING (the
     PPJoin/All-Pairs candidate bound — Chaudhuri et al. ICDE 2006,
@@ -1395,6 +1396,18 @@ def jaccard_pairs_prefix_filtered(
     Returns (id_a, id_b, jaccard_ppm). The MinHash family stays the
     sub-candidate-generation path at extreme scale; this is the exact
     form with the exact form's best-known candidate bound.
+
+    ``collapse_identical=True`` is the SCALE guard against the
+    identical-class output bomb: a class of m byte-identical (or
+    same-shingle-set) documents has Theta(m^2) J=1 pairs — the
+    round-7 1 M stress corpus' 20 k empty docs alone were 200 M of
+    its 200.04 M output rows (the same failure mode the round-6 LSH
+    identity collapse killed). With the flag, documents collapse to
+    one min-id representative per DISTINCT SHINGLE SET before
+    pairing, intra-class pairs are NOT emitted (identity is
+    ``exact_dedup``'s job), and the output gains the class sizes:
+    (id_a, id_b, jaccard_ppm, n_docs_a, n_docs_b) — pair weight for
+    downstream clustering without the quadratic expansion.
     """
     if not 0 < threshold_ppm <= 1_000_000:
         raise ValueError(f"threshold_ppm out of (0, 1e6]: {threshold_ppm}")
@@ -1427,6 +1440,21 @@ def jaccard_pairs_prefix_filtered(
             + 1,
         )
     )
+    if collapse_identical:
+        # one min-id representative per distinct shingle SET; class
+        # size rides along (set fingerprint = hash of the sorted hash
+        # array — engine-internal only, never oracle-visible)
+        classes = (
+            docs.withColumn("__fp", F.xxhash64("__gs"))
+            .groupBy("__fp")
+            .agg(
+                F.min("id").alias("__rep"),
+                F.count(F.lit(1)).cast("long").alias("__m"),
+            )
+        )
+        docs = docs.join(
+            classes.select(F.col("__rep").alias("id"), "__m"), "id"
+        )
     prefix = docs.select(
         "id", F.explode(F.slice("__gs", 1, F.col("__plen"))).alias("g")
     )
@@ -1439,14 +1467,24 @@ def jaccard_pairs_prefix_filtered(
         )
         .distinct()
     )
-    da = docs.select(
-        F.col("id").alias("id_a"), F.col("__gs").alias("__ga"),
-        F.col("__n").alias("__na"),
-    )
-    db = docs.select(
-        F.col("id").alias("id_b"), F.col("__gs").alias("__gb"),
-        F.col("__n").alias("__nb"),
-    )
+    if collapse_identical:
+        da = docs.select(
+            F.col("id").alias("id_a"), F.col("__gs").alias("__ga"),
+            F.col("__n").alias("__na"), F.col("__m").alias("n_docs_a"),
+        )
+        db = docs.select(
+            F.col("id").alias("id_b"), F.col("__gs").alias("__gb"),
+            F.col("__n").alias("__nb"), F.col("__m").alias("n_docs_b"),
+        )
+    else:
+        da = docs.select(
+            F.col("id").alias("id_a"), F.col("__gs").alias("__ga"),
+            F.col("__n").alias("__na"),
+        )
+        db = docs.select(
+            F.col("id").alias("id_b"), F.col("__gs").alias("__gb"),
+            F.col("__n").alias("__nb"),
+        )
     verified = (
         cands.join(da, "id_a")
         .join(db, "id_b")
@@ -1462,4 +1500,8 @@ def jaccard_pairs_prefix_filtered(
         )
         .filter(F.col("jaccard_ppm") >= threshold_ppm)
     )
+    if collapse_identical:
+        return verified.select(
+            "id_a", "id_b", "jaccard_ppm", "n_docs_a", "n_docs_b"
+        )
     return verified.select("id_a", "id_b", "jaccard_ppm")

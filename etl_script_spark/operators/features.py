@@ -219,3 +219,45 @@ def weighted_quantile_groups(
             ).alias("wq_value"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Cross-group QUANTILE NORMALIZATION (Bolstad et al.,
+    Bioinformatics 2003 — the standard distribution-alignment step
+    before comparing feature columns from heterogeneous sources):
+    rank every value within its group, then replace it with the MEAN
+    of the values holding that rank across ALL groups — afterwards
+    every group has an identical value distribution, only the
+    rank-assignment (which row got which quantile) differs.
+
+    Exactness: ``value_col`` must be integer-scaled (cents/ppm — the
+    repo's money-at-rest discipline); the cross-group rank mean is
+    ``(sum * 1000) DIV count`` in exact integer milli-units, so no
+    float summation order exists. Groups of unequal size contribute
+    only to the ranks they reach (the unmatched-tail convention;
+    callers wanting strict Bolstad semantics equalize sizes first).
+    Ranks tie-break on ``tiebreak_col`` for a total order both
+    engines replay.
+
+    Shape: one window per group (shuffle on group), one aggregation
+    keyed by rank (shuffle on rank — ranks are dense integers, no
+    skew), one join back on rank. Nothing driver-side; the rank-mean
+    table has max-group-size rows and stays distributed.
+
+    Returns the input rows with (rank_in_group, norm_milli) added.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
+    ranked = df.withColumn("rank_in_group", F.row_number().over(w))
+    means = ranked.groupBy("rank_in_group").agg(
+        F.expr(
+            f"(SUM(CAST({value_col} AS BIGINT)) * 1000) DIV COUNT(*)"
+        ).alias("norm_milli")
+    )
+    return ranked.join(means, "rank_in_group").select(
+        *df.columns, "rank_in_group", "norm_milli"
+    )

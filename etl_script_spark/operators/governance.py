@@ -192,3 +192,91 @@ def source_datacard(
             "dup_per_myriad", "top_lang", "p50_chars", "p90_chars",
         )
     )
+
+
+def randomized_response_freq(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Local-differential-privacy frequency estimation by RANDOMIZED
+    RESPONSE (Warner 1965; the generalized k-ary mechanism of
+    Kairouz et al. 2016): each record reports its TRUE categorical
+    value with probability 3/4, otherwise a uniformly drawn value
+    from the domain (of size k) — so no individual row's report
+    proves anything about it (epsilon = ln(p / (q/k)) = ln(3k+1)
+    ... ln(3k) for the truthful-vs-specific-lie odds) — and the
+    aggregator DEBIASES the noisy counts: E[c_v] = n_v*3/4 + n/(4k),
+    hence n_hat_v = (4*k*c_v - n) / (3*k), reported in exact integer
+    milli-rows via DIV (clamped at 0) so both engines replay it
+    bit-for-bit.
+
+    The "coin" is the md5 of the record id (deterministic replay —
+    the same discipline as every sampler in this repo): first 8 hex
+    chars mod 4 picks truth (!=0) vs lie (=0); the next 8 pick the
+    replacement from the domain table. The domain is the column's
+    distinct values with a dense index from a single ordered window
+    over domain-cardinality rows (bounded by construction — this is
+    a CATEGORICAL mechanism), then broadcast back; the tally is one
+    groupBy over k keys.
+
+    Returns (value, true_count, noisy_count, est_milli), one row per
+    domain value.
+    """
+    base = df.select(
+        F.col(value_col).cast("string").alias("value"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+    )
+    domain = (
+        base.select("value").distinct()
+        .withColumn(
+            "__idx",
+            F.row_number().over(Window.orderBy("value")) - 1,
+        )
+    )
+    k = domain.agg(F.count(F.lit(1)).alias("k"))
+    reported = (
+        base.crossJoin(F.broadcast(k))
+        .withColumn(
+            "__lie", F.conv(F.substring("__h", 1, 8), 16, 10)
+            .cast("long") % 4 == 0,
+        )
+        .withColumn(
+            "__idx",
+            (F.conv(F.substring("__h", 9, 8), 16, 10).cast("long")
+             % F.col("k")).cast("int"),
+        )
+        .join(
+            F.broadcast(domain.select(
+                F.col("__idx"), F.col("value").alias("__lie_value"))),
+            "__idx",
+        )
+        .select(
+            "value",
+            F.when(F.col("__lie"), F.col("__lie_value"))
+            .otherwise(F.col("value")).alias("__reported"),
+        )
+    )
+    true_counts = reported.groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    noisy = reported.groupBy(
+        F.col("__reported").alias("value")
+    ).agg(F.count(F.lit(1)).cast("long").alias("noisy_count"))
+    totals = reported.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        true_counts.join(noisy, "value", "full")
+        .na.fill({"true_count": 0, "noisy_count": 0})
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(k))
+        .withColumn(
+            "est_milli",
+            F.expr(
+                "(greatest(CAST(0 AS BIGINT),"
+                " 4 * k * noisy_count - n) * 1000) DIV (3 * k)"
+            ),
+        )
+        .select("value", "true_count", "noisy_count", "est_milli")
+    )

@@ -206,3 +206,68 @@ def kcore_peel(
             .localCheckpoint(eager=False)
         )
     return degrees(cur).select(F.col("x").alias("vertex"), "deg")
+
+
+def flatten_hierarchy(
+    nodes: DataFrame,
+    id_col: str = "node",
+    parent_col: str = "parent",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Flatten a parent-pointer hierarchy (org chart, category tree,
+    thread tree) to per-node (root, depth, path id-sum) by POINTER
+    JUMPING (Wyllie 1979 list ranking): each round replaces every
+    node's ancestor pointer with its ancestor's ancestor while
+    folding the path aggregates, so a depth-d chain resolves in
+    ``ceil(log2 d)`` self-joins — O(log d) shuffles — where the naive
+    parent-at-a-time walk is O(d) shuffles (the difference between 6
+    rounds and a thousand on a deep thread tree at 100 TB). Roots are
+    rows with ``parent == id``; every parent must exist as a node id.
+
+    Fold invariant per row: (anc, depth, psum) = the ancestor pointer,
+    the edge count from the node to ``anc``, and the sum of node ids
+    on the path node..anc INCLUSIVE. Composing two half-paths
+    double-counts the shared midpoint, hence ``psum_a + psum_b -
+    anc_a``. A root's record (anc=self, depth=0, psum=id) is the
+    fixed point: composing with it changes nothing, so converged rows
+    pass through later rounds unchanged. Each round is
+    localCheckpointed lazily so the logical plan stays linear in
+    rounds, not exponential.
+
+    Returns (node, root, depth, path_sum); depth 0 and path_sum = id
+    for roots.
+    """
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    rounds = max(1, (max_depth - 1).bit_length())
+    is_root = F.col(parent_col) == F.col(id_col)
+    state = nodes.select(
+        F.col(id_col).alias("node"),
+        F.col(parent_col).alias("anc"),
+        F.when(is_root, F.lit(0)).otherwise(F.lit(1)).cast("long")
+        .alias("depth"),
+        F.when(is_root, F.col(id_col))
+        .otherwise(F.col(id_col) + F.col(parent_col)).cast("long")
+        .alias("psum"),
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        nxt = state.select(
+            F.col("node").alias("__j"),
+            F.col("anc").alias("__anc2"),
+            F.col("depth").alias("__d2"),
+            F.col("psum").alias("__s2"),
+        )
+        state = (
+            state.join(nxt, F.col("anc") == F.col("__j"))
+            .select(
+                "node",
+                F.col("__anc2").alias("anc"),
+                (F.col("depth") + F.col("__d2")).alias("depth"),
+                (F.col("psum") + F.col("__s2") - F.col("anc")).alias("psum"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state.select(
+        "node", F.col("anc").alias("root"), "depth",
+        F.col("psum").alias("path_sum"),
+    )

@@ -248,3 +248,56 @@ def binary_simhash_near_dups(
         bands=bands,
         unit="byte-hex",
     )
+
+
+def scene_segments(
+    frames: DataFrame,
+    video_col: str = "video_id",
+    frame_col: str = "frame_idx",
+    feat_col: str = "feat",
+    threshold: int = 100,
+) -> DataFrame:
+    """Video scene segmentation from per-frame feature vectors (the
+    shot-boundary step of a video-curation pipeline — PySceneDetect's
+    content detector reduced to its distributed core): a scene CUT is
+    declared where the L1 distance between consecutive frames'
+    feature vectors exceeds ``threshold``; scene ids are the running
+    count of cuts. Features are INTEGER vectors (the decode/embed
+    sidecar quantizes — this repo's multimodal discipline), so the
+    distance and the cut decision replay exactly on any engine.
+
+    Shape: one window per video (lag + running sum over frame order —
+    a single shuffle on the video key; frame counts per video are
+    bounded by duration, so partitions stay balanced), then one
+    aggregation to per-scene rows. The feature table is the DECODED
+    view: at 100 TB the raw video bytes never enter this operator,
+    only (video, frame, small-int-vector) rows from the extract
+    stage.
+
+    Returns (video_id, scene_id, start_frame, end_frame, n_frames).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(video_col).orderBy(frame_col)
+    prev = F.lag(feat_col).over(w)
+    l1 = F.aggregate(
+        F.zip_with(
+            F.col(feat_col), prev, lambda a, b: F.abs(a - b).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cut = F.when(prev.isNull(), F.lit(1)).otherwise(
+        (l1 > threshold).cast("int")
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = frames.withColumn("__cut", cut).withColumn(
+        "scene_id", F.sum("__cut").over(wcum).cast("long")
+    )
+    return seg.groupBy(
+        F.col(video_col).alias("video_id"), "scene_id"
+    ).agg(
+        F.min(frame_col).cast("long").alias("start_frame"),
+        F.max(frame_col).cast("long").alias("end_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+    )

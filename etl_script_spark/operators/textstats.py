@@ -1416,3 +1416,204 @@ def tokenizer_fertility(
             ).alias("chars_per_token_ppm"),
         )
     )
+
+
+def flesch_readability(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Flesch reading-ease per document (Flesch 1948; the classic
+    readability signal a quality-filter mix reports alongside the
+    Gopher rules): ``206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/word)``, here in exact integer MILLI-points —
+    ``206835 - (1015*W) DIV S - (84600*Y) DIV W`` — so both engines
+    replay the score bit-for-bit (no float division).
+
+    Approximations, stated: sentences = count of ``[.!?]+`` runs
+    (min 1 — trailing unterminated text rides the last run);
+    syllables = count of ``[aeiouy]+`` vowel runs in the lowercased
+    text (vowel runs cannot cross whitespace, so no tokenization is
+    needed; no per-word 1-syllable floor — an all-consonant token
+    counts zero, which biases scores slightly readable on
+    acronym-heavy text).
+
+    Scan-stage only: three regexp counts per row, zero shuffles, zero
+    joins — at 100 TB this runs at parquet-scan speed inside
+    whole-stage codegen.
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch_milli).
+    """
+    txt = F.col(text_col).cast("string")
+    w = F.size(F.filter(words(txt), lambda x: x != ""))
+    s = F.greatest(
+        F.size(F.regexp_extract_all(txt, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    y = F.size(F.regexp_extract_all(F.lower(txt), F.lit(r"[aeiouy]+"), 0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        w.cast("long").alias("n_words"),
+        s.cast("long").alias("n_sentences"),
+        y.cast("long").alias("n_syllables"),
+    ).withColumn(
+        "flesch_milli",
+        F.expr(
+            "CAST(206835 AS BIGINT)"
+            " - (1015 * n_words) DIV n_sentences"
+            " - (84600 * n_syllables) DIV greatest(n_words, 1)"
+        ),
+    )
+
+
+def stupid_backoff_scores(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Corpus-trained trigram STUPID BACKOFF fluency score per
+    document (Brants et al., EMNLP 2007 — the LM-scoring scheme built
+    for exactly this setting: web-scale counts, no held-out
+    normalization): each token scores ``c(w2 w1 w)/c(w2 w1)`` when the
+    trigram was seen, else ``0.4 * c(w1 w)/c(w1)``, else
+    ``0.4^2 * c(w)/T``; tokens with a SHORTER available context (doc
+    positions 0 and 1) start at their longest order without the
+    backoff penalty. Every per-token score is an exact integer ppm
+    (0.4 = 2/5, so the three branches are ``(c*1M) DIV ctx``,
+    ``(2*c*1M) DIV (5*ctx)``, ``(4*c*1M) DIV (25*T)``) and the
+    document score is their int64 sum — bit-replayable on any engine,
+    no logs, no float accumulation order.
+
+    Shape at scale: one window per doc (lag 1/2 over position) = one
+    shuffle on doc id; three count aggregations (uni/bi/trigram — all
+    map-side combinable, keys are the grams); then LEFT joins from
+    the token stream back to the count tables, each keyed on its
+    gram — hot grams are join keys, not groupBy skew. Corpus total T
+    rides a one-row broadcast (nested-loop on a literal row, the
+    fixed-cell pattern). Nothing is collected; vocabulary never sits
+    on the driver.
+
+    Returns (id, n_tokens, fluency_ppm_sum).
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.filter(words(F.col(text_col)), lambda x: x != "")
+            ).alias("pos", "w"),
+        )
+    )
+    wd = Window.partitionBy("id").orderBy("pos")
+    grams = toks.select(
+        "id", "pos", "w",
+        F.lag("w", 1).over(wd).alias("w1"),
+        F.lag("w", 2).over(wd).alias("w2"),
+    )
+    uni = grams.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    bi = (
+        grams.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    tri = (
+        grams.filter(F.col("w2").isNotNull())
+        .groupBy("w2", "w1", "w")
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    total = uni.agg(F.sum("cw").cast("long").alias("T"))
+    scored = (
+        grams
+        .join(tri, ["w2", "w1", "w"], "left")
+        .join(
+            bi.select(
+                F.col("w1").alias("w2"), F.col("w").alias("w1"),
+                F.col("c12").alias("c2a"),
+            ),
+            ["w2", "w1"], "left",
+        )
+        .join(bi, ["w1", "w"], "left")
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1ctx")),
+            ["w1"], "left",
+        )
+        .join(uni, ["w"])
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score_ppm",
+            F.expr(
+                """CASE
+                   WHEN w2 IS NOT NULL AND c123 IS NOT NULL
+                     THEN (c123 * CAST(1000000 AS BIGINT)) DIV c2a
+                   WHEN w2 IS NOT NULL AND c12 IS NOT NULL
+                     THEN (2 * c12 * CAST(1000000 AS BIGINT)) DIV (5 * c1ctx)
+                   WHEN w2 IS NOT NULL
+                     THEN (4 * cw * CAST(1000000 AS BIGINT)) DIV (25 * T)
+                   WHEN w1 IS NOT NULL AND c12 IS NOT NULL
+                     THEN (c12 * CAST(1000000 AS BIGINT)) DIV c1ctx
+                   WHEN w1 IS NOT NULL
+                     THEN (2 * cw * CAST(1000000 AS BIGINT)) DIV (5 * T)
+                   ELSE (cw * CAST(1000000 AS BIGINT)) DIV T
+                   END"""
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("score_ppm").cast("long").alias("fluency_ppm_sum"),
+    )
+
+
+def code_signals(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Code-vs-prose signals per document — the router a mixed crawl
+    needs before tokenization (code wants a different tokenizer,
+    different quality rules, different dedup granularity): symbol
+    density (``{}();=<>[]`` characters per char), digit density, and
+    programming-keyword hits (``def class return import for while if
+    else``, word-bounded). The boolean gate is the standard cheap
+    router: symbol density above 2% OR >= 3 keyword hits.
+
+    All counts are regexp counts over the raw text — scan-stage
+    column arithmetic, zero shuffles — and the densities are exact
+    integer ppm (DIV), so both engines replay the gate bit-for-bit.
+
+    Returns (id, n_chars, symbol_ppm, digit_ppm, kw_hits, is_code).
+    """
+    txt = F.col(text_col).cast("string")
+    n_chars = F.length(txt)
+    sym = F.size(
+        F.regexp_extract_all(txt, F.lit(r"[{}();=<>\[\]]"), 0)
+    ).cast("long")
+    dig = F.size(F.regexp_extract_all(txt, F.lit(r"[0-9]"), 0)).cast("long")
+    kw = F.size(
+        F.regexp_extract_all(
+            F.lower(txt),
+            F.lit(r"\b(def|class|return|import|for|while|if|else)\b"),
+            0,
+        )
+    ).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("long").alias("n_chars"),
+        sym.alias("__sym"),
+        dig.alias("__dig"),
+        kw.alias("kw_hits"),
+    ).select(
+        "id",
+        "n_chars",
+        F.expr(
+            "(__sym * CAST(1000000 AS BIGINT)) DIV greatest(n_chars, 1)"
+        ).alias("symbol_ppm"),
+        F.expr(
+            "(__dig * CAST(1000000 AS BIGINT)) DIV greatest(n_chars, 1)"
+        ).alias("digit_ppm"),
+        "kw_hits",
+        F.expr(
+            "((__sym * CAST(1000000 AS BIGINT)) DIV greatest(n_chars, 1))"
+            " > 20000 OR kw_hits >= 3"
+        ).alias("is_code"),
+    )

@@ -102,3 +102,195 @@ def mad_outliers(
         F.abs(F.col(value_col) - F.col("med"))
         > F.lit(k) * F.lit(1.4826) * F.col("mad"),
     )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """OHLC bar resampling (the financial downsample; also the shape
+    of any first/last/min/max rollup of an event stream): per (key,
+    time bucket), the OPEN (value at the earliest event), HIGH, LOW,
+    and CLOSE (value at the latest event). No arithmetic touches the
+    values — open/close are SELECTED, min/max are order statistics —
+    so doubles pass through bit-identical on any engine; event-time
+    ties break on ``tiebreak_col`` for a replayable total order.
+
+    Shape: one window (row_number ascending + descending share the
+    (key, bucket) partitioning — one shuffle) and one aggregation.
+    At stream scale the same semantics run as the tumbling-window
+    variant; this is the batch/backfill form.
+
+    Returns (key, bucket_ts, open, high, low, close, n_events).
+    """
+    from pyspark.sql import Window
+
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        b,
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.col(value_col).alias("__v"),
+    )
+    wa = Window.partitionBy("key", "bucket_ts").orderBy("__ts", "__tb")
+    wd = Window.partitionBy("key", "bucket_ts").orderBy(
+        F.col("__ts").desc(), F.col("__tb").desc()
+    )
+    marked = base.withColumn("__ra", F.row_number().over(wa)).withColumn(
+        "__rd", F.row_number().over(wd)
+    )
+    return marked.groupBy("key", "bucket_ts").agg(
+        F.max(F.when(F.col("__ra") == 1, F.col("__v"))).alias("open"),
+        F.max("__v").alias("high"),
+        F.min("__v").alias("low"),
+        F.max(F.when(F.col("__rd") == 1, F.col("__v"))).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix of an event stream: order
+    each key's events by time (ties on ``tiebreak_col``), pair every
+    event with its predecessor's state, count (from, to) transitions,
+    and report each row's probability as exact integer ppm of its
+    FROM-state total (DIV — engine-replayable; probabilities of a
+    from-state sum to <= 1e6 with the remainder lost to flooring,
+    never redistributed).
+
+    The fitted matrix drives next-action prediction, anomaly scoring
+    (improbable transitions) and session simulation. Shape: one
+    window per key (single shuffle), one (from, to) aggregation, one
+    windowed total per from-state over matrix-cardinality rows.
+
+    Returns (from_state, to_state, n, prob_ppm).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.withColumn("__prev", F.lag(state_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return pairs.withColumn(
+        "prob_ppm",
+        F.expr(
+            "(n * CAST(1000000 AS BIGINT)) DIV"
+            " (SUM(n) OVER (PARTITION BY from_state))"
+        ),
+    ).select("from_state", "to_state", "n", "prob_ppm")
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    allowance_milli: int = 1000,
+    h_mult_milli: int = 3000,
+) -> DataFrame:
+    """One-sided CUSUM changepoint detection (Page 1954), EXACT and
+    windowable: the textbook recursion ``S_i = max(0, S_{i-1} + x_i -
+    k)`` looks inherently sequential, but it is algebraically ``S_i =
+    P_i - min_{j<=i} P_j`` where ``P`` is the prefix sum of ``(x -
+    k)`` — a running sum plus a running min over ONE window spec, so
+    the whole detector is a single shuffle on the series key instead
+    of a per-row loop. Alarm where ``S_i > h``.
+
+    ``value_col`` must be integer-scaled (cents). The allowance k and
+    threshold h derive from each key's own mean:
+    ``k = allowance_milli/1000 * mean`` and ``h = h_mult_milli/1000 *
+    mean``, both exact integers via DECIMAL DIV — so the detector is
+    self-calibrating yet bit-replayable. The per-key mean is one
+    aggregation joined back (broadcast-size: one row per key).
+
+    Returns alarm rows only: (key, ts, tiebreak, value, s_value).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    means = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.expr(
+            f"CAST(SUM(CAST({value_col} AS DECIMAL(38,0)))"
+            f" * {allowance_milli} DIV (COUNT(*) * 1000) AS BIGINT)"
+        ).alias("__kk"),
+        F.expr(
+            f"CAST(SUM(CAST({value_col} AS DECIMAL(38,0)))"
+            f" * {h_mult_milli} DIV (COUNT(*) * 1000) AS BIGINT)"
+        ).alias("__h"),
+    )
+    base = df.join(
+        F.broadcast(means), F.col(key_col) == F.col("__k")
+    ).withColumn("__d", v - F.col("__kk"))
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = (
+        base.withColumn("__p", F.sum("__d").over(wc))
+        .withColumn("__pmin", F.min("__p").over(wc))
+        .withColumn(
+            "s_value",
+            F.greatest(F.col("__p") - F.col("__pmin"), F.lit(0).cast("long")),
+        )
+    )
+    return staged.filter(F.col("s_value") > F.col("__h")).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(tiebreak_col).alias("tiebreak"),
+        v.alias("value"),
+        "s_value",
+    )
+
+
+def seasonality_index(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: str = "month",
+) -> DataFrame:
+    """Classical seasonal index: each calendar period's mean as a
+    ratio of the global mean, in exact integer ppm —
+    ``(sum_p * n * 1e6) DIV (n_p * sum)`` via DECIMAL(38,0).
+    ``value_col`` must be integer-scaled. Two aggregations (period
+    sums + the one-row global fold as a broadcast), zero windows.
+
+    Returns (period_no, n, total, index_ppm) — index 1e6 = an average
+    period.
+    """
+    part = {
+        "month": F.month(F.col(ts_col)),
+        "quarter": F.quarter(F.col(ts_col)),
+        "dow": F.dayofweek(F.col(ts_col)),
+        "hour": F.hour(F.col(ts_col)),
+    }[period]
+    v = F.col(value_col).cast("long")
+    per = df.groupBy(part.alias("period_no")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("total"),
+    )
+    glob = per.agg(
+        F.sum("n").cast("long").alias("__gn"),
+        F.sum("total").cast("long").alias("__gs"),
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        "period_no", "n", "total",
+        F.expr(
+            "CAST((CAST(total AS DECIMAL(38,0)) * __gn * 1000000)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * __gs) AS BIGINT)"
+        ).alias("index_ppm"),
+    )

@@ -2567,3 +2567,185 @@ def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     return splits.group_aware_split(d, "doc_id", text_col="text").select(
         "doc_id", "group_fp", "split"
     )
+
+
+@register(
+    "text_readability_flesch",
+    f"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id,
+             array_to_string(
+               [ws[i] || CASE WHEN i % (8 + doc_id % 5) = 0
+                              THEN '.' ELSE '' END
+                for i in range(1, len(ws) + 1)], ' ') AS text2
+      FROM ws
+    )
+    SELECT doc_id AS id,
+           CAST(len(list_filter(string_split(text2, ' '), x -> x <> ''))
+                AS BIGINT) AS n_words,
+           CAST(greatest(len(regexp_extract_all(text2, '[.!?]+')), 1)
+                AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text2), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables,
+           CAST(206835
+                - (1015 * len(list_filter(string_split(text2, ' '),
+                                          x -> x <> '')))
+                  // greatest(len(regexp_extract_all(text2, '[.!?]+')), 1)
+                - (84600 * len(regexp_extract_all(lower(text2),
+                                                  '[aeiouy]+')))
+                  // greatest(len(list_filter(string_split(text2, ' '),
+                                              x -> x <> '')), 1)
+                AS BIGINT) AS flesch_milli
+    FROM px
+    """,
+    ("LLM-curation", "quality"),
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease over the corpus
+    (textstats.flesch_readability) in exact integer milli-points.
+    The fixture corpus carries no sentence punctuation, so the entry
+    INJECTS it deterministically — a period after every
+    ``8 + doc_id % 5``-th word — the same both-engines-replay-the-
+    fixture discipline as the PII and paragraph entries. The operator
+    itself is pure scan-stage column arithmetic (three regexp counts,
+    zero shuffles)."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.filter(textstats.words(F.col("text")), lambda x: x != "")
+    sent_len = (F.col("doc_id") % 5 + 8).cast("int")
+    text2 = F.array_join(
+        F.transform(
+            ws,
+            lambda w, i: F.concat(
+                w,
+                F.when((i + 1) % sent_len == 0, F.lit(".")).otherwise(
+                    F.lit("")
+                ),
+            ),
+        ),
+        " ",
+    )
+    return textstats.flesch_readability(
+        d.select("doc_id", text2.alias("text")), "text", "doc_id"
+    )
+
+
+@register(
+    "text_stupid_backoff",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    tk AS (
+      SELECT doc_id, u['w'] AS w, u['w1'] AS w1, u['w2'] AS w2 FROM (
+        SELECT doc_id,
+               unnest([{{'w': ws[i],
+                         'w1': if(i > 1, ws[i-1], NULL),
+                         'w2': if(i > 2, ws[i-2], NULL)}}
+                       for i in range(1, len(ws) + 1)]) AS u
+        FROM w WHERE len(ws) >= 1
+      )
+    ),
+    uni AS (SELECT w, COUNT(*) AS cw FROM tk GROUP BY w),
+    bi AS (SELECT w1, w, COUNT(*) AS c12 FROM tk
+           WHERE w1 IS NOT NULL GROUP BY w1, w),
+    tri AS (SELECT w2, w1, w, COUNT(*) AS c123 FROM tk
+            WHERE w2 IS NOT NULL GROUP BY w2, w1, w),
+    tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS T FROM uni)
+    SELECT tk.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE
+             WHEN tk.w2 IS NOT NULL AND tri.c123 IS NOT NULL
+               THEN (tri.c123 * 1000000) // b2.c12
+             WHEN tk.w2 IS NOT NULL AND bi.c12 IS NOT NULL
+               THEN (2 * bi.c12 * 1000000) // (5 * u1.cw)
+             WHEN tk.w2 IS NOT NULL
+               THEN (4 * u.cw * 1000000) // (25 * T)
+             WHEN tk.w1 IS NOT NULL AND bi.c12 IS NOT NULL
+               THEN (bi.c12 * 1000000) // u1.cw
+             WHEN tk.w1 IS NOT NULL
+               THEN (2 * u.cw * 1000000) // (5 * T)
+             ELSE (u.cw * 1000000) // T END) AS BIGINT) AS fluency_ppm_sum
+    FROM tk
+    LEFT JOIN tri ON tk.w2 = tri.w2 AND tk.w1 = tri.w1 AND tk.w = tri.w
+    LEFT JOIN bi b2 ON tk.w2 = b2.w1 AND tk.w1 = b2.w
+    LEFT JOIN bi ON tk.w1 = bi.w1 AND tk.w = bi.w
+    LEFT JOIN uni u1 ON tk.w1 = u1.w
+    JOIN uni u ON tk.w = u.w
+    CROSS JOIN tot
+    GROUP BY tk.doc_id
+    """,
+    ("LLM-curation", "quality"),
+)
+def text_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff fluency per document
+    (textstats.stupid_backoff_scores; Brants et al. 2007), counts
+    trained on the corpus itself. All per-token scores are exact
+    integer ppm with the 0.4 backoff as the rational 2/5, so the
+    document sums hash identically across engines."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.stupid_backoff_scores(d, "text", "doc_id")
+
+
+@register(
+    "text_code_detect",
+    r"""
+    WITH px AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+               THEN ' def f' || CAST(doc_id AS VARCHAR)
+                    || '(x): if x >= ' || CAST(doc_id % 100 AS VARCHAR)
+                    || ': return [x]; else: return {x: x};'
+               ELSE '' END AS text2
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(length(text2) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text2, '[{}();=<>\[\]]'))
+                  AS BIGINT) AS sym,
+             CAST(len(regexp_extract_all(text2, '[0-9]')) AS BIGINT)
+               AS dig,
+             CAST(len(regexp_extract_all(lower(text2),
+                  '\b(def|class|return|import|for|while|if|else)\b'))
+                  AS BIGINT) AS kw_hits
+      FROM px
+    )
+    SELECT doc_id AS id, n_chars,
+           CAST((sym * 1000000) // greatest(n_chars, 1) AS BIGINT)
+             AS symbol_ppm,
+           CAST((dig * 1000000) // greatest(n_chars, 1) AS BIGINT)
+             AS digit_ppm,
+           kw_hits,
+           ((sym * 1000000) // greatest(n_chars, 1)) > 20000
+             OR kw_hits >= 3 AS is_code
+    FROM m
+    """,
+    ("LLM-curation", "quality"),
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signals (textstats.code_signals): symbol
+    density, digit density, word-bounded keyword hits and the cheap
+    router gate, all exact integer ppm. The fixture corpus is pure
+    prose, so every 7th document gets a deterministic injected code
+    snippet — the same both-engines-replay discipline as the PII and
+    readability entries."""
+    d = t(spark, sf_dir, "documents")
+    snippet = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" def f"), F.col("doc_id").cast("string"),
+            F.lit("(x): if x >= "),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(": return [x]; else: return {x: x};"),
+        ),
+    ).otherwise(F.lit(""))
+    px = d.select(
+        "doc_id", F.concat(F.col("text"), snippet).alias("text")
+    )
+    return textstats.code_signals(px, "text", "doc_id")

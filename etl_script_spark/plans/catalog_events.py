@@ -381,3 +381,172 @@ def chat_flatten_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], ["ts", "event_id"], role, content,
         sep="\n", max_chars=512,
     )
+
+
+@register(
+    "ts_ohlc_resample",
+    """
+    WITH b AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
+             ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events
+    )
+    SELECT key, bucket_ts,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM b GROUP BY key, bucket_ts
+    """,
+    ("X-timeseries", "A1"),
+)
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (timeseries.ohlc_resample):
+    open/close are SELECTED by a replayable total order (ts,
+    event_id), high/low are order statistics — no value arithmetic,
+    so the doubles hash identically on both engines. One shuffle
+    (both row_number orderings share the partitioning) plus one
+    aggregation."""
+    from etl_script_spark.operators import timeseries
+
+    ev = t(spark, sf_dir, "events")
+    return timeseries.ohlc_resample(
+        ev, "event_type", "ts", "value", "event_id", bucket="hour"
+    )
+
+
+@register(
+    "ev_markov_transitions",
+    """
+    WITH p AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_state,
+             event_type AS to_state
+      FROM events
+    ),
+    c AS (
+      SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p WHERE from_state IS NOT NULL
+      GROUP BY from_state, to_state
+    )
+    SELECT from_state, to_state, n,
+           CAST((n * 1000000) //
+                SUM(n) OVER (PARTITION BY from_state) AS BIGINT)
+             AS prob_ppm
+    FROM c
+    """,
+    ("X-markov", "A1"),
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream (timeseries.markov_transitions): per-(from, to) counts
+    and exact-ppm row probabilities — next-action prediction and
+    improbable-transition anomaly scoring in one small matrix. One
+    per-user window shuffle, one aggregation."""
+    from etl_script_spark.operators import timeseries
+
+    ev = t(spark, sf_dir, "events")
+    return timeseries.markov_transitions(
+        ev, "user_id", "ts", "event_type", "event_id"
+    )
+
+
+@register(
+    "ts_cusum_changepoints",
+    """
+    WITH c AS (
+      SELECT event_type AS key, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    m AS (
+      SELECT key,
+             CAST(SUM(v) * 1000 // (COUNT(*) * 1000) AS BIGINT) AS kk,
+             CAST(SUM(v) * 3000 // (COUNT(*) * 1000) AS BIGINT) AS h
+      FROM c GROUP BY key
+    ),
+    p AS (
+      SELECT c.key, c.ts, c.event_id, c.v, m.h,
+             SUM(c.v - m.kk) OVER (PARTITION BY c.key
+                                   ORDER BY c.ts, c.event_id
+                                   ROWS UNBOUNDED PRECEDING) AS pp
+      FROM c JOIN m ON c.key = m.key
+    ),
+    s AS (
+      SELECT key, ts, event_id, v, h,
+             greatest(pp - MIN(pp) OVER (PARTITION BY key
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING),
+                      0) AS sv
+      FROM p
+    )
+    SELECT key, ts, event_id AS tiebreak, v AS value,
+           CAST(sv AS BIGINT) AS s_value
+    FROM s WHERE sv > h
+    """,
+    ("X-timeseries", "X-changepoint"),
+)
+def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint alarms over each event type's
+    value stream (timeseries.cusum_changepoints, Page 1954): the
+    sequential recursion rewritten as prefix-sum minus running-min —
+    ONE window spec, one shuffle — with self-calibrated integer
+    allowance/threshold (k = mean, h = 3x mean, exact DIV). Alarm
+    rows only."""
+    from etl_script_spark.operators import timeseries
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return timeseries.cusum_changepoints(
+        ev, "event_type", "ts", "v", "event_id",
+        allowance_milli=1000, h_mult_milli=3000,
+    )
+
+
+@register(
+    "ts_seasonality_index",
+    """
+    WITH c AS (
+      SELECT CAST(month(o_orderdate) AS INTEGER) AS period_no,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    p AS (
+      SELECT period_no, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS total
+      FROM c GROUP BY period_no
+    ),
+    g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS gn,
+             CAST(SUM(total) AS BIGINT) AS gs
+      FROM p
+    )
+    SELECT period_no, n, total,
+           CAST((CAST(total AS HUGEINT) * gn * 1000000)
+                // (CAST(n AS HUGEINT) * gs) AS BIGINT) AS index_ppm
+    FROM p CROSS JOIN g
+    """,
+    ("X-timeseries", "A1"),
+)
+def ts_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonal index of order revenue
+    (timeseries.seasonality_index): each month's mean order total as
+    an exact-ppm ratio of the global mean — ``(sum_m * n * 1e6) DIV
+    (n_m * sum)`` in DECIMAL(38,0). Two aggregations, a one-row
+    broadcast, 12 output rows."""
+    from etl_script_spark.operators import timeseries
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    return timeseries.seasonality_index(o, "o_orderdate", "v", "month")

@@ -1762,3 +1762,179 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("bal_at_ts"),
         F.col("valid_from").cast("string").alias("valid_from"),
     )
+
+
+@register(
+    "hier_flatten_paths",
+    """
+    WITH RECURSIVE n AS (
+      SELECT doc_id + 1 AS node,
+             CASE WHEN doc_id + 1 = 1 THEN 1
+                  ELSE (doc_id + 1) // 2 END AS parent
+      FROM documents
+    ),
+    r(node, cur, depth, psum) AS (
+      SELECT node, node, 0, node FROM n
+      UNION ALL
+      SELECT r.node, p.parent, r.depth + 1, r.psum + p.parent
+      FROM r JOIN n p ON p.node = r.cur
+      WHERE r.cur <> 1
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(psum) AS BIGINT) AS path_checksum,
+           CAST(SUM(node) AS BIGINT) AS node_checksum
+    FROM r WHERE cur = 1
+    GROUP BY depth
+    """,
+    ("X-graph", "X-iterative"),
+)
+def hier_flatten_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-pointer hierarchy flattened by POINTER JUMPING
+    (graph.flatten_hierarchy): the documents table induces a binary
+    tree (node = doc_id+1, parent = node DIV 2, root 1 — depth of
+    node is floor(log2 node), independently checkable), and the
+    operator resolves every node's (root, depth, path id-sum) in
+    ceil(log2 64) = 6 self-join rounds — O(log depth) shuffles where
+    the naive walk is O(depth) (the DuckDB oracle IS that naive walk,
+    via WITH RECURSIVE). Output folds to per-depth counts +
+    path-sum checksums, which pin every node's full ancestor chain
+    without emitting per-node rows."""
+    from etl_script_spark.operators import graph
+
+    d = t(spark, sf_dir, "documents")
+    nodes = d.select(
+        (F.col("doc_id") + 1).alias("node"),
+        F.when(F.col("doc_id") + 1 == 1, F.lit(1).cast("long"))
+        .otherwise(F.expr("(doc_id + 1) DIV 2")).alias("parent"),
+    )
+    flat = graph.flatten_hierarchy(nodes, "node", "parent", max_depth=64)
+    return flat.groupBy(F.col("depth").cast("long").alias("depth")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("path_sum").cast("long").alias("path_checksum"),
+        F.sum("node").cast("long").alias("node_checksum"),
+    )
+
+
+@register(
+    "basket_part_pairs_lift",
+    """
+    WITH it AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS N FROM it),
+    ci AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM it GROUP BY i),
+    p AS (
+      SELECT a.i AS item_a, b2.i AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM it a JOIN it b2 ON a.b = b2.b AND a.i < b2.i
+      GROUP BY a.i, b2.i HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, pair_count,
+           CAST((pair_count * 1000000) // N AS BIGINT) AS support_ppm,
+           CAST((pair_count * 1000000) // ca.c AS BIGINT)
+             AS confidence_ppm,
+           CAST((pair_count * N * 1000) // (ca.c * cb.c) AS BIGINT)
+             AS lift_milli
+    FROM p
+    JOIN ci ca ON p.item_a = ca.i
+    JOIN ci cb ON p.item_b = cb.i
+    CROSS JOIN nb
+    ORDER BY lift_milli DESC, item_a, item_b LIMIT 100
+    """,
+    ("X-association", "A1"),
+)
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over order line items
+    (basket.pair_associations; Agrawal-Srikant support/confidence/
+    lift): which parts co-occur in orders more than chance. Pair
+    candidates come from the basket-key self-join (bounded by
+    items-per-order squared, never catalog size), measures are exact
+    integer ratios, and the top-100 runs as TakeOrdered, not a
+    global sort."""
+    from etl_script_spark.operators import basket
+
+    li = t(spark, sf_dir, "lineitem")
+    return basket.pair_associations(
+        li, "l_orderkey", "l_partkey", min_pair_count=2, k=100
+    )
+
+
+@register(
+    "mm_video_scene_segments",
+    """
+    WITH fr AS (
+      SELECT doc_id % 40 AS video_id, doc_id // 40 AS frame_idx,
+             [ (('0x' || substr(md5('v_' || CAST(doc_id % 40 AS VARCHAR)
+                   || '_' || CAST((doc_id // 40) // 4 AS VARCHAR)
+                   || '_' || CAST(j AS VARCHAR)), 1, 4))::BIGINT % 200)
+                 * 10
+               + (('0x' || substr(md5('f_' || CAST(doc_id % 40 AS VARCHAR)
+                   || '_' || CAST(doc_id // 40 AS VARCHAR)
+                   || '_' || CAST(j AS VARCHAR)), 1, 4))::BIGINT % 5)
+               for j in range(0, 8) ] AS feat
+      FROM documents
+    ),
+    d AS (
+      SELECT video_id, frame_idx, feat,
+             lag(feat) OVER (PARTITION BY video_id ORDER BY frame_idx)
+               AS pf
+      FROM fr
+    ),
+    c AS (
+      SELECT video_id, frame_idx,
+             CASE WHEN pf IS NULL THEN 1
+                  WHEN list_sum([abs(feat[j] - pf[j])
+                                 for j in range(1, 9)]) > 100 THEN 1
+                  ELSE 0 END AS cut
+      FROM d
+    ),
+    s AS (
+      SELECT video_id, frame_idx,
+             SUM(cut) OVER (PARTITION BY video_id ORDER BY frame_idx
+                            ROWS UNBOUNDED PRECEDING) AS scene_id
+      FROM c
+    )
+    SELECT video_id, CAST(scene_id AS BIGINT) AS scene_id,
+           CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+           CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM s GROUP BY video_id, scene_id
+    """,
+    ("LLM-multimodal",),
+)
+def mm_video_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot-boundary segmentation (multimodal.scene_segments):
+    per-frame INTEGER feature vectors (the decode sidecar's quantized
+    output — here derived deterministically from ids so both engines
+    replay the same 'decoded' frames, piecewise-constant per scene
+    block with sub-threshold jitter), L1 cut detection, running-sum
+    scene ids, one row per scene. One shuffle (the per-video window),
+    one aggregation."""
+    d = t(spark, sf_dir, "documents")
+    v = (F.col("doc_id") % 40).alias("video_id")
+    fidx = F.expr("doc_id DIV 40").alias("frame_idx")
+    vstr = (F.col("doc_id") % 40).cast("string")
+    fstr = F.expr("doc_id DIV 40").cast("string")
+    bstr = F.expr("(doc_id DIV 40) DIV 4").cast("string")
+    feat = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.lit("v"), vstr, bstr,
+                                      j.cast("string"))),
+                    1, 4,
+                ), 16, 10,
+            ).cast("long") % 200
+        ) * 10
+        + F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit("f"), vstr, fstr,
+                                  j.cast("string"))),
+                1, 4,
+            ), 16, 10,
+        ).cast("long") % 5,
+    ).alias("feat")
+    frames = d.select(v, fidx, feat)
+    return multimodal.scene_segments(frames, threshold=100)

@@ -296,3 +296,234 @@ def feat_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         "__w",
     )
+
+
+@register(
+    "gov_randomized_response",
+    """
+    WITH base AS (
+      SELECT lang AS value, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    domain AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1 AS idx
+      FROM (SELECT DISTINCT value FROM base)
+    ),
+    kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM domain),
+    rep AS (
+      SELECT b.value,
+             CASE WHEN ('0x' || substr(b.h, 1, 8))::BIGINT % 4 = 0
+                  THEN d.value ELSE b.value END AS reported
+      FROM base b
+      CROSS JOIN kk
+      JOIN domain d ON d.idx = ('0x' || substr(b.h, 9, 8))::BIGINT % kk.k
+    ),
+    tc AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS true_count
+           FROM rep GROUP BY value),
+    nc AS (SELECT reported AS value, CAST(COUNT(*) AS BIGINT) AS noisy_count
+           FROM rep GROUP BY reported),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rep)
+    SELECT value,
+           COALESCE(true_count, 0) AS true_count,
+           COALESCE(noisy_count, 0) AS noisy_count,
+           CAST((greatest(CAST(0 AS BIGINT),
+                          4 * k * COALESCE(noisy_count, 0) - n) * 1000)
+                // (3 * k) AS BIGINT) AS est_milli
+    FROM tc FULL JOIN nc USING (value)
+    CROSS JOIN tot CROSS JOIN kk
+    """,
+    ("X-governance", "LLM-curation"),
+)
+def gov_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP frequency release over the language column
+    (governance.randomized_response_freq): every record reports its
+    true language w.p. 3/4 else an md5-drawn uniform domain value,
+    and the debiased estimate ``(4k*c - n)/(3k)`` is computed in
+    exact integer milli-rows. The coin is the record id's md5 —
+    deterministic replay on both engines, like every sampler here."""
+    from etl_script_spark.operators import governance
+
+    d = t(spark, sf_dir, "documents")
+    return governance.randomized_response_freq(d, "lang", "doc_id")
+
+
+@register(
+    "feat_quantile_normalize",
+    """
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY cents, o_orderkey)
+                  AS rank_in_group
+      FROM c
+    ),
+    m AS (
+      SELECT rank_in_group,
+             (SUM(cents) * 1000) // COUNT(*) AS norm_milli
+      FROM r GROUP BY rank_in_group
+    )
+    SELECT r.o_orderkey, r.o_orderpriority, r.cents,
+           CAST(r.rank_in_group AS INTEGER) AS rank_in_group,
+           CAST(m.norm_milli AS BIGINT) AS norm_milli
+    FROM r JOIN m USING (rank_in_group)
+    """,
+    ("X-feature-eng",),
+)
+def feat_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of order totals across the
+    five order priorities (features.quantile_normalize, Bolstad
+    2003): each order's total is replaced by the exact integer mean
+    (milli-cents, DIV) of the same-ranked totals across all
+    priorities — after which every priority has an identical value
+    distribution. Money rides the cents fast-exact path; ranks
+    tie-break on the order key for a replayable total order."""
+    from etl_script_spark.operators import features
+    from etl_script_spark.plans.catalog import cents
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("cents"),
+    )
+    return features.quantile_normalize(
+        o, "o_orderpriority", "cents", "o_orderkey"
+    )
+
+
+@register(
+    "stat_ols_slope_groups",
+    """
+    WITH s AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_x,
+             CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT))
+                  AS BIGINT) AS sum_y,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_discount * 10000) AS BIGINT))
+                  AS BIGINT) AS sxy
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, n, sum_x, sum_y, sxx, sxy,
+           CASE WHEN den = 0 THEN NULL
+                WHEN num < 0 THEN -CAST((abs(num) * 1000000000) // den
+                                        AS BIGINT)
+                ELSE CAST((abs(num) * 1000000000) // den AS BIGINT)
+           END AS slope_ppb
+    FROM (
+      SELECT *,
+             CAST(n AS HUGEINT) * sxy - CAST(sum_x AS HUGEINT) * sum_y
+               AS num,
+             CAST(n AS HUGEINT) * sxx - CAST(sum_x AS HUGEINT) * sum_x
+               AS den
+      FROM s
+    )
+    """,
+    ("X-statistics", "A1"),
+)
+def stat_ols_slope_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group OLS slope of discount (basis points) on
+    quantity (stats.ols_slope_groups): one map-side-combinable
+    aggregation to five integer sufficient statistics, then the
+    closed-form slope in exact ppb via DECIMAL(38,0) DIV (the cross
+    products overflow int64 — decimal-38 is the repo's exact-integer
+    escape hatch, same as the corpus-stats quotients)."""
+    from etl_script_spark.operators import stats
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("y"),
+    )
+    return stats.ols_slope_groups(
+        li, ["l_returnflag", "l_linestatus"], "x", "y"
+    )
+
+
+@register(
+    "cust_gini_by_nation",
+    """
+    WITH v AS (
+      SELECT c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000 AS v,
+             c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY CAST(ROUND(c_acctbal * 100)
+                                              AS BIGINT) + 100000,
+                                         c_custkey) AS i
+      FROM customer
+    ),
+    a AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS total,
+             CAST(SUM(2 * i * v) AS BIGINT) AS w2
+      FROM v GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n, total,
+           CASE WHEN n * total = 0 THEN NULL
+                ELSE CAST(((w2 - (n + 1) * total) * 1000)
+                          // (n * total) AS BIGINT)
+           END AS gini_milli
+    FROM a
+    """,
+    ("X-statistics", "A1"),
+)
+def cust_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-nation Gini concentration of customer account
+    balances (stats.gini_groups): cents shifted +100000 to the
+    non-negative domain Gini requires, ranked by a replayable total
+    order, folded with the ``sum (2i - n - 1) v / (n sum v)``
+    closed form in integer milli-units via DECIMAL(38,0) DIV. Two
+    shuffles, both on the nation key."""
+    from etl_script_spark.operators import stats
+    from etl_script_spark.plans.catalog import cents
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey",
+        (cents(F.col("c_acctbal")) + 100000).alias("v"),
+    )
+    return stats.gini_groups(c, ["c_nationkey"], "v", "c_custkey")
+
+
+@register(
+    "dq_benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+      WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+          GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM c)
+    SELECT digit, n,
+           CAST((n * 1000000) // tt AS BIGINT) AS obs_ppm,
+           CAST(([301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                  51153, 45757])[digit] AS BIGINT) AS exp_ppm,
+           abs(CAST((n * 1000000) // tt AS BIGINT)
+               - ([301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                   51153, 45757])[digit]) AS dev_ppm
+    FROM c CROSS JOIN t
+    """,
+    ("DQ-expectations", "X-statistics"),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals
+    (stats.benford_first_digit): observed vs expected first-digit
+    frequencies in exact ppm, expectation as fixed literals (no
+    engine computes a log). The forensic screen a finance-data
+    quality suite runs before trusting an amount column."""
+    from etl_script_spark.operators import stats
+    from etl_script_spark.plans.catalog import cents
+
+    o = t(spark, sf_dir, "orders").select(
+        cents(F.col("o_totalprice")).alias("v")
+    )
+    return stats.benford_first_digit(o, "v")

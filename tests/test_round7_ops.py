@@ -492,3 +492,388 @@ def test_maxsim_prefers_facet_coverage(spark):
     )
     assert out[0]["doc_id"] == "A" and abs(out[0]["maxsim"] - 2.0) < 1e-12
     assert out[1]["doc_id"] == "B" and abs(out[1]["maxsim"] - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: readability, stupid backoff, pointer-jumping hierarchy,
+# randomized response, quantile normalization
+# ---------------------------------------------------------------------------
+
+
+def test_flesch_readability_hand_computed(spark):
+    from etl_script_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat. the dog ran!"),   # W=6 S=2 Y=6
+            (2, ""),                             # W=0 S=1(min) Y=0
+            (3, "xyz qrst"),                     # W=2 S=1 Y=1 ('y' run)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in textstats.flesch_readability(df).collect()}
+    assert (out[1]["n_words"], out[1]["n_sentences"],
+            out[1]["n_syllables"]) == (6, 2, 6)
+    # 206835 - (1015*6) DIV 2 - (84600*6) DIV 6 = 206835 - 3045 - 84600
+    assert out[1]["flesch_milli"] == 206835 - 3045 - 84600
+    assert out[2]["n_words"] == 0 and out[2]["flesch_milli"] == 206835
+    assert out[3]["flesch_milli"] == 206835 - 2030 - (84600 * 1) // 2
+
+
+def test_stupid_backoff_hand_computed(spark):
+    from etl_script_spark.operators import textstats
+
+    # corpus: doc1 "a b c", doc2 "a b d"
+    # T=6; c(a)=2 c(b)=2 c(c)=1 c(d)=1; c(a,b)=2 c(b,c)=1 c(b,d)=1
+    # c(a,b,c)=1 c(a,b,d)=1
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    out = {
+        r["id"]: r["fluency_ppm_sum"]
+        for r in textstats.stupid_backoff_scores(df).collect()
+    }
+    # doc1: pos0 'a' uni-no-penalty: (2*1M) DIV 6 = 333333
+    #       pos1 'b' ctx 'a': bigram (2*1M) DIV 2 = 1000000
+    #       pos2 'c' ctx (a,b): trigram (1*1M) DIV 2 = 500000
+    assert out[1] == 333333 + 1000000 + 500000
+    assert out[2] == out[1]  # symmetric corpus
+
+
+def test_flatten_hierarchy_chain_and_tree(spark):
+    from etl_script_spark.operators import graph
+
+    # chain 1<-2<-3<-4<-5 plus a second root 10 with child 11
+    nodes = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 3), (5, 4), (10, 10), (11, 10)],
+        "node long, parent long",
+    )
+    out = {
+        r["node"]: (r["root"], r["depth"], r["path_sum"])
+        for r in graph.flatten_hierarchy(nodes, max_depth=8).collect()
+    }
+    assert out[1] == (1, 0, 1)
+    assert out[5] == (1, 4, 15)     # 5+4+3+2+1
+    assert out[4] == (1, 3, 10)
+    assert out[10] == (10, 0, 10)
+    assert out[11] == (10, 1, 21)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        graph.flatten_hierarchy(nodes, max_depth=0)
+
+
+def test_randomized_response_debias_converges(spark):
+    from etl_script_spark.operators import governance
+
+    # 3 values, heavily skewed truth; with n=3000 the debiased
+    # estimate must land within 10% of truth for the majority class
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, F.lit("en"))
+        .when(F.col("id") % 10 < 9, F.lit("de"))
+        .otherwise(F.lit("fr")).alias("lang"),
+    )
+    out = {
+        r["value"]: r
+        for r in governance.randomized_response_freq(
+            df, "lang", "doc_id"
+        ).collect()
+    }
+    assert sum(r["true_count"] for r in out.values()) == 3000
+    assert sum(r["noisy_count"] for r in out.values()) == 3000
+    en_est = out["en"]["est_milli"] / 1000.0
+    assert abs(en_est - out["en"]["true_count"]) < 0.1 * 2400
+    # determinism: same input -> same noisy counts
+    out2 = {
+        r["value"]: r["noisy_count"]
+        for r in governance.randomized_response_freq(
+            df, "lang", "doc_id"
+        ).collect()
+    }
+    assert out2 == {v: r["noisy_count"] for v, r in out.items()}
+
+
+def test_quantile_normalize_aligns_distributions(spark):
+    from etl_script_spark.operators import features
+
+    df = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 2), ("a", 30, 3),
+         ("b", 100, 4), ("b", 200, 5), ("b", 300, 6)],
+        "src string, v long, k long",
+    )
+    out = features.quantile_normalize(df, "src", "v", "k")
+    rows = out.collect()
+    # rank 1 mean = (10+100)/2 = 55 -> 55000 milli
+    by_rank = {}
+    for r in rows:
+        by_rank.setdefault(r["rank_in_group"], set()).add(r["norm_milli"])
+    assert by_rank == {1: {55000}, 2: {110000}, 3: {165000}}
+    # post-normalization distributions identical across groups
+    a = sorted(r["norm_milli"] for r in rows if r["src"] == "a")
+    b = sorted(r["norm_milli"] for r in rows if r["src"] == "b")
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: market basket, code detect, video scene segments
+# ---------------------------------------------------------------------------
+
+
+def test_pair_associations_hand_computed(spark):
+    from etl_script_spark.operators import basket
+
+    # baskets: 1:{a,b,c} 2:{a,b} 3:{a,c} 4:{b} -> N=4
+    # c(a)=3 c(b)=3 c(c)=2; pairs: (a,b)=2 (a,c)=2 (b,c)=1
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+         (3, "a"), (3, "c"), (4, "b"), (1, "a")],  # dup line collapses
+        "b long, i string",
+    )
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in basket.pair_associations(df, "b", "i", 2, 10).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c")}
+    ab = out[("a", "b")]
+    assert ab["pair_count"] == 2
+    assert ab["support_ppm"] == 500000          # 2/4
+    assert ab["confidence_ppm"] == 666666       # 2/3
+    assert ab["lift_milli"] == (2 * 4 * 1000) // 9
+    ac = out[("a", "c")]
+    assert ac["lift_milli"] == (2 * 4 * 1000) // 6
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        basket.pair_associations(df, "b", "i", 0, 10)
+
+
+def test_code_signals_detects_code(spark):
+    from etl_script_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "def f(x): return [x] if x else {x: 1}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in textstats.code_signals(df).collect()}
+    assert out[1]["is_code"] is False and out[1]["kw_hits"] == 0
+    assert out[2]["is_code"] is True
+    assert out[2]["kw_hits"] == 4  # def return if else
+    assert out[2]["symbol_ppm"] > 20000
+
+
+def test_scene_segments_cuts_on_threshold(spark):
+    from etl_script_spark.operators import multimodal
+
+    rows = [
+        (1, 0, [0, 0]), (1, 1, [1, 1]),        # L1=2 no cut
+        (1, 2, [100, 100]),                     # L1=198 cut
+        (1, 3, [101, 100]),                     # L1=1 no cut
+        (2, 0, [5, 5]), (2, 1, [5, 5]),         # single scene
+    ]
+    df = spark.createDataFrame(
+        rows, "video_id long, frame_idx long, feat array<long>"
+    )
+    out = {
+        (r["video_id"], r["scene_id"]): (r["start_frame"], r["end_frame"],
+                                         r["n_frames"])
+        for r in multimodal.scene_segments(df, threshold=100).collect()
+    }
+    assert out == {
+        (1, 1): (0, 1, 2),
+        (1, 2): (2, 3, 2),
+        (2, 1): (0, 1, 2),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: OHLC resample, Markov transitions, OLS slope, Gini
+# ---------------------------------------------------------------------------
+
+
+def test_ohlc_selects_by_time_order(spark):
+    from etl_script_spark.operators import timeseries
+
+    rows = [
+        ("k", "2024-01-01 10:05:00", 1, 5.0),
+        ("k", "2024-01-01 10:01:00", 2, 3.0),   # earliest -> open
+        ("k", "2024-01-01 10:59:00", 3, 1.0),   # latest -> close, low
+        ("k", "2024-01-01 10:30:00", 4, 9.0),   # high
+        ("k", "2024-01-01 11:00:00", 5, 7.0),   # next bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {
+        str(r["bucket_ts"]): r
+        for r in timeseries.ohlc_resample(
+            df, "key", "ts", "value", "event_id"
+        ).collect()
+    }
+    b10 = out["2024-01-01 10:00:00"]
+    assert (b10["open"], b10["high"], b10["low"], b10["close"],
+            b10["n_events"]) == (3.0, 9.0, 1.0, 1.0, 4)
+    assert out["2024-01-01 11:00:00"]["open"] == 7.0
+
+
+def test_markov_transitions_exact_probs(spark):
+    from etl_script_spark.operators import timeseries
+
+    # user 1: a->b->a->c ; user 2: a->b
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+        (2, 1, "a"), (2, 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user long, seq long, state string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("seq")))
+    out = {
+        (r["from_state"], r["to_state"]): r
+        for r in timeseries.markov_transitions(
+            df, "user", "ts", "state", "seq"
+        ).collect()
+    }
+    # from a: a->b twice, a->c once
+    assert out[("a", "b")]["n"] == 2
+    assert out[("a", "b")]["prob_ppm"] == 666666
+    assert out[("a", "c")]["prob_ppm"] == 333333
+    assert out[("b", "a")]["prob_ppm"] == 1000000
+
+
+def test_ols_slope_exact(spark):
+    from etl_script_spark.operators import stats
+
+    # y = 3x + 1 exactly -> slope_ppb = 3e9; plus a constant-x group
+    rows = [("g", x, 3 * x + 1) for x in range(1, 6)]
+    rows += [("h", 2, 10), ("h", 2, 20)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {
+        r["g"]: r for r in stats.ols_slope_groups(df, ["g"], "x", "y").collect()
+    }
+    assert out["g"]["slope_ppb"] == 3_000_000_000
+    assert out["h"]["slope_ppb"] is None
+    # negative slope truncates toward zero on both engines
+    df2 = spark.createDataFrame(
+        [("n", 0, 10), ("n", 1, 3), ("n", 2, 0)], "g string, x long, y long"
+    )
+    r = stats.ols_slope_groups(df2, ["g"], "x", "y").collect()[0]
+    assert r["slope_ppb"] == -5_000_000_000
+
+
+def test_gini_extremes(spark):
+    from etl_script_spark.operators import stats
+
+    # perfectly equal -> 0; maximal concentration -> (n-1)/n = 750
+    eq = spark.createDataFrame(
+        [("e", 10, i) for i in range(4)], "g string, v long, k long"
+    )
+    conc = spark.createDataFrame(
+        [("c", 0, 0), ("c", 0, 1), ("c", 0, 2), ("c", 100, 3)],
+        "g string, v long, k long",
+    )
+    out_eq = stats.gini_groups(eq, ["g"], "v", "k").collect()[0]
+    out_c = stats.gini_groups(conc, ["g"], "v", "k").collect()[0]
+    assert out_eq["gini_milli"] == 0
+    assert out_c["gini_milli"] == 750
+
+
+def test_prefix_jaccard_identity_collapse(spark):
+    from etl_script_spark.operators import dedup as dd
+
+    # identical class {1,2,3}; near-dup 4 (J vs the class ~ 0.75);
+    # unrelated 5
+    same = "alpha beta gamma delta epsilon zeta eta"
+    near = "alpha beta gamma delta epsilon zeta other"
+    df = spark.createDataFrame(
+        [(1, same), (2, same), (3, same), (4, near),
+         (5, "completely different words everywhere now")],
+        "doc_id long, text string",
+    )
+    full = dd.jaccard_pairs_prefix_filtered(
+        df, "text", "doc_id", threshold_ppm=500000
+    ).collect()
+    coll = dd.jaccard_pairs_prefix_filtered(
+        df, "text", "doc_id", threshold_ppm=500000,
+        collapse_identical=True,
+    ).collect()
+    # full form: 3 intra-class J=1 pairs + 3 class-to-4 pairs
+    assert len(full) == 6
+    # collapsed: intra-class gone, one rep pair (1, 4) with sizes
+    assert len(coll) == 1
+    r = coll[0]
+    assert (r["id_a"], r["id_b"], r["n_docs_a"], r["n_docs_b"]) == (
+        1, 4, 3, 1,
+    )
+    # same jaccard value as the full form's (1,4) row
+    full_14 = [x for x in full if (x["id_a"], x["id_b"]) == (1, 4)][0]
+    assert r["jaccard_ppm"] == full_14["jaccard_ppm"]
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: CUSUM, seasonality index, Benford
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    from etl_script_spark.operators import timeseries
+
+    # values: stable around 10 then a strong level shift to 100
+    vals = [10, 11, 9, 10, 10, 11, 9, 10, 10, 10,
+            100, 101, 99, 100, 102]
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, seq long, v long") \
+        .withColumn("ts", F.timestamp_seconds(F.col("seq")))
+    out = timeseries.cusum_changepoints(
+        df, "key", "ts", "v", "seq",
+        allowance_milli=1000, h_mult_milli=3000,
+    ).collect()
+    # textbook replay: k = floor(sum*1000/(n*1000)) = floor(mean)
+    total, n = sum(vals), len(vals)
+    k = (total * 1000) // (n * 1000)
+    h = (total * 3000) // (n * 1000)
+    s, alarms = 0, []
+    for i, v in enumerate(vals):
+        s = max(0, s + v - k)
+        if s > h:
+            alarms.append((i, s))
+    got = sorted((r["tiebreak"], r["s_value"]) for r in out)
+    assert got == alarms and len(alarms) > 0
+
+
+def test_seasonality_index_exact(spark):
+    from etl_script_spark.operators import timeseries
+
+    # month 1: mean 100; month 2: mean 300 -> global mean 200
+    rows = [("2024-01-05", 100), ("2024-01-20", 100),
+            ("2024-02-05", 300), ("2024-02-20", 300)]
+    df = spark.createDataFrame(rows, "d string, v long").withColumn(
+        "d", F.col("d").cast("date")
+    )
+    out = {
+        r["period_no"]: r["index_ppm"]
+        for r in timeseries.seasonality_index(df, "d", "v").collect()
+    }
+    assert out == {1: 500000, 2: 1500000}
+
+
+def test_benford_planted_distribution(spark):
+    from etl_script_spark.operators import stats
+
+    # plant an exactly-Benford-shaped sample of 1e6 scaled rows:
+    # n_d proportional to the expected ppm
+    rows = []
+    for d, ppm in enumerate(stats.BENFORD_PPM, start=1):
+        rows += [(d * 1000 + i % 7,) for i in range(ppm // 1000)]
+    df = spark.createDataFrame(rows, "v long")
+    out = {r["digit"]: r for r in stats.benford_first_digit(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    # planted counts follow Benford to within the flooring error of
+    # the ppm//1000 sample construction (total 995, not 1000)
+    assert all(r["dev_ppm"] <= 2000 for r in out.values())
+    # zero/negative rows are excluded
+    df2 = spark.createDataFrame([(0,), (-5,), (123,)], "v long")
+    out2 = stats.benford_first_digit(df2, "v").collect()
+    assert len(out2) == 1 and out2[0]["digit"] == 1 and out2[0]["n"] == 1

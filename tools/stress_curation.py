@@ -901,6 +901,141 @@ def stress_round7_decade(spark):
           f"{n} admitted ({wall / 128:.2f}s/epoch)")
 
 
+def stress_round7c_newops(spark):
+    """Decade push for the round-7 operator batch: IVF-PQ at 1 M x
+    64-dim vectors (the verdict-asked decade), exact prefix-filtered
+    Jaccard at 1 M docs, point-in-time join at 10 M facts x 500 k dim
+    versions, weighted quantile at 10 M rows, MaxSim rerank at 50 k
+    docs x 4 vectors. Run: ``python tools/stress_curation.py
+    --round7c``."""
+    from etl_script_spark.operators import features, scd
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        out.write.mode("overwrite").format("noop").save()
+        wall = time.time() - t0
+        print(f"{name}: {wall:.1f}s -> {out.count()} rows")
+
+    # --- 1 M x 64-dim vectors (deterministic hash floats in [-1, 1])
+    vec_path = "/tmp/etl_script_spark_io/stress_vec_1m"
+    t0 = time.time()
+    vecs = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                (F.xxhash64(i, F.col("id")) % 1000).cast("double") / 500.0
+            ),
+        ).alias("embedding"),
+    )
+    shutil.rmtree(vec_path, ignore_errors=True)
+    vecs.repartition(32).write.parquet(vec_path)
+    vecs = spark.read.parquet(vec_path)
+    print(f"build 1M x 64 vectors: {time.time()-t0:.1f}s")
+
+    queries = spark.range(16).select(
+        F.col("id").alias("query_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                (F.xxhash64(i, F.col("id") + 7_777_777) % 1000)
+                .cast("double") / 500.0
+            ),
+        ).alias("query_vec"),
+    )
+    t0 = time.time()
+    index, model = similarity.build_ivfpq_index(
+        vecs, "vec_id", "embedding", n_centroids=16, m=8, ksub=16, dim=64
+    )
+    index = index.persist()
+    n_ix = index.count()
+    print(f"ivfpq index build 1M x 64: {time.time()-t0:.1f}s "
+          f"({n_ix} compressed rows)")
+    run("ivfpq serve 16 queries @1M", lambda: similarity.ivfpq_topk(
+        vecs, queries, k=10, n_centroids=16, nprobe=4, m=8, ksub=16,
+        dim=64, refine=4, index=index, model=model))
+    index.unpersist(blocking=False)
+
+    # --- exact prefix-filtered Jaccard at 1 M docs
+    import os
+
+    corpus_path = "/tmp/etl_script_spark_io/stress_1000000"
+    if not os.path.exists(corpus_path + "/_SUCCESS"):
+        t0 = time.time()
+        build(spark, n=1_000_000, out=corpus_path)
+        print(f"build 1M corpus: {time.time()-t0:.1f}s")
+    d = spark.read.parquet(corpus_path)
+    # collapse_identical: without it this corpus' 20k identical empty
+    # docs alone emit C(20k,2) = 200M J=1 rows (measured: 541.8s /
+    # 200,040,000 pairs) — the identical-class output bomb
+    run("jaccard_prefix_filter 1M docs (collapsed)", lambda:
+        dedup_ops.jaccard_pairs_prefix_filtered(
+            d, "text", "doc_id", threshold_ppm=500_000,
+            collapse_identical=True))
+
+    # --- point-in-time join: 10 M facts x 100 k keys x 5 versions
+    dim = spark.range(500_000).select(
+        (F.col("id") % 100_000).alias("k"),
+        F.expr("id DIV 100000").alias("ver"),
+        F.format_string("attr%d", F.col("id")).alias("attr"),
+    ).select(
+        "k", "attr",
+        F.timestamp_seconds(F.col("ver") * 86_400 * 30).cast(
+            "timestamp_ntz").alias("valid_from"),
+        F.when(
+            F.col("ver") < 4,
+            F.timestamp_seconds((F.col("ver") + 1) * 86_400 * 30),
+        ).otherwise(F.lit("9999-12-31 00:00:00")).cast(
+            "timestamp_ntz").alias("valid_to"),
+    )
+    facts = spark.range(10_000_000).select(
+        F.col("id").alias("fid"),
+        (F.col("id") % 100_000).alias("k"),
+        F.timestamp_seconds(
+            (F.xxhash64("id") % (86_400 * 150) + 86_400 * 150)
+            % (86_400 * 150)
+        ).cast("timestamp_ntz").alias("ts"),
+    )
+    run("point_in_time_join 10M facts x 500k vers", lambda:
+        scd.point_in_time_join(facts, dim, ["k"], "ts"))
+
+    # --- weighted quantile: 10 M rows, 25 groups, heavy ties
+    wq = spark.range(10_000_000).select(
+        (F.col("id") % 25).alias("grp"),
+        ((F.xxhash64("id") % 1000 + 1000) % 1000).cast("double")
+        .alias("v"),
+        ((F.xxhash64("id", F.lit(1)) % 7 + 7) % 7 + 1).alias("w"),
+    )
+    run("weighted_quantile 10M rows x 25 grps", lambda:
+        features.weighted_quantile_groups(wq, ["grp"], "v", "w"))
+
+    # --- MaxSim rerank: 50 k docs x 4 vecs vs 16 queries x 4 vecs
+    dv = spark.range(200_000).select(
+        F.expr("id DIV 4").alias("doc_id"),
+        (F.col("id") % 4).alias("vec_idx"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                (F.xxhash64(i, F.col("id")) % 1000).cast("double") / 500.0
+            ),
+        ).alias("embedding"),
+    )
+    qv = spark.range(64).select(
+        F.expr("id DIV 4").alias("query_id"),
+        (F.col("id") % 4).alias("vec_idx"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                (F.xxhash64(i, F.col("id") + 99) % 1000).cast("double")
+                / 500.0
+            ),
+        ).alias("embedding"),
+    )
+    run("maxsim rerank 50k docs x 4 vecs, 16 q", lambda:
+        similarity.maxsim_topk(dv, qv, k=10))
+
+
 if __name__ == "__main__":
     if "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
@@ -917,6 +1052,10 @@ if __name__ == "__main__":
     elif "--round6e" in sys.argv:
         spark = get_spark(app_name="stress-round6e")
         stress_round6e_augment(spark)
+        spark.stop()
+    elif "--round7c" in sys.argv:
+        spark = get_spark(app_name="stress-round7c")
+        stress_round7c_newops(spark)
         spark.stop()
     elif "--round7" in sys.argv:
         spark = get_spark(app_name="stress-round7")
