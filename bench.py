@@ -139,6 +139,8 @@ EXTRA = [
     "ts_cusum_changepoints",
     "ts_seasonality_index",
     "dq_benford_first_digit",
+    "text_top_keywords",
+    "part_abc_by_brand",
 ]
 
 # Entries whose plans are dominated by codegen'd lambda aggregates

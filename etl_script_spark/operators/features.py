@@ -261,3 +261,55 @@ def quantile_normalize(
     return ranked.join(means, "rank_in_group").select(
         *df.columns, "rank_in_group", "norm_milli"
     )
+
+
+def abc_classification(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    value_col: str,
+    a_ppm: int = 800_000,
+    b_ppm: int = 950_000,
+) -> DataFrame:
+    """ABC / Pareto classification per group (the inventory-analysis
+    classic): items ranked by descending value within their group;
+    class A while the running cumulative share of the group total is
+    <= ``a_ppm`` (default 80%), B through ``b_ppm`` (95%), else C.
+    The cumulative share is exact integer ppm — ``(cum * 1e6) DIV
+    total`` — so the class boundary decision replays bit-for-bit.
+
+    Shape: one cumulative window per group (value desc, item asc for
+    a replayable total order) + the group total via an unbounded
+    window on the same partitioning — ONE shuffle — then a scan-stage
+    classification. ``value_col`` must be integer-scaled and
+    non-negative.
+
+    Returns (group, item, value, cum_ppm, abc_class).
+    """
+    if not 0 < a_ppm < b_ppm <= 1_000_000:
+        raise ValueError(f"need 0 < a_ppm < b_ppm <= 1e6: {a_ppm}, {b_ppm}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).desc(), F.col(item_col).asc()
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy(group_col)
+    staged = (
+        df.withColumn("__cum", F.sum(value_col).over(wc).cast("long"))
+        .withColumn("__tot", F.sum(value_col).over(wt).cast("long"))
+        .withColumn(
+            "cum_ppm",
+            F.expr(
+                "(__cum * CAST(1000000 AS BIGINT)) DIV greatest(__tot, 1)"
+            ),
+        )
+    )
+    return staged.select(
+        F.col(group_col).alias("group"),
+        F.col(item_col).alias("item"),
+        F.col(value_col).cast("long").alias("value"),
+        "cum_ppm",
+        F.when(F.col("cum_ppm") <= a_ppm, F.lit("A"))
+        .when(F.col("cum_ppm") <= b_ppm, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

@@ -1617,3 +1617,68 @@ def code_signals(
             " > 20000 OR kw_hits >= 3"
         ).alias("is_code"),
     )
+
+
+def top_keywords(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> "DataFrame":
+    """Per-document top-k keyword extraction by tf x linear-idf:
+    score = tf * ((N * 1e6) DIV df) — the LINEAR inverse-document-
+    frequency variant (not log-idf): rank-equivalent for fixed tf,
+    deliberately harsher on corpus-common terms, and — the reason it
+    is the variant here — EXACT in integers, so both engines replay
+    the selection bit-for-bit (log-idf would put a float ln() inside
+    a ranking comparison, the one place an ulp flips output rows).
+
+    Shape: token explode -> per-(doc, word) tf (one agg) -> per-word
+    df (one agg over distinct doc-word pairs, reusing the tf table) ->
+    N as a one-row broadcast -> per-doc top-k window (ties: score
+    desc, word asc) -> ordered collect to a '|'-joined string (a
+    string, not an array — array cells don't sort/hash in downstream
+    frames). Three shuffles, all keyed.
+
+    Returns (id, keywords, top_score) — keywords = 'w1|w2|...'.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(words(F.col(text_col)), lambda w: w != "")
+            ).alias("w"),
+        )
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = tf.select("id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("N")
+    )
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.expr("tf * ((N * CAST(1000000 AS BIGINT)) DIV df)"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("w").asc()
+    )
+    top = scored.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    return top.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__rk", "w"))),
+                lambda s: s["w"],
+            ),
+            "|",
+        ).alias("keywords"),
+        F.max("score").cast("long").alias("top_score"),
+    )

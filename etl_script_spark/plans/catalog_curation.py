@@ -2749,3 +2749,42 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("text"), snippet).alias("text")
     )
     return textstats.code_signals(px, "text", "doc_id")
+
+
+@register(
+    "text_top_keywords",
+    f"""
+    WITH tf AS (
+      SELECT id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id AS id,
+               unnest(list_filter(string_split({_NORM}, ' '),
+                                  x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY id, w
+    ),
+    dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    nn AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS N FROM tf),
+    sc AS (
+      SELECT tf.id, tf.w, tf.tf * ((N * 1000000) // df) AS score
+      FROM tf JOIN dfq USING (w) CROSS JOIN nn
+    ),
+    rk AS (
+      SELECT id, w, score,
+             ROW_NUMBER() OVER (PARTITION BY id
+                                ORDER BY score DESC, w ASC) AS r
+      FROM sc
+    )
+    SELECT id, string_agg(w, '|' ORDER BY r) AS keywords,
+           CAST(MAX(score) AS BIGINT) AS top_score
+    FROM rk WHERE r <= 5 GROUP BY id
+    """,
+    ("LLM-curation", "X-search"),
+)
+def text_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by tf x linear-idf
+    (textstats.top_keywords): the linear-idf variant keeps the
+    ranking comparison in exact integers (log-idf would decide rank
+    order on a float ulp). Keywords emit as a '|'-joined ordered
+    string."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.top_keywords(d, "text", "doc_id", k=5)

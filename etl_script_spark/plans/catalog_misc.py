@@ -1938,3 +1938,54 @@ def mm_video_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("feat")
     frames = d.select(v, fidx, feat)
     return multimodal.scene_segments(frames, threshold=100)
+
+
+@register(
+    "part_abc_by_brand",
+    """
+    WITH r AS (
+      SELECT p.p_brand AS grp, l.l_partkey AS item,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT grp, item, v,
+             SUM(v) OVER (PARTITION BY grp ORDER BY v DESC, item ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(v) OVER (PARTITION BY grp) AS tot
+      FROM r
+    )
+    SELECT grp AS "group", item, v AS value,
+           CAST((cum * 1000000) // greatest(tot, 1) AS BIGINT) AS cum_ppm,
+           CASE WHEN (cum * 1000000) // greatest(tot, 1) <= 800000
+                  THEN 'A'
+                WHEN (cum * 1000000) // greatest(tot, 1) <= 950000
+                  THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+    ("X-pareto", "A1"),
+)
+def part_abc_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification of parts within each
+    brand by lineitem revenue (features.abc_classification): class A
+    carries the first 80% of cumulative brand revenue, B through 95%,
+    C the tail — boundaries decided on exact integer ppm shares.
+    Revenue pre-aggregates per (brand, part) before the single
+    cumulative-window shuffle."""
+    from etl_script_spark.operators import features
+    from etl_script_spark.plans.catalog import cents
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("grp"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(F.sum(cents(F.col("l_extendedprice"))).cast("long").alias("v"))
+    )
+    return features.abc_classification(rev, "grp", "item", "v")

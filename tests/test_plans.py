@@ -129,3 +129,55 @@ def test_chat_flatten_single_shuffle(spark, sf_dir):
     plan = _executed_plan(spark, "chat_flatten_turns", sf_dir)
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
+
+
+def test_ohlc_single_shuffle_one_window_pass(spark, sf_dir):
+    """Both row_number orderings share the (key, bucket) partitioning:
+    ONE exchange feeds the window stage(s); a second exchange means
+    the ascending/descending specs stopped sharing partitioning."""
+    plan = _executed_plan(spark, "ts_ohlc_resample", sf_dir)
+    # one shuffle into the windows + one into the final aggregation
+    assert plan.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_abc_single_shuffle(spark, sf_dir):
+    """Cumulative + total windows share the group partitioning after
+    the revenue pre-aggregation; the classification is scan-stage."""
+    plan = _executed_plan(spark, "part_abc_by_brand", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # revenue agg + one window partitioning; AQE may add reads but
+    # never a second window sort
+    assert plan.count("Window") <= 2
+
+
+def test_basket_topk_is_take_ordered(spark, sf_dir):
+    """Global top-100 must run as TakeOrdered (per-partition heap +
+    driver merge), never a global Sort+Limit."""
+    plan = _executed_plan(spark, "basket_part_pairs_lift", sf_dir)
+    assert "TakeOrdered" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_prefix_filter_no_full_self_join(spark, sf_dir):
+    """The containment candidate join must read the PREFIX slice on
+    one side (Sum-over-prefix(df) fan-out), not full x full
+    (Sum(df^2) — the 353 s sf0.1 regression this pin exists for).
+    The slice shows up in the plan as the __p-bounded slice call."""
+    df = CATALOG["dedup_containment_pairs"].spark(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "slice" in logical
+
+
+def test_cusum_one_window_spec(spark, sf_dir):
+    """Prefix sum and running min share one (key, order) window spec:
+    the min-over-p node must sit DIRECTLY on the sum node — no
+    Exchange or Sort between them (one shuffle + one sort per key;
+    the recursion never materializes)."""
+    plan = _executed_plan(spark, "ts_cusum_changepoints", sf_dir)
+    assert plan.count("Window") == 2
+    # exactly ONE per-key sort feeds both window nodes — a second
+    # Sort means the specs stopped sharing their ordering
+    assert plan.count("Sort [") == 1, plan
+    assert "BatchEvalPython" not in plan

@@ -877,3 +877,52 @@ def test_benford_planted_distribution(spark):
     df2 = spark.createDataFrame([(0,), (-5,), (123,)], "v long")
     out2 = stats.benford_first_digit(df2, "v").collect()
     assert len(out2) == 1 and out2[0]["digit"] == 1 and out2[0]["n"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: top keywords, ABC classification
+# ---------------------------------------------------------------------------
+
+
+def test_top_keywords_rare_terms_win(spark):
+    from etl_script_spark.operators import textstats
+
+    # 'common' appears in all docs (df=3 -> linear idf 1e6); each
+    # doc's unique word (df=1 -> idf 3e6) must outrank it
+    df = spark.createDataFrame(
+        [
+            (1, "common zebra"),
+            (2, "common yak"),
+            (3, "common xerus"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r["keywords"]
+        for r in textstats.top_keywords(df, k=2).collect()
+    }
+    assert out[1] == "zebra|common"
+    assert out[2] == "yak|common"
+    assert out[3] == "xerus|common"
+
+
+def test_abc_classification_boundaries(spark):
+    from etl_script_spark.operators import features
+
+    # one group, values 50/30/15/5 (total 100): cum 50,80,95,100
+    df = spark.createDataFrame(
+        [("g", "a", 50), ("g", "b", 30), ("g", "c", 15), ("g", "d", 5)],
+        "grp string, item string, v long",
+    )
+    out = {
+        r["item"]: (r["cum_ppm"], r["abc_class"])
+        for r in features.abc_classification(df, "grp", "item", "v").collect()
+    }
+    assert out["a"] == (500000, "A")
+    assert out["b"] == (800000, "A")    # boundary inclusive
+    assert out["c"] == (950000, "B")    # boundary inclusive
+    assert out["d"] == (1000000, "C")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        features.abc_classification(df, "grp", "item", "v", 900000, 800000)
