@@ -141,6 +141,10 @@ EXTRA = [
     "dq_benford_first_digit",
     "text_top_keywords",
     "part_abc_by_brand",
+    "ev_top_paths",
+    "sk_countmin_estimate",
+    "dwh_early_fact_retry",
+    "st_stream_ohlc",
 ]
 
 # Entries whose plans are dominated by codegen'd lambda aggregates

@@ -114,3 +114,61 @@ def preference_pairs(
         F.col("__lo.i").alias("rejected_id"),
         (F.col("__hi.s") - F.col("__lo.s")).alias("margin"),
     )
+
+
+def top_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    depth: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k onboarding paths: each key's FIRST ``depth`` states in
+    time order, joined with '>' into a path string, counted across
+    keys, ranked by frequency — the product-analytics "what do users
+    do first" query. Share is exact integer ppm of all keys (DIV).
+
+    Shape: one per-key window (row_number, single shuffle), one
+    ordered-collect per key (sort_array over (rank, state) structs —
+    local, no second sort), one path aggregation, TakeOrdered for the
+    global top-k (count desc, path asc — replayable total order).
+
+    Returns (path, n_keys, share_ppm).
+    """
+    from pyspark.sql import Window
+
+    if depth < 1 or k < 1:
+        raise ValueError(f"depth and k must be >= 1: {depth}, {k}")
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    first_n = (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= depth)
+        .groupBy(F.col(key_col).alias("__k"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("__rk", state_col))
+                    ),
+                    lambda s: s[state_col],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    tot = first_n.agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    counted = (
+        first_n.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share_ppm",
+            F.expr("(n_keys * CAST(1000000 AS BIGINT)) DIV __t"),
+        )
+        .select("path", "n_keys", "share_ppm")
+    )
+    return counted.orderBy(
+        F.col("n_keys").desc(), F.col("path").asc()
+    ).limit(k)

@@ -374,3 +374,72 @@ def bloom_might_contain_col(
         hit = F.element_at(bm_col, word + 1).bitwiseAND(mask) != 0
         cond = cond & hit
     return cond
+
+
+def countmin_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) built and
+    probed in one job, fully deterministic: ``depth`` hash rows of
+    ``width`` counters, row r's hash = md5('cms<r>_' || key) mod
+    width; a key's estimate is the MIN of its ``depth`` counters —
+    always >= the true count, over only by colliding keys' mass (the
+    classic epsilon-delta bound). Everything is exact integer
+    arithmetic on md5-derived buckets, so any engine replays the
+    same sketch bit-for-bit.
+
+    Shape: one (row, bucket) aggregation (depth x width cells — a
+    CONSTANT-size table, the whole point of a sketch) broadcast back
+    onto the distinct keys for the probe. At 100 TB the build is one
+    map-side-combinable pass; the sketch itself never grows.
+
+    Returns (key, true_n, cms_n, overcount) per distinct key —
+    true_n rides along because this entry demonstrates the bound;
+    production uses the sketch where true_n is unaffordable.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2: {depth}, {width}")
+    k = F.col(key_col).cast("string")
+    cells = None
+    for r in range(depth):
+        c = df.select(
+            F.lit(r).alias("__r"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"cms{r}_"), k)), 1, 8),
+                    16, 10,
+                ).cast("long") % width
+            ).alias("__c"),
+        )
+        cells = c if cells is None else cells.unionByName(c)
+    sketch = cells.groupBy("__r", "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    keys = df.groupBy(k.alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    probes = None
+    for r in range(depth):
+        p = keys.select(
+            "key", "true_n",
+            F.lit(r).alias("__r"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"cms{r}_"), F.col("key"))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long") % width
+            ).alias("__c"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        probes.join(F.broadcast(sketch), ["__r", "__c"])
+        .groupBy("key", "true_n")
+        .agg(F.min("__n").alias("cms_n"))
+        .withColumn("overcount", F.col("cms_n") - F.col("true_n"))
+    )

@@ -89,13 +89,33 @@ def winnow_fingerprints(
     from etl_script_spark.functions.exprs import let
 
     def hashes_of(norm: Column) -> Column:
-        return F.when(
-            F.length(norm) >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.length(norm) - k + 1),
-                lambda i: _md5_int(F.substring(norm, i, F.lit(k))),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
+        # build k-grams from a let-bound single-character array with
+        # O(k) slice+join per position — per-position substring() is
+        # O(position) (UTF8String rescans from the head to find the
+        # codepoint boundary), which makes the transform O(len^2) per
+        # document: the char_shingles lesson (848 -> 79 s at 200k
+        # docs), same fix, identical md5 inputs so fingerprints are
+        # unchanged
+        def from_chars(chars: Column) -> Column:
+            return F.when(
+                F.size(chars) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(chars) - k + 1),
+                    lambda i: _md5_int(
+                        F.concat(
+                            *[
+                                F.element_at(chars, i + F.lit(j))
+                                for j in range(k)
+                            ]
+                        )
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+
+        # filter the trailing "" split() keeps under limit=-1
+        return let(
+            F.filter(F.split(norm, ""), lambda x: x != ""), from_chars
+        )
 
     def bounded_seq(lim: Column) -> Column:
         # sequence(1, 0) DESCENDS in Spark ([1, 0]) — boundary

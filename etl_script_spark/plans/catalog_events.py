@@ -550,3 +550,41 @@ def ts_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
     )
     return timeseries.seasonality_index(o, "o_orderdate", "v", "month")
+
+
+@register(
+    "ev_top_paths",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rk
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS path
+      FROM r WHERE rk <= 3 GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM p),
+    c AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_keys FROM p
+      GROUP BY path
+    )
+    SELECT path, n_keys,
+           CAST((n_keys * 1000000) // t AS BIGINT) AS share_ppm
+    FROM c CROSS JOIN tot
+    ORDER BY n_keys DESC, path ASC LIMIT 20
+    """,
+    ("X-paths", "A1"),
+)
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user onboarding paths — each user's first three event
+    types in time order, counted and ranked
+    (conversations.top_paths): one per-user window shuffle, local
+    ordered collect, TakeOrdered top-k. Share in exact ppm."""
+    from etl_script_spark.operators import conversations
+
+    ev = t(spark, sf_dir, "events")
+    return conversations.top_paths(
+        ev, "user_id", "ts", "event_type", "event_id", depth=3, k=20
+    )

@@ -1989,3 +1989,77 @@ def part_abc_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents(F.col("l_extendedprice"))).cast("long").alias("v"))
     )
     return features.abc_classification(rev, "grp", "item", "v")
+
+
+@register(
+    "dwh_early_fact_retry",
+    """
+    WITH dim_full AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 5 <> 4
+    ),
+    dim_epoch1 AS (
+      SELECT c_custkey FROM dim_full WHERE c_custkey % 3 <> 0
+    ),
+    e1 AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             d.c_custkey IS NOT NULL AS hit
+      FROM orders o LEFT JOIN dim_epoch1 d ON o.o_custkey = d.c_custkey
+    ),
+    retry AS (
+      SELECT e.o_orderkey, e.o_custkey,
+             d.c_custkey IS NOT NULL AS hit
+      FROM e1 e LEFT JOIN dim_full d ON e.o_custkey = d.c_custkey
+      WHERE NOT e.hit
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM (
+      SELECT 'enriched_epoch1' AS stage, o_orderkey FROM e1 WHERE hit
+      UNION ALL
+      SELECT 'enriched_epoch2_retry', o_orderkey FROM retry WHERE hit
+      UNION ALL
+      SELECT 'dead_letter', o_orderkey FROM retry WHERE NOT hit
+    ) GROUP BY stage
+    """,
+    ("X-dwh", "J1"),
+)
+def dwh_early_fact_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-arriving-fact handling, the DWH pattern the reference's
+    importers face when a fact lands before its dimension row: epoch-1
+    facts enrich against the partial dimension; misses PARK (never
+    drop); when the fuller dimension arrives, parked facts RETRY; keys
+    the dimension will never carry land in the dead-letter stage for
+    audit. Two broadcast-dim left joins + one summary aggregation
+    with order-free key checksums pinning exact stage membership."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim_full = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 != 4)
+        .select("c_custkey")
+    )
+    dim_e1 = dim_full.filter(F.col("c_custkey") % 3 != 0)
+    e1 = o.join(
+        F.broadcast(dim_e1), o.o_custkey == dim_e1.c_custkey, "left"
+    ).select("o_orderkey", "o_custkey", F.col("c_custkey").isNotNull().alias("hit"))
+    parked = e1.filter(~F.col("hit")).drop("hit")
+    retry = parked.join(
+        F.broadcast(dim_full), parked.o_custkey == dim_full.c_custkey, "left"
+    ).select("o_orderkey", F.col("c_custkey").isNotNull().alias("hit"))
+    staged = (
+        e1.filter(F.col("hit"))
+        .select(F.lit("enriched_epoch1").alias("stage"), "o_orderkey")
+        .unionByName(
+            retry.filter(F.col("hit")).select(
+                F.lit("enriched_epoch2_retry").alias("stage"), "o_orderkey"
+            )
+        )
+        .unionByName(
+            retry.filter(~F.col("hit")).select(
+                F.lit("dead_letter").alias("stage"), "o_orderkey"
+            )
+        )
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )

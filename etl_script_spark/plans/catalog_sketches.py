@@ -201,3 +201,49 @@ def sk_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("item"))
         .limit(4)
     )
+
+
+@register(
+    "sk_countmin_estimate",
+    """
+    WITH cells AS (
+      SELECT r, ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '_'
+                 || CAST(c_nationkey AS VARCHAR)), 1, 8))::BIGINT % 64
+               AS c,
+             c_nationkey
+      FROM customer CROSS JOIN (SELECT unnest(range(4)) AS r)
+    ),
+    sketch AS (
+      SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cells GROUP BY r, c
+    ),
+    keys AS (
+      SELECT CAST(c_nationkey AS VARCHAR) AS key,
+             CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM customer GROUP BY 1
+    ),
+    probes AS (
+      SELECT k.key, k.true_n, s.r,
+             ('0x' || substr(md5('cms' || CAST(s.r AS VARCHAR) || '_'
+                || k.key), 1, 8))::BIGINT % 64 AS c
+      FROM keys k CROSS JOIN (SELECT DISTINCT r FROM sketch) s
+    )
+    SELECT p.key, p.true_n, CAST(MIN(s.n) AS BIGINT) AS cms_n,
+           CAST(MIN(s.n) - p.true_n AS BIGINT) AS overcount
+    FROM probes p JOIN sketch s ON p.r = s.r AND p.c = s.c
+    GROUP BY p.key, p.true_n
+    """,
+    ("sketches",),
+)
+def sk_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + probe over customer nation keys
+    (sketches.countmin_estimates): depth-4 x width-64 md5-bucketed
+    counters, estimate = min over rows, reported next to the true
+    count so the epsilon-delta overcount bound is visible in the
+    output. The sketch table is CONSTANT size — the entire point at
+    100 TB — and every bucket decision replays exactly on both
+    engines."""
+    from etl_script_spark.operators import sketches as sk
+
+    c = t(spark, sf_dir, "customer")
+    return sk.countmin_estimates(c, "c_nationkey", depth=4, width=64)

@@ -757,3 +757,62 @@ def st_stream_quota_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, source string, text string",
         quota_tokens=800,
     )
+
+
+@register(
+    "st_stream_ohlc",
+    """
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)
+                            * 3600 * 1000000) AS win_start,
+             ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                floor(epoch(ts)/3600)
+                                ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                floor(epoch(ts)/3600)
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events
+    )
+    SELECT event_type, win_start,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM b GROUP BY event_type, win_start
+    """,
+    ("streaming-window", "X-timeseries"),
+)
+def st_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the OHLC bar aggregation: open/close are
+    min/max over (ts, event_id, value) STRUCTS — plain typed min/max
+    aggregates, so the selection works inside a streaming tumbling
+    window with no window-function machinery; high/low are order
+    statistics; no value arithmetic anywhere, so the streamed doubles
+    hash identically to the batch oracle. Complete mode drains every
+    window (same contract as st_stream_tumbling)."""
+    sdf = ingest.stream_events(spark, sf_dir)
+    agg = windows.tumbling_agg(
+        windows.watermarked(sdf, "ts", "1 hour"),
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.min(F.struct("ts", "event_id", "value"))["value"]
+            .alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value"))["value"]
+            .alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        ],
+    ).select(
+        "event_type",
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+        "open", "high", "low", "close", "n_events",
+    )
+    return ingest.run_available_now(
+        agg, f"st_stream_ohlc_{_tag(sf_dir)}", output_mode="complete"
+    )

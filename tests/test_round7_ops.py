@@ -926,3 +926,66 @@ def test_abc_classification_boundaries(spark):
 
     with _pt.raises(ValueError):
         features.abc_classification(df, "grp", "item", "v", 900000, 800000)
+
+
+# ---------------------------------------------------------------------------
+# Batch 9: top paths, count-min, early-fact retry (streaming OHLC is
+# covered by its catalog oracle + the batch twin's unit test)
+# ---------------------------------------------------------------------------
+
+
+def test_top_paths_counts_and_share(spark):
+    from etl_script_spark.operators import conversations
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "d"),  # a>b>c
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),               # a>b>c
+        (3, 1, "x"), (3, 2, "y"),                            # x>y (short)
+        (4, 1, "a"),                                          # a
+    ]
+    df = spark.createDataFrame(
+        rows, "user long, seq long, state string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("seq")))
+    out = {
+        r["path"]: r
+        for r in conversations.top_paths(
+            df, "user", "ts", "state", "seq", depth=3, k=10
+        ).collect()
+    }
+    assert out["a>b>c"]["n_keys"] == 2
+    assert out["a>b>c"]["share_ppm"] == 500000
+    assert out["x>y"]["n_keys"] == 1 and out["a"]["n_keys"] == 1
+
+
+def test_countmin_never_undercounts(spark):
+    from etl_script_spark.operators import sketches as sk
+
+    df = spark.range(5000).select((F.col("id") % 25).alias("k"))
+    out = sk.countmin_estimates(df, "k", depth=4, width=64).collect()
+    assert len(out) == 25
+    assert all(r["cms_n"] >= r["true_n"] for r in out)
+    assert all(r["overcount"] == r["cms_n"] - r["true_n"] for r in out)
+    # exact determinism
+    out2 = sk.countmin_estimates(df, "k", depth=4, width=64).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sk.countmin_estimates(df, "k", depth=0)
+
+
+def test_early_fact_retry_stages_partition_facts(spark):
+    from etl_script_spark.plans.catalog import CATALOG
+
+    out = {
+        r["stage"]: r
+        for r in CATALOG["dwh_early_fact_retry"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(out) == {"enriched_epoch1", "enriched_epoch2_retry",
+                        "dead_letter"}
+    # stages partition the fact table: counts sum to |orders|
+    n = sum(r["n_rows"] for r in out.values())
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    assert n == orders.count()
