@@ -145,6 +145,9 @@ EXTRA = [
     "sk_countmin_estimate",
     "dwh_early_fact_retry",
     "st_stream_ohlc",
+    "sql_null_semantics",
+    "stat_chi2_independence",
+    "diag_key_skew",
 ]
 
 # Entries whose plans are dominated by codegen'd lambda aggregates

@@ -156,3 +156,51 @@ def benford_first_digit(
         )
         .withColumn("dev_ppm", F.abs(F.col("obs_ppm") - F.col("exp_ppm")))
     )
+
+
+def chi2_contingency(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square contingency cells, exact-integer form: per
+    (row, col) cell the observed count, the expected count in
+    milli-rows ``E_milli = (row_tot * col_tot * 1000) DIV N``, and the
+    cell's chi-square contribution in milli-units ``(O*1000 -
+    E_milli)^2 DIV greatest(E_milli, 1)`` (algebraically 1000 *
+    (O-E)^2/E with per-cell flooring — deterministic on any engine;
+    sum the cells for the statistic). The independence screen for two
+    categorical columns — feature selection, drift detection, bias
+    audits.
+
+    Shape: one (row, col) aggregation; row/col totals via windows
+    over CELL-cardinality data (|rows| x |cols| — never the fact
+    table); N likewise. All integer arithmetic within int64 for up
+    to ~3e9 rows per cell.
+
+    Returns (row_val, col_val, obs, exp_milli, chi2_cell_milli).
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("row_val"), F.col(col_col).alias("col_val")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    wr = Window.partitionBy("row_val")
+    wc = Window.partitionBy("col_val")
+    wn = Window.partitionBy()
+    staged = (
+        cells.withColumn("__rt", F.sum("obs").over(wr))
+        .withColumn("__ct", F.sum("obs").over(wc))
+        .withColumn("__n", F.sum("obs").over(wn))
+        .withColumn(
+            "exp_milli", F.expr("(__rt * __ct * 1000) DIV __n")
+        )
+        .withColumn(
+            "chi2_cell_milli",
+            F.expr(
+                "((obs * 1000 - exp_milli) * (obs * 1000 - exp_milli))"
+                " DIV greatest(exp_milli, 1)"
+            ),
+        )
+    )
+    return staged.select(
+        "row_val", "col_val", "obs", "exp_milli", "chi2_cell_milli"
+    )

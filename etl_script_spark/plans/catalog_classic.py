@@ -1075,3 +1075,73 @@ def sql_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wcum)
         .alias("run_cents"),
     )
+
+
+@register(
+    "sql_null_semantics",
+    """
+    WITH s AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 5 END AS n
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(n) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT n) AS BIGINT) AS n_distinct_ignoring_null,
+           CAST(SUM(CASE WHEN n IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT)
+             AS cnt_in,
+           CAST(SUM(CASE WHEN n NOT IN (1, NULL) THEN 1 ELSE 0 END)
+                AS BIGINT) AS cnt_not_in_null_list,
+           CAST(SUM(CASE WHEN n = NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS cnt_eq_null,
+           CAST(SUM(CASE WHEN n IS NOT DISTINCT FROM NULL THEN 1
+                         ELSE 0 END) AS BIGINT) AS cnt_null_safe_eq,
+           CAST(SUM(COALESCE(n, -1)) AS BIGINT) AS sum_coalesced,
+           CAST(SUM(CASE WHEN NULLIF(n, 2) IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS cnt_nullif_nulled,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT n FROM s GROUP BY n)) AS n_groups_with_null
+    FROM s
+    """,
+    ("X-sql-surface",),
+)
+def sql_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three-valued-logic SQL surface in one audited row: NULL
+    membership (IN hits, NOT IN against a list containing NULL is
+    NEVER true), ``= NULL`` vs the null-safe equality operator,
+    COALESCE folding, NULLIF, COUNT vs COUNT(col) vs
+    COUNT(DISTINCT), and GROUP BY forming a NULL group. These are
+    the semantics data-cleaning code silently depends on; the entry
+    pins that both engines agree on every one of them."""
+    o = t(spark, sf_dir, "orders")
+    s = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey") % 5)
+        .alias("n")
+    )
+    groups = s.groupBy("n").count().agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups_with_null")
+    )
+    return (
+        s.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("n").cast("long").alias("n_nonnull"),
+            F.countDistinct("n").cast("long")
+            .alias("n_distinct_ignoring_null"),
+            F.sum(F.expr("CASE WHEN n IN (1, 2) THEN 1 ELSE 0 END"))
+            .cast("long").alias("cnt_in"),
+            F.sum(F.expr(
+                "CASE WHEN n NOT IN (1, NULL) THEN 1 ELSE 0 END"
+            )).cast("long").alias("cnt_not_in_null_list"),
+            F.sum(F.expr("CASE WHEN n = NULL THEN 1 ELSE 0 END"))
+            .cast("long").alias("cnt_eq_null"),
+            F.sum(F.expr("CASE WHEN n <=> NULL THEN 1 ELSE 0 END"))
+            .cast("long").alias("cnt_null_safe_eq"),
+            F.sum(F.coalesce(F.col("n"), F.lit(-1))).cast("long")
+            .alias("sum_coalesced"),
+            F.sum(F.expr(
+                "CASE WHEN NULLIF(n, 2) IS NULL THEN 1 ELSE 0 END"
+            )).cast("long").alias("cnt_nullif_nulled"),
+        )
+        .crossJoin(F.broadcast(groups))
+    )

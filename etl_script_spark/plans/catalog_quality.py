@@ -527,3 +527,134 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("o_totalprice")).alias("v")
     )
     return stats.benford_first_digit(o, "v")
+
+
+@register(
+    "stat_chi2_independence",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS row_val, l_linestatus AS col_val,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT row_val, col_val, obs,
+             SUM(obs) OVER (PARTITION BY row_val) AS rt,
+             SUM(obs) OVER (PARTITION BY col_val) AS ct,
+             SUM(obs) OVER () AS n
+      FROM cells
+    )
+    SELECT row_val, col_val, obs,
+           CAST((rt * ct * 1000) // n AS BIGINT) AS exp_milli,
+           CAST(((obs * 1000 - (rt * ct * 1000) // n)
+                 * (obs * 1000 - (rt * ct * 1000) // n))
+                // greatest((rt * ct * 1000) // n, 1) AS BIGINT)
+             AS chi2_cell_milli
+    FROM tot
+    """,
+    ("X-statistics", "A1"),
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square contingency cells for return flag x line
+    status (stats.chi2_contingency): observed vs expected in exact
+    integer milli-units with per-cell flooring — the categorical
+    independence screen, computed from one fact-table aggregation
+    plus windows over the 21-cell table."""
+    from etl_script_spark.operators import stats
+
+    li = t(spark, sf_dir, "lineitem")
+    return stats.chi2_contingency(li, "l_returnflag", "l_linestatus")
+
+
+@register(
+    "diag_key_skew",
+    """
+    WITH c AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    cv AS (
+      SELECT cnt AS v, CAST(COUNT(*) AS BIGINT) AS w FROM c GROUP BY cnt
+    ),
+    med AS (
+      SELECT CAST(MIN(CASE WHEN cw * 2 >= tw THEN v END) AS BIGINT)
+               AS median_count
+      FROM (
+        SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                 AS cw,
+               SUM(w) OVER () AS tw
+        FROM cv
+      )
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_count
+      FROM c
+    ),
+    top AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows FROM (
+        SELECT cnt FROM c ORDER BY cnt DESC, k ASC LIMIT 10
+      )
+    )
+    SELECT s.n_keys, s.n_rows, s.max_count, med.median_count,
+           CAST((s.max_count * 1000000) // s.n_rows AS BIGINT)
+             AS top1_ppm,
+           CAST((top.top10_rows * 1000000) // s.n_rows AS BIGINT)
+             AS top10_ppm
+    FROM s CROSS JOIN med CROSS JOIN top
+    """,
+    ("X-diagnostics", "A1"),
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis for lineitem's order key — the
+    pre-flight a 100 TB join plan wants: per-key counts, exact median
+    key weight (cumulative-weight rule over the DISTINCT-COUNT-VALUE
+    table — window input is value cardinality, ~tens of rows, never
+    key cardinality), the heaviest key's ppm share and the top-10
+    keys' combined share (TakeOrdered). One fact aggregation; all
+    downstream work is on bounded tables."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cv = c.groupBy(F.col("cnt").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    med = (
+        cv.withColumn("cw", F.sum("w").over(wcum))
+        .withColumn("tw", F.sum("w").over(wt))
+        .agg(
+            F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("v")))
+            .cast("long").alias("median_count")
+        )
+    )
+    s = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_count"),
+    )
+    top = (
+        c.orderBy(F.col("cnt").desc(), F.col("k").asc())
+        .limit(10)
+        .agg(F.sum("cnt").cast("long").alias("top10_rows"))
+    )
+    return (
+        s.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_keys", "n_rows", "max_count", "median_count",
+            F.expr(
+                "(max_count * CAST(1000000 AS BIGINT)) DIV n_rows"
+            ).alias("top1_ppm"),
+            F.expr(
+                "(top10_rows * CAST(1000000 AS BIGINT)) DIV n_rows"
+            ).alias("top10_ppm"),
+        )
+    )

@@ -989,3 +989,34 @@ def test_early_fact_retry_stages_partition_facts(spark):
     n = sum(r["n_rows"] for r in out.values())
     orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     assert n == orders.count()
+
+
+# ---------------------------------------------------------------------------
+# Batch 10: chi-square contingency
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_contingency_hand_computed(spark):
+    from etl_script_spark.operators import stats
+
+    # 2x2 table: rows a/b, cols x/y with obs a-x=30 a-y=10 b-x=10 b-y=10
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10
+        + [("b", "x")] * 10 + [("b", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {
+        (o["row_val"], o["col_val"]): o
+        for o in stats.chi2_contingency(df, "r", "c").collect()
+    }
+    # N=60; E(a,x) = 40*40/60 = 26.666... -> 26666 milli
+    ax = out[("a", "x")]
+    assert ax["obs"] == 30 and ax["exp_milli"] == 26666
+    # chi2 cell = (30000-26666)^2 // 26666 = 3334^2 // 26666
+    assert ax["chi2_cell_milli"] == (3334 * 3334) // 26666
+    # independent table -> all contributions ~0
+    ind = [("a", "x")] * 20 + [("a", "y")] * 20 + [("b", "x")] * 20 + [
+        ("b", "y")] * 20
+    df2 = spark.createDataFrame(ind, "r string, c string")
+    out2 = stats.chi2_contingency(df2, "r", "c").collect()
+    assert all(o["chi2_cell_milli"] == 0 for o in out2)

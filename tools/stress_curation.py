@@ -1036,6 +1036,58 @@ def stress_round7c_newops(spark):
         similarity.maxsim_topk(dv, qv, k=10))
 
 
+def stress_round7g_textstats(spark):
+    """Decade push for the round-7 batch 4-10 operators with corpus-
+    or fact-scale inputs: trigram stupid backoff and tf-idf keyword
+    extraction at 1 M docs (58 M tokens), CUSUM / quantile
+    normalization at 10 M rows, basket pairs at 10 M order lines.
+    Run: ``python tools/stress_curation.py --round7g``."""
+    import os
+
+    from etl_script_spark.operators import basket, features, timeseries
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        out.write.mode("overwrite").format("noop").save()
+        print(f"{name}: {time.time()-t0:.1f}s -> {out.count()} rows")
+
+    corpus_path = "/tmp/etl_script_spark_io/stress_1000000"
+    if not os.path.exists(corpus_path + "/_SUCCESS"):
+        build(spark, n=1_000_000, out=corpus_path)
+    d = spark.read.parquet(corpus_path)
+
+    run("stupid_backoff 1M docs", lambda:
+        textstats.stupid_backoff_scores(d, "text", "doc_id"))
+    run("top_keywords 1M docs", lambda:
+        textstats.top_keywords(d, "text", "doc_id", k=5))
+
+    ev = spark.range(10_000_000).select(
+        F.format_string("t%d", F.col("id") % 50).alias("key"),
+        F.timestamp_seconds(F.col("id") % 2_000_000).alias("ts"),
+        F.col("id").alias("eid"),
+        ((F.xxhash64("id") % 10000 + 10000) % 10000 + 1).alias("v"),
+    )
+    run("cusum 10M rows x 50 keys", lambda:
+        timeseries.cusum_changepoints(ev, "key", "ts", "v", "eid"))
+
+    qn = spark.range(10_000_000).select(
+        F.format_string("s%d", F.col("id") % 8).alias("src"),
+        ((F.xxhash64("id") % 100000 + 100000) % 100000).alias("v"),
+        F.col("id").alias("k"),
+    )
+    run("quantile_normalize 10M rows x 8 groups", lambda:
+        features.quantile_normalize(qn, "src", "v", "k"))
+
+    lines = spark.range(10_000_000).select(
+        (F.col("id") % 2_500_000).alias("order_id"),
+        ((F.xxhash64("id") % 200_000 + 200_000) % 200_000).alias("part_id"),
+    )
+    run("basket pairs 10M lines x 2.5M baskets", lambda:
+        basket.pair_associations(lines, "order_id", "part_id",
+                                 min_pair_count=2, k=100))
+
+
 if __name__ == "__main__":
     if "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
@@ -1052,6 +1104,10 @@ if __name__ == "__main__":
     elif "--round6e" in sys.argv:
         spark = get_spark(app_name="stress-round6e")
         stress_round6e_augment(spark)
+        spark.stop()
+    elif "--round7g" in sys.argv:
+        spark = get_spark(app_name="stress-round7g")
+        stress_round7g_textstats(spark)
         spark.stop()
     elif "--round7c" in sys.argv:
         spark = get_spark(app_name="stress-round7c")
