@@ -148,6 +148,7 @@ EXTRA = [
     "sql_null_semantics",
     "stat_chi2_independence",
     "diag_key_skew",
+    "pipeline_r7_analytics_report",
 ]
 
 # Entries whose plans are dominated by codegen'd lambda aggregates

@@ -597,3 +597,123 @@ def pipeline_r7_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("membership_checksum"),
         )
     )
+
+
+@register(
+    "pipeline_r7_analytics_report",
+    """
+    WITH ben AS (
+      SELECT CAST(SUM(abs(CAST((n * 1000000) // tt AS BIGINT)
+                 - ([301030, 176091, 124939, 96910, 79181, 66947,
+                     57992, 51153, 45757])[digit])) AS BIGINT) AS v
+      FROM (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(COUNT(*)) OVER () AS tt
+        FROM (
+          SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
+                     AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM orders
+          WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0
+        ) GROUP BY digit
+      )
+    ),
+    chi AS (
+      SELECT CAST(SUM(((obs * 1000 - (rt * ct * 1000) // n)
+                       * (obs * 1000 - (rt * ct * 1000) // n))
+                      // greatest((rt * ct * 1000) // n, 1)) AS BIGINT)
+               AS v
+      FROM (
+        SELECT obs,
+               SUM(obs) OVER (PARTITION BY row_val) AS rt,
+               SUM(obs) OVER (PARTITION BY col_val) AS ct,
+               SUM(obs) OVER () AS n
+        FROM (
+          SELECT l_returnflag AS row_val, l_linestatus AS col_val,
+                 CAST(COUNT(*) AS BIGINT) AS obs
+          FROM lineitem GROUP BY 1, 2
+        )
+      )
+    ),
+    gin AS (
+      SELECT CAST(MAX(CASE WHEN n * total = 0 THEN NULL
+                  ELSE CAST(((w2 - (n + 1) * total) * 1000)
+                            // (n * total) AS BIGINT) END) AS BIGINT)
+               AS v
+      FROM (
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS total,
+               CAST(SUM(2 * i * v) AS BIGINT) AS w2
+        FROM (
+          SELECT c_nationkey,
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000 AS v,
+                 ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                     ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                              + 100000, c_custkey) AS i
+          FROM customer
+        ) GROUP BY c_nationkey
+      )
+    ),
+    sea AS (
+      SELECT CAST(MAX(CAST((CAST(total AS HUGEINT) * gn * 1000000)
+                 // (CAST(n AS HUGEINT) * gs) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM (
+        SELECT n, total, SUM(n) OVER () AS gn, SUM(total) OVER () AS gs
+        FROM (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS total
+          FROM orders GROUP BY month(o_orderdate)
+        )
+      )
+    )
+    SELECT 'benford_total_dev_ppm' AS metric, v FROM ben
+    UNION ALL SELECT 'chi2_stat_milli', v FROM chi
+    UNION ALL SELECT 'gini_max_milli', v FROM gin
+    UNION ALL SELECT 'seasonality_peak_ppm', v FROM sea
+    """,
+    ("X-statistics", "pipeline"),
+)
+def pipeline_r7_analytics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot analytics health report composing the round-7 exact
+    statistics operators: total Benford deviation of order totals,
+    the chi-square statistic for return flag x line status, the most
+    concentrated nation's Gini, and the peak seasonal index — four
+    independent operator outputs folded to (metric, v) rows and
+    unioned. Each leg is the already-verified operator; the pipeline
+    pins that their outputs compose without driver round-trips (one
+    job, four independent DAG branches)."""
+    from etl_script_spark.operators import stats, timeseries
+    from etl_script_spark.plans.catalog import cents
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+
+    ben = stats.benford_first_digit(
+        o.select(cents(F.col("o_totalprice")).alias("v")), "v"
+    ).agg(F.sum("dev_ppm").cast("long").alias("v")).select(
+        F.lit("benford_total_dev_ppm").alias("metric"), "v"
+    )
+    chi = stats.chi2_contingency(li, "l_returnflag", "l_linestatus").agg(
+        F.sum("chi2_cell_milli").cast("long").alias("v")
+    ).select(F.lit("chi2_stat_milli").alias("metric"), "v")
+    gin = stats.gini_groups(
+        c.select(
+            "c_nationkey", "c_custkey",
+            (cents(F.col("c_acctbal")) + 100000).alias("v"),
+        ),
+        ["c_nationkey"], "v", "c_custkey",
+    ).agg(F.max("gini_milli").cast("long").alias("v")).select(
+        F.lit("gini_max_milli").alias("metric"), "v"
+    )
+    sea = timeseries.seasonality_index(
+        o.select(
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        ),
+        "o_orderdate", "v", "month",
+    ).agg(F.max("index_ppm").cast("long").alias("v")).select(
+        F.lit("seasonality_peak_ppm").alias("metric"), "v"
+    )
+    return ben.unionByName(chi).unionByName(gin).unionByName(sea)
