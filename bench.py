@@ -149,6 +149,8 @@ EXTRA = [
     "stat_chi2_independence",
     "diag_key_skew",
     "pipeline_r7_analytics_report",
+    "cust_rfm_segments",
+    "li_ship_latency_hist",
 ]
 
 # Entries whose plans are dominated by codegen'd lambda aggregates

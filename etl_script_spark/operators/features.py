@@ -313,3 +313,35 @@ def abc_classification(
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+def integer_tercile_thresholds(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """One-row (t1, t2) tercile thresholds of an integer column by
+    the cumulative-count rule: ``t_k = min(v : 3*cum(v) >= k*total)``
+    — the same exact selection as ``weighted_quantile_groups``, both
+    cuts in ONE pass. The window runs over the (value -> count)
+    table, i.e. DISTINCT-VALUE cardinality, never row count —
+    quantize the value first (cents -> $10 bands etc.) if its domain
+    is unbounded.
+    """
+    vc = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__w")
+    )
+    wc = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    cum = vc.withColumn("__cw", F.sum("__w").over(wc)).withColumn(
+        "__tw", F.sum("__w").over(wt)
+    )
+    return cum.agg(
+        F.min(
+            F.when(F.col("__cw") * 3 >= F.col("__tw"), F.col("__v"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("__cw") * 3 >= 2 * F.col("__tw"), F.col("__v"))
+        ).alias("t2"),
+    )

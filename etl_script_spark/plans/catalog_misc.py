@@ -2063,3 +2063,40 @@ def dwh_early_fact_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_checksum"),
     )
+
+
+@register(
+    "li_ship_latency_hist",
+    """
+    SELECT o.o_orderpriority,
+           CAST(date_diff('day', o.o_orderdate, l.l_shipdate) // 7
+                AS BIGINT) AS week_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(date_diff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS min_days,
+           CAST(MAX(date_diff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS max_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+    ("X-latency", "A1", "J8"),
+)
+def li_ship_latency_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority: the SLA
+    histogram (weekly buckets, exact integer datediff DIV) from the
+    lineitem-orders fact-fact join — one shuffle join on the order
+    key, one aggregation over bucket-cardinality keys."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("__d"),
+    )
+    return j.groupBy(
+        "o_orderpriority",
+        F.expr("CAST(__d DIV 7 AS BIGINT)").alias("week_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("__d").cast("long").alias("min_days"),
+        F.max("__d").cast("long").alias("max_days"),
+    )

@@ -658,3 +658,112 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top10_ppm"),
         )
     )
+
+
+@register(
+    "cust_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS k,
+             date_diff('day', MAX(o_orderdate), g.now) AS r,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 1000
+                  AS BIGINT) AS m
+      FROM orders CROSS JOIN
+           (SELECT MAX(o_orderdate) AS now FROM orders) g
+      GROUP BY o_custkey, g.now
+    ),
+    rt AS (
+      SELECT MIN(CASE WHEN cw * 3 >= tw THEN v END) AS t1,
+             MIN(CASE WHEN cw * 3 >= 2 * tw THEN v END) AS t2
+      FROM (SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                     AS cw, SUM(w) OVER () AS tw
+            FROM (SELECT r AS v, CAST(COUNT(*) AS BIGINT) AS w
+                  FROM base GROUP BY r))
+    ),
+    ft AS (
+      SELECT MIN(CASE WHEN cw * 3 >= tw THEN v END) AS t1,
+             MIN(CASE WHEN cw * 3 >= 2 * tw THEN v END) AS t2
+      FROM (SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                     AS cw, SUM(w) OVER () AS tw
+            FROM (SELECT f AS v, CAST(COUNT(*) AS BIGINT) AS w
+                  FROM base GROUP BY f))
+    ),
+    mt AS (
+      SELECT MIN(CASE WHEN cw * 3 >= tw THEN v END) AS t1,
+             MIN(CASE WHEN cw * 3 >= 2 * tw THEN v END) AS t2
+      FROM (SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                     AS cw, SUM(w) OVER () AS tw
+            FROM (SELECT m AS v, CAST(COUNT(*) AS BIGINT) AS w
+                  FROM base GROUP BY m))
+    )
+    SELECT k AS o_custkey,
+           CAST(r AS BIGINT) AS recency_days, f AS frequency,
+           m AS monetary_dollars10,
+           CAST(CASE WHEN r <= rt.t1 THEN 3 WHEN r <= rt.t2 THEN 2
+                     ELSE 1 END AS INTEGER) AS r_score,
+           CAST(CASE WHEN f <= ft.t1 THEN 1 WHEN f <= ft.t2 THEN 2
+                     ELSE 3 END AS INTEGER) AS f_score,
+           CAST(CASE WHEN m <= mt.t1 THEN 1 WHEN m <= mt.t2 THEN 2
+                     ELSE 3 END AS INTEGER) AS m_score
+    FROM base CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt
+    """,
+    ("X-segmentation", "A1"),
+)
+def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation with EXACT integer tercile
+    boundaries (features.integer_tercile_thresholds): recency (days
+    from each customer's last order to the corpus max date),
+    frequency (order count), monetary ($10 bands — quantized so the
+    threshold windows run over bounded distinct-value tables, never
+    customer cardinality). Scores 1-3 per dimension by the
+    cumulative-count rule — no global ntile, no single-partition
+    sort, fully engine-replayable."""
+    from etl_script_spark.operators import features
+    from etl_script_spark.plans.catalog import cents
+
+    o = t(spark, sf_dir, "orders")
+    now = o.agg(F.max("o_orderdate").alias("now"))
+    base = (
+        o.crossJoin(F.broadcast(now))
+        .groupBy(F.col("o_custkey").alias("k"), "now")
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).cast("long").alias("f"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+                " DIV 1000 AS BIGINT)"
+            ).alias("m"),
+        )
+        .select(
+            "k",
+            F.datediff(F.col("now"), F.col("__last")).alias("r"),
+            "f", "m",
+        )
+    )
+    rt = features.integer_tercile_thresholds(base, "r")
+    ft = features.integer_tercile_thresholds(base, "f")
+    mt = features.integer_tercile_thresholds(base, "m")
+    return (
+        base.crossJoin(F.broadcast(rt.select(
+            F.col("t1").alias("__rt1"), F.col("t2").alias("__rt2"))))
+        .crossJoin(F.broadcast(ft.select(
+            F.col("t1").alias("__ft1"), F.col("t2").alias("__ft2"))))
+        .crossJoin(F.broadcast(mt.select(
+            F.col("t1").alias("__mt1"), F.col("t2").alias("__mt2"))))
+        .select(
+            F.col("k").alias("o_custkey"),
+            F.col("r").cast("long").alias("recency_days"),
+            F.col("f").alias("frequency"),
+            F.col("m").alias("monetary_dollars10"),
+            F.when(F.col("r") <= F.col("__rt1"), 3)
+            .when(F.col("r") <= F.col("__rt2"), 2)
+            .otherwise(1).cast("int").alias("r_score"),
+            F.when(F.col("f") <= F.col("__ft1"), 1)
+            .when(F.col("f") <= F.col("__ft2"), 2)
+            .otherwise(3).cast("int").alias("f_score"),
+            F.when(F.col("m") <= F.col("__mt1"), 1)
+            .when(F.col("m") <= F.col("__mt2"), 2)
+            .otherwise(3).cast("int").alias("m_score"),
+        )
+    )

@@ -170,10 +170,19 @@ def read_csv_fallback(
 
     if any(enc not in ("utf-8", "utf-8-sig") for enc in groups):
         spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    # schema is NOT a reader option — DataFrameReader.options()
+    # stringifies values, so a StructType passed through **csv_options
+    # would be silently ignored and every column read back as string
+    # (caught by the round-7 full-catalog sweep: the S1 entry's
+    # n_nationkey came back '0'/'10' strings). Route it to .schema().
+    schema = csv_options.pop("schema", None)
     out: DataFrame | None = None
     for enc, files in sorted(groups.items()):
         charset = _JAVA_CHARSETS.get(enc, enc)
-        df = spark.read.options(encoding=charset, **csv_options).csv(files)
+        reader = spark.read.options(encoding=charset, **csv_options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.csv(files)
         if add_lineage:
             df = df.withColumn("source_file", F.input_file_name())
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)

@@ -1020,3 +1020,42 @@ def test_chi2_contingency_hand_computed(spark):
     df2 = spark.createDataFrame(ind, "r string, c string")
     out2 = stats.chi2_contingency(df2, "r", "c").collect()
     assert all(o["chi2_cell_milli"] == 0 for o in out2)
+
+
+# ---------------------------------------------------------------------------
+# Batch 11: tercile thresholds / RFM, and the S1 schema regression
+# ---------------------------------------------------------------------------
+
+
+def test_integer_tercile_thresholds(spark):
+    from etl_script_spark.operators import features
+
+    # values 1..9 once each: cum rule -> t1 = 3, t2 = 6
+    df = spark.createDataFrame([(v,) for v in range(1, 10)], "v long")
+    r = features.integer_tercile_thresholds(df, "v").collect()[0]
+    assert (r["t1"], r["t2"]) == (3, 6)
+    # heavy ties: all same value -> both thresholds that value
+    df2 = spark.createDataFrame([(5,)] * 10, "v long")
+    r2 = features.integer_tercile_thresholds(df2, "v").collect()[0]
+    assert (r2["t1"], r2["t2"]) == (5, 5)
+
+
+def test_read_csv_fallback_applies_schema(spark, tmp_path):
+    """Regression: schema passed via csv_options was stringified by
+    DataFrameReader.options() and silently ignored — every column
+    came back string-typed (caught by the round-7 full-catalog
+    sweep)."""
+    from pyspark.sql import types as T
+
+    from etl_script_spark.sources import readers
+
+    p = tmp_path / "t.csv"
+    p.write_text("k,v\n1,a\n2,b\n", encoding="utf-8")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = readers.read_csv_fallback(
+        spark, [str(p)], header=True, schema=schema
+    )
+    assert dict(df.dtypes)["k"] == "bigint"
+    assert {r["k"] for r in df.collect()} == {1, 2}
