@@ -57,7 +57,11 @@ _CHECKED = frozenset(
         "p7_trailing_trim", "p9_validation_split", "p9_validation_metrics",
         "p11_noise_label_filter", "p8_drop_all_null", "a3_count_and_page",
         "a4_array_size", "a5_ordered_group_stats",
-        "s1_csv_encoding_fallback", "s11_json_pointer", "s12_json_roundtrip",
+        # s1_csv_encoding_fallback REMOVED round 7: its schema was
+        # silently dropped (string-typed columns) since the r2 check;
+        # fixed in readers.py — unchecked again so the driver
+        # re-verifies the corrected behavior
+        "s11_json_pointer", "s12_json_roundtrip",
         "s13_csv_roundtrip", "s14_jdbc_batch_roundtrip", "s16_file_meta",
         "s2_excel_roundtrip", "s2_xls_roundtrip", "s4_pdf_table_extract",
         "s5_pdf_text_ocr_cascade", "sql_surface_shared",
