@@ -204,3 +204,218 @@ def chi2_contingency(
     return staged.select(
         "row_val", "col_val", "obs", "exp_milli", "chi2_cell_milli"
     )
+
+
+def _doubled_midrank_sums(
+    df: DataFrame,
+    value_col: str,
+    a_flag,
+    b_flag,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Shared rank machinery for Mann-Whitney / ROC-AUC: pool the
+    rows flagged ``a`` and ``b``, rank the pooled INTEGER values
+    ascending with midranks for ties, and return a one-row frame
+    (n_a, n_b, r_a_doubled) where r_a_doubled is TWICE the sum of
+    group-a ranks — doubled so tied midranks (k+0.5) stay exact
+    integers; every identity downstream divides the doubling back
+    out under DECIMAL(38,0).
+
+    Scale shape: ranks are never materialized per row. The data
+    folds to a per-distinct-value histogram (one map-side-combined
+    aggregation), and the cumulative pooled count below each value
+    comes from a TWO-PHASE prefix sum — equal-width integer buckets
+    over [min, max] give per-bucket totals (≤ n_buckets+1 rows,
+    windowed on one partition only at THAT bounded size), whose
+    exclusive prefix broadcasts back as each bucket's offset; the
+    within-bucket window partitions by bucket. No operator ever
+    sorts the full distinct-value set on one partition, so a
+    100 TB score column with billions of distinct values still
+    distributes (the classic distributed prefix-sum; equal-width
+    buckets can skew only the intermediate window width, never the
+    result).
+    """
+    h = (
+        df.select(
+            F.col(value_col).cast("long").alias("v"),
+            F.when(a_flag, 1).otherwise(0).cast("long").alias("__a"),
+            F.when(b_flag, 1).otherwise(0).cast("long").alias("__b"),
+        )
+        .filter(F.col("v").isNotNull())
+        .filter((F.col("__a") + F.col("__b")) > 0)
+        .groupBy("v")
+        .agg(
+            F.sum("__a").alias("ca"),
+            F.sum("__b").alias("cb"),
+        )
+    )
+    bounds = h.agg(F.min("v").alias("v0"), F.max("v").alias("v1"))
+    wexpr = f"greatest((v1 - v0 + {n_buckets}) DIV {n_buckets}, 1)"
+    hb = h.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bkt", F.expr(f"(v - v0) DIV {wexpr}")
+    )
+    per_bucket = hb.groupBy("__bkt").agg(
+        F.sum(F.col("ca") + F.col("cb")).alias("__bn")
+    )
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "__bkt",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = hb.join(F.broadcast(offsets), "__bkt").withColumn(
+        "__below",
+        F.col("__off")
+        + F.sum(F.col("ca") + F.col("cb")).over(w_in)
+        - (F.col("ca") + F.col("cb")),
+    )
+    # doubled midrank-sum contribution of value v for group a:
+    # ca * (2*below + (ca+cb) + 1) — the (ties+1)/2 midrank, doubled
+    term = (
+        F.col("ca")
+        * (2 * F.col("__below") + F.col("ca") + F.col("cb") + 1)
+    ).cast("decimal(38,0)")
+    return staged.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(term).alias("r_a_doubled"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Mann-Whitney U (Wilcoxon rank-sum) between
+    the rows of ``group_a`` and ``group_b``: U_a from the doubled
+    midrank sum (u_a_doubled = 2R_a − n_a(n_a+1), an exact integer
+    even under ties), its complement u_b_doubled = 2·n_a·n_b −
+    u_a_doubled, and the common-language effect size
+    P(X_a > X_b) + ½P(X_a = X_b) in exact ppm via DECIMAL(38,0)
+    DIV (U is non-negative, so truncate-vs-floor cannot diverge).
+
+    The nonparametric two-sample location test a corpus-drift or
+    A/B readout wants when distributions are skewed; one histogram
+    aggregation + bounded windows (see _doubled_midrank_sums for
+    why no full sort happens).
+
+    Returns one row (n_a, n_b, u_a_doubled, u_b_doubled, cles_ppm).
+    """
+    core = _doubled_midrank_sums(
+        df,
+        value_col,
+        F.col(group_col) == F.lit(group_a),
+        F.col(group_col) == F.lit(group_b),
+    )
+    ua = (
+        f"(r_a_doubled - CAST(n_a AS {_D}) * (CAST(n_a AS {_D}) + 1))"
+    )
+    return core.select(
+        "n_a",
+        "n_b",
+        F.expr(f"CAST({ua} AS BIGINT)").alias("u_a_doubled"),
+        F.expr(
+            f"CAST(2 * CAST(n_a AS {_D}) * CAST(n_b AS {_D}) - {ua}"
+            " AS BIGINT)"
+        ).alias("u_b_doubled"),
+        F.expr(
+            f"CAST(({ua} * 1000000)"
+            f" DIV (2 * CAST(n_a AS {_D}) * CAST(n_b AS {_D}))"
+            " AS BIGINT)"
+        ).alias("cles_ppm"),
+    )
+
+
+def roc_auc(df: DataFrame, label_col, score_col: str) -> DataFrame:
+    """Exact ROC-AUC of an integer score against a boolean label via
+    the rank-sum identity AUC = (R_pos − n_pos(n_pos+1)/2) /
+    (n_pos·n_neg) — ties get midrank credit (trapezoidal AUC), the
+    doubled-integer rank sum keeps everything exact, and the final
+    ratio reports in ppm via DECIMAL(38,0) DIV.
+
+    The classifier-calibration readout for a quality gate: feed it
+    the gate's score and the downstream keep/drop label and it says
+    how much ranking power the score actually has — without ever
+    materializing a per-row rank (see _doubled_midrank_sums).
+
+    Returns one row (n_pos, n_neg, r_pos_doubled, auc_ppm).
+    """
+    lbl = label_col if not isinstance(label_col, str) else F.col(label_col)
+    core = _doubled_midrank_sums(df, score_col, lbl, ~lbl)
+    ua = (
+        f"(r_a_doubled - CAST(n_a AS {_D}) * (CAST(n_a AS {_D}) + 1))"
+    )
+    return core.select(
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+        F.expr("CAST(r_a_doubled AS BIGINT)").alias("r_pos_doubled"),
+        F.expr(
+            f"CAST(({ua} * 1000000)"
+            f" DIV (2 * CAST(n_a AS {_D}) * CAST(n_b AS {_D}))"
+            " AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Exact Cohen's kappa between two categorical raters: observed
+    agreement vs the chance agreement implied by the raters'
+    marginals, κ = (n·Σdiag − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k),
+    reported in exact ppm with the repo's magnitude-DIV-then-sign
+    form (κ is negative when raters agree LESS than chance, and
+    truncate-vs-floor integer division diverges on negatives
+    across engines).
+
+    The inter-annotator-agreement readout an RLHF labeling pipeline
+    runs before trusting preference labels. One fact aggregation to
+    the |A|×|B| cell table; marginals and the chance term are joins
+    over category-cardinality data, never the fact table.
+
+    Returns one row (n, agree, chance_pairs, kappa_ppm).
+    """
+    cells = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("ra"), F.col(b_col).alias("rb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ra = cells.groupBy(F.col("ra").alias("k")).agg(
+        F.sum("cnt").cast("long").alias("r_k")
+    )
+    cb = cells.groupBy(F.col("rb").alias("k2")).agg(
+        F.sum("cnt").cast("long").alias("c_k")
+    )
+    # categories absent from one rater contribute r_k*c_k = 0 — the
+    # inner join drops exactly those zero terms
+    chance = ra.join(cb, F.col("k") == F.col("k2")).agg(
+        F.sum(
+            F.col("r_k").cast("decimal(38,0)") * F.col("c_k")
+        ).alias("chance_pairs")
+    )
+    tot = cells.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("cnt")))
+        .cast("long")
+        .alias("agree"),
+    )
+    num = (
+        f"(CAST(n AS {_D}) * CAST(coalesce(agree, 0) AS {_D})"
+        " - chance_pairs)"
+    )
+    den = f"(CAST(n AS {_D}) * CAST(n AS {_D}) - chance_pairs)"
+    mag = f"CAST((abs({num}) * 1000000) DIV {den} AS BIGINT)"
+    return tot.crossJoin(F.broadcast(chance)).select(
+        "n",
+        F.coalesce(F.col("agree"), F.lit(0)).cast("long").alias("agree"),
+        F.col("chance_pairs").cast("long").alias("chance_pairs"),
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN NULL"
+            f" WHEN {num} < 0 THEN -{mag} ELSE {mag} END"
+        ).alias("kappa_ppm"),
+    )

@@ -1682,3 +1682,73 @@ def top_keywords(
         ).alias("keywords"),
         F.max("score").cast("long").alias("top_score"),
     )
+
+
+def pmi_collocations(
+    df, text_col: str, min_count: int = 5, k: int = 100
+) -> "DataFrame":
+    """Corpus-level collocation mining by pointwise mutual
+    information: rank adjacent word pairs by how much more often
+    they co-occur than their positional marginals predict,
+    ``lift(x,y) = N·c(xy) / (c_left(x)·c_right(y))`` — the exact
+    integer MONOTONE TRANSFORM of PMI (PMI = log lift), reported in
+    ppm via DECIMAL(38,0) DIV so no engine ever takes a log. Both
+    marginals come from the bigram stream itself (count as first /
+    second element), keeping the ratio a self-consistent probability
+    estimate. ``min_count`` suppresses the degenerate
+    one-occurrence pairs whose lift is maximal by construction
+    (the standard collocation floor, Church & Hanks 1990).
+
+    Shape: one explode builds the bigram stream; three count
+    aggregations (pair, left marginal, right marginal — all
+    map-side combined); marginal joins stay UNHINTED so AQE
+    broadcasts the vocabulary tables only when they are actually
+    small (same policy as bigram_nll_scores); TakeOrdered top-k on
+    the deterministic (lift desc, w1, w2) total order — never a
+    global sort.
+
+    Returns the top-k rows (w1, w2, pair_count, lift_ppm).
+    """
+    base = df.select(
+        F.filter(words(F.col(text_col)), lambda w: w != "").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bigrams = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("w1"),
+                    F.element_at("ws", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bi = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("pair_count")
+    )
+    left = bigrams.groupBy(F.col("w1").alias("__l")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_left")
+    )
+    right = bigrams.groupBy(F.col("w2").alias("__r")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_right")
+    )
+    total = bigrams.agg(F.count(F.lit(1)).cast("long").alias("n_bg"))
+    scored = (
+        bi.filter(F.col("pair_count") >= min_count)
+        .join(left, F.col("w1") == F.col("__l"))
+        .join(right, F.col("w2") == F.col("__r"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.expr(
+                "CAST((CAST(pair_count AS DECIMAL(38,0)) * n_bg"
+                " * 1000000) DIV (CAST(c_left AS DECIMAL(38,0))"
+                " * c_right) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_ppm").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)

@@ -294,3 +294,74 @@ def seasonality_index(
             " DIV (CAST(n AS DECIMAL(38,0)) * __gs) AS BIGINT)"
         ).alias("index_ppm"),
     )
+
+
+def interpolate_linear(
+    agg: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    step: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Densify a per-key bucketed INTEGER series and linearly
+    interpolate the holes: every step-spaced bucket inside each
+    key's own active span is emitted, observed buckets keep their
+    value, and each silent bucket gets
+    ``v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev)``
+    evaluated in exact integer arithmetic — magnitudes divided with
+    DIV and the sign reapplied, because a falling series makes the
+    numerator negative and truncate-vs-floor integer division
+    diverges across engines there. Buckets before the first / after
+    the last observation clamp to the nearest observed value.
+
+    Scale shape: the grid is gap_fill's (sequence+explode, bounded
+    by each key's own span); prev/next observations come from two
+    frame-bounded window passes over the SAME (key, bucket) sort —
+    Spark computes both in one Window sort per direction, and the
+    partitioning key is the series key, so a 100 TB fact table
+    distributes by key with no global sort.
+
+    Returns key_cols + (bucket_col, value_col, interpolated).
+    """
+    from etl_script_spark.operators import asof as asof_ops
+
+    grid = asof_ops.gap_fill(agg, key_cols, bucket_col, step)
+    hr = (F.unix_timestamp(F.col(bucket_col)) / step_seconds).cast("long")
+    g = grid.withColumn("__t", hr)
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    obs_t = F.when(v.isNotNull(), F.col("__t"))
+    g = (
+        g.withColumn("__vp", F.last(v, ignorenulls=True).over(w_prev))
+        .withColumn("__tp", F.last(obs_t, ignorenulls=True).over(w_prev))
+        .withColumn("__vn", F.first(v, ignorenulls=True).over(w_next))
+        .withColumn("__tn", F.first(obs_t, ignorenulls=True).over(w_next))
+    )
+    num = "(CAST(__vn AS DECIMAL(38,0)) - __vp) * (__t - __tp)"
+    mag = f"CAST((abs({num}) DIV (__tn - __tp)) AS BIGINT)"
+    interp = F.expr(
+        f"__vp + CASE WHEN {num} < 0 THEN -{mag} ELSE {mag} END"
+    )
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(
+            F.col("__vp").isNotNull() & F.col("__vn").isNotNull(), interp
+        )
+        .otherwise(F.coalesce(F.col("__vp"), F.col("__vn")))
+    )
+    return g.select(
+        *key_cols,
+        bucket_col,
+        filled.cast("long").alias(value_col),
+        v.isNull().alias("interpolated"),
+    )

@@ -1145,3 +1145,49 @@ def sql_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(groups))
     )
+
+
+@register(
+    "sql_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+    ("X-sql-surface", "A1"),
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPING SETS SQL surface: detail cells, per-flag
+    subtotals, and the grand total from ONE fact scan (Spark's
+    Expand node replays each row once per set — never three scans),
+    with GROUPING() bits disambiguating a real NULL key from an
+    aggregated-out one. Completes the rollup/cube family
+    (a8_rollup_revenue, ev_value_cube) with the arbitrary-sets
+    form; money rides the q1 cents fast-exact path."""
+    li = t(spark, sf_dir, "lineitem")
+    from etl_script_spark.plans.catalog import cents
+
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            cents(F.col("l_extendedprice")).alias("__cents"),
+        )
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.sum("__cents").cast("long").alias("sum_cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+        )
+    )

@@ -2788,3 +2788,46 @@ def text_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     string."""
     d = t(spark, sf_dir, "documents")
     return textstats.top_keywords(d, "text", "doc_id", k=5)
+
+
+@register(
+    "text_pmi_collocations",
+    f"""
+    WITH w AS (
+      SELECT list_filter(string_split({_NORM}, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    w2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
+    bg AS (
+      SELECT u['w1'] AS w1, u['w2'] AS w2 FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+               i -> {{'w1': ws[i], 'w2': ws[i+1]}})) AS u
+        FROM w2
+      )
+    ),
+    bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+           FROM bg GROUP BY 1, 2),
+    l AS (SELECT w1 AS tk, CAST(COUNT(*) AS HUGEINT) AS c_left
+          FROM bg GROUP BY 1),
+    r AS (SELECT w2 AS tk, CAST(COUNT(*) AS HUGEINT) AS c_right
+          FROM bg GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_bg FROM bg)
+    SELECT w1, w2, pair_count,
+           CAST((CAST(pair_count AS HUGEINT) * n_bg * 1000000)
+                // (c_left * c_right) AS BIGINT) AS lift_ppm
+    FROM bi JOIN l ON bi.w1 = l.tk JOIN r ON bi.w2 = r.tk CROSS JOIN n
+    WHERE pair_count >= 5
+    ORDER BY lift_ppm DESC, w1, w2
+    LIMIT 100
+    """,
+    ("LLM-curation", "X-statistics"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by PMI lift (textstats.pmi_collocations):
+    adjacent word pairs ranked by N·c(xy)/(c_left(x)·c_right(y)) in
+    exact integer ppm — the monotone transform of PMI, so no engine
+    takes a log and the rank order cannot flip on a float ulp. The
+    phrase-discovery pass a tokenizer-merge or stopword audit runs
+    over a pretraining corpus (Church & Hanks 1990)."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.pmi_collocations(d, "text", min_count=5, k=100)

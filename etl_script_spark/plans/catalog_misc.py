@@ -2100,3 +2100,83 @@ def li_ship_latency_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("__d").cast("long").alias("min_days"),
         F.max("__d").cast("long").alias("max_days"),
     )
+
+
+@register(
+    "ts_linear_interpolate",
+    """
+    WITH agg AS (
+      SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+               AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+      FROM agg GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ),
+    g AS (
+      SELECT grid.user_id, grid.bucket, a.v,
+             CAST(epoch(grid.bucket) AS BIGINT) // 3600 AS t
+      FROM grid LEFT JOIN agg a USING (user_id, bucket)
+    ),
+    w AS (
+      SELECT user_id, bucket, v, t,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY t
+                ROWS UNBOUNDED PRECEDING) AS vp,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS tp,
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS tn
+      FROM g
+    )
+    SELECT user_id, bucket,
+           CAST(CASE WHEN v IS NOT NULL THEN v
+                WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+                  vp + CASE WHEN (CAST(vn AS HUGEINT) - vp) * (t - tp) < 0
+                            THEN -(abs((CAST(vn AS HUGEINT) - vp)
+                                       * (t - tp)) // (tn - tp))
+                            ELSE (abs((CAST(vn AS HUGEINT) - vp)
+                                      * (t - tp)) // (tn - tp))
+                       END
+                ELSE COALESCE(vp, vn) END AS BIGINT) AS v,
+           (v IS NULL) AS interpolated
+    FROM w
+    """,
+    ("X-timeseries",),
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the densified hourly per-user value
+    series (timeseries.interpolate_linear): silent hours inside each
+    user's active span get the straight line between the flanking
+    observations, evaluated in exact integer micro-units with
+    magnitude-DIV-then-sign (a falling series makes the slope
+    numerator negative, where truncate-vs-floor diverges across
+    engines); hours outside the observed range clamp to the nearest
+    observation. The step past ts_gap_fill_hourly's zero-fill —
+    what a sensor/metrics backfill actually wants."""
+    from etl_script_spark.operators import timeseries as ts_ops
+
+    e = t(spark, sf_dir, "events")
+    agg = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.sum(
+            (F.col("value").cast("decimal(18,6)") * 1000000).cast("long")
+        ).alias("v")
+    )
+    return ts_ops.interpolate_linear(
+        agg, ["user_id"], "bucket", "v", "1 HOUR", 3600
+    )

@@ -767,3 +767,166 @@ def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(3).cast("int").alias("m_score"),
         )
     )
+
+
+@register(
+    "stat_mannwhitney_u",
+    """
+    WITH h AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS ca,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS cb
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT v, ca, cb,
+             SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               - (ca + cb) AS below
+      FROM h
+    ),
+    s AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b,
+             SUM(ca * (2 * below + ca + cb + 1)) AS r2a
+      FROM c
+    )
+    SELECT n_a, n_b,
+           CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT)
+             AS u_a_doubled,
+           CAST(2 * CAST(n_a AS HUGEINT) * n_b
+                - (r2a - CAST(n_a AS HUGEINT) * (n_a + 1)) AS BIGINT)
+             AS u_b_doubled,
+           CAST(((r2a - CAST(n_a AS HUGEINT) * (n_a + 1)) * 1000000)
+                // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+             AS cles_ppm
+    FROM s
+    """,
+    ("X-statistics", "A1"),
+)
+def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U for RETURNED vs ACCEPTED line quantities
+    (stats.mann_whitney_u): the nonparametric two-sample location
+    test, with midrank tie handling kept exact by doubling the rank
+    sum, plus the common-language effect size in ppm. The rank sum
+    never materializes per-row ranks — a per-value histogram and a
+    two-phase bucketed prefix sum do it with no global sort (the
+    oracle's plain window is the semantic twin at fixture
+    cardinality)."""
+    from etl_script_spark.operators import stats
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return stats.mann_whitney_u(li, "l_returnflag", "qty", "R", "A")
+
+
+@register(
+    "stat_roc_auc",
+    """
+    WITH h AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1
+                           ELSE 0 END) AS HUGEINT) AS ca,
+             CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 0
+                           ELSE 1 END) AS HUGEINT) AS cb
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT v, ca, cb,
+             SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               - (ca + cb) AS below
+      FROM h
+    ),
+    s AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_pos,
+             CAST(SUM(cb) AS BIGINT) AS n_neg,
+             SUM(ca * (2 * below + ca + cb + 1)) AS r2a
+      FROM c
+    )
+    SELECT n_pos, n_neg,
+           CAST(r2a AS BIGINT) AS r_pos_doubled,
+           CAST(((r2a - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000)
+                // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+             AS auc_ppm
+    FROM s
+    """,
+    ("X-statistics", "A1"),
+)
+def stat_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trapezoidal ROC-AUC of order value as a predictor of
+    URGENT priority (stats.roc_auc): the rank-sum identity with
+    midrank tie credit, in exact ppm. Unlike the quantity test, the
+    score here (price cents) is near-unique per row — the case the
+    two-phase bucketed prefix sum exists for: the distinct-value
+    histogram is fact-cardinality and would OOM/serialize a naive
+    ORDER-BY-everything window on one partition; bucket offsets keep
+    every window bounded (<=1025 buckets globally, per-bucket
+    within)."""
+    from etl_script_spark.operators import stats
+
+    o = t(spark, sf_dir, "orders")
+    from etl_script_spark.plans.catalog import cents
+
+    scored = o.select(
+        F.col("o_orderpriority").startswith("1").alias("is_urgent"),
+        cents(F.col("o_totalprice")).alias("score"),
+    )
+    return stats.roc_auc(scored, "is_urgent", "score")
+
+
+@register(
+    "stat_cohens_kappa",
+    """
+    WITH cells AS (
+      SELECT (CAST(ROUND(l_discount * 100) AS BIGINT) >= 5) AS ra,
+             (CAST(ROUND(l_tax * 100) AS BIGINT) >= 4) AS rb,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ra = rb THEN cnt ELSE 0 END) AS BIGINT)
+               AS agree
+      FROM cells
+    ),
+    chance AS (
+      SELECT SUM(CAST(r.r_k AS HUGEINT) * c.c_k) AS chance_pairs
+      FROM (SELECT ra AS k, SUM(cnt) AS r_k FROM cells GROUP BY ra) r
+      JOIN (SELECT rb AS k, SUM(cnt) AS c_k FROM cells GROUP BY rb) c
+        ON r.k = c.k
+    )
+    SELECT n, agree, CAST(chance_pairs AS BIGINT) AS chance_pairs,
+           CASE WHEN CAST(n AS HUGEINT) * n - chance_pairs = 0 THEN NULL
+                WHEN CAST(n AS HUGEINT) * agree - chance_pairs < 0
+                THEN -CAST((abs(CAST(n AS HUGEINT) * agree - chance_pairs)
+                            * 1000000)
+                           // (CAST(n AS HUGEINT) * n - chance_pairs)
+                           AS BIGINT)
+                ELSE CAST((abs(CAST(n AS HUGEINT) * agree - chance_pairs)
+                           * 1000000)
+                          // (CAST(n AS HUGEINT) * n - chance_pairs)
+                          AS BIGINT)
+           END AS kappa_ppm
+    FROM tot CROSS JOIN chance
+    """,
+    ("X-statistics", "A1"),
+)
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Cohen's kappa between two derived boolean raters — the
+    'discount >= 5%' gate vs the 'tax >= 4%' gate on each lineitem
+    (stats.cohens_kappa): observed vs marginal-implied chance
+    agreement in exact ppm, magnitudes DIVided and the sign
+    reapplied because kappa goes negative on worse-than-chance
+    agreement. The inter-annotator readout an RLHF labeling pipeline
+    runs; one fact aggregation, everything downstream is
+    category-cardinality."""
+    from etl_script_spark.operators import stats
+
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.round(F.col("l_discount") * 100).cast("long") >= 5).alias("ga"),
+        (F.round(F.col("l_tax") * 100).cast("long") >= 4).alias("gb"),
+    )
+    return stats.cohens_kappa(li, "ga", "gb")
