@@ -1088,6 +1088,63 @@ def stress_round7g_textstats(spark):
                                  min_pair_count=2, k=100))
 
 
+def stress_round7h_rankstats(spark):
+    """Decade push for the round-7b batch: rank statistics with a
+    NEAR-UNIQUE score column at 20 M rows (the case the two-phase
+    bucketed prefix sum exists for — a naive global-window rank would
+    sort 20 M distinct values on one partition), Cohen's kappa at
+    20 M rows, linear interpolation over a 10 M-point sparse grid,
+    and PMI collocations at 1 M docs (57 M bigrams).
+    Run: ``python tools/stress_curation.py --round7h``."""
+    import os
+
+    from etl_script_spark.operators import stats, timeseries
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        out.write.mode("overwrite").format("noop").save()
+        print(f"{name}: {time.time()-t0:.1f}s -> {out.count()} rows")
+
+    # near-unique integer scores: xxhash64 over 20 M ids
+    scored = spark.range(20_000_000).select(
+        (F.xxhash64("id") % 1_000_000_000_000).alias("score"),
+        (F.col("id") % 3 == 0).alias("y"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+    run("roc_auc 20M near-unique scores", lambda:
+        stats.roc_auc(scored, "y", "score"))
+    run("mann_whitney 20M near-unique scores", lambda:
+        stats.mann_whitney_u(scored, "g", "score", "a", "b"))
+
+    raters = spark.range(20_000_000).select(
+        F.format_string("c%d", F.xxhash64("id") % 5).alias("a"),
+        F.format_string("c%d", F.xxhash64("id", F.lit(1)) % 5).alias("b"),
+    )
+    run("cohens_kappa 20M rows x 5 cats", lambda:
+        stats.cohens_kappa(raters, "a", "b"))
+
+    # 100k keys x ~100-hour spans, 30% of hours observed
+    obs = spark.range(10_000_000).filter(
+        (F.xxhash64("id") % 10) < 3
+    ).select(
+        (F.col("id") % 100_000).alias("k"),
+        F.timestamp_seconds(F.expr("(id DIV 100000) * 3600")).alias("bucket"),
+        (F.xxhash64("id", F.lit(2)) % 1_000_000).alias("v"),
+    )
+    run("interpolate_linear 100k keys x 100h grid", lambda:
+        timeseries.interpolate_linear(
+            obs, ["k"], "bucket", "v", "1 HOUR", 3600))
+
+    corpus_path = "/tmp/etl_script_spark_io/stress_1000000"
+    if not os.path.exists(corpus_path + "/_SUCCESS"):
+        build(spark, n=1_000_000, out=corpus_path)
+    d = spark.read.parquet(corpus_path)
+    run("pmi_collocations 1M docs", lambda:
+        textstats.pmi_collocations(d, "text", min_count=5, k=100))
+
+
+
 if __name__ == "__main__":
     if "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
@@ -1104,6 +1161,10 @@ if __name__ == "__main__":
     elif "--round6e" in sys.argv:
         spark = get_spark(app_name="stress-round6e")
         stress_round6e_augment(spark)
+        spark.stop()
+    elif "--round7h" in sys.argv:
+        spark = get_spark(app_name="stress-round7h")
+        stress_round7h_rankstats(spark)
         spark.stop()
     elif "--round7g" in sys.argv:
         spark = get_spark(app_name="stress-round7g")
