@@ -345,3 +345,55 @@ def integer_tercile_thresholds(
             F.when(F.col("__cw") * 3 >= 2 * F.col("__tw"), F.col("__v"))
         ).alias("t2"),
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    smoothing: int = 10,
+) -> DataFrame:
+    """Smoothed LEAVE-ONE-OUT target encoding of a categorical
+    feature against an integer (0/1 or integer-scaled) target — the
+    classic high-cardinality encoder, with the row's own target
+    excluded so the encoding cannot leak the label it is predicting:
+
+        enc_ppm(i) = ((S_c − t_i)·1e6 + m·gm_ppm)
+                       DIV (n_c − 1 + m)
+
+    where S_c/n_c are the row's category sum/count, gm_ppm the global
+    target mean in ppm, and m the smoothing pseudo-count (singleton
+    categories fall back entirely to the prior: n_c−1 = 0). All
+    integer arithmetic — exact DECIMAL DIV, no float path — so the
+    encoding is reproducible across engines and row orders (a
+    training-feature contract: the same row must encode identically
+    on backfill and serve).
+
+    Shape: one map-side-combinable aggregation to the category table,
+    one scalar aggregation for the prior, then a category-keyed join
+    back (unhinted — AQE broadcasts the category table when small; at
+    100 TB a billion-category join shuffles on the category key like
+    any other enrichment). Returns df + (cat_n, enc_ppm).
+    """
+    _D = "DECIMAL(38,0)"
+    t = F.col(target_col).cast("long")
+    cat = df.groupBy(F.col(category_col).alias("__cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("cat_n"),
+        F.sum(t).cast("long").alias("__cat_sum"),
+    )
+    g = df.agg(
+        F.count(F.lit(1)).cast("long").alias("__gn"),
+        F.sum(t).cast("long").alias("__gsum"),
+    )
+    joined = df.join(
+        cat, df[category_col] == cat["__cat"]
+    ).crossJoin(F.broadcast(g))
+    gm_ppm = f"(CAST(__gsum AS {_D}) * 1000000) DIV __gn"
+    enc = (
+        f"CAST(((CAST(__cat_sum AS {_D}) - CAST({target_col} AS {_D}))"
+        f" * 1000000 + {smoothing} * ({gm_ppm}))"
+        f" DIV (cat_n - 1 + {smoothing}) AS BIGINT)"
+    )
+    return joined.withColumn("enc_ppm", F.expr(enc)).drop(
+        "__cat", "__cat_sum", "__gn", "__gsum"
+    )

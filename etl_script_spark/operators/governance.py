@@ -280,3 +280,75 @@ def randomized_response_freq(
         )
         .select("value", "true_count", "noisy_count", "est_milli")
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int = 300000,
+) -> DataFrame:
+    """t-closeness audit over the quasi-identifier groups: for each
+    group, the total-variation distance between the group's
+    sensitive-attribute distribution and the whole table's,
+
+        tvd(g) = ½ Σ_s |c_gs/n_g − c_s/N|
+               = ( Σ_s |c_gs·N − c_s·n_g| · 1e6 ) DIV (2·n_g·N)
+
+    in exact ppm (TVD is the categorical Earth-Mover's distance under
+    the 0/1 ground metric — the t-closeness instantiation for
+    unordered sensitive attributes; Li, Li & Venkatasubramanian,
+    ICDE 2007). Complements k-anonymity (group size) and l-diversity
+    (distinct sensitive values): a group can pass both and still leak
+    via a skewed distribution, which is exactly what TVD catches.
+
+    Shape: one aggregation to the (group, sensitive) cell table, a
+    group rollup, and a sensitive-marginal join (sensitive cardinality
+    is small by definition — broadcast); sensitive values ABSENT from
+    a group still contribute |0 − c_s·n_g|, picked up via the marginal
+    total rather than a dense group×sensitive cross join: Σ_s∉g c_s =
+    N − Σ_s∈g c_s, so the missing mass folds to one exact term.
+
+    Returns (quasi_cols..., n, tvd_ppm, breach) with breach =
+    tvd_ppm > t_ppm.
+    """
+    _D = "DECIMAL(38,0)"
+    cells = df.groupBy(
+        *[F.col(c) for c in quasi_cols],
+        F.col(sensitive_col).alias("__s"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c_gs"))
+    marg = cells.groupBy(F.col("__s").alias("__s2")).agg(
+        F.sum("__c_gs").cast("long").alias("__c_s")
+    )
+    tot = marg.agg(F.sum("__c_s").cast("long").alias("__N"))
+    grp = cells.groupBy(*quasi_cols).agg(
+        F.sum("__c_gs").cast("long").alias("n")
+    )
+    present = (
+        cells.join(F.broadcast(marg), F.col("__s") == F.col("__s2"))
+        .join(grp, quasi_cols)
+        .crossJoin(F.broadcast(tot))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("__c_gs").cast(_D) * F.col("__N")
+                    - F.col("__c_s").cast(_D) * F.col("n")
+                )
+            ).alias("__present_dev"),
+            # mass of sensitive values present in the group, for the
+            # absent-category term: Σ_{s absent} c_s·n_g
+            F.sum(F.col("__c_s").cast(_D)).alias("__marg_present"),
+        )
+    )
+    out = grp.join(present, quasi_cols).crossJoin(F.broadcast(tot))
+    tvd = (
+        f"CAST(((__present_dev + (CAST(__N AS {_D}) - __marg_present)"
+        f" * n) * 1000000) DIV (2 * CAST(n AS {_D}) * __N) AS BIGINT)"
+    )
+    return out.select(
+        *quasi_cols,
+        "n",
+        F.expr(tvd).alias("tvd_ppm"),
+        (F.expr(tvd) > F.lit(t_ppm)).alias("breach"),
+    )

@@ -271,3 +271,135 @@ def flatten_hierarchy(
         "node", F.col("anc").alias("root"), "depth",
         F.col("psum").alias("path_sum"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source breadth-first hop distance, fixed-iteration: every
+    vertex gets the length of the shortest edge path from ANY source
+    vertex, capped at ``max_hops`` (unreached vertices report NULL).
+    The blast-radius / influence-frontier primitive (which records are
+    within k links of a flagged entity?).
+
+    Iteration i computes dist_{i+1}(v) = min(dist_i(v), 1 + min over
+    in-edges of dist_i(u)) — a join + min-aggregation per round, the
+    textbook relational BFS. Per round: one shuffle join of the edge
+    list against the current frontier table and one map-side-combined
+    min; ``localCheckpoint(eager=False)`` truncates the lineage per
+    round like pagerank, so max_hops rounds never stack a deep plan.
+    Distances are small integers; everything is exact and engine-
+    independent (min is order-free), so an unrolled recursive-CTE
+    oracle replays it bit-for-bit.
+
+    ``sources`` must carry one column named ``vertex``. Returns
+    (vertex, hops) for ALL vertices of the edge set.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    dist = verts.join(
+        sources.select(F.col("vertex"), F.lit(0).alias("__d")).distinct(),
+        "vertex",
+        "left",
+    ).select("vertex", F.col("__d").alias("hops")).localCheckpoint(
+        eager=False
+    )
+    for _i in range(max_hops):
+        relaxed = (
+            e.join(dist, e["src"] == dist["vertex"], "inner")
+            .filter(F.col("hops").isNotNull())
+            .select(
+                F.col("dst").alias("vertex"),
+                (F.col("hops") + 1).alias("__cand"),
+            )
+            .groupBy("vertex")
+            .agg(F.min("__cand").alias("__cand"))
+        )
+        dist = (
+            dist.join(relaxed, "vertex", "left")
+            .select(
+                "vertex",
+                # F.least skips NULLs: an unreached vertex with a new
+                # candidate takes the candidate; both NULL stays NULL
+                F.least(F.col("hops"), F.col("__cand")).alias("hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (LPA) community detection over
+    the UNDIRECTED view of the edge list, deterministic variant:
+    every vertex starts as its own label; each round, a vertex adopts
+    the most frequent label among its neighbors, ties broken by the
+    SMALLEST label (the determinism knob — vanilla LPA breaks ties
+    randomly and is irreproducible, useless for an oracle-checked
+    engine). Fixed ``iters`` rounds, no convergence test (synchronous
+    LPA can oscillate on bipartite-ish structure; a fixed horizon is
+    the standard production cut, cf. GraphX/GraphFrames LPA).
+
+    Distinct from connected components (dedup.cc_*): CC merges
+    everything reachable; LPA's mode-vote keeps densely-knit groups
+    apart even when bridged by a few edges — the community shape
+    collusion/abuse detection wants. Per round: one shuffle join
+    frontier←edges, one (vertex,label) count, one max_by-style
+    argmax via the (cnt desc, label asc) struct-max trick — all
+    map-side combinable, lineage truncated per round.
+
+    Returns (vertex, label).
+    """
+    fwd = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    )
+    und = (
+        fwd.unionByName(
+            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    verts = und.select(F.col("a").alias("vertex")).distinct()
+    labels = verts.select(
+        "vertex", F.col("vertex").alias("label")
+    ).localCheckpoint(eager=False)
+    for _i in range(iters):
+        votes = (
+            und.join(labels, und["b"] == labels["vertex"], "inner")
+            .select(F.col("a").alias("v"), "label")
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax by (cnt desc, label asc): max of (cnt, -label) struct
+        winner = votes.groupBy("v").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))
+            .alias("__w")
+        ).select(
+            F.col("v").alias("vertex"),
+            (-F.col("__w.nl")).alias("label"),
+        )
+        labels = (
+            verts.join(winner, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce(F.col("label"), F.col("vertex")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

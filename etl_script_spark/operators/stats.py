@@ -419,3 +419,203 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             f" WHEN {num} < 0 THEN -{mag} ELSE {mag} END"
         ).alias("kappa_ppm"),
     )
+
+
+def isqrt_column(d: F.Column) -> F.Column:
+    """Exact integer square root of a non-negative DECIMAL(38,0)
+    column: seed with the double sqrt, then snap to the true floor
+    with a ±2 integer-comparison window. The seed's only error
+    sources are the decimal→double cast (≤1 ulp, and engines may
+    round that cast differently — the reason a bare FLOOR(SQRT(x))
+    is NOT cross-engine safe) and the IEEE sqrt (correctly rounded);
+    for d ≤ ~1e30 the combined absolute error is ≪ 1, so the window
+    always contains the true floor and the comparisons — pure
+    integer arithmetic — pick it identically on every engine.
+
+    Inputs above ~1e30 would need a wider window (seed ulp grows past
+    the correction range); callers pre-scale to stay under it.
+    """
+    s0 = F.floor(F.sqrt(d.cast("double"))).cast(_D)
+
+    def _le(s: F.Column) -> F.Column:
+        return (s * s) <= d
+
+    return (
+        F.when(_le(s0 + 2), s0 + 2)
+        .when(_le(s0 + 1), s0 + 1)
+        .when(_le(s0), s0)
+        .when(_le(s0 - 1), s0 - 1)
+        .otherwise(s0 - 2)
+    )
+
+
+def _isqrt_sql(d: str, big: str = "HUGEINT") -> str:
+    """The DuckDB twin of :func:`isqrt_column` as a SQL fragment
+    (``d`` must be a bare column reference to keep the text sane)."""
+    s0 = f"CAST(FLOOR(SQRT(CAST({d} AS DOUBLE))) AS {big})"
+    return (
+        f"(CASE WHEN ({s0}+2)*({s0}+2) <= {d} THEN {s0}+2"
+        f" WHEN ({s0}+1)*({s0}+1) <= {d} THEN {s0}+1"
+        f" WHEN {s0}*{s0} <= {d} THEN {s0}"
+        f" WHEN ({s0}-1)*({s0}-1) <= {d} THEN {s0}-1"
+        f" ELSE {s0}-2 END)"
+    )
+
+
+def corr_ppb_from_suffstats(n, sx, sy, sxx, syy, sxy) -> F.Column:
+    """Pearson correlation from exact integer sufficient statistics,
+    reported in ppb under the repo's deterministic integer-sqrt
+    convention (bit-identical on any engine, any row order):
+
+        num = n·Sxy − Sx·Sy            (exact, may be negative)
+        a   = |num| fdiv n
+        qx  = (n·Sxx − Sx²) fdiv n      (qy likewise)
+        kx  = 1e9 if qx ≤ 1e9, 1e6 if ≤ 1e15, 1e3 if ≤ 1e21, else 1
+        bx  = isqrt(qx·kx²)             (by likewise)
+        corr_ppb = sign(num) · (a·kx·ky·1e9) fdiv (bx·by)
+
+    ``fdiv`` is exact decimal floor division, (x − x%y)/y — NOT the
+    SQL DIV operator, whose LONG result silently wraps past 9.2e18
+    (these quotients reach ~4n³); subtracting the remainder first
+    makes the decimal '/' exact (nothing to round), and DuckDB's
+    HUGEINT ``//`` is its bit-exact twin on the non-negative operands
+    used here. The k-ladder (pure integer comparisons — deterministic
+    on every engine, unlike a float log) pre-scales small denominators
+    so the isqrt truncation costs ≤ ~3e-11 relative instead of the
+    ~1/√q bias a bare isqrt has on short series (a 50-point perfect
+    monotone would read 1.0008 without it), while the biggest rung
+    keeps qx·kx² within the isqrt ±2-window bound (≤1e30). Valid to
+    n ≈ 3e9 rows of ~2n-scaled ranks per group (a·1e9 needs 38
+    digits); beyond that the decimal products overflow to NULL rather
+    than silently wrapping. Degenerate inputs (constant column:
+    den 0) report NULL. All six inputs must already be DECIMAL(38,0)
+    columns.
+    """
+    num = n * sxy - sx * sy
+
+    def fdiv(x: F.Column, y: F.Column) -> F.Column:
+        return ((x - (x % y)) / y).cast(_D)
+
+    def ladder(q: F.Column) -> F.Column:
+        t21 = F.lit(10**15).cast(_D) * F.lit(10**6)
+        return (
+            F.when(q <= F.lit(10**9), F.lit(10**9))
+            .when(q <= F.lit(10**15), F.lit(10**6))
+            .when(q <= t21, F.lit(10**3))
+            .otherwise(F.lit(1))
+            .cast(_D)
+        )
+
+    a = fdiv(F.abs(num), n)
+    qx = fdiv(n * sxx - sx * sx, n)
+    qy = fdiv(n * syy - sy * sy, n)
+    kx = ladder(qx)
+    ky = ladder(qy)
+    bx = isqrt_column(qx * kx * kx)
+    by = isqrt_column(qy * ky * ky)
+    mag = fdiv(a * kx * ky * F.lit(1000000000).cast(_D), bx * by)
+    return (
+        F.when((bx * by) == 0, F.lit(None))
+        .when(num < 0, -mag)
+        .otherwise(mag)
+        .cast("long")
+    )
+
+
+def _bucketed_below(h: DataFrame, n_buckets: int = 1024) -> DataFrame:
+    """Two-phase distributed prefix sum over a value histogram
+    ``(v long, c long)``: adds ``__below`` = total count strictly
+    below each value, without ever sorting the full distinct-value
+    set on one partition (same machinery as _doubled_midrank_sums —
+    equal-width buckets give per-bucket totals whose exclusive
+    prefix, computed on the ≤n_buckets+1-row bucket table only,
+    broadcasts back as offsets; the within-bucket window partitions
+    by bucket)."""
+    bounds = h.agg(F.min("v").alias("v0"), F.max("v").alias("v1"))
+    wexpr = f"greatest((v1 - v0 + {n_buckets}) DIV {n_buckets}, 1)"
+    hb = h.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bkt", F.expr(f"(v - v0) DIV {wexpr}")
+    )
+    per_bucket = hb.groupBy("__bkt").agg(F.sum("c").alias("__bn"))
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "__bkt",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hb.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            "__below",
+            F.col("__off") + F.sum("c").over(w_in) - F.col("c"),
+        )
+        .drop("__bkt")
+    )
+
+
+def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Exact-deterministic Spearman rank correlation between two
+    integer-valued columns, with average-rank (midrank) tie handling
+    — the nonparametric monotone-association readout (quality score
+    vs downstream grade, doc length vs dedup cluster size) that
+    Pearson gets wrong on skewed data.
+
+    Ranks are never materialized per row: the data folds to a
+    per-(x,y)-PAIR histogram (one map-side-combined aggregation);
+    each marginal's doubled midranks come from a histogram +
+    two-phase bucketed prefix sum (see _bucketed_below — no global
+    sort at any cardinality); the pair histogram joins back to the
+    two ≤distinct-cardinality rank tables (unhinted: AQE broadcasts
+    them when small). Doubling keeps tied midranks (k+½) integral,
+    and doubling both axes cancels in ρ. The reported ``rho_ppb``
+    follows the corr_ppb_from_suffstats integer-sqrt convention —
+    bit-identical across engines, within a few ppb of true ρ.
+
+    Returns one row (n, rho_ppb).
+    """
+    pairs = (
+        df.select(
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    hx = pairs.groupBy(F.col("x").alias("v")).agg(
+        F.sum("cnt").cast("long").alias("c")
+    )
+    hy = pairs.groupBy(F.col("y").alias("v")).agg(
+        F.sum("cnt").cast("long").alias("c")
+    )
+    rx = _bucketed_below(hx).select(
+        F.col("v").alias("__xv"),
+        (2 * F.col("__below") + F.col("c") + 1).cast(_D).alias("dx"),
+    )
+    ry = _bucketed_below(hy).select(
+        F.col("v").alias("__yv"),
+        (2 * F.col("__below") + F.col("c") + 1).cast(_D).alias("dy"),
+    )
+    joined = pairs.join(rx, pairs["x"] == rx["__xv"]).join(
+        ry, pairs["y"] == ry["__yv"]
+    )
+    c = F.col("cnt").cast(_D)
+    s = joined.agg(
+        F.sum(c).alias("n"),
+        F.sum(c * F.col("dx")).alias("sx"),
+        F.sum(c * F.col("dy")).alias("sy"),
+        F.sum(c * F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(c * F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(c * F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        corr_ppb_from_suffstats(
+            F.col("n"), F.col("sx"), F.col("sy"),
+            F.col("sxx"), F.col("syy"), F.col("sxy"),
+        ).alias("rho_ppb"),
+    )

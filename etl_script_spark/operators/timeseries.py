@@ -365,3 +365,80 @@ def interpolate_linear(
         filled.cast("long").alias(value_col),
         v.isNull().alias("interpolated"),
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-key sample autocorrelation of an INTEGER-scaled series at
+    lags 1..max_lag — the periodicity / stickiness readout (is
+    yesterday's value predictive? does the metric cycle?) computed
+    the way a distributed engine should: every lagged copy comes
+    from ONE window sort per key (max_lag ``lag()`` expressions
+    share the same (key, order) frame, so Spark plans a single
+    shuffle + sort), the copies unpivot via an inline array explode
+    (max_lag ≤ a handful — output stays corpus-linear), and each
+    (key, lag) folds to the six exact integer sufficient statistics.
+    ``corr_ppb`` follows the corr_ppb_from_suffstats integer-sqrt
+    convention: bit-identical across engines, a few ppb of true r.
+
+    This is the lag-k PEARSON over the aligned pairs (the standard
+    sample ACF up to edge-effect normalization choices — each lag
+    normalizes over its own n−k pairs, the 'corrected' estimator).
+    ``order_cols`` must be a deterministic total order within each
+    key (add a tiebreak id when timestamps can collide). NULL values
+    drop with their pairs.
+
+    Returns (key_cols..., lag, n, corr_ppb).
+    """
+    from etl_script_spark.operators.stats import corr_ppb_from_suffstats
+
+    _D = "DECIMAL(38,0)"
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    lagged = df.select(
+        *key_cols,
+        v.alias("__v"),
+        *[F.lag(v, k).over(w).alias(f"__l{k}") for k in range(1, max_lag + 1)],
+    )
+    stacked = lagged.select(
+        *key_cols,
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col(f"__l{k}").alias("__p"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("__e"),
+    ).select(*key_cols, "__v", "__e.lag", "__e.__p")
+    pairs = stacked.filter(
+        F.col("__p").isNotNull() & F.col("__v").isNotNull()
+    )
+    x = F.col("__v").cast(_D)
+    y = F.col("__p").cast(_D)
+    s = pairs.groupBy(*key_cols, "lag").agg(
+        F.count(F.lit(1)).cast(_D).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    return s.select(
+        *key_cols,
+        "lag",
+        F.col("__n").cast("long").alias("n"),
+        corr_ppb_from_suffstats(
+            F.col("__n"), F.col("__sx"), F.col("__sy"),
+            F.col("__sxx"), F.col("__syy"), F.col("__sxy"),
+        ).alias("corr_ppb"),
+    )

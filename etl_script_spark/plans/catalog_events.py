@@ -588,3 +588,266 @@ def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversations.top_paths(
         ev, "user_id", "ts", "event_type", "event_id", depth=3, k=20
     )
+
+
+from etl_script_spark.plans.catalog_quality import _corr_oracle_tail  # noqa: E402
+
+
+@register(
+    "ts_acf_lags",
+    """
+    WITH base AS (
+      SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS v,
+             ts, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagd AS (
+      SELECT user_id, v,
+             LAG(v, 1) OVER w AS l1,
+             LAG(v, 2) OVER w AS l2,
+             LAG(v, 3) OVER w AS l3
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (
+      SELECT user_id, 1 AS lag, v, l1 AS p FROM lagd WHERE l1 IS NOT NULL
+      UNION ALL
+      SELECT user_id, 2, v, l2 FROM lagd WHERE l2 IS NOT NULL
+      UNION ALL
+      SELECT user_id, 3, v, l3 FROM lagd WHERE l3 IS NOT NULL
+    ),
+    st AS (
+      SELECT user_id, lag, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(v AS HUGEINT)) AS sx, SUM(CAST(p AS HUGEINT)) AS sy,
+             SUM(CAST(v AS HUGEINT) * v) AS sxx,
+             SUM(CAST(p AS HUGEINT) * p) AS syy,
+             SUM(CAST(v AS HUGEINT) * p) AS sxy
+      FROM pairs GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT user_id, lag, n, n * sxy - sx * sy AS num,
+             (n * sxx - sx * sx) // n AS qx,
+             (n * syy - sy * sy) // n AS qy
+      FROM st
+    )"""
+    + _corr_oracle_tail(keys="user_id, lag,", out="corr_ppb"),
+    ("TS-acf",),
+)
+def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user autocorrelation of the event value signal at lags
+    1-3 (timeseries.acf_lags): the stickiness/periodicity readout,
+    computed from ONE window sort per user (three lag() expressions
+    share the frame), an inline explode to (user, lag) pairs, and
+    six exact integer sufficient statistics per group; corr_ppb
+    under the integer-sqrt convention — bit-identical to the
+    oracle's plain-SQL replay. NULL values pre-filtered so lag
+    offsets count the same rows on both engines."""
+    from etl_script_spark.operators import timeseries as ts_ops2
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id", "ts", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    return ts_ops2.acf_lags(
+        ev, ["user_id"], ["ts", "event_id"], "v", max_lag=3
+    )
+
+
+@register(
+    "ev_attribution_linear",
+    """
+    WITH base AS (
+      SELECT user_id, event_type, value,
+             date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+               AS tsec
+      FROM events
+    ),
+    wcnt AS (
+      SELECT user_id, event_type, value,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER w AS nc,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER w AS nv
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                   RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (
+      SELECT COALESCE(nc, 0) AS nc, COALESCE(nv, 0) AS nv,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM wcnt WHERE event_type = 'purchase'
+    )
+    SELECT 'click' AS channel,
+           CAST(COALESCE(SUM(CASE WHEN nc + nv > 0
+                 THEN (nc * 1000000) // (nc + nv) ELSE 0 END), 0)
+                AS BIGINT) AS credit_ppm,
+           CAST(COALESCE(SUM(CASE WHEN nc + nv > 0
+                 THEN cents * ((nc * 1000000) // (nc + nv)) ELSE 0 END), 0)
+                AS BIGINT) AS revenue_cents_ppm
+    FROM p
+    UNION ALL
+    SELECT 'view',
+           CAST(COALESCE(SUM(CASE WHEN nc + nv > 0
+                 THEN (nv * 1000000) // (nc + nv) ELSE 0 END), 0)
+                AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN nc + nv > 0
+                 THEN cents * ((nv * 1000000) // (nc + nv)) ELSE 0 END), 0)
+                AS BIGINT)
+    FROM p
+    UNION ALL
+    SELECT 'direct',
+           CAST(COALESCE(SUM(CASE WHEN nc + nv = 0
+                 THEN 1000000 ELSE 0 END), 0) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN nc + nv = 0
+                 THEN cents * 1000000 ELSE 0 END), 0) AS BIGINT)
+    FROM p
+    """,
+    ("EV-attribution",),
+)
+def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — each purchase splits its
+    credit equally (exact integer ppm) across every click/view in
+    its 7-day lookback, vs last-touch's winner-take-all: the
+    touch counts come from two SUM-CASE expressions over ONE
+    range-frame window per user (seconds-granularity bounds
+    [-604800, -1], identical peer semantics on both engines), so no
+    purchase-to-touch self-join ever materializes — per purchase the
+    credit is count-based, not row-expanded, which is what keeps an
+    arbitrarily long history linear. Truncation makes per-purchase
+    channel credits sum to ≤1e6 (documented convention)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value",
+        F.unix_timestamp("ts").alias("tsec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec")
+        .rangeBetween(-604800, -1)
+    )
+    wcnt = ev.select(
+        "event_type", "value",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .over(w), F.lit(0),
+        ).alias("nc"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .over(w), F.lit(0),
+        ).alias("nv"),
+    )
+    p = wcnt.filter(F.col("event_type") == "purchase").select(
+        "nc", "nv",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tot = F.col("nc") + F.col("nv")
+    share = {
+        "click": F.expr("(nc * 1000000) DIV (nc + nv)"),
+        "view": F.expr("(nv * 1000000) DIV (nc + nv)"),
+    }
+    rows = []
+    for ch, sh in share.items():
+        credit = F.when(tot > 0, sh).otherwise(F.lit(0))
+        rows.append(
+            p.agg(
+                F.lit(ch).alias("channel"),
+                F.coalesce(F.sum(credit), F.lit(0))
+                .cast("long").alias("credit_ppm"),
+                F.coalesce(F.sum(F.col("cents") * credit), F.lit(0))
+                .cast("long").alias("revenue_cents_ppm"),
+            )
+        )
+    direct = F.when(tot == 0, F.lit(1000000)).otherwise(F.lit(0))
+    rows.append(
+        p.agg(
+            F.lit("direct").alias("channel"),
+            F.coalesce(F.sum(direct), F.lit(0))
+            .cast("long").alias("credit_ppm"),
+            F.coalesce(F.sum(F.col("cents") * direct), F.lit(0))
+            .cast("long").alias("revenue_cents_ppm"),
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "ev_bot_detect",
+    """
+    WITH base AS (
+      SELECT user_id, event_type,
+             date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+               AS tsec
+      FROM events
+    ),
+    b AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY tsec
+                            RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+               AS burst
+      FROM base
+    ),
+    mb AS (
+      SELECT user_id, CAST(MAX(burst) AS BIGINT) AS max_burst_60s
+      FROM b GROUP BY 1
+    ),
+    tc AS (
+      SELECT user_id, event_type, COUNT(*) AS c FROM base GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST((CAST(MAX(c) AS HUGEINT) * 1000000) // SUM(c)
+                  AS BIGINT) AS top_type_ppm
+      FROM tc GROUP BY 1
+    )
+    SELECT t.user_id, n_events, max_burst_60s, top_type_ppm,
+           (max_burst_60s >= 20
+            OR (n_events >= 50 AND top_type_ppm >= 900000)) AS is_bot
+    FROM top t JOIN mb USING (user_id)
+    """,
+    ("EV-bot",),
+)
+def ev_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic bot/abuse flagging per user: the max event count in
+    any rolling 60-second window (range-frame count over the same
+    per-user second-ordered sort every other event op uses) plus the
+    top-event-type concentration in exact ppm — a user firing ≥20
+    events in a minute, or ≥50 events that are ≥90% one type, flags.
+    The pre-training-curation counterpart of the documents quality
+    gate, on behavioral data: two aggregations and one window, all
+    user-partitioned, no self-joins."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("tsec")
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec")
+        .rangeBetween(-59, 0)
+    )
+    mb = (
+        ev.select("user_id", F.count(F.lit(1)).over(wb).alias("burst"))
+        .groupBy("user_id")
+        .agg(F.max("burst").cast("long").alias("max_burst_60s"))
+    )
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    top = tc.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.expr(
+            "CAST((CAST(MAX(c) AS DECIMAL(38,0)) * 1000000) DIV SUM(c)"
+            " AS BIGINT)"
+        ).alias("top_type_ppm"),
+    )
+    return top.join(mb, "user_id").select(
+        "user_id", "n_events", "max_burst_60s", "top_type_ppm",
+        (
+            (F.col("max_burst_60s") >= 20)
+            | ((F.col("n_events") >= 50) & (F.col("top_type_ppm") >= 900000))
+        ).alias("is_bot"),
+    )

@@ -2180,3 +2180,139 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.interpolate_linear(
         agg, ["user_id"], "bucket", "v", "1 HOUR", 3600
     )
+
+
+def _bfs_oracle(max_hops: int) -> str:
+    head = """
+    WITH e AS (
+      SELECT s_suppkey AS src, (s_suppkey * 11 + 3) % 100 AS dst
+      FROM supplier WHERE s_suppkey < 100
+      UNION ALL
+      SELECT s_suppkey, (s_suppkey * 17 + 5) % 100
+      FROM supplier WHERE s_suppkey < 100
+    ),
+    v AS (SELECT DISTINCT src AS vertex FROM e
+          UNION SELECT DISTINCT dst FROM e),
+    d0 AS (SELECT vertex,
+                  CASE WHEN vertex % 25 = 0 THEN 0 END AS hops
+           FROM v)"""
+    iters = []
+    for i in range(1, max_hops + 1):
+        p = f"d{i - 1}"
+        iters.append(f"""
+    d{i} AS (
+      SELECT v.vertex,
+             CASE WHEN p.hops IS NULL THEN m.c
+                  WHEN m.c IS NULL THEN p.hops
+                  WHEN p.hops < m.c THEN p.hops ELSE m.c END AS hops
+      FROM v
+      JOIN {p} p ON v.vertex = p.vertex
+      LEFT JOIN (SELECT e.dst AS vertex, MIN(p2.hops) + 1 AS c
+                 FROM e JOIN {p} p2 ON e.src = p2.vertex
+                 WHERE p2.hops IS NOT NULL
+                 GROUP BY e.dst) m ON v.vertex = m.vertex
+    )""")
+    return (
+        head + "," + ",".join(iters)
+        + f"\n    SELECT vertex, CAST(hops AS INTEGER) AS hops"
+          f" FROM d{max_hops}"
+    )
+
+
+@register("graph_bfs_hops", _bfs_oracle(4), ("X-graph",))
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (graph.bfs_hops) over a
+    deterministic 2-out-regular supplier graph, sources = every
+    vertex ≡ 0 (mod 25), capped at 4 hops — the blast-radius
+    primitive. One frontier join + min-aggregation per round with
+    per-round lineage truncation; min is order-free so the unrolled
+    4-CTE oracle replays it exactly, including NULLs for vertices
+    the frontier never reaches."""
+    from etl_script_spark.operators import graph
+
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 100)
+        .select("s_suppkey")
+    )
+    k = F.col("s_suppkey")
+    edges = s.select(
+        k.alias("src"), ((k * 11 + 3) % 100).alias("dst")
+    ).unionByName(
+        s.select(k.alias("src"), ((k * 17 + 5) % 100).alias("dst"))
+    )
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    sources = verts.filter(F.col("vertex") % 25 == 0)
+    return graph.bfs_hops(edges, sources, max_hops=4).select(
+        "vertex", F.col("hops").cast("int").alias("hops")
+    )
+
+
+def _lpa_oracle(iters: int) -> str:
+    head = """
+    WITH fwd AS (
+      SELECT s_suppkey AS a, (s_suppkey * 7 + 1) % 100 AS b
+      FROM supplier WHERE s_suppkey < 100
+      UNION ALL
+      SELECT s_suppkey, (s_suppkey * 13 + 2) % 100
+      FROM supplier WHERE s_suppkey < 100
+    ),
+    und AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT a, b FROM fwd UNION ALL SELECT b, a FROM fwd
+      ) WHERE a <> b
+    ),
+    v AS (SELECT DISTINCT a AS vertex FROM und),
+    l0 AS (SELECT vertex, vertex AS label FROM v)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        p = f"l{i - 1}"
+        rounds.append(f"""
+    l{i} AS (
+      SELECT v.vertex, COALESCE(w.label, v.vertex) AS label
+      FROM v LEFT JOIN (
+        SELECT a, label FROM (
+          SELECT u.a, p.label,
+                 ROW_NUMBER() OVER (PARTITION BY u.a
+                                    ORDER BY COUNT(*) DESC, p.label ASC)
+                   AS rn
+          FROM und u JOIN {p} p ON u.b = p.vertex
+          GROUP BY u.a, p.label
+        ) q WHERE rn = 1
+      ) w ON v.vertex = w.a
+    )""")
+    return (
+        head + "," + ",".join(rounds)
+        + f"\n    SELECT vertex, label FROM l{iters}"
+    )
+
+
+@register("graph_label_propagation", _lpa_oracle(3), ("X-graph",))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (graph.label_propagation) over the undirected supplier graph, 3
+    rounds: each vertex adopts its neighbors' modal label, ties to
+    the smallest (vanilla LPA's random tie-break is useless under an
+    oracle contract). Distinct from connected components: the
+    mode-vote keeps dense communities apart across bridge edges.
+    Per round one join + one count + one struct-max argmax, all
+    map-side combinable; the oracle unrolls the rounds as
+    ROW_NUMBER-over-count CTEs."""
+    from etl_script_spark.operators import graph
+
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 100)
+        .select("s_suppkey")
+    )
+    k = F.col("s_suppkey")
+    edges = s.select(
+        k.alias("src"), ((k * 7 + 1) % 100).alias("dst")
+    ).unionByName(
+        s.select(k.alias("src"), ((k * 13 + 2) % 100).alias("dst"))
+    )
+    return graph.label_propagation(edges, iters=3)

@@ -930,3 +930,208 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("l_tax") * 100).cast("long") >= 4).alias("gb"),
     )
     return stats.cohens_kappa(li, "ga", "gb")
+
+
+from etl_script_spark.operators.stats import _isqrt_sql  # noqa: E402
+
+_CORR_LADDER_SQL = """
+    CASE WHEN {q} <= 1000000000 THEN 1000000000
+         WHEN {q} <= 1000000000000000 THEN 1000000
+         WHEN {q} <= 1000000000000000000000 THEN 1000
+         ELSE 1 END"""
+
+_CORR_TAIL_SQL = """
+    SELECT {keys} CAST(n AS BIGINT) AS n,
+           CASE WHEN bx * byy = 0 THEN NULL
+                WHEN num < 0
+                THEN -CAST(((abs(num) // n) * kx * ky * 1000000000)
+                           // (bx * byy) AS BIGINT)
+                ELSE CAST(((abs(num) // n) * kx * ky * 1000000000)
+                          // (bx * byy) AS BIGINT)
+           END AS {out}
+    FROM b
+"""
+
+
+def _corr_oracle_tail(keys: str = "", out: str = "corr_ppb") -> str:
+    """DuckDB twin of stats.corr_ppb_from_suffstats, as the final CTE
+    stages: expects a CTE ``d`` with columns (keys..., n, num, qx,
+    qy) — all HUGEINT, num = n·Sxy−Sx·Sy, qx/qy the n-downscaled
+    denominators — and emits the k-ladder stage, the ±2-corrected
+    integer sqrts (``byy`` because BY is reserved) and the final
+    select. Arithmetic mirrors the Spark convention bit-for-bit."""
+    kx = _CORR_LADDER_SQL.format(q="qx")
+    ky = _CORR_LADDER_SQL.format(q="qy")
+    return (
+        f", s2 AS (SELECT {keys} n, num, {kx} AS kx, {ky} AS ky,\n"
+        f"         qx * {kx} * {kx} AS qxs, qy * {ky} * {ky} AS qys\n"
+        f"         FROM d)\n"
+        f", b AS (SELECT {keys} n, num, kx, ky, {_isqrt_sql('qxs')} AS bx,"
+        f" {_isqrt_sql('qys')} AS byy FROM s2)\n"
+        + _CORR_TAIL_SQL.format(keys=keys, out=out)
+    )
+
+
+@register(
+    "stat_spearman_rho",
+    """
+    WITH p AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(COUNT(*) AS HUGEINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rx AS (
+      SELECT v, 2 * (SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                     - c) + c + 1 AS dx
+      FROM (SELECT x AS v, SUM(cnt) AS c FROM p GROUP BY 1)
+    ),
+    ry AS (
+      SELECT v, 2 * (SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                     - c) + c + 1 AS dy
+      FROM (SELECT y AS v, SUM(cnt) AS c FROM p GROUP BY 1)
+    ),
+    s AS (
+      SELECT SUM(cnt) AS n, SUM(cnt * dx) AS sx, SUM(cnt * dy) AS sy,
+             SUM(cnt * dx * dx) AS sxx, SUM(cnt * dy * dy) AS syy,
+             SUM(cnt * dx * dy) AS sxy
+      FROM p JOIN rx ON p.x = rx.v JOIN ry ON p.y = ry.v
+    ),
+    d AS (
+      SELECT n, n * sxy - sx * sy AS num,
+             (n * sxx - sx * sx) // n AS qx,
+             (n * syy - sy * sy) // n AS qy
+      FROM s
+    )"""
+    + _corr_oracle_tail(out="rho_ppb"),
+    ("X-statistics", "A1"),
+)
+def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line quantity (1-50, heavy
+    ties) and extended price cents (near-unique) — stats.spearman_rho:
+    midrank ties via doubled integer ranks from a histogram +
+    two-phase bucketed prefix sum (no per-row ranks, no global sort),
+    Pearson on the ranks from six exact integer sufficient
+    statistics, and rho in ppb under the deterministic integer-sqrt
+    convention (a bare FLOOR(SQRT()) would not be cross-engine safe;
+    the ±2 integer correction window is)."""
+    from etl_script_spark.operators import stats
+    from etl_script_spark.plans.catalog import cents
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        cents(F.col("l_extendedprice")).alias("y"),
+    )
+    return stats.spearman_rho(li, "x", "y")
+
+
+@register(
+    "feat_target_encode_loo",
+    """
+    WITH j AS (
+      SELECT o_orderkey, c_nationkey,
+             CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS t
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cat AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cat_n,
+             CAST(SUM(t) AS HUGEINT) AS s
+      FROM j GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS gn,
+             CAST(SUM(t) AS HUGEINT) AS gs
+      FROM j
+    )
+    SELECT o_orderkey, j.c_nationkey, cat_n,
+           CAST(((s - t) * 1000000 + 10 * ((gs * 1000000) // gn))
+                // (cat_n - 1 + 10) AS BIGINT) AS enc_ppm
+    FROM j JOIN cat ON j.c_nationkey = cat.c_nationkey CROSS JOIN g
+    """,
+    ("X-features",),
+)
+def feat_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed leave-one-out target encoding of customer nation
+    against the urgent-priority flag (features.target_encode_loo):
+    the row's own label is excluded from its category mean so the
+    feature cannot leak its target, the m=10 pseudo-count prior
+    shrinks small nations toward the global rate, and every step is
+    exact integer DECIMAL arithmetic — the same row encodes
+    identically on any engine, backfill or serve. One category
+    aggregation + one unhinted join back."""
+    from etl_script_spark.operators import features
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.when(F.col("o_orderpriority").startswith("1"), 1)
+        .otherwise(0).alias("t"),
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "c_nationkey", "t"
+    )
+    return features.target_encode_loo(j, "c_nationkey", "t").select(
+        "o_orderkey", "c_nationkey", "cat_n", "enc_ppm"
+    )
+
+
+@register(
+    "gov_t_closeness",
+    """
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment,
+             (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+               AS sb
+      FROM customer
+    ),
+    cells AS (
+      SELECT c_nationkey, c_mktsegment, sb,
+             CAST(COUNT(*) AS HUGEINT) AS c_gs
+      FROM c GROUP BY 1, 2, 3
+    ),
+    marg AS (SELECT sb, SUM(c_gs) AS c_s FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(c_s) AS nn FROM marg),
+    grp AS (
+      SELECT c_nationkey, c_mktsegment, SUM(c_gs) AS n
+      FROM cells GROUP BY 1, 2
+    ),
+    pres AS (
+      SELECT cells.c_nationkey, cells.c_mktsegment,
+             SUM(abs(c_gs * nn - c_s * n)) AS dev,
+             SUM(c_s) AS mp
+      FROM cells
+      JOIN marg USING (sb)
+      JOIN grp USING (c_nationkey, c_mktsegment)
+      CROSS JOIN tot
+      GROUP BY 1, 2
+    )
+    SELECT g.c_nationkey, g.c_mktsegment, CAST(g.n AS BIGINT) AS n,
+           CAST(((dev + (nn - mp) * g.n) * 1000000)
+                // (2 * g.n * nn) AS BIGINT) AS tvd_ppm,
+           (((dev + (nn - mp) * g.n) * 1000000)
+            // (2 * g.n * nn)) > 300000 AS breach
+    FROM grp g JOIN pres USING (c_nationkey, c_mktsegment) CROSS JOIN tot
+    """,
+    ("X-governance",),
+)
+def gov_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of (nation, market segment) groups against
+    the account-balance band (shifted-integer bucketing — floor-vs-
+    truncate never sees a negative): exact total-variation distance
+    in ppm between each group's sensitive distribution and the
+    global one (governance.t_closeness_report), the leak k-anonymity
+    and l-diversity both miss. Sensitive values absent from a group
+    fold into one exact marginal term instead of a dense
+    group-by-sensitive cross join."""
+    from etl_script_spark.operators import governance
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.expr(
+            "(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000)"
+            " DIV 100000"
+        ).alias("sb"),
+    )
+    return governance.t_closeness_report(
+        c, ["c_nationkey", "c_mktsegment"], "sb", t_ppm=300000
+    )
