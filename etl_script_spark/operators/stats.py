@@ -619,3 +619,145 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             F.col("sxx"), F.col("syy"), F.col("sxy"),
         ).alias("rho_ppb"),
     )
+
+
+def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Cramér's V effect size for a contingency table — the
+    normalized chi-square, V = sqrt(χ² / (n·min(r−1, c−1))) — in
+    exact ppm under the isqrt convention: the chi2_contingency cells
+    (per-cell milli-floored, deterministic) fold to one scalar, and
+    V_ppm = isqrt((χ²_milli·1e12) DIV (n·m·1000)). Unlike the raw χ²
+    (unbounded, grows with n) V lands in [0,1] and compares across
+    table sizes — the effect-size companion a drift/bias audit wants
+    next to stat_chi2_independence's significance screen.
+
+    One fact aggregation (the cell table), cell-cardinality work
+    after. Degenerate tables (single row or column category: m = 0)
+    report NULL. Returns one row (n, chi2_milli, df_min, v_ppm).
+    """
+    cells = chi2_contingency(df, row_col, col_col)
+    agg = cells.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.sum("chi2_cell_milli").cast("long").alias("chi2_milli"),
+        (F.least(
+            F.countDistinct("row_val"), F.countDistinct("col_val")
+        ) - 1).cast("long").alias("df_min"),
+    )
+    arg = F.expr(
+        "(CAST(chi2_milli AS DECIMAL(38,0)) * 1000000000000)"
+        " DIV (CAST(n AS DECIMAL(38,0)) * df_min * 1000)"
+    ).cast(_D)
+    return agg.select(
+        "n", "chi2_milli", "df_min",
+        F.when(F.col("df_min") <= 0, F.lit(None))
+        .otherwise(isqrt_column(arg))
+        .cast("long")
+        .alias("v_ppm"),
+    )
+
+
+def randomization_test_mean_diff(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    reps: int = 49,
+    seed: str = "rt",
+) -> DataFrame:
+    """Deterministic randomization test for the difference of group
+    means: ``reps`` label reshuffles, each assigning every row to a
+    pseudo-group by an md5 parity bit over (seed, replicate, row id)
+    — the Bernoulli-randomization variant of the permutation test
+    (group sizes vary binomially instead of being held fixed; same
+    null, reproducible across engines/cluster sizes, unlike any
+    rand()-based resample). A replicate is 'as extreme' iff
+    |mean_diff_rep| ≥ |mean_diff_obs|, compared EXACTLY by decimal
+    cross-multiplication (no float division):
+
+        |S_Ar·n_Br − S_Br·n_Ar| · n_A·n_B
+          ≥ |S_A·n_B − S_B·n_A| · n_Ar·n_Br
+
+    Replicates with an empty side count as extreme (conservative).
+    p_ppm = (1 + extreme)·1e6 DIV (reps+1) — the add-one permutation
+    p-value (Phipson & Smyth 2010).
+
+    Shape: one pass for the observed stats; one explode(×reps) + one
+    map-side-combinable aggregation for the null distribution —
+    corpus×reps rows shuffled once on the replicate key. ``reps``
+    bounded (p resolution is 1/(reps+1); 49–199 is standard).
+    Returns one row (n_a, n_b, reps, extreme_reps, p_ppm).
+    """
+    base = df.filter(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("string").alias("__id"),
+        (F.col(group_col) == F.lit(group_a)).alias("__ga"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("__ga"), 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__ga"), F.col("__v")).otherwise(0))
+        .cast(_D).alias("s_a"),
+        F.sum(F.when(~F.col("__ga"), 1).otherwise(0))
+        .cast("long").alias("n_b"),
+        F.sum(F.when(~F.col("__ga"), F.col("__v")).otherwise(0))
+        .cast(_D).alias("s_b"),
+    )
+    reps_col = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias(
+        "__rep"
+    )
+    # parity of the first md5 hex nibble: a pure string predicate both
+    # engines compute identically (the hash_sample idiom)
+    assign = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(seed), F.col("__rep").cast("string"),
+                F.lit("|"), F.col("__id"),
+            )
+        ),
+        1, 1,
+    ).isin("0", "2", "4", "6", "8", "a", "c", "e")
+    per = (
+        base.select("__id", "__v", reps_col)
+        .withColumn("__pa", assign)
+        .groupBy("__rep")
+        .agg(
+            F.sum(F.when(F.col("__pa"), 1).otherwise(0))
+            .cast("long").alias("n_ar"),
+            F.sum(F.when(F.col("__pa"), F.col("__v")).otherwise(0))
+            .cast(_D).alias("s_ar"),
+            F.sum(F.when(~F.col("__pa"), 1).otherwise(0))
+            .cast("long").alias("n_br"),
+            F.sum(F.when(~F.col("__pa"), F.col("__v")).otherwise(0))
+            .cast(_D).alias("s_br"),
+        )
+    )
+    j = per.crossJoin(F.broadcast(obs))
+    lhs = (
+        F.abs(
+            F.col("s_ar") * F.col("n_br") - F.col("s_br") * F.col("n_ar")
+        )
+        * F.col("n_a").cast(_D) * F.col("n_b")
+    )
+    rhs = (
+        F.abs(F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a"))
+        * F.col("n_ar").cast(_D) * F.col("n_br")
+    )
+    extreme = (
+        (F.col("n_ar") == 0) | (F.col("n_br") == 0) | (lhs >= rhs)
+    )
+    return j.groupBy("n_a", "n_b").agg(
+        F.count(F.lit(1)).cast("long").alias("reps"),
+        F.sum(F.when(extreme, 1).otherwise(0))
+        .cast("long").alias("extreme_reps"),
+    ).select(
+        "n_a", "n_b", "reps", "extreme_reps",
+        F.expr(
+            "CAST(((1 + extreme_reps) * 1000000) DIV (reps + 1)"
+            " AS BIGINT)"
+        ).alias("p_ppm"),
+    )

@@ -1841,3 +1841,28 @@ def ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), "vec_idx", "embedding"
     )
     return similarity.maxsim_topk(mv, qv, k=3)
+
+
+from etl_script_spark.operators import wordpiece as wp_ops  # noqa: E402
+
+
+@register(
+    "tok_wordpiece_roundtrip",
+    wp_ops.wordpiece_oracle_sql(_NORM),
+    ("LLM-tokenize",),
+)
+def tok_wordpiece_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match-first tokenization end-to-end
+    (operators/wordpiece.py): word-initial vs continuation piece sets
+    (the ## distinction), [UNK] on unmatchable or over-long words,
+    zero Python in the hot path — the greedy scan is an unrolled
+    F.aggregate evaluated on the DISTINCT-WORD relation only (the
+    vocabulary-bounded amortization all tokenizers here share), the
+    oracle a recursive CTE replaying the identical scan from the same
+    piece constants. n_chars rederives from CONSUMED piece lengths on
+    the Spark side but raw text on the oracle side, so over/under-
+    consumption breaks the hash; single-character coverage makes
+    alphanumeric words always tokenizable, punctuation exercises
+    [UNK]."""
+    d = t(spark, sf_dir, "documents")
+    return wp_ops.tokenize_wordpiece(d, "text", "doc_id")

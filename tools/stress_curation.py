@@ -1145,6 +1145,78 @@ def stress_round7h_rankstats(spark):
 
 
 
+def stress_round7i_newops(spark):
+    """Decade push for the round-7c batch: Spearman with a 20 M-row
+    NEAR-UNIQUE axis (pair histogram and rank tables at fact
+    cardinality — the worst case for the rank joins), ACF at 10 M
+    rows x 100 k keys, BFS + LPA on a 1 M-vertex 2-out-regular graph,
+    t-closeness at 10 M rows x 100 k quasi-groups, and LOO target
+    encoding at 20 M rows x 1 M categories.
+    Run: ``python tools/stress_curation.py --round7i``."""
+    from etl_script_spark.operators import features, governance, graph
+    from etl_script_spark.operators import stats, timeseries
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        out.write.mode("overwrite").format("noop").save()
+        print(f"{name}: {time.time()-t0:.1f}s -> {out.count()} rows")
+
+    # y loosely tracks x (monotone component + hash noise) so the
+    # result is a mid-range rho, not a degenerate 0/1
+    xy = spark.range(20_000_000).select(
+        F.abs(F.xxhash64("id") % 1_000_000_000).alias("x"),
+        (
+            F.abs(F.xxhash64("id") % 1_000_000_000)
+            + F.abs(F.xxhash64("id", F.lit(1)) % 2_000_000_000)
+        ).alias("y"),
+    )
+    run("spearman 20M near-unique pairs", lambda:
+        stats.spearman_rho(xy, "x", "y"))
+
+    series = spark.range(10_000_000).select(
+        (F.col("id") % 100_000).alias("k"),
+        (F.col("id") / F.lit(100_000)).cast("long").alias("i"),
+        (F.abs(F.xxhash64("id")) % 10_000
+         + ((F.col("id") / F.lit(100_000)).cast("long") % 7) * 3_000
+         ).alias("v"),
+    )
+    run("acf_lags 10M rows x 100k keys x 3 lags", lambda:
+        timeseries.acf_lags(series, ["k"], ["i"], "v", max_lag=3))
+
+    n_v = 1_000_000
+    base = spark.range(n_v)
+    edges = base.select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 1_000_003 + 7) % n_v).alias("dst"),
+    ).unionByName(base.select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 733 + 13) % n_v).alias("dst"),
+    ))
+    sources = base.filter(F.col("id") % 100_000 == 0).select(
+        F.col("id").alias("vertex")
+    )
+    run("bfs_hops 1M vertices x 4 hops", lambda:
+        graph.bfs_hops(edges, sources, max_hops=4))
+    run("label_propagation 1M vertices x 3 iters", lambda:
+        graph.label_propagation(edges, iters=3))
+
+    qd = spark.range(10_000_000).select(
+        (F.col("id") % 100_000).alias("g"),
+        (F.abs(F.xxhash64("id", F.lit(3))) % 20).alias("s"),
+    )
+    run("t_closeness 10M rows x 100k groups x 20 cats", lambda:
+        governance.t_closeness_report(qd, ["g"], "s", 300000))
+
+    te = spark.range(20_000_000).select(
+        (F.abs(F.xxhash64("id", F.lit(4))) % 1_000_000).alias("c"),
+        (F.col("id") % 5 == 0).cast("int").alias("t"),
+    )
+    run("target_encode_loo 20M rows x 1M cats", lambda:
+        features.target_encode_loo(te, "c", "t"))
+
+
+
 if __name__ == "__main__":
     if "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
@@ -1161,6 +1233,10 @@ if __name__ == "__main__":
     elif "--round6e" in sys.argv:
         spark = get_spark(app_name="stress-round6e")
         stress_round6e_augment(spark)
+        spark.stop()
+    elif "--round7i" in sys.argv:
+        spark = get_spark(app_name="stress-round7i")
+        stress_round7i_newops(spark)
         spark.stop()
     elif "--round7h" in sys.argv:
         spark = get_spark(app_name="stress-round7h")
