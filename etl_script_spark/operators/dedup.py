@@ -1541,3 +1541,61 @@ def jaccard_pairs_prefix_filtered(
             "id_a", "id_b", "jaccard_ppm", "n_docs_a", "n_docs_b"
         )
     return verified.select("id_a", "id_b", "jaccard_ppm")
+
+
+def continuation_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    df_cap: int = 100,
+) -> DataFrame:
+    """Suffix→prefix continuation detection: directed pairs (prev,
+    next) where prev's LAST ``k`` words equal next's FIRST ``k``
+    words — the scraped-pagination signature (page 2 starts with the
+    overlap page 1 ended on) that whole-document and near-dup passes
+    both miss, because the documents differ everywhere else. A
+    curation pass stitches or deduplicates the boundary from these
+    pairs.
+
+    Shape: one pass computes each document's head and tail k-gram
+    (array slice + join — scan-stage), then a single equi-join of
+    tail-grams against head-grams. Grams occurring in more than
+    ``df_cap`` documents on either side are dropped FIRST (boilerplate
+    headers/footers would otherwise explode the join quadratically —
+    the same df-cap discipline as the tf-idf and containment joins);
+    the cap is part of the operator's contract and the oracle replays
+    it. Self-pairs are excluded; documents whose tail equals another
+    document's head pair directionally, so a doc that starts and ends
+    with the same gram pairs both ways with its duplicates.
+
+    Returns (prev_id, next_id, gram).
+    """
+    from etl_script_spark.operators.textstats import words
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(words(F.col(text_col)), lambda w: w != "").alias("__ws"),
+    ).filter(F.size("__ws") >= k)
+    tails = base.select(
+        F.col("__id").alias("prev_id"),
+        F.concat_ws(
+            " ", F.slice(F.col("__ws"), F.size("__ws") - (k - 1), k)
+        ).alias("gram"),
+    )
+    heads = base.select(
+        F.col("__id").alias("next_id"),
+        F.concat_ws(" ", F.slice(F.col("__ws"), 1, k)).alias("gram"),
+    )
+    wt = Window.partitionBy("gram")
+    tails = tails.withColumn("__c", F.count(F.lit(1)).over(wt)).filter(
+        F.col("__c") <= df_cap
+    ).drop("__c")
+    heads = heads.withColumn("__c", F.count(F.lit(1)).over(wt)).filter(
+        F.col("__c") <= df_cap
+    ).drop("__c")
+    return (
+        tails.join(heads, "gram")
+        .filter(F.col("prev_id") != F.col("next_id"))
+        .select("prev_id", "next_id", "gram")
+    )

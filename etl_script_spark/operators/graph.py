@@ -403,3 +403,73 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    deg_cap: int = 1000,
+    k: int = 100,
+) -> DataFrame:
+    """Link prediction by neighborhood overlap: for non-adjacent
+    vertex pairs sharing at least one neighbor, the common-neighbor
+    count and Jaccard coefficient of their neighbor sets in exact
+    ppm — the classic missing-link / related-entity score (Liben-
+    Nowell & Kleinberg 2003).
+
+    Shape: wedges enumerate through each CENTER vertex — (x←n→y)
+    with x<y — so the join volume is Σ_n deg(n)², bounded by
+    ``deg_cap``·|E| because centers above ``deg_cap`` are excluded
+    first (a hub's wedge set is quadratic and its evidence is weak —
+    everybody shares the hub; the cap is part of the contract and
+    the oracle replays it). Degrees in the Jaccard denominator stay
+    UNCAPPED. Existing edges are anti-joined out. Top-k by
+    (jaccard desc, x, y) — a TakeOrdered, never a global sort.
+
+    Returns (x, y, common, jaccard_ppm).
+    """
+    fwd = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    )
+    und = (
+        fwd.unionByName(
+            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    centers = und.join(
+        deg.filter(F.col("d") <= deg_cap), und["a"] == F.col("v")
+    ).select(F.col("a").alias("n"), F.col("b").alias("x"))
+    wedges = (
+        centers.alias("l")
+        .join(
+            centers.select(
+                F.col("n").alias("n2"), F.col("x").alias("y")
+            ),
+            (F.col("n") == F.col("n2")) & (F.col("x") < F.col("y")),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    scored = (
+        wedges.join(und, (wedges["x"] == und["a"]) & (wedges["y"] == und["b"]), "left_anti")
+        .join(deg.select(F.col("v").alias("__vx"), F.col("d").alias("dx")),
+              F.col("x") == F.col("__vx"))
+        .join(deg.select(F.col("v").alias("__vy"), F.col("d").alias("dy")),
+              F.col("y") == F.col("__vy"))
+        .select(
+            "x", "y", "common",
+            F.expr(
+                "CAST((CAST(common AS DECIMAL(38,0)) * 1000000)"
+                " DIV (dx + dy - common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_ppm").desc(), "x", "y"
+    ).limit(k)

@@ -632,16 +632,45 @@ def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     next to stat_chi2_independence's significance screen.
 
     One fact aggregation (the cell table), cell-cardinality work
-    after. Degenerate tables (single row or column category: m = 0)
-    report NULL. Returns one row (n, chi2_milli, df_min, v_ppm).
+    after. chi2_contingency emits OBSERVED cells only, but an empty
+    cell contributes (0−E)²/E = E to the statistic — without that
+    mass a perfect diagonal association reads V≈0.82, not 1 — so the
+    zero-cell total is recovered from the marginal cross product
+    (r×c rows, never the fact table): Σ_all E_milli − Σ_observed
+    E_milli, under the same per-cell milli flooring. Degenerate
+    tables (single row or column category: m = 0) report NULL.
+    Returns one row (n, chi2_milli, df_min, v_ppm).
     """
     cells = chi2_contingency(df, row_col, col_col)
+    rows_m = cells.groupBy("row_val").agg(
+        F.sum("obs").cast("long").alias("rt")
+    )
+    cols_m = cells.groupBy("col_val").agg(
+        F.sum("obs").cast("long").alias("ct")
+    )
+    n_tot = cells.agg(F.sum("obs").cast("long").alias("__n"))
+    e_all = (
+        rows_m.crossJoin(cols_m)
+        .crossJoin(F.broadcast(n_tot))
+        .agg(
+            F.sum(F.expr("(rt * ct * 1000) DIV __n"))
+            .cast("long")
+            .alias("__e_all")
+        )
+    )
     agg = cells.agg(
         F.sum("obs").cast("long").alias("n"),
-        F.sum("chi2_cell_milli").cast("long").alias("chi2_milli"),
+        F.sum("chi2_cell_milli").cast("long").alias("__chi2_obs"),
+        F.sum("exp_milli").cast("long").alias("__e_obs"),
         (F.least(
             F.countDistinct("row_val"), F.countDistinct("col_val")
         ) - 1).cast("long").alias("df_min"),
+    ).crossJoin(F.broadcast(e_all)).select(
+        "n",
+        (
+            F.col("__chi2_obs") + F.col("__e_all") - F.col("__e_obs")
+        ).alias("chi2_milli"),
+        "df_min",
     )
     arg = F.expr(
         "(CAST(chi2_milli AS DECIMAL(38,0)) * 1000000000000)"
@@ -649,8 +678,13 @@ def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     ).cast(_D)
     return agg.select(
         "n", "chi2_milli", "df_min",
+        # per-cell flooring can overshoot V=1 by ppm-scale amounts
+        # ((O*1000 - E_milli) grows when E floors down); clamp so the
+        # report stays in [0, 1e6] — the oracle applies the same LEAST
         F.when(F.col("df_min") <= 0, F.lit(None))
-        .otherwise(isqrt_column(arg))
+        .otherwise(
+            F.least(isqrt_column(arg), F.lit(1000000).cast(_D))
+        )
         .cast("long")
         .alias("v_ppm"),
     )

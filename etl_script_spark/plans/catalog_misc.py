@@ -2316,3 +2316,72 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select(k.alias("src"), ((k * 13 + 2) % 100).alias("dst"))
     )
     return graph.label_propagation(edges, iters=3)
+
+
+@register(
+    "graph_common_neighbors",
+    """
+    WITH e AS (
+      SELECT s_suppkey AS src, (s_suppkey * 7 + 1) % 200 AS dst
+      FROM supplier WHERE s_suppkey < 200
+      UNION ALL
+      SELECT s_suppkey, (s_suppkey * 13 + 2) % 200
+      FROM supplier WHERE s_suppkey < 200
+      UNION ALL
+      SELECT s_suppkey, (s_suppkey * 3) % 200
+      FROM supplier WHERE s_suppkey < 200
+    ),
+    und AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM e
+        UNION ALL SELECT dst, src FROM e
+      ) WHERE a <> b
+    ),
+    deg AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY 1),
+    centers AS (
+      SELECT u.a AS n, u.b AS x
+      FROM und u JOIN deg ON u.a = deg.v WHERE d <= 1000
+    ),
+    w AS (
+      SELECT l.x AS x, r.x AS y, CAST(COUNT(*) AS BIGINT) AS common
+      FROM centers l JOIN centers r ON l.n = r.n AND l.x < r.x
+      GROUP BY 1, 2
+    ),
+    nonadj AS (
+      SELECT w.* FROM w
+      LEFT JOIN und ON w.x = und.a AND w.y = und.b
+      WHERE und.a IS NULL
+    )
+    SELECT x, y, common,
+           CAST((CAST(common AS HUGEINT) * 1000000)
+                // (dx.d + dy.d - common) AS BIGINT) AS jaccard_ppm
+    FROM nonadj
+    JOIN deg dx ON nonadj.x = dx.v
+    JOIN deg dy ON nonadj.y = dy.v
+    ORDER BY jaccard_ppm DESC, x, y
+    LIMIT 100
+    """,
+    ("X-graph",),
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the 200-vertex 3-out supplier graph
+    (graph.common_neighbor_scores): non-adjacent pairs ranked by
+    neighbor-set Jaccard in exact ppm, wedges enumerated through
+    deg-capped centers so join volume is bounded by cap·|E| (hub
+    evidence is weak anyway), existing edges anti-joined out, top-100
+    by the deterministic (jaccard desc, x, y) order."""
+    from etl_script_spark.operators import graph
+
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 200)
+        .select("s_suppkey")
+    )
+    k = F.col("s_suppkey")
+    edges = (
+        s.select(k.alias("src"), ((k * 7 + 1) % 200).alias("dst"))
+        .unionByName(s.select(k.alias("src"), ((k * 13 + 2) % 200).alias("dst")))
+        .unionByName(s.select(k.alias("src"), ((k * 3) % 200).alias("dst")))
+    )
+    return graph.common_neighbor_scores(edges, deg_cap=1000, k=100)

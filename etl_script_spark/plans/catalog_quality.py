@@ -1135,3 +1135,162 @@ def gov_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return governance.t_closeness_report(
         c, ["c_nationkey", "c_mktsegment"], "sb", t_ppm=300000
     )
+
+
+@register(
+    "stat_cramers_v",
+    f"""
+    WITH cells AS (
+      SELECT CASE WHEN l_quantity <= 16 THEN 'low'
+                  WHEN l_quantity <= 33 THEN 'mid'
+                  ELSE 'high' END AS row_val,
+             l_returnflag AS col_val,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT row_val, col_val, obs,
+             SUM(obs) OVER (PARTITION BY row_val) AS rt,
+             SUM(obs) OVER (PARTITION BY col_val) AS ct,
+             SUM(obs) OVER () AS nn
+      FROM cells
+    ),
+    cc AS (
+      SELECT obs,
+             ((obs * 1000 - (rt * ct * 1000) // nn)
+              * (obs * 1000 - (rt * ct * 1000) // nn))
+             // greatest((rt * ct * 1000) // nn, 1) AS c2m,
+             row_val, col_val
+      FROM tot
+    ),
+    em AS (
+      SELECT obs,
+             (rt * ct * 1000) // nn AS e_m,
+             row_val, col_val
+      FROM tot
+    ),
+    rm AS (SELECT row_val, SUM(obs) AS rt FROM cells GROUP BY 1),
+    cm AS (SELECT col_val, SUM(obs) AS ct FROM cells GROUP BY 1),
+    nt AS (SELECT SUM(obs) AS nn FROM cells),
+    eall AS (
+      SELECT CAST(SUM((rm.rt * cm.ct * 1000) // nt.nn) AS BIGINT)
+               AS e_all
+      FROM rm CROSS JOIN cm CROSS JOIN nt
+    ),
+    s AS (
+      SELECT CAST(SUM(cc.obs) AS BIGINT) AS n,
+             CAST(SUM(cc.c2m)
+                  + (SELECT e_all FROM eall)
+                  - SUM(em.e_m) AS BIGINT) AS chi2_milli,
+             CAST(LEAST(COUNT(DISTINCT cc.row_val),
+                        COUNT(DISTINCT cc.col_val)) - 1 AS BIGINT)
+               AS df_min
+      FROM cc JOIN em ON cc.row_val = em.row_val
+                     AND cc.col_val = em.col_val
+    ),
+    a AS (
+      SELECT n, chi2_milli, df_min,
+             (CAST(chi2_milli AS HUGEINT) * 1000000000000)
+               // (CAST(n AS HUGEINT) * df_min * 1000) AS arg
+      FROM s
+    )
+    SELECT n, chi2_milli, df_min,
+           CASE WHEN df_min <= 0 THEN NULL
+                ELSE CAST(LEAST({_isqrt_sql('arg')},
+                                CAST(1000000 AS HUGEINT)) AS BIGINT)
+           END AS v_ppm
+    FROM a
+    """,
+    ("X-statistics",),
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for quantity band x return flag (stats.cramers_v):
+    the
+    [0,1]-normalized chi-square effect size in exact ppm via the
+    integer-sqrt convention — the readout that compares association
+    strength ACROSS tables, where raw chi2 only ranks within one n.
+    One fact aggregation to the 21-cell table; the isqrt's ±2
+    correction window keeps the root identical across engines."""
+    from etl_script_spark.operators import stats
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_quantity") <= 16, "low")
+        .when(F.col("l_quantity") <= 33, "mid")
+        .otherwise("high").alias("qband"),
+        "l_returnflag",
+    )
+    return stats.cramers_v(li, "qband", "l_returnflag")
+
+
+@register(
+    "stat_randomization_test",
+    """
+    WITH base AS (
+      SELECT CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS id,
+             (l_returnflag = 'R') AS ga,
+             CAST(l_quantity AS BIGINT) AS v
+      FROM lineitem
+      WHERE l_returnflag IN ('R', 'A') AND l_linenumber = 1
+    ),
+    obs AS (
+      SELECT CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             SUM(CASE WHEN ga THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_a,
+             CAST(SUM(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             SUM(CASE WHEN ga THEN 0 ELSE CAST(v AS HUGEINT) END) AS s_b
+      FROM base
+    ),
+    r AS (
+      SELECT base.id, base.v, rep,
+             substr(md5('rt' || CAST(rep AS VARCHAR) || '|' || base.id),
+                    1, 1)
+               IN ('0','2','4','6','8','a','c','e') AS pa
+      FROM base CROSS JOIN (SELECT unnest(range(49)) AS rep)
+    ),
+    per AS (
+      SELECT rep,
+             CAST(SUM(CASE WHEN pa THEN 1 ELSE 0 END) AS BIGINT) AS n_ar,
+             SUM(CASE WHEN pa THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_ar,
+             CAST(SUM(CASE WHEN pa THEN 0 ELSE 1 END) AS BIGINT) AS n_br,
+             SUM(CASE WHEN pa THEN 0 ELSE CAST(v AS HUGEINT) END) AS s_br
+      FROM r GROUP BY 1
+    ),
+    x AS (
+      SELECT per.*, obs.n_a, obs.n_b, obs.s_a, obs.s_b,
+             (n_ar = 0 OR n_br = 0
+              OR abs(s_ar * n_br - s_br * n_ar)
+                 * CAST(n_a AS HUGEINT) * n_b
+                 >= abs(s_a * n_b - s_b * n_a)
+                    * CAST(n_ar AS HUGEINT) * n_br) AS extreme
+      FROM per CROSS JOIN obs
+    )
+    SELECT n_a, n_b, CAST(COUNT(*) AS BIGINT) AS reps,
+           CAST(SUM(CASE WHEN extreme THEN 1 ELSE 0 END) AS BIGINT)
+             AS extreme_reps,
+           CAST(((1 + SUM(CASE WHEN extreme THEN 1 ELSE 0 END))
+                 * 1000000) // (COUNT(*) + 1) AS BIGINT) AS p_ppm
+    FROM x GROUP BY 1, 2
+    """,
+    ("X-statistics",),
+)
+def stat_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic randomization test for RETURNED-vs-ACCEPTED mean
+    quantity on first-line lineitems
+    (stats.randomization_test_mean_diff):
+    49 md5-parity label reshuffles, extremeness decided by EXACT
+    decimal cross-multiplication (no float means), add-one p in ppm.
+    The md5-nibble assignment is the hash_sample idiom — the same
+    bits on every engine, run, and cluster size; one explode(x49) +
+    one map-side-combined aggregation is the whole null
+    distribution."""
+    from etl_script_spark.operators import stats
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_linenumber") == 1
+    ).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return stats.randomization_test_mean_diff(
+        li, "rid", "l_returnflag", "qty", "R", "A", reps=49, seed="rt"
+    )

@@ -1866,3 +1866,77 @@ def tok_wordpiece_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     [UNK]."""
     d = t(spark, sf_dir, "documents")
     return wp_ops.tokenize_wordpiece(d, "text", "doc_id")
+
+
+@register(
+    "dedup_continuation_pairs",
+    f"""
+    WITH d0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' cont seg ' || CAST(doc_id AS VARCHAR)
+                       || ' alpha beta'
+                  WHEN doc_id % 10 = 1
+                  THEN 'cont seg ' || CAST(doc_id - 1 AS VARCHAR)
+                       || ' alpha beta ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+      FROM d0
+    ),
+    e AS (SELECT doc_id, ws FROM b WHERE len(ws) >= 5),
+    tails AS (
+      SELECT doc_id AS prev_id,
+             array_to_string(list_slice(ws, len(ws) - 4, len(ws)), ' ')
+               AS gram
+      FROM e
+    ),
+    heads AS (
+      SELECT doc_id AS next_id,
+             array_to_string(list_slice(ws, 1, 5), ' ') AS gram
+      FROM e
+    ),
+    tc AS (SELECT prev_id, gram FROM (
+             SELECT prev_id, gram,
+                    COUNT(*) OVER (PARTITION BY gram) AS c
+             FROM tails) WHERE c <= 100),
+    hc AS (SELECT next_id, gram FROM (
+             SELECT next_id, gram,
+                    COUNT(*) OVER (PARTITION BY gram) AS c
+             FROM heads) WHERE c <= 100)
+    SELECT prev_id, next_id, tc.gram
+    FROM tc JOIN hc USING (gram)
+    WHERE prev_id <> next_id
+    """,
+    ("LLM-dedup",),
+)
+def dedup_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix→prefix continuation detection
+    (dedup.continuation_pairs): every doc_id≡0 (mod 10) document gets
+    a unique 5-word marker appended, the following id gets the same
+    marker prepended — the scraped-pagination boundary — and the
+    operator must recover exactly those directed pairs from the
+    tail-gram→head-gram equi-join, with boilerplate grams df-capped
+    on both sides before the join (the quadratic guard, replayed by
+    the oracle)."""
+    from etl_script_spark.operators import dedup as ddp
+
+    d = t(spark, sf_dir, "documents")
+    marker_app = F.concat(
+        F.col("text"), F.lit(" cont seg "),
+        F.col("doc_id").cast("string"), F.lit(" alpha beta"),
+    )
+    marker_pre = F.concat(
+        F.lit("cont seg "), (F.col("doc_id") - 1).cast("string"),
+        F.lit(" alpha beta "), F.col("text"),
+    )
+    d0 = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, marker_app)
+        .when(F.col("doc_id") % 10 == 1, marker_pre)
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return ddp.continuation_pairs(d0, "text", "doc_id", k=5, df_cap=100)
