@@ -181,3 +181,76 @@ def test_cusum_one_window_spec(spark, sf_dir):
     # Sort means the specs stopped sharing their ordering
     assert plan.count("Sort [") == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_acf_lags_share_one_window(spark, sf_dir):
+    """All three lag() expressions must land in ONE Window operator
+    over one (user) exchange — per-lag windows would be three sorts
+    of the fact table."""
+    plan = _executed_plan(spark, "ts_acf_lags", sf_dir)
+    assert plan.count("Window") == 1
+
+
+def test_spearman_no_unpartitioned_fact_window(spark, sf_dir):
+    """Spearman's ranks come from the two-phase bucketed prefix sum:
+    the only unpartitioned window runs over the <=1025-row bucket
+    table. An 'ORDER BY value' window without PARTITION BY over the
+    histogram would serialize a 100 TB distinct-value set on one
+    partition — assert every window spec carries a partition key or
+    feeds from the bucket aggregation."""
+    plan = _executed_plan(spark, "stat_spearman_rho", sf_dir)
+    import re
+
+    # windows in the executed plan print as
+    # "Window [**], [partition cols], [order]" — an unpartitioned one
+    # prints with an empty partition list right before the order spec;
+    # the bucketed offset windows order by __bkt and nothing else big
+    unpart = [
+        m.group(0)
+        for m in re.finditer(r"Window [^\n]*", plan)
+        if "windowspecdefinition(__bkt" in m.group(0)
+        or ", specifiedwindowframe" in m.group(0)
+    ]
+    # sanity: the plan does contain windows (4: two per axis)
+    assert plan.count("Window") >= 2
+    # the bucket-offset windows are the only ORDER-BY-only ones, and
+    # they run over per-bucket aggregates, never raw values: their
+    # order key must be __bkt
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if spec.lstrip().startswith(("__bkt", "v#", "v ")):
+            continue
+        # partitioned specs list partition cols first — accept any
+        # spec that carries a partition column
+        assert "#" in spec.split(",")[0], spec
+
+
+def test_attribution_linear_single_window_sort(spark, sf_dir):
+    """Both channel counters share one range-frame window over the
+    (user, tsec) sort; credit is count-based — no purchase-to-touch
+    self-join may appear."""
+    plan = _executed_plan(spark, "ev_attribution_linear", sf_dir)
+    assert plan.count("Window") <= 4  # one per unioned aggregate leg
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_wordpiece_scan_runs_on_distinct_words(spark, sf_dir):
+    """The unrolled greedy-scan expression must evaluate AFTER the
+    distinct-word aggregation, not per occurrence: the plan carries
+    the aggregate() HOF in a project above a HashAggregate, and no
+    Python nodes anywhere."""
+    plan = _executed_plan(spark, "tok_wordpiece_roundtrip", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # the distinct-word aggregate (keys=[w]) exists, and the scan
+    # state __st is emitted by a HashAggregate OVER w — i.e. computed
+    # once per distinct word, not per occurrence (plan text truncates
+    # the HOF expression itself, so pin the placement instead)
+    assert "HashAggregate(keys=[w" in plan
+    import re
+
+    assert re.search(
+        r"HashAggregate\(keys=\[w#\d+\], functions=\[\],"
+        r" output=\[w#\d+, __st#\d+\]\)",
+        plan,
+    ), plan[:2000]

@@ -1217,6 +1217,78 @@ def stress_round7i_newops(spark):
 
 
 
+def stress_round7j_newops(spark):
+    """Decade push for the round-7d batch: WordPiece over the 1 M-doc
+    corpus (distinct-word amortization is the thing under test — the
+    unrolled scan must run on |V|, not corpus tokens), the
+    randomization test at 5 M rows x 49 reps (245 M exploded rows,
+    one map-side-combined aggregation), continuation pairs at 1 M
+    docs with a 30% shared-footer class (the df-cap guard), and
+    common-neighbor link prediction on a 1 M-vertex graph.
+    Run: ``python tools/stress_curation.py --round7j``."""
+    import os
+
+    from etl_script_spark.operators import dedup as ddp
+    from etl_script_spark.operators import graph, stats, wordpiece
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        out.write.mode("overwrite").format("noop").save()
+        print(f"{name}: {time.time()-t0:.1f}s -> {out.count()} rows")
+
+    corpus_path = "/tmp/etl_script_spark_io/stress_1000000"
+    if not os.path.exists(corpus_path + "/_SUCCESS"):
+        build(spark, n=1_000_000, out=corpus_path)
+    d = spark.read.parquet(corpus_path)
+    run("wordpiece 1M docs", lambda:
+        wordpiece.tokenize_wordpiece(d, "text", "doc_id"))
+
+    rt = spark.range(5_000_000).select(
+        F.col("id").cast("string").alias("rid"),
+        (F.col("id") % 2 == 0).alias("ga"),
+        (F.abs(F.xxhash64("id")) % 1000).alias("v"),
+    )
+    run("randomization_test 5M rows x 49 reps", lambda:
+        stats.randomization_test_mean_diff(
+            rt, "rid", "ga", "v", True, False, reps=49))
+
+    # 30% of docs share one footer (df-cap must drop it); 5% get a
+    # planted unique continuation boundary
+    d2 = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(F.col("text"), F.lit(" cont seg "),
+                     F.col("doc_id").cast("string"), F.lit(" alpha beta")),
+        ).when(
+            F.col("doc_id") % 20 == 1,
+            F.concat(F.lit("cont seg "),
+                     (F.col("doc_id") - 1).cast("string"),
+                     F.lit(" alpha beta "), F.col("text")),
+        ).when(
+            F.col("doc_id") % 10 >= 7,
+            F.concat(F.col("text"),
+                     F.lit(" shared footer boilerplate legal text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    run("continuation_pairs 1M docs, 30% shared footer", lambda:
+        ddp.continuation_pairs(d2, "text", "doc_id", k=5, df_cap=100))
+
+    n_v = 1_000_000
+    base = spark.range(n_v)
+    edges = base.select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 1_000_003 + 7) % n_v).alias("dst"),
+    ).unionByName(base.select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 733 + 13) % n_v).alias("dst"),
+    ))
+    run("common_neighbors 1M vertices", lambda:
+        graph.common_neighbor_scores(edges, deg_cap=1000, k=100))
+
+
+
 if __name__ == "__main__":
     if "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
@@ -1233,6 +1305,10 @@ if __name__ == "__main__":
     elif "--round6e" in sys.argv:
         spark = get_spark(app_name="stress-round6e")
         stress_round6e_augment(spark)
+        spark.stop()
+    elif "--round7j" in sys.argv:
+        spark = get_spark(app_name="stress-round7j")
+        stress_round7j_newops(spark)
         spark.stop()
     elif "--round7i" in sys.argv:
         spark = get_spark(app_name="stress-round7i")
