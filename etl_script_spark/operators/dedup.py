@@ -1599,3 +1599,37 @@ def continuation_pairs(
         .filter(F.col("prev_id") != F.col("next_id"))
         .select("prev_id", "next_id", "gram")
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame, text_col: str, id_col: str, normalize: bool = True
+) -> DataFrame:
+    """SoftDeDup: instead of dropping exact duplicates, DOWN-WEIGHT
+    them — every document gets sampling weight 1/|cluster| in exact
+    ppm, so a class of k identical documents contributes one
+    document's worth of expected mass while keeping all k rows
+    available (common-crawl reality: duplication count is itself a
+    quality signal, and hard dedup erases it; cf. SoftDeDup, Xia et
+    al. 2024). Feed the weight to the A-Res/Gumbel weighted samplers
+    or the epoch mixer.
+
+    One aggregation on the text fingerprint + one join back keyed the
+    same way — at 100 TB both shuffle on md5(text), the minimum any
+    exact-duplicate pass needs. Returns (id, cluster_size,
+    weight_ppm) for every input row.
+    """
+    key = F.md5(
+        normalize_text(F.col(text_col)) if normalize
+        else F.col(text_col).cast("string")
+    )
+    keyed = df.select(F.col(id_col).alias("id"), key.alias("__fp"))
+    sizes = keyed.groupBy("__fp").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return keyed.join(sizes, "__fp").select(
+        "id",
+        "cluster_size",
+        F.expr("CAST(1000000 DIV cluster_size AS BIGINT)").alias(
+            "weight_ppm"
+        ),
+    )

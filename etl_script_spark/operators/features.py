@@ -397,3 +397,36 @@ def target_encode_loo(
     return joined.withColumn("enc_ppm", F.expr(enc)).drop(
         "__cat", "__cat_sum", "__gn", "__gsum"
     )
+
+
+def hashed_feature_buckets(
+    df: DataFrame,
+    cols: list[str],
+    n_buckets: int,
+    seed: str = "fh",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): fold an unbounded
+    categorical (or categorical combination) into ``n_buckets``
+    stable feature ids via an md5 bucket — REPRODUCIBLE across
+    engines, runs, and cluster sizes (the hash_sample idiom: first 8
+    md5 hex chars as an integer, mod k), unlike any
+    engine-internal hash. A pure per-row projection — no shuffle, no
+    vocabulary state to version — which is exactly why serving
+    pipelines use it: the same row hashes identically at train and
+    serve with no dictionary to ship.
+
+    NULLs in any component hash as the literal string '\\0' (distinct
+    from 'null' text). Adds ``bucket`` (0..n_buckets−1).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    parts: list = [F.lit(seed)]
+    for c in cols:
+        parts.append(F.lit("|"))
+        parts.append(
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+        )
+    h = F.conv(F.substring(F.md5(F.concat(*parts)), 1, 8), 16, 10)
+    return df.withColumn(
+        "bucket", (h.cast("long") % n_buckets).cast("int")
+    )

@@ -2831,3 +2831,77 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a pretraining corpus (Church & Hanks 1990)."""
     d = t(spark, sf_dir, "documents")
     return textstats.pmi_collocations(d, "text", min_count=5, k=100)
+
+
+@register(
+    "text_kneser_ney_bigrams",
+    f"""
+    WITH w AS (
+      SELECT list_filter(string_split({_NORM}, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    w2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
+    bg AS (
+      SELECT u['w1'] AS w1, u['w2'] AS w2 FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+               i -> {{'w1': ws[i], 'w2': ws[i+1]}})) AS u
+        FROM w2
+      )
+    ),
+    bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM bg GROUP BY 1, 2),
+    l AS (SELECT w1 AS tk, CAST(SUM(c12) AS HUGEINT) AS c1,
+                 CAST(COUNT(*) AS HUGEINT) AS t1
+          FROM bi GROUP BY 1),
+    r AS (SELECT w2 AS tk, CAST(COUNT(*) AS HUGEINT) AS c2types
+          FROM bi GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_types FROM bi)
+    SELECT w1, w2, c12,
+           CAST(((GREATEST(4 * CAST(c12 AS HUGEINT) - 3, 0) * n_types
+                  + 3 * t1 * c2types) * 1000000)
+                // (4 * c1 * n_types) AS BIGINT) AS pkn_ppm
+    FROM bi JOIN l ON bi.w1 = l.tk JOIN r ON bi.w2 = r.tk CROSS JOIN n
+    WHERE c12 >= 5
+    ORDER BY c12 DESC, w1, w2
+    LIMIT 100
+    """,
+    ("LLM-curation", "X-statistics"),
+)
+def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities with the d=0.75
+    discount in EXACT quarter-unit integers
+    (textstats.kneser_ney_bigrams): absolute discounting plus the
+    continuation-count back-off ('francisco' is frequent but follows
+    only 'san'), the real LM smoothing next to stupid backoff — and
+    before ppm flooring the conditional distribution sums to exactly
+    1 per context (pinned by unit test). Four count aggregations and
+    vocabulary-table joins, no log anywhere."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.kneser_ney_bigrams(d, "text", k=100, min_count=5)
+
+
+@register(
+    "curation_soft_dedup_weights",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id AS id, md5({_NORM}) AS fp FROM documents
+    ),
+    sz AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM keyed GROUP BY 1)
+    SELECT id, cluster_size,
+           CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm
+    FROM keyed JOIN sz USING (fp)
+    """,
+    ("LLM-curation", "D1"),
+)
+def curation_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup sampling weights (dedup.soft_dedup_weights): exact
+    duplicates are DOWN-WEIGHTED to 1/|cluster| ppm instead of
+    dropped, preserving duplication count as a signal and keeping
+    every row available for the weighted samplers (Xia et al. 2024).
+    One md5-keyed aggregation + join back — the minimum shuffle any
+    exact-dup pass pays."""
+    from etl_script_spark.operators import dedup as ddp
+
+    d = t(spark, sf_dir, "documents")
+    return ddp.soft_dedup_weights(d, "text", "doc_id")

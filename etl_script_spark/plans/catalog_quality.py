@@ -1294,3 +1294,40 @@ def stat_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.randomization_test_mean_diff(
         li, "rid", "l_returnflag", "qty", "R", "A", reps=49, seed="rt"
     )
+
+
+@register(
+    "feat_hashed_buckets",
+    """
+    WITH h AS (
+      SELECT c_custkey,
+             CAST(('0x' || substr(md5('fh' || '|'
+                    || COALESCE(CAST(c_nationkey AS VARCHAR), chr(0))
+                    || '|'
+                    || COALESCE(c_mktsegment, chr(0))), 1, 8))::BIGINT
+                  % 32 AS INTEGER) AS bucket
+      FROM customer
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
+    FROM h GROUP BY 1
+    """,
+    ("X-features",),
+)
+def feat_hashed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (features.hashed_feature_buckets): the
+    (nation, segment) combination folds into 32 stable md5-derived
+    feature buckets — a pure per-row projection with no vocabulary
+    state, reproducible across engines/runs/cluster sizes, which is
+    why serving stacks use it (Weinberger et al. 2009). The entry
+    hashes every customer and reports per-bucket occupancy."""
+    from etl_script_spark.operators import features
+
+    c = t(spark, sf_dir, "customer")
+    out = features.hashed_feature_buckets(
+        c, ["c_nationkey", "c_mktsegment"], n_buckets=32, seed="fh"
+    )
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("c_custkey").cast("long").alias("n_keys"),
+    )
