@@ -717,3 +717,81 @@ def pipeline_r7_analytics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("seasonality_peak_ppm").alias("metric"), "v"
     )
     return ben.unionByName(chi).unionByName(gin).unionByName(sea)
+
+
+@register(
+    "pipeline_r7_feature_mart_e2e",
+    """
+    WITH j AS (
+      SELECT o_orderkey, c_custkey, c_nationkey, c_mktsegment,
+             CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS t
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cat AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cat_n,
+             CAST(SUM(t) AS HUGEINT) AS s
+      FROM j GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS gn,
+             CAST(SUM(t) AS HUGEINT) AS gs
+      FROM j
+    ),
+    enc AS (
+      SELECT o_orderkey, j.c_nationkey, j.c_mktsegment, j.t,
+             CAST(((s - t) * 1000000 + 10 * ((gs * 1000000) // gn))
+                  // (cat_n - 1 + 10) AS BIGINT) AS enc_ppm
+      FROM j JOIN cat ON j.c_nationkey = cat.c_nationkey CROSS JOIN g
+    ),
+    hb AS (
+      SELECT *,
+             CAST(('0x' || substr(md5('fh' || '|'
+                    || COALESCE(CAST(c_nationkey AS VARCHAR), chr(0))
+                    || '|'
+                    || COALESCE(c_mktsegment, chr(0))), 1, 8))::BIGINT
+                  % 32 AS INTEGER) AS bucket
+      FROM enc
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(t) AS BIGINT) AS n_urgent,
+           CAST(SUM(CAST(enc_ppm AS HUGEINT)) AS BIGINT) AS enc_ppm_sum,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM hb GROUP BY 1
+    """,
+    ("X-pipeline", "X-features"),
+)
+def pipeline_r7_feature_mart_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-mart composition of the round-7 encoders: orders
+    enrich with customer nation/segment, leave-one-out target-encode
+    the nation against the urgent flag (leak-free, exact integer),
+    fold (nation, segment) through the 32-bucket hashing trick, and
+    publish the per-bucket mart (occupancy, label rate, encoding
+    mass, nation mix). Every stage is a round-7 operator running at
+    its documented scale shape — one dim join, one category
+    aggregation + join-back, one per-row hash projection, one final
+    rollup; the oracle replays the entire chain as one statement."""
+    from etl_script_spark.operators import features
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.when(F.col("o_orderpriority").startswith("1"), 1)
+        .otherwise(0).alias("t"),
+    )
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "c_nationkey", "c_mktsegment", "t"
+    )
+    enc = features.target_encode_loo(j, "c_nationkey", "t", smoothing=10)
+    hb = features.hashed_feature_buckets(
+        enc, ["c_nationkey", "c_mktsegment"], n_buckets=32, seed="fh"
+    )
+    return hb.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("t").cast("long").alias("n_urgent"),
+        F.sum(F.col("enc_ppm").cast("decimal(38,0)"))
+        .cast("long").alias("enc_ppm_sum"),
+        F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+    )
