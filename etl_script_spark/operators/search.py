@@ -175,3 +175,54 @@ def phrase_occurrences(
         .agg(F.count(F.lit(1)).alias("n_matches"))
         .select(F.col("id").alias(id_col), "n_matches")
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str]],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse
+    any number of rankings — lexical BM25, ANN cosine, recency — by
+    ``score(d) = Σ_lists 1/(c + rank_list(d))``, the standard hybrid-
+    search combiner: it needs NO score calibration between lists
+    (only ranks), which is what makes it robust across heterogeneous
+    retrievers. Computed in exact integer ppm, ``1e6 DIV (c+rank)``
+    per list — ranks are integers, so fusion is bit-exact on any
+    engine, unlike fusing raw float scores.
+
+    Shape: union the (already tiny) top-k lists, one aggregation on
+    the id, TakeOrdered for the fused top-k. The expensive part is
+    producing the input rankings; fusion itself is O(Σ|lists|).
+
+    Returns (rank, id, rrf_ppm, n_lists) — fused rank ties broken by
+    id ascending.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    tagged = [
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(rank_col).cast("long").alias("rank"),
+            F.lit(tag).alias("__src"),
+        )
+        for df, tag in rankings
+    ]
+    u = tagged[0]
+    for d in tagged[1:]:
+        u = u.unionByName(d)
+    fused = u.groupBy("id").agg(
+        F.sum(F.expr(f"1000000 DIV ({c} + rank)"))
+        .cast("long")
+        .alias("rrf_ppm"),
+        F.countDistinct("__src").cast("long").alias("n_lists"),
+    )
+    from pyspark.sql import Window
+
+    top = fused.orderBy(F.col("rrf_ppm").desc(), F.col("id")).limit(k)
+    w = Window.orderBy(F.col("rrf_ppm").desc(), F.col("id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "id", "rrf_ppm", "n_lists")

@@ -1940,3 +1940,102 @@ def dedup_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")).alias("text"),
     )
     return ddp.continuation_pairs(d0, "text", "doc_id", k=5, df_cap=100)
+
+
+@register(
+    "search_rrf_fusion",
+    """
+    WITH toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('join','window','hash') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    term AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75
+                    + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs))))
+               * 1000000.0) AS BIGINT) AS ts_q
+      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN corpus
+    ),
+    lex AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY SUM(ts_q) DESC, doc_id)
+                  AS BIGINT) AS rank,
+             doc_id AS id
+      FROM term GROUP BY doc_id
+      ORDER BY SUM(ts_q) DESC, doc_id LIMIT 20
+    ),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+               AS vec
+      FROM embeddings
+    ),
+    q AS (SELECT vec AS qvec FROM v WHERE vec_id = 0),
+    sem AS (
+      SELECT CAST(rn AS BIGINT) AS rank, vec_id AS id FROM (
+        SELECT v.vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY list_dot_product(v.vec, q.qvec)
+                   / (sqrt(list_dot_product(v.vec, v.vec))
+                      * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
+                 v.vec_id) AS rn
+        FROM v CROSS JOIN q
+      ) WHERE rn <= 20
+    ),
+    u AS (
+      SELECT id, rank, 'lex' AS src FROM lex
+      UNION ALL SELECT id, rank, 'sem' FROM sem
+    ),
+    fused AS (
+      SELECT id,
+             CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+             CAST(COUNT(DISTINCT src) AS BIGINT) AS n_lists
+      FROM u GROUP BY id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, id) AS BIGINT)
+             AS rank,
+           id, rrf_ppm, n_lists
+    FROM fused ORDER BY rrf_ppm DESC, id LIMIT 10
+    """,
+    ("LLM-search", "LLM-similarity"),
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 for {join, window, hash} fused
+    with the cosine top-20 for query vector 0 by reciprocal-rank
+    fusion (search.rrf_fuse — Cormack et al. 2009). Fusion consumes
+    RANKS only, in exact integer ppm, so no score calibration exists
+    to drift between engines; the doc/vec id spaces coincide in the
+    fixture, standing in for a joined lexical+semantic index. The
+    expensive retrievers keep their documented shapes; fusion is one
+    tiny union + aggregation."""
+    from etl_script_spark.operators import search, similarity
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    lex = search.bm25_topk(
+        d, "text", "doc_id", ["join", "window", "hash"], k=20
+    ).select("rank", "id")
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cos = similarity.brute_force_topk(e, qv, k=20, dim=64)
+    w = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    sem = cos.select(
+        F.row_number().over(w).alias("rank"),
+        F.col("vec_id").alias("id"),
+    )
+    return search.rrf_fuse([(lex, "lex"), (sem, "sem")], k=10, c=60)

@@ -99,3 +99,36 @@ def test_soft_dedup_weights_inverse_cluster_size(spark):
     assert out[4] == (1, 1_000_000)
     # expected mass of a cluster ~ 1 document (up to ppm flooring)
     assert 3 * 333_333 <= 1_000_000
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    from etl_script_spark.operators import search
+
+    lex = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "rank long, id long"
+    )
+    sem = spark.createDataFrame(
+        [(1, 20), (2, 40)], "rank long, id long"
+    )
+    out = {r["id"]: (r["rank"], r["rrf_ppm"], r["n_lists"])
+           for r in search.rrf_fuse([(lex, "a"), (sem, "b")], k=10, c=60)
+           .collect()}
+    s = lambda *ranks: sum(1_000_000 // (60 + r) for r in ranks)
+    # doc 20: rank 2 lexical + rank 1 semantic -> beats both rank-1s
+    assert out[20] == (1, s(2, 1), 2)
+    assert out[10] == (2, s(1), 1)
+    assert out[40] == (3, s(2), 1)
+    assert out[30] == (4, s(3), 1)
+
+
+def test_rrf_fuse_tie_breaks_by_id_and_validates(spark):
+    from etl_script_spark.operators import search
+    import pytest
+
+    a = spark.createDataFrame([(1, 7), (2, 5)], "rank long, id long")
+    b = spark.createDataFrame([(1, 5), (2, 7)], "rank long, id long")
+    rows = search.rrf_fuse([(a, "a"), (b, "b")], k=2).collect()
+    # symmetric ranks -> equal scores -> id ascending wins
+    assert [r["id"] for r in rows] == [5, 7]
+    with pytest.raises(ValueError):
+        search.rrf_fuse([])
