@@ -427,7 +427,14 @@ def common_neighbor_scores(
     UNCAPPED. Existing edges are anti-joined out. Top-k by
     (jaccard desc, x, y) — a TakeOrdered, never a global sort.
 
-    Returns (x, y, common, jaccard_ppm).
+    Alongside the count and Jaccard, each pair carries the
+    RESOURCE-ALLOCATION index (Zhou, Lü & Zhang 2009) — Σ over
+    common neighbors of 1/deg(n) in exact ppm (1e6 DIV deg per
+    wedge, summed): the log-free sibling of Adamic-Adar that
+    down-weights promiscuous shared neighbors without putting a
+    float ln() in the contract.
+
+    Returns (x, y, common, jaccard_ppm, ra_ppm).
     """
     fwd = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
@@ -444,7 +451,10 @@ def common_neighbor_scores(
     )
     centers = und.join(
         deg.filter(F.col("d") <= deg_cap), und["a"] == F.col("v")
-    ).select(F.col("a").alias("n"), F.col("b").alias("x"))
+    ).select(
+        F.col("a").alias("n"), F.col("b").alias("x"),
+        F.col("d").alias("dn"),
+    )
     wedges = (
         centers.alias("l")
         .join(
@@ -454,7 +464,10 @@ def common_neighbor_scores(
             (F.col("n") == F.col("n2")) & (F.col("x") < F.col("y")),
         )
         .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum(F.expr("1000000 DIV dn")).cast("long").alias("ra_ppm"),
+        )
     )
     scored = (
         wedges.join(und, (wedges["x"] == und["a"]) & (wedges["y"] == und["b"]), "left_anti")
@@ -468,6 +481,7 @@ def common_neighbor_scores(
                 "CAST((CAST(common AS DECIMAL(38,0)) * 1000000)"
                 " DIV (dx + dy - common) AS BIGINT)"
             ).alias("jaccard_ppm"),
+            "ra_ppm",
         )
     )
     return scored.orderBy(

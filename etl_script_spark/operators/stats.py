@@ -795,3 +795,67 @@ def randomization_test_mean_diff(
             " AS BIGINT)"
         ).alias("p_ppm"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    lo_pct: int = 10,
+    hi_pct: int = 90,
+) -> DataFrame:
+    """Exact trimmed mean of an integer-scaled column: drop the lowest
+    ``lo_pct``% and highest ``100−hi_pct``% by RANK and average the
+    rest — the robust location estimate a latency/amount dashboard
+    wants when MAD flags heavy tails. Positions kept are
+    ``floor(n·lo/100)+1 .. floor(n·hi/100)`` of the ascending order;
+    a value straddling a cut contributes exactly its overlapping
+    multiplicity (integer interval intersection on the rank range),
+    so the result is EXACT — no interpolation, no float percentile.
+
+    Never sorts rows: the per-value histogram + the two-phase
+    bucketed prefix sum (_bucketed_below) give each distinct value
+    its rank interval; one aggregation finishes. Mean reported in
+    exact micro-units via DECIMAL DIV.
+
+    Returns one row (n, kept_n, trimmed_sum, tmean_micro).
+    """
+    if not (0 <= lo_pct < hi_pct <= 100):
+        raise ValueError(f"need 0 <= lo < hi <= 100, got {lo_pct},{hi_pct}")
+    h = (
+        df.select(F.col(value_col).cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    hb = _bucketed_below(h)
+    tot = hb.agg(F.sum("c").cast("long").alias("__n"))
+    staged = hb.crossJoin(F.broadcast(tot)).select(
+        "v", "c", "__below", "__n",
+        F.expr(f"(__n * {lo_pct}) DIV 100").alias("__klo"),
+        F.expr(f"(__n * {hi_pct}) DIV 100").alias("__khi"),
+    )
+    w = F.expr(
+        "greatest(0, least(__below + c, __khi)"
+        " - greatest(__below + 1, __klo + 1) + 1)"
+    )
+    agg = staged.select(
+        "__n",
+        w.alias("__w"),
+        (w.cast(_D) * F.col("v")).alias("__wv"),
+    ).groupBy("__n").agg(
+        F.sum("__w").cast("long").alias("kept_n"),
+        F.sum("__wv").cast(_D).alias("trimmed_sum"),
+    )
+    return agg.select(
+        F.col("__n").alias("n"),
+        "kept_n",
+        F.col("trimmed_sum").cast("long").alias("trimmed_sum"),
+        F.expr(
+            "CASE WHEN kept_n = 0 THEN NULL"
+            " WHEN trimmed_sum < 0 THEN"
+            "  -CAST((abs(CAST(trimmed_sum AS DECIMAL(38,0))) * 1000000)"
+            "        DIV kept_n AS BIGINT)"
+            " ELSE CAST((CAST(trimmed_sum AS DECIMAL(38,0)) * 1000000)"
+            "      DIV kept_n AS BIGINT) END"
+        ).alias("tmean_micro"),
+    )

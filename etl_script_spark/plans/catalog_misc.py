@@ -2340,11 +2340,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS d
             FROM und GROUP BY 1),
     centers AS (
-      SELECT u.a AS n, u.b AS x
+      SELECT u.a AS n, u.b AS x, deg.d AS dn
       FROM und u JOIN deg ON u.a = deg.v WHERE d <= 1000
     ),
     w AS (
-      SELECT l.x AS x, r.x AS y, CAST(COUNT(*) AS BIGINT) AS common
+      SELECT l.x AS x, r.x AS y, CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(SUM(1000000 // l.dn) AS BIGINT) AS ra_ppm
       FROM centers l JOIN centers r ON l.n = r.n AND l.x < r.x
       GROUP BY 1, 2
     ),
@@ -2355,7 +2356,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT x, y, common,
            CAST((CAST(common AS HUGEINT) * 1000000)
-                // (dx.d + dy.d - common) AS BIGINT) AS jaccard_ppm
+                // (dx.d + dy.d - common) AS BIGINT) AS jaccard_ppm,
+           ra_ppm
     FROM nonadj
     JOIN deg dx ON nonadj.x = dx.v
     JOIN deg dy ON nonadj.y = dy.v
@@ -2367,7 +2369,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction over the 200-vertex 3-out supplier graph
     (graph.common_neighbor_scores): non-adjacent pairs ranked by
-    neighbor-set Jaccard in exact ppm, wedges enumerated through
+    neighbor-set Jaccard in exact ppm (plus the log-free
+    resource-allocation index), wedges enumerated through
     deg-capped centers so join volume is bounded by cap·|E| (hub
     evidence is weak anyway), existing edges anti-joined out, top-100
     by the deterministic (jaccard desc, x, y) order."""

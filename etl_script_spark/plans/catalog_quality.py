@@ -1331,3 +1331,56 @@ def feat_hashed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.countDistinct("c_custkey").cast("long").alias("n_keys"),
     )
+
+
+@register(
+    "stat_trimmed_mean",
+    """
+    WITH h AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c,
+             SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c
+               AS below,
+             SUM(c) OVER () AS n
+      FROM h
+    ),
+    cuts AS (
+      SELECT v, c, below, n,
+             (n * 10) // 100 AS klo, (n * 90) // 100 AS khi
+      FROM cum
+    ),
+    wts AS (
+      SELECT n,
+             GREATEST(0, LEAST(below + c, khi)
+                         - GREATEST(below + 1, klo + 1) + 1) AS w,
+             v
+      FROM cuts
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(SUM(w) AS BIGINT) AS kept_n,
+           CAST(SUM(CAST(w AS HUGEINT) * v) AS BIGINT) AS trimmed_sum,
+           CAST((SUM(CAST(w AS HUGEINT) * v) * 1000000) // SUM(w)
+                AS BIGINT) AS tmean_micro
+    FROM wts GROUP BY n
+    """,
+    ("X-statistics", "A1"),
+)
+def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10-90% trimmed mean of extended price cents
+    (stats.trimmed_mean): ranks never materialize per row — the
+    per-value histogram + two-phase bucketed prefix sum give each
+    distinct value its rank interval, and a straddling value
+    contributes exactly its overlapping multiplicity. The robust
+    location readout next to MAD outliers; one fact aggregation +
+    bounded windows, mean in exact micro-units."""
+    from etl_script_spark.operators import stats
+    from etl_script_spark.plans.catalog import cents
+
+    li = t(spark, sf_dir, "lineitem").select(
+        cents(F.col("l_extendedprice")).alias("p")
+    )
+    return stats.trimmed_mean(li, "p", 10, 90)

@@ -225,3 +225,17 @@ def test_common_neighbors_excludes_adjacent_and_caps_hubs(spark):
             graph.common_neighbor_scores(edges, deg_cap=5).collect()}
     # all 10 leaf pairs, never (0, i) — those are existing edges
     assert full == {(i, j) for i in range(1, 6) for j in range(i + 1, 6)}
+
+
+def test_common_neighbors_ra_index_exact(spark):
+    # 1-2-3 path: pair (1,3) shares only vertex 2 (deg 2) ->
+    # ra = 1e6 // 2. Adding 3-4 and 3-5 makes deg(3) = 3, so pair
+    # (2,4) (common neighbor 3) gets 1e6 // 3.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (3, 5)], "src long, dst long"
+    )
+    out = {(r["x"], r["y"]): r["ra_ppm"]
+           for r in graph.common_neighbor_scores(edges).collect()}
+    assert out[(1, 3)] == 500_000
+    assert out[(2, 4)] == 333_333
+    assert out[(4, 5)] == 333_333

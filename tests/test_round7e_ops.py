@@ -132,3 +132,33 @@ def test_rrf_fuse_tie_breaks_by_id_and_validates(spark):
     assert [r["id"] for r in rows] == [5, 7]
     with pytest.raises(ValueError):
         search.rrf_fuse([])
+
+
+def test_trimmed_mean_matches_brute_force(spark):
+    import random
+    from etl_script_spark.operators import stats
+
+    rng = random.Random(5)
+    vals = [rng.randint(0, 100) for _ in range(237)] + [10**6] * 3  # outliers
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = stats.trimmed_mean(df, "v", 10, 90).collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    kept = s[(n * 10) // 100:(n * 90) // 100]
+    assert r["n"] == n and r["kept_n"] == len(kept)
+    assert r["trimmed_sum"] == sum(kept)
+    assert r["tmean_micro"] == sum(kept) * 1_000_000 // len(kept)
+    # the 1e6 outliers must not move the trimmed mean
+    assert r["tmean_micro"] < 200 * 1_000_000
+
+
+def test_trimmed_mean_validates_and_handles_ties(spark):
+    import pytest
+    from etl_script_spark.operators import stats
+
+    with pytest.raises(ValueError):
+        stats.trimmed_mean(spark.range(1), "id", 90, 10)
+    # all-ties: any trim keeps the same value
+    df = spark.createDataFrame([(7,)] * 50, "v long")
+    r = stats.trimmed_mean(df, "v", 20, 80).collect()[0]
+    assert r["kept_n"] == 30 and r["tmean_micro"] == 7_000_000
