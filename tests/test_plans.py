@@ -254,3 +254,30 @@ def test_wordpiece_scan_runs_on_distinct_words(spark, sf_dir):
         r" output=\[w#\d+, __st#\d+\]\)",
         plan,
     ), plan[:2000]
+
+
+def test_continuation_pairs_no_cartesian_and_gram_join(spark, sf_dir):
+    """The tail->head match must be an equi-join on the gram — a
+    cartesian or broadcast-nested-loop here means the join key was
+    lost and 100 TB of documents would cross-join."""
+    plan = _executed_plan(spark, "dedup_continuation_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_randomization_test_one_agg_over_explode(spark, sf_dir):
+    """The null distribution is ONE aggregation over the exploded
+    (row x rep) stream: no joins of the replicated stream against
+    itself, and the only join is the one-row broadcast of the
+    observed stats."""
+    plan = _executed_plan(spark, "stat_randomization_test", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate explode") <= 1
+
+
+def test_common_neighbors_wedge_join_is_keyed(spark, sf_dir):
+    """Wedge enumeration joins centers on the shared-neighbor key
+    (equi on n = n2 with the x<y filter) — never a cross product."""
+    plan = _executed_plan(spark, "graph_common_neighbors", sf_dir)
+    assert "CartesianProduct" not in plan

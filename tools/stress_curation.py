@@ -1289,6 +1289,46 @@ def stress_round7j_newops(spark):
 
 
 
+def stress_round7k_newops(spark):
+    """Decade push for the round-7e batch: Kneser-Ney over the 1 M-doc
+    corpus (57 M bigrams — four count aggregations + vocabulary
+    joins), SoftDeDup weights and the hashing trick at corpus scale,
+    and the trimmed mean over a 20 M-row NEAR-UNIQUE value column
+    (fact-cardinality histogram — the case the bucketed prefix sum
+    exists for). Run: ``python tools/stress_curation.py --round7k``."""
+    import os
+
+    from etl_script_spark.operators import dedup as ddp
+    from etl_script_spark.operators import features, stats, textstats
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        out.write.mode("overwrite").format("noop").save()
+        print(f"{name}: {time.time()-t0:.1f}s -> {out.count()} rows")
+
+    corpus_path = "/tmp/etl_script_spark_io/stress_1000000"
+    if not os.path.exists(corpus_path + "/_SUCCESS"):
+        build(spark, n=1_000_000, out=corpus_path)
+    d = spark.read.parquet(corpus_path)
+    run("kneser_ney 1M docs", lambda:
+        textstats.kneser_ney_bigrams(d, "text", k=100, min_count=5))
+    run("soft_dedup_weights 1M docs", lambda:
+        ddp.soft_dedup_weights(d, "text", "doc_id"))
+
+    big = spark.range(20_000_000).select(
+        "id",
+        F.abs(F.xxhash64("id") % 1_000_000_000).alias("v"),
+        (F.col("id") % 1000).cast("string").alias("c1"),
+        (F.col("id") % 77).cast("string").alias("c2"),
+    )
+    run("trimmed_mean 20M near-unique values", lambda:
+        stats.trimmed_mean(big, "v", 10, 90))
+    run("hashed_feature_buckets 20M rows", lambda:
+        features.hashed_feature_buckets(big, ["c1", "c2"], 4096))
+
+
+
 if __name__ == "__main__":
     if "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
@@ -1305,6 +1345,10 @@ if __name__ == "__main__":
     elif "--round6e" in sys.argv:
         spark = get_spark(app_name="stress-round6e")
         stress_round6e_augment(spark)
+        spark.stop()
+    elif "--round7k" in sys.argv:
+        spark = get_spark(app_name="stress-round7k")
+        stress_round7k_newops(spark)
         spark.stop()
     elif "--round7j" in sys.argv:
         spark = get_spark(app_name="stress-round7j")
