@@ -577,6 +577,12 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
 
     Returns one row (n, rho_ppb).
     """
+    # NOTE deliberately NOT persisted: the pair histogram feeds three
+    # consumers, but it is INPUT-cardinality (near-unique axes give
+    # one row per fact row) — measured at 20 M rows, caching it costs
+    # more than the two saved re-aggregations (88 s vs 51 s cold).
+    # The Kneser-Ney cache is the opposite case: a type-cardinality
+    # table 60x smaller than the explode that builds it.
     pairs = (
         df.select(
             F.col(x_col).cast("long").alias("x"),
@@ -859,3 +865,4 @@ def trimmed_mean(
             "      DIV kept_n AS BIGINT) END"
         ).alias("tmean_micro"),
     )
+
