@@ -80,6 +80,21 @@ SHOW = {
         "false positives — at 100 TB only the ~match fraction of the "
         "fact table reaches the join."
     ),
+    "stat_spearman_rho": (
+        "Spearman via two-phase bucketed midranks: the only "
+        "unpartitioned windows run over the <=1025-row bucket tables "
+        "(offsets broadcast back); rank tables join the pair "
+        "histogram as plain keyed shuffles that AQE broadcasts when "
+        "an axis is low-cardinality — no global sort at any "
+        "cardinality, no per-row rank materialization."
+    ),
+    "tok_wordpiece_roundtrip": (
+        "WordPiece greedy scan: the unrolled aggregate() expression "
+        "evaluates AFTER the distinct-word HashAggregate (per "
+        "vocabulary word, not per occurrence) and joins back to the "
+        "occurrence stream — the same amortization the BPE/unigram "
+        "tokenizers use, all codegen, zero Python."
+    ),
     "search_bm25_topk": (
         "BM25 top-k: term stats only for the query's terms (the "
         "explode is filtered before aggregation), df and corpus "
