@@ -1573,6 +1573,8 @@ def continuation_pairs(
     """
     from etl_script_spark.operators.textstats import words
 
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     base = df.select(
         F.col(id_col).alias("__id"),
         F.filter(words(F.col(text_col)), lambda w: w != "").alias("__ws"),

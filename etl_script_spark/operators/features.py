@@ -375,6 +375,10 @@ def target_encode_loo(
     100 TB a billion-category join shuffles on the category key like
     any other enrichment). Returns df + (cat_n, enc_ppm).
     """
+    if smoothing < 1:
+        # smoothing 0 + a singleton category divides by zero, which
+        # ERRORS under ANSI mode rather than returning NULL
+        raise ValueError(f"smoothing must be >= 1, got {smoothing}")
     _D = "DECIMAL(38,0)"
     t = F.col(target_col).cast("long")
     cat = df.groupBy(F.col(category_col).alias("__cat")).agg(
@@ -420,6 +424,8 @@ def hashed_feature_buckets(
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not cols:
+        raise ValueError("hashed_feature_buckets needs >= 1 column")
     parts: list = [F.lit(seed)]
     for c in cols:
         parts.append(F.lit("|"))

@@ -312,6 +312,8 @@ def t_closeness_report(
     Returns (quasi_cols..., n, tvd_ppm, breach) with breach =
     tvd_ppm > t_ppm.
     """
+    if not quasi_cols:
+        raise ValueError("t_closeness_report needs >= 1 quasi column")
     _D = "DECIMAL(38,0)"
     cells = df.groupBy(
         *[F.col(c) for c in quasi_cols],

@@ -386,13 +386,15 @@ def label_propagation(
             .groupBy("v", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        # argmax by (cnt desc, label asc): max of (cnt, -label) struct
+        # argmax by (cnt desc, label asc) as MIN of (-cnt, label):
+        # negating the count instead of the label keeps the trick
+        # valid for any orderable label type, not just numerics
         winner = votes.groupBy("v").agg(
-            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label")))
             .alias("__w")
         ).select(
             F.col("v").alias("vertex"),
-            (-F.col("__w.nl")).alias("label"),
+            F.col("__w.label").alias("label"),
         )
         labels = (
             verts.join(winner, "vertex", "left")

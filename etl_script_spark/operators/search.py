@@ -202,6 +202,8 @@ def rrf_fuse(
     """
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
+    if c < 0:
+        raise ValueError(f"c must be >= 0, got {c}")
     tagged = [
         df.select(
             F.col(id_col).cast("long").alias("id"),

@@ -729,6 +729,10 @@ def randomization_test_mean_diff(
     bounded (p resolution is 1/(reps+1); 49–199 is standard).
     Returns one row (n_a, n_b, reps, extreme_reps, p_ppm).
     """
+    if reps < 1:
+        # sequence(0, reps-1) on reps=0 would DESCEND to [0, -1] and
+        # silently double the replicate count with a bogus rep id
+        raise ValueError(f"reps must be >= 1, got {reps}")
     base = df.filter(
         F.col(group_col).isin(group_a, group_b)
         & F.col(value_col).isNotNull()

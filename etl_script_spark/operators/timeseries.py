@@ -397,6 +397,8 @@ def acf_lags(
     """
     from etl_script_spark.operators.stats import corr_ppb_from_suffstats
 
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
     _D = "DECIMAL(38,0)"
     v = F.col(value_col).cast("long")
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)

@@ -162,3 +162,43 @@ def test_trimmed_mean_validates_and_handles_ties(spark):
     df = spark.createDataFrame([(7,)] * 50, "v long")
     r = stats.trimmed_mean(df, "v", 20, 80).collect()[0]
     assert r["kept_n"] == 30 and r["tmean_micro"] == 7_000_000
+
+
+def test_round7_parameter_guards(spark):
+    """Each new operator rejects degenerate parameters loudly instead
+    of erroring mid-plan under ANSI (divide-by-zero) or silently
+    producing bogus replicate ids (descending sequence())."""
+    import pytest
+    from etl_script_spark.operators import (
+        dedup as ddp, features as ft, governance as gv, stats as st,
+        timeseries as ts,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1)], "id long, c string, v int")
+    with pytest.raises(ValueError):
+        ts.acf_lags(df, ["c"], ["id"], "v", max_lag=0)
+    with pytest.raises(ValueError):
+        ft.target_encode_loo(df, "c", "v", smoothing=0)
+    with pytest.raises(ValueError):
+        ft.hashed_feature_buckets(df, [], 8)
+    with pytest.raises(ValueError):
+        ddp.continuation_pairs(df, "c", "id", k=0)
+    with pytest.raises(ValueError):
+        st.randomization_test_mean_diff(df, "id", "c", "v", "a", "b",
+                                        reps=0)
+    with pytest.raises(ValueError):
+        gv.t_closeness_report(df, [], "c")
+
+
+def test_label_propagation_string_labels(spark):
+    """The min-of-(-cnt, label) argmax must work for non-numeric
+    vertex ids too (tie still breaks to the SMALLEST label)."""
+    from etl_script_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    out = {r["vertex"]: r["label"]
+           for r in graph.label_propagation(edges, iters=1).collect()}
+    assert out["b"] == "a"          # {a, c} one vote each -> min label
+    assert out["a"] == "b" and out["c"] == "b"
