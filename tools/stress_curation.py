@@ -1329,6 +1329,55 @@ def stress_round7k_newops(spark):
 
 
 
+def stress_round7l_second_decade(spark):
+    """Second decade for the cheapest-to-generate round-7 families:
+    ACF at 100 M rows x 1 M keys, BFS and LPA at 10 M vertices,
+    t-closeness at 100 M rows — an order of magnitude past round-7i.
+    Run: ``python tools/stress_curation.py --round7l``."""
+    from etl_script_spark.operators import governance, graph, timeseries
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        out.write.mode("overwrite").format("noop").save()
+        print(f"{name}: {time.time()-t0:.1f}s -> {out.count()} rows")
+
+    series = spark.range(100_000_000).select(
+        (F.col("id") % 1_000_000).alias("k"),
+        (F.col("id") / F.lit(1_000_000)).cast("long").alias("i"),
+        (F.abs(F.xxhash64("id")) % 10_000
+         + ((F.col("id") / F.lit(1_000_000)).cast("long") % 7) * 3_000
+         ).alias("v"),
+    )
+    run("acf_lags 100M rows x 1M keys x 3 lags", lambda:
+        timeseries.acf_lags(series, ["k"], ["i"], "v", max_lag=3))
+
+    n_v = 10_000_000
+    base = spark.range(n_v)
+    edges = base.select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 10_000_019 + 7) % n_v).alias("dst"),
+    ).unionByName(base.select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 733 + 13) % n_v).alias("dst"),
+    ))
+    sources = base.filter(F.col("id") % 1_000_000 == 0).select(
+        F.col("id").alias("vertex")
+    )
+    run("bfs_hops 10M vertices x 4 hops", lambda:
+        graph.bfs_hops(edges, sources, max_hops=4))
+    run("label_propagation 10M vertices x 3 iters", lambda:
+        graph.label_propagation(edges, iters=3))
+
+    qd = spark.range(100_000_000).select(
+        (F.col("id") % 1_000_000).alias("g"),
+        (F.abs(F.xxhash64("id", F.lit(3))) % 20).alias("s"),
+    )
+    run("t_closeness 100M rows x 1M groups x 20 cats", lambda:
+        governance.t_closeness_report(qd, ["g"], "s", 300000))
+
+
+
 if __name__ == "__main__":
     if "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
@@ -1345,6 +1394,10 @@ if __name__ == "__main__":
     elif "--round6e" in sys.argv:
         spark = get_spark(app_name="stress-round6e")
         stress_round6e_augment(spark)
+        spark.stop()
+    elif "--round7l" in sys.argv:
+        spark = get_spark(app_name="stress-round7l")
+        stress_round7l_second_decade(spark)
         spark.stop()
     elif "--round7k" in sys.argv:
         spark = get_spark(app_name="stress-round7k")
