@@ -241,3 +241,21 @@ def test_label_propagation_min_tie_break_deterministic(spark):
            for r in graph.label_propagation(edges, iters=1).collect()}
     assert out[2] == 1
     assert out[1] == 2 and out[3] == 2  # their only neighbor is 2
+
+
+def test_acf_regular_join_path_equals_window_path(spark):
+    """acf_lags_regular (the mega-key equi-join path) must reproduce
+    acf_lags bit-for-bit on regular series — including per-key series
+    shorter than max_lag (which simply emit fewer lags)."""
+    rows = [("a", i, (i * 37) % 101) for i in range(200)]
+    rows += [("b", i, 50 + (i % 2) * 10) for i in range(2)]  # shorter than lag 3
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+    a = {(r["k"], r["lag"]): (r["n"], r["corr_ppb"])
+         for r in timeseries.acf_lags(df, ["k"], ["i"], "v", 3).collect()}
+    b = {(r["k"], r["lag"]): (r["n"], r["corr_ppb"])
+         for r in timeseries.acf_lags_regular(df, ["k"], "i", "v", 3)
+         .collect()}
+    assert a == b
+    import pytest
+    with pytest.raises(ValueError):
+        timeseries.acf_lags_regular(df, ["k"], "i", "v", 3, step=0)
