@@ -518,3 +518,78 @@ def acf_lags_regular(
             F.col("__sxx"), F.col("__syy"), F.col("__sxy"),
         ).alias("corr_ppb"),
     )
+
+
+def ccf_lags(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    a_col: str,
+    b_col: str,
+    max_lag: int = 2,
+) -> DataFrame:
+    """Per-key CROSS-correlation between two integer-scaled signals at
+    lags −max_lag..max_lag: ``corr(a[i], b[i−k])`` — positive k means
+    b LEADS a by k observations (the does-marketing-lead-revenue
+    readout), negative k the reverse, k=0 the contemporaneous
+    correlation. Same machinery as acf_lags: every shifted copy of b
+    (lags AND leads) comes from ONE window sort per key, the copies
+    unpivot via an inline explode, and each (key, k) folds to the six
+    exact integer sufficient statistics; corr_ppb under the
+    integer-sqrt convention. Pairs with a NULL on either side drop;
+    each k normalizes over its own surviving pairs.
+
+    Returns (key_cols..., lag, n, corr_ppb) — up to 2·max_lag+1 rows
+    per key.
+    """
+    from etl_script_spark.operators.stats import corr_ppb_from_suffstats
+
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    _D = "DECIMAL(38,0)"
+    a = F.col(a_col).cast("long")
+    b = F.col(b_col).cast("long")
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    ks = list(range(-max_lag, max_lag + 1))
+    lagged = df.select(
+        *key_cols,
+        a.alias("__a"),
+        *[F.lag(b, k).over(w).alias(f"__b{k}") for k in ks],
+    )
+    stacked = lagged.select(
+        *key_cols,
+        "__a",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col(f"__b{k}").alias("__p"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("__e"),
+    ).select(*key_cols, "__a", "__e.lag", "__e.__p")
+    pairs = stacked.filter(
+        F.col("__p").isNotNull() & F.col("__a").isNotNull()
+    )
+    x = F.col("__a").cast(_D)
+    y = F.col("__p").cast(_D)
+    s = pairs.groupBy(*key_cols, "lag").agg(
+        F.count(F.lit(1)).cast(_D).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    return s.select(
+        *key_cols,
+        "lag",
+        F.col("__n").cast("long").alias("n"),
+        corr_ppb_from_suffstats(
+            F.col("__n"), F.col("__sx"), F.col("__sy"),
+            F.col("__sxx"), F.col("__syy"), F.col("__sxy"),
+        ).alias("corr_ppb"),
+    )

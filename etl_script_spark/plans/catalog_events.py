@@ -851,3 +851,73 @@ def ev_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("n_events") >= 50) & (F.col("top_type_ppm") >= 900000))
         ).alias("is_bot"),
     )
+
+
+@register(
+    "ts_cross_correlation",
+    """
+    WITH g AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM events GROUP BY 1, 2
+    ),
+    lagd AS (
+      SELECT user_id, a,
+             LEAD(b, 2) OVER w AS bm2, LEAD(b, 1) OVER w AS bm1,
+             b AS b0, LAG(b, 1) OVER w AS b1, LAG(b, 2) OVER w AS b2
+      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY h)
+    ),
+    pairs AS (
+      SELECT user_id, -2 AS lag, a, bm2 AS p FROM lagd WHERE bm2 IS NOT NULL
+      UNION ALL SELECT user_id, -1, a, bm1 FROM lagd WHERE bm1 IS NOT NULL
+      UNION ALL SELECT user_id, 0, a, b0 FROM lagd WHERE b0 IS NOT NULL
+      UNION ALL SELECT user_id, 1, a, b1 FROM lagd WHERE b1 IS NOT NULL
+      UNION ALL SELECT user_id, 2, a, b2 FROM lagd WHERE b2 IS NOT NULL
+    ),
+    st AS (
+      SELECT user_id, lag, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(a AS HUGEINT)) AS sx, SUM(CAST(p AS HUGEINT)) AS sy,
+             SUM(CAST(a AS HUGEINT) * a) AS sxx,
+             SUM(CAST(p AS HUGEINT) * p) AS syy,
+             SUM(CAST(a AS HUGEINT) * p) AS sxy
+      FROM pairs GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT user_id, lag, n, n * sxy - sx * sy AS num,
+             (n * sxx - sx * sx) // n AS qx,
+             (n * syy - sy * sy) // n AS qy
+      FROM st
+    )"""
+    + _corr_oracle_tail(keys="user_id, lag,", out="corr_ppb"),
+    ("TS-acf",),
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CROSS-correlation between hourly purchase revenue and
+    hourly click count at lags −2..+2 (timeseries.ccf_lags): positive
+    lag means clicks LEAD purchases — the attribution-adjacent
+    lead-lag readout last-touch models assume rather than measure.
+    All five shifted copies (lags AND leads — lag with a negative
+    offset) come from ONE window sort per user; exact integer
+    sufficient statistics; corr_ppb under the integer-sqrt
+    convention."""
+    from etl_script_spark.operators import timeseries as ts_ops3
+
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).cast("long").alias("a"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("long").alias("b"),
+    )
+    return ts_ops3.ccf_lags(g, ["user_id"], ["h"], "a", "b", max_lag=2)

@@ -259,3 +259,21 @@ def test_acf_regular_join_path_equals_window_path(spark):
     import pytest
     with pytest.raises(ValueError):
         timeseries.acf_lags_regular(df, ["k"], "i", "v", 3, step=0)
+
+
+def test_ccf_matches_brute_force_and_detects_lead(spark):
+    # b leads a by exactly 1 step: corr at lag +1 must dominate
+    rng = random.Random(11)
+    b = [rng.randint(0, 100) for _ in range(120)]
+    a = [0] + [3 * x + rng.randint(0, 5) for x in b[:-1]]
+    rows = [("k", i, a[i], b[i]) for i in range(120)]
+    df = spark.createDataFrame(rows, "k string, i int, a long, b long")
+    got = {r["lag"]: (r["n"], r["corr_ppb"])
+           for r in timeseries.ccf_lags(df, ["k"], ["i"], "a", "b", 2)
+           .collect()}
+    for lag in (-2, -1, 0, 1, 2):
+        pairs = [(a[i], b[i - lag])
+                 for i in range(120) if 0 <= i - lag < 120]
+        assert got[lag] == (len(pairs), _corr_ppb_brute(pairs)), lag
+    assert got[1][1] > 980_000_000
+    assert got[1][1] > got[0][1] and got[1][1] > got[-1][1]
