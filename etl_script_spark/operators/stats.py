@@ -870,3 +870,110 @@ def trimmed_mean(
         ).alias("tmean_micro"),
     )
 
+
+
+def pearson_pairwise_ppb(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """All pairwise Pearson correlations of integer-scaled columns
+    from ONE aggregation: the k·(k+3)/2 sufficient statistics (k
+    sums, k sums of squares, k·(k−1)/2 cross sums) fold map-side in
+    a single pass, then every pair evaluates the integer-sqrt
+    corr_ppb convention. The correlation-matrix primitive for
+    feature audits — one fact-table pass regardless of k.
+
+    Returns one row with n plus a ``corr_<a>__<b>`` column per pair
+    (a before b in ``cols`` order).
+    """
+    if len(cols) < 2:
+        raise ValueError("pearson_pairwise_ppb needs >= 2 columns")
+    filt = None
+    for c in cols:
+        p = F.col(c).isNotNull()
+        filt = p if filt is None else (filt & p)
+    base = df.filter(filt).select(
+        *[F.col(c).cast("long").cast(_D).alias(c) for c in cols]
+    )
+    aggs = [F.count(F.lit(1)).cast(_D).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"__s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"__q_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"__x_{a}__{b}"))
+    s = base.agg(*aggs)
+    out = [F.col("__n").cast("long").alias("n")]
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            out.append(
+                corr_ppb_from_suffstats(
+                    F.col("__n"),
+                    F.col(f"__s_{a}"), F.col(f"__s_{b}"),
+                    F.col(f"__q_{a}"), F.col(f"__q_{b}"),
+                    F.col(f"__x_{a}__{b}"),
+                ).alias(f"corr_{a}__{b}")
+            )
+    return s.select(*out)
+
+
+def partial_corr_ppb(
+    df: DataFrame, x_col: str, y_col: str, z_col: str
+) -> DataFrame:
+    """First-order partial correlation r_xy·z — the association
+    between x and y with the confounder z held fixed,
+
+        r_xy·z = (r_xy − r_xz·r_zy) / sqrt((1−r_xz²)(1−r_zy²))
+
+    evaluated as a SECOND-STAGE integer convention over the three
+    ppb-QUANTIZED pairwise correlations (documented: the quantization
+    happens before this formula, so both engines combine identical
+    integers — putting the raw-float formula here would re-introduce
+    the cross-engine drift the ppb convention exists to kill). With
+    R = 1e9: num = r_xy·R − r_xz·r_zy (both terms r·R²), den =
+    isqrt(R²−r_xz²) · isqrt(R²−r_zy²), result = sign·(|num|·1e9) fdiv
+    den, magnitude-clamped to R (quantized inputs can breach Cauchy
+    consistency by ppb-scale amounts near a degenerate denominator) —
+    every isqrt input ≤ 1e18, comfortably inside the ±2-window
+    bound. Degenerate
+    inputs (|r| = 1 with z, or any pairwise corr NULL) report NULL.
+
+    One fact aggregation total (via pearson_pairwise_ppb). Returns
+    one row (n, rxy_ppb, rxz_ppb, rzy_ppb, partial_ppb).
+    """
+    pw = pearson_pairwise_ppb(df, [x_col, y_col, z_col])
+    rxy = F.col(f"corr_{x_col}__{y_col}").cast(_D)
+    rxz = F.col(f"corr_{x_col}__{z_col}").cast(_D)
+    rzy = F.col(f"corr_{y_col}__{z_col}").cast(_D)
+    R2 = F.lit(10**9).cast(_D) * F.lit(10**9)
+    # units: rxy·R and rxz·rzy are both r·R² — a stray extra factor
+    # of R here overflows BIGINT the moment confounding is strong
+    num = rxy * F.lit(10**9).cast(_D) - rxz * rzy
+    bx = isqrt_column(R2 - rxz * rxz)
+    by = isqrt_column(R2 - rzy * rzy)
+
+    def fdiv(xc, yc):
+        return ((xc - (xc % yc)) / yc).cast(_D)
+
+    # clamp to ±1e9: quantized inputs can breach Cauchy consistency
+    # by ppb-scale amounts when the denominator is tiny
+    mag = F.least(
+        fdiv(F.abs(num) * F.lit(10**9).cast(_D), bx * by),
+        F.lit(10**9).cast(_D),
+    )
+    partial = (
+        F.when(
+            rxy.isNull() | rxz.isNull() | rzy.isNull()
+            | ((bx * by) == 0),
+            F.lit(None),
+        )
+        .when(num < 0, -mag)
+        .otherwise(mag)
+        .cast("long")
+    )
+    return pw.select(
+        "n",
+        F.col(f"corr_{x_col}__{y_col}").alias("rxy_ppb"),
+        F.col(f"corr_{x_col}__{z_col}").alias("rxz_ppb"),
+        F.col(f"corr_{y_col}__{z_col}").alias("rzy_ppb"),
+        partial.alias("partial_ppb"),
+    )

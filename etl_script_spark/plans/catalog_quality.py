@@ -1384,3 +1384,116 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("l_extendedprice")).alias("p")
     )
     return stats.trimmed_mean(li, "p", 10, 90)
+
+
+def _corr_pair_sql(tag: str, sx: str, sy: str, qx: str, qy: str,
+                   xy: str) -> dict[str, str]:
+    """SQL fragments replicating corr_ppb_from_suffstats for one pair
+    of suff-stat columns (all HUGEINT, with ``n`` in scope)."""
+    num = f"(n * {xy} - {sx} * {sy})"
+    qa = f"((n * {qx} - {sx} * {sx}) // n)"
+    qb = f"((n * {qy} - {sy} * {sy}) // n)"
+    ka = _CORR_LADDER_SQL.format(q=f"qa_{tag}")
+    kb = _CORR_LADDER_SQL.format(q=f"qb_{tag}")
+    return {
+        "stage1": (f"{num} AS num_{tag}, {qa} AS qa_{tag},"
+                   f" {qb} AS qb_{tag}"),
+        "stage2": (f"{ka} AS ka_{tag}, {kb} AS kb_{tag},"
+                   f" qa_{tag} * {ka} * {ka} AS qas_{tag},"
+                   f" qb_{tag} * {kb} * {kb} AS qbs_{tag}"),
+        "stage3": (f"{_isqrt_sql(f'qas_{tag}')} AS ba_{tag},"
+                   f" {_isqrt_sql(f'qbs_{tag}')} AS bb_{tag}"),
+        "corr": (
+            f"CASE WHEN ba_{tag} * bb_{tag} = 0 THEN NULL"
+            f" WHEN num_{tag} < 0 THEN"
+            f"  -CAST(((abs(num_{tag}) // n) * ka_{tag} * kb_{tag}"
+            f"         * 1000000000) // (ba_{tag} * bb_{tag}) AS HUGEINT)"
+            f" ELSE CAST(((abs(num_{tag}) // n) * ka_{tag} * kb_{tag}"
+            f"      * 1000000000) // (ba_{tag} * bb_{tag}) AS HUGEINT)"
+            f" END"
+        ),
+    }
+
+
+def _partial_corr_oracle() -> str:
+    xy = _corr_pair_sql("xy", "sx", "sy", "qxx", "qyy", "x_xy")
+    xz = _corr_pair_sql("xz", "sx", "sz", "qxx", "qzz", "x_xz")
+    zy = _corr_pair_sql("zy", "sy", "sz", "qyy", "qzz", "x_zy")
+    # NOTE x_zy is SUM(y*z): partial_corr_ppb's rzy is corr(y, z)
+    return f"""
+    WITH base AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS xv,
+             CAST(ROUND(l_discount * 10000) AS HUGEINT) AS yv,
+             CAST(l_quantity AS HUGEINT) AS zv
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(xv) AS sx, SUM(yv) AS sy, SUM(zv) AS sz,
+             SUM(xv * xv) AS qxx, SUM(yv * yv) AS qyy,
+             SUM(zv * zv) AS qzz,
+             SUM(xv * yv) AS x_xy, SUM(xv * zv) AS x_xz,
+             SUM(yv * zv) AS x_zy
+      FROM base
+    ),
+    p1 AS (SELECT *, {xy['stage1']}, {xz['stage1']}, {zy['stage1']}
+           FROM s),
+    p2 AS (SELECT *, {xy['stage2']}, {xz['stage2']}, {zy['stage2']}
+           FROM p1),
+    p3 AS (SELECT *, {xy['stage3']}, {xz['stage3']}, {zy['stage3']}
+           FROM p2),
+    corrs AS (
+      SELECT n, {xy['corr']} AS rxy, {xz['corr']} AS rxz,
+             {zy['corr']} AS rzy
+      FROM p3
+    ),
+    pc AS (
+      SELECT n, rxy, rxz, rzy,
+             rxy * 1000000000 - rxz * rzy AS pnum,
+             1000000000000000000 - rxz * rxz AS da,
+             1000000000000000000 - rzy * rzy AS db
+      FROM corrs
+    ),
+    pb AS (
+      SELECT n, rxy, rxz, rzy, pnum,
+             {_isqrt_sql('da')} AS pba, {_isqrt_sql('db')} AS pbb
+      FROM pc
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(rxy AS BIGINT) AS rxy_ppb,
+           CAST(rxz AS BIGINT) AS rxz_ppb,
+           CAST(rzy AS BIGINT) AS rzy_ppb,
+           CASE WHEN rxy IS NULL OR rxz IS NULL OR rzy IS NULL
+                     OR pba * pbb = 0 THEN NULL
+                WHEN pnum < 0 THEN
+                  -CAST(LEAST((abs(pnum) * 1000000000) // (pba * pbb),
+                              CAST(1000000000 AS HUGEINT)) AS BIGINT)
+                ELSE CAST(LEAST((abs(pnum) * 1000000000) // (pba * pbb),
+                                CAST(1000000000 AS HUGEINT)) AS BIGINT)
+           END AS partial_ppb
+    FROM pb
+    """
+
+
+@register(
+    "stat_partial_corr", _partial_corr_oracle(), ("X-statistics",)
+)
+def stat_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of extended price and discount
+    CONTROLLING for quantity (stats.partial_corr_ppb): the
+    confounder-control readout a feature audit wants before claiming
+    two signals are related. All three pairwise Pearson correlations
+    come from ONE fact aggregation (stats.pearson_pairwise_ppb);
+    the partial formula runs as a documented second-stage integer
+    convention over the ppb-QUANTIZED correlations, so both engines
+    combine identical integers — no raw-float recombination to
+    drift."""
+    from etl_script_spark.operators import stats
+    from etl_script_spark.plans.catalog import cents
+
+    li = t(spark, sf_dir, "lineitem").select(
+        cents(F.col("l_extendedprice")).alias("xv"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("yv"),
+        F.col("l_quantity").cast("long").alias("zv"),
+    )
+    return stats.partial_corr_ppb(li, "xv", "yv", "zv")

@@ -277,3 +277,45 @@ def test_ccf_matches_brute_force_and_detects_lead(spark):
         assert got[lag] == (len(pairs), _corr_ppb_brute(pairs)), lag
     assert got[1][1] > 980_000_000
     assert got[1][1] > got[0][1] and got[1][1] > got[-1][1]
+
+
+def _partial_brute(rows):
+    """Pure-Python twin of partial_corr_ppb (ppb-quantized stage 2)."""
+    rxy = _corr_ppb_brute([(x, y) for x, y, _ in rows])
+    rxz = _corr_ppb_brute([(x, z) for x, _, z in rows])
+    rzy = _corr_ppb_brute([(y, z) for _, y, z in rows])
+    if None in (rxy, rxz, rzy):
+        return rxy, rxz, rzy, None
+    num = rxy * 10**9 - rxz * rzy
+    ba = math.isqrt(10**18 - rxz * rxz)
+    bb = math.isqrt(10**18 - rzy * rzy)
+    if ba * bb == 0:
+        return rxy, rxz, rzy, None
+    mag = min(abs(num) * 10**9 // (ba * bb), 10**9)
+    return rxy, rxz, rzy, (-mag if num < 0 else mag)
+
+
+def test_partial_corr_matches_brute_and_removes_confounder(spark):
+    rng = random.Random(3)
+    # x and y share the confounder z and nothing else: raw corr(x,y)
+    # is strongly positive, partial corr | z collapses toward 0
+    rows = []
+    for _ in range(400):
+        z = rng.randint(0, 1000)
+        rows.append((5 * z + rng.randint(0, 80),
+                     3 * z + rng.randint(0, 80), z))
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got = stats.partial_corr_ppb(df, "x", "y", "z").collect()[0]
+    rxy, rxz, rzy, part = _partial_brute(rows)
+    assert (got["rxy_ppb"], got["rxz_ppb"], got["rzy_ppb"],
+            got["partial_ppb"]) == (rxy, rxz, rzy, part)
+    assert got["rxy_ppb"] > 900_000_000
+    assert abs(got["partial_ppb"]) < 200_000_000
+
+
+def test_partial_corr_degenerate_is_null(spark):
+    # x == z exactly: 1 - rxz^2 = 0 -> NULL partial
+    rows = [(i, i * 2 + (i % 3), i) for i in range(100)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got = stats.partial_corr_ppb(df, "x", "y", "z").collect()[0]
+    assert got["partial_ppb"] is None or abs(got["rxz_ppb"]) < 10**9
