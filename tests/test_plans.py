@@ -281,3 +281,11 @@ def test_common_neighbors_wedge_join_is_keyed(spark, sf_dir):
     (equi on n = n2 with the x<y filter) — never a cross product."""
     plan = _executed_plan(spark, "graph_common_neighbors", sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_ccf_all_shifts_share_one_window(spark, sf_dir):
+    """All five shifted copies (lags AND leads) must land in ONE
+    Window operator — per-shift windows would be five sorts of the
+    per-key grid."""
+    plan = _executed_plan(spark, "ts_cross_correlation", sf_dir)
+    assert plan.count("Window") == 1
