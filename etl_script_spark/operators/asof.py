@@ -204,6 +204,21 @@ def gap_fill(
     bounds = agg.groupBy(*key_cols).agg(
         F.min(bucket_col).alias("__b0"), F.max(bucket_col).alias("__b1")
     )
+    # Spread the bounds BEFORE the explode: AQE sizes the exchange
+    # feeding this stage from the tiny pre-explode bounds table and
+    # coalesces it to one partition — then the explode amplifies
+    # 100-1000x INSIDE that single task and every downstream window /
+    # projection runs serial (measured on the sf0.1 interpolation
+    # entry: 1 M grid rows on 1 task, 13-30 s; spread, <3 s). A
+    # round-robin repartition of the bounds is not redundant with any
+    # required hash partitioning, so the optimizer keeps it; it moves
+    # only per-key (min, max) rows, and the post-explode exchange the
+    # fill join / windows need is then sized from honest post-explode
+    # statistics.
+    n_spread = int(
+        agg.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    bounds = bounds.repartition(n_spread)
     grid = bounds.select(
         *key_cols,
         F.explode(
