@@ -322,20 +322,24 @@ def integer_tercile_thresholds(
     """One-row (t1, t2) tercile thresholds of an integer column by
     the cumulative-count rule: ``t_k = min(v : 3*cum(v) >= k*total)``
     — the same exact selection as ``weighted_quantile_groups``, both
-    cuts in ONE pass. The window runs over the (value -> count)
-    table, i.e. DISTINCT-VALUE cardinality, never row count —
-    quantize the value first (cents -> $10 bands etc.) if its domain
-    is unbounded.
+    cuts in ONE pass. The cumulative comes from the two-phase
+    BUCKETED prefix sum (stats._bucketed_below), so a NEAR-UNIQUE
+    value domain (balances in cents: distinct-value cardinality ~ row
+    count) still distributes — the previous ORDER-BY-everything
+    window serialized the whole histogram onto one task; the only
+    unpartitioned window now runs over the ≤1025-row bucket table.
     """
-    vc = df.groupBy(F.col(value_col).alias("__v")).agg(
-        F.count(F.lit(1)).cast("long").alias("__w")
+    from etl_script_spark.operators.stats import _bucketed_below
+
+    vc = df.groupBy(F.col(value_col).cast("long").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    wc = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wt = Window.partitionBy()
-    cum = vc.withColumn("__cw", F.sum("__w").over(wc)).withColumn(
-        "__tw", F.sum("__w").over(wt)
+    hb = _bucketed_below(vc)
+    tot = hb.agg(F.sum("c").cast("long").alias("__tw"))
+    cum = hb.crossJoin(F.broadcast(tot)).select(
+        F.col("v").alias("__v"),
+        (F.col("__below") + F.col("c")).alias("__cw"),
+        "__tw",
     )
     return cum.agg(
         F.min(
