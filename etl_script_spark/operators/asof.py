@@ -285,3 +285,104 @@ def interval_overlap_join(
         cell(F.col(llo)), cell(F.col(rlo))
     )
     return lb.join(rb, "__cell").where(overlap & canonical).drop("__cell")
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    tolerance_sec: int,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join with a match-window tolerance (pandas merge_asof
+    semantics): ``backward`` pairs each left row with the most recent
+    right row at/before it, ``forward`` with the earliest right row
+    at/after it — and in BOTH directions the match is voided (payload
+    NULLed, left row kept) when the time gap exceeds
+    ``tolerance_sec``. The stale-quote guard asof_join alone cannot
+    express: "most recent sensor reading, unless it is more than an
+    hour old".
+
+    Same scale shape as asof_join: one union, one window partitioned
+    by the key (never global), last(ignorenulls) carries the payload
+    struct; ``forward`` simply reverses the window order. The
+    tolerance applies per-row afterward as a pure projection.
+
+    Right NULL timestamps are dropped (no-match, DuckDB ASOF
+    semantics). Ties on (key, ts): backward picks the last right row
+    in ts order, forward the first — pre-dedupe if that matters.
+
+    Returns left columns + payload values + ``__gap_us`` (exact
+    microsecond gap; NULL when no in-tolerance match).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    if tolerance_sec < 0:
+        raise ValueError(f"tolerance_sec must be >= 0, got {tolerance_sec}")
+    out_cols = list(left.columns)
+    right = right.filter(F.col(right_ts).isNotNull())
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__rts"),
+        F.struct(
+            F.col(right_ts).alias("__mts"),
+            *[F.col(src).alias(dst) for src, dst in payload.items()],
+        ).alias("__p"),
+    )
+    for c in out_cols:
+        if c != on:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    l = left.select(
+        *out_cols,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+    )
+    r = r.select(
+        *out_cols,
+        F.col("__rts").alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.col("__p"),
+    )
+    u = l.unionByName(r)
+    if direction == "backward":
+        # right rows (tag 0) sort before left rows at equal ts, so a
+        # same-instant right row IS visible to the left row
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        # reversed order: scanning from latest to earliest, right rows
+        # still sort "before" the left row at equal ts
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__t").desc(), F.col("__tag").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    matched = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+    # MICROSECOND timestampdiff: exact integer at the data's own
+    # resolution, so no truncation-direction ambiguity between engines
+    # (SECOND-granularity diffs count boundary crossings in DuckDB but
+    # elapsed whole units in Spark — a 0.2 s gap straddling :01.000
+    # would disagree). Works for TIMESTAMP and TIMESTAMP_NTZ alike.
+    gap = (
+        F.expr("timestampdiff(MICROSECOND, __m.__mts, __t)")
+        if direction == "backward"
+        else F.expr("timestampdiff(MICROSECOND, __t, __m.__mts)")
+    )
+    ok = F.col("__m").isNotNull() & (
+        gap <= F.lit(int(tolerance_sec) * 1_000_000)
+    )
+    return matched.filter(F.col("__tag") == 1).select(
+        *out_cols,
+        *[
+            F.when(ok, F.col(f"__m.{dst}")).alias(dst)
+            for dst in payload.values()
+        ],
+        F.when(ok, gap).cast("long").alias("__gap_us"),
+    )

@@ -440,3 +440,57 @@ def hashed_feature_buckets(
     return df.withColumn(
         "bucket", (h.cast("long") % n_buckets).cast("int")
     )
+
+
+def woe_encoding(
+    df: DataFrame,
+    cat_col: str,
+    label: Column,
+    alpha: int = 1,
+) -> DataFrame:
+    """Weight-of-Evidence categorical encoding: per category,
+    ``WoE = ln((pos_i + a)/(pos + aK)) − ln((neg_i + a)/(neg + aK))``
+    — the scorecard-standard monotone encoding of a category's
+    evidence toward a binary label, Laplace-smoothed so empty cells
+    stay finite (a = ``alpha``, K = category count). Complements
+    ``target_encode_loo``: WoE is log-odds-shaped (additive in a
+    logistic model) where LOO is probability-shaped.
+
+    One aggregation over the fact builds the (category, pos, neg)
+    histogram; the global totals ride a single-row broadcast; the two
+    ln() are quantized to micro-units immediately (int64), the repo's
+    standard float-boundary policy — both engines compute ln of the
+    IDENTICAL double ratio, so the quantized value is stable.
+
+    Returns (category, n, pos, woe_micro) — plus the information
+    value term iv_micro = (pos_share − neg_share) · WoE, the
+    feature-screening readout (micro-units, same quantization).
+    """
+    h = (
+        df.select(F.col(cat_col).alias("category"), label.alias("__y"))
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("__y"), 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    tot = h.agg(
+        F.sum("pos").cast("long").alias("__p"),
+        F.sum(F.col("n") - F.col("pos")).cast("long").alias("__q"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    a = F.lit(alpha)
+    ps = (F.col("pos") + a) / (F.col("__p") + a * F.col("__k"))
+    qs = (F.col("n") - F.col("pos") + a) / (F.col("__q") + a * F.col("__k"))
+    woe = F.round((F.log(ps) - F.log(qs)) * 1e6).cast("long")
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .withColumn("woe_micro", woe)
+        .withColumn(
+            "iv_micro",
+            F.round((ps - qs) * F.col("woe_micro")).cast("long"),
+        )
+        .select("category", "n", "pos", "woe_micro", "iv_micro")
+    )

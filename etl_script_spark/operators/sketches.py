@@ -443,3 +443,82 @@ def countmin_estimates(
         .agg(F.min("__n").alias("cms_n"))
         .withColumn("overcount", F.col("cms_n") - F.col("true_n"))
     )
+
+
+def kmv_sketch(keys: DataFrame, key_col: str, k: int, seed: str = "kmv") -> DataFrame:
+    """K-minimum-values sketch of a key SET: the ``k`` smallest values
+    of a 60-bit uniform hash over the distinct keys (Bar-Yossef et
+    al., RANDOM 2002). One distinct + a global sort-limit that Spark
+    executes as TakeOrdered (per-partition top-k, k rows to the
+    driver) — the sketch is k rows regardless of input size, so it
+    broadcasts, merges by union, and supports set algebra downstream.
+
+    Returns (h) — the hash values, ascending semantics implicit."""
+    h = F.expr(
+        f"CAST(conv(substr(md5(concat('{seed}', '|', CAST({key_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        keys.select(h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_jaccard(
+    a: DataFrame,
+    a_col: str,
+    b: DataFrame,
+    b_col: str,
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """KMV set-similarity estimate between two key sets without ever
+    joining them at data size: build a k-minimum-values sketch of each
+    side (k rows each), merge to the union sketch (the k smallest of
+    the COMBINED hashes — a property of minima: kmv(A ∪ B) =
+    k-smallest of kmv(A) ∪ kmv(B)), and estimate Jaccard as the
+    fraction of union-sketch members present in both side sketches
+    (Beyer et al., SIGMOD 2007). Everything after the two per-side
+    sketches touches ≤ 2k rows.
+
+    Also reports the union-cardinality estimate: exact when the union
+    sketch is short of k (the sketch IS the distinct set), else the
+    KMV estimator (k−1)·2⁶⁰ / h_(k) in integer DIV arithmetic.
+
+    Deterministic: md5 is the shared uniform on both engines.
+
+    Returns one row (k_used, inter_cnt, jaccard_ppb, union_est).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    ska = kmv_sketch(a, a_col, k, seed).withColumn("__ina", F.lit(1))
+    skb = kmv_sketch(b, b_col, k, seed).withColumn("__inb", F.lit(1))
+    merged = (
+        ska.join(skb, "h", "full")
+        .select(
+            "h",
+            F.coalesce(F.col("__ina"), F.lit(0)).alias("ina"),
+            F.coalesce(F.col("__inb"), F.lit(0)).alias("inb"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum(F.col("ina") * F.col("inb")).cast("long").alias("inter_cnt"),
+        F.max("h").cast("long").alias("__hk"),
+    ).select(
+        "k_used",
+        "inter_cnt",
+        F.expr(
+            "CAST((CAST(inter_cnt AS DECIMAL(38,0)) * 1000000000)"
+            " DIV k_used AS BIGINT)"
+        ).alias("jaccard_ppb"),
+        F.expr(
+            f"CASE WHEN k_used < {k} THEN k_used ELSE"
+            f" CAST(((CAST(k_used AS DECIMAL(38,0)) - 1) * {2**60})"
+            " DIV __hk AS BIGINT) END"
+        ).alias("union_est"),
+    )

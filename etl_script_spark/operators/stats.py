@@ -977,3 +977,170 @@ def partial_corr_ppb(
         F.col(f"corr_{y_col}__{z_col}").alias("rzy_ppb"),
         partial.alias("partial_ppb"),
     )
+
+
+def theil_sen_groups(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Theil–Sen estimator: the MEDIAN of all pairwise
+    slopes ``(y_j − y_i)/(x_j − x_i)`` over ``x_i < x_j`` — the robust
+    regression line (breakdown point ~29%) that OLS (ols_slope_groups)
+    cannot give when a few wild rows own the fit. Sen (1968).
+
+    Slopes are exact integer micro-slopes: sign split from magnitude
+    and the magnitude computed with DECIMAL DIV (truncation toward
+    zero on BOTH engines — Spark DIV and DuckDB // agree on
+    non-negative operands, so negatives go through abs()). The median
+    is the LOWER median (position ``(m+1) DIV 2`` of the ascending
+    slope order), an order statistic — no float percentile.
+
+    Scale contract: pair generation is an equi-join of the group on
+    itself — Θ(n²) PER GROUP. This is inherent to Theil–Sen (every
+    pair is the statistic); use it on bounded groups (panels, SKUs,
+    per-entity series — the classic guidance ≤ a few 10³ rows/group).
+    The join and the median window both key on the group, so groups
+    distribute; one group's cost is its own n².
+
+    Returns (group, n_pairs, slope_micro).
+    """
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    pairs = (
+        b.alias("i")
+        .join(b.alias("j"), F.col("i.g") == F.col("j.g"))
+        .filter(F.col("i.x") < F.col("j.x"))
+        .select(
+            F.col("i.g").alias("g"),
+            (F.col("j.y") - F.col("i.y")).alias("dy"),
+            (F.col("j.x") - F.col("i.x")).alias("dx"),
+        )
+    )
+    mag = F.expr(
+        "CAST((abs(CAST(dy AS DECIMAL(38,0))) * 1000000)"
+        " DIV CAST(dx AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    slopes = pairs.select(
+        "g",
+        F.when(F.col("dy") < 0, -mag).otherwise(mag).alias("s"),
+    )
+    w = Window.partitionBy("g").orderBy(F.col("s").asc())
+    ranked = slopes.select(
+        "g",
+        "s",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("__m"),
+    )
+    return ranked.filter(
+        F.col("__r") == F.expr("(__m + 1) DIV 2")
+    ).select(
+        F.col("g").alias("group"),
+        F.col("__m").cast("long").alias("n_pairs"),
+        F.col("s").alias("slope_micro"),
+    )
+
+
+# Poisson(1) CDF at j = 0..6, scaled to 2^32 (floor). A row's
+# bootstrap multiplicity in replicate b is the count of thresholds
+# <= its 32-bit uniform hash — the standard multiplier-bootstrap
+# approximation of multinomial resampling (weights i.i.d. Poisson(1),
+# Kleiner et al. JRSS-B 2014 use the same device), capped at 7 by the
+# truncated CDF (P(X>7) ~ 1e-5, absorbed into w=7).
+_POIS1_CDF_2P32 = (
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777,
+)
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_boot: int = 64,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    seed: str = "bs",
+) -> DataFrame:
+    """Percentile bootstrap CI for the mean of a NON-NEGATIVE integer
+    column, fully deterministic and engine-portable: replicate ``b``
+    weights each row with a Poisson(1) draw decoded from
+    ``md5(seed|b|id)`` (inverse-CDF on the first 8 hex digits against
+    _POIS1_CDF_2P32), replicate means are exact micro-units via
+    DECIMAL DIV, and the CI bounds are ORDER STATISTICS of the
+    ``n_boot`` means — no RNG state, no float percentile, identical
+    on any engine/cluster size/retry (the hash_sample family
+    contract).
+
+    Scale shape: the explode multiplies rows by ``n_boot``, but it
+    feeds STRAIGHT into a hash aggregation keyed on ``b`` — map-side
+    partial aggregation collapses each task's output to ``n_boot``
+    rows, so the shuffle carries n_boot · tasks rows, not n_boot · n.
+    The order-statistic window runs on the n_boot-row table.
+
+    Returns one row (n_boot, mean_micro, lo_micro, hi_micro).
+    """
+    if not (0 <= lo_pct < hi_pct <= 100):
+        raise ValueError(f"need 0 <= lo < hi <= 100, got {lo_pct},{hi_pct}")
+    if n_boot < 4:
+        raise ValueError(f"n_boot must be >= 4, got {n_boot}")
+    from pyspark.sql import Window
+
+    u = F.expr(
+        f"CAST(conv(substr(md5(concat('{seed}', '|', CAST(__b AS STRING),"
+        f" '|', CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    w_expr = None
+    for c in _POIS1_CDF_2P32:
+        term = F.when(F.col("__u") >= F.lit(c), 1).otherwise(0)
+        w_expr = term if w_expr is None else w_expr + term
+    reps = (
+        df.select(F.col(id_col).alias(id_col),
+                  F.col(value_col).cast("long").alias("__x"))
+        .filter(F.col("__x").isNotNull())
+        .select(
+            id_col, "__x",
+            F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("__b"),
+        )
+        .withColumn("__u", u)
+        .withColumn("__w", w_expr)
+        .groupBy("__b")
+        .agg(
+            F.sum("__w").cast("long").alias("__wn"),
+            F.sum(F.col("__w").cast(_D) * F.col("__x")).cast(_D).alias("__wx"),
+        )
+        .filter(F.col("__wn") > 0)
+        .select(
+            F.expr(
+                "CAST((CAST(__wx AS DECIMAL(38,0)) * 1000000)"
+                " DIV __wn AS BIGINT)"
+            ).alias("__m")
+        )
+    )
+    lo_pos = (n_boot * lo_pct + 99) // 100
+    hi_pos = n_boot - ((n_boot * (100 - hi_pct) + 99) // 100) + 1
+    ranked = reps.withColumn(
+        "__r", F.row_number().over(Window.orderBy(F.col("__m").asc()))
+    )
+    stat = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_boot"),
+        F.max(F.when(F.col("__r") == lo_pos, F.col("__m"))).alias("lo_micro"),
+        F.max(F.when(F.col("__r") == hi_pos, F.col("__m"))).alias("hi_micro"),
+    )
+    base = df.select(F.col(value_col).cast("long").alias("__x")).filter(
+        F.col("__x").isNotNull()
+    ).agg(
+        F.expr(
+            "CAST((SUM(CAST(__x AS DECIMAL(38,0))) * 1000000)"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("mean_micro")
+    )
+    return stat.crossJoin(F.broadcast(base)).select(
+        "n_boot", "mean_micro", "lo_micro", "hi_micro"
+    )

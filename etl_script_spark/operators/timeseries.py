@@ -593,3 +593,109 @@ def ccf_lags(
             F.col("__sxx"), F.col("__syy"), F.col("__sxy"),
         ).alias("corr_ppb"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    n_buckets: int = 60,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling, fixed-anchor
+    parallel variant (Steinarsson 2013): keep, per time bucket, the
+    point forming the largest triangle with the NEIGHBOR BUCKETS'
+    centroids — the visually-faithful reduction of a long series to
+    ~``n_buckets`` points that per-bucket min/max/avg cannot give
+    (it preserves spikes AND their shape).
+
+    Two deliberate departures from the sequential reference
+    algorithm, both required for distribution: (1) buckets are
+    equal-WIDTH in time, not equal-count (equal-count needs a global
+    rank); (2) the triangle anchors are the ADJACENT BUCKET CENTROIDS
+    on both sides, not the previously-selected point (the left-anchor
+    recursion is a serial chain). Centroids are exact micro-units via
+    DECIMAL DIV; areas are exact DECIMAL(38) cross products; the
+    argmax ties break (ts, value) ascending, so the selection is
+    engine-portable.
+
+    Scale shape: one aggregation builds the ≤n_buckets-row centroid
+    table (its lag/lead window runs on that tiny table only), which
+    broadcasts back onto the points; per-bucket argmax is one window
+    partitioned by bucket. The earliest and latest EXISTING buckets
+    pin the series endpoints (min-ts / max-ts point) per LTTB.
+
+    ``ts_col`` is any monotone INTEGER time axis (epoch seconds, a
+    day number, a sequence position) — the caller converts timestamps
+    once; the operator stays type-agnostic.
+
+    Returns (bucket, ts, value) of the selected points.
+    """
+    if n_buckets < 3:
+        raise ValueError(f"n_buckets must be >= 3, got {n_buckets}")
+    pts = df.select(
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(val_col).cast("long").alias("v"),
+    ).filter(F.col("t").isNotNull() & F.col("v").isNotNull())
+    span = pts.agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    b = pts.crossJoin(F.broadcast(span)).withColumn(
+        "b",
+        F.expr(
+            f"least({n_buckets - 1},"
+            f" CAST(((t - t0) * {n_buckets}) DIV (t1 - t0 + 1) AS INT))"
+        ),
+    )
+    cent = (
+        b.groupBy("b")
+        .agg(
+            F.expr(
+                "CAST((SUM(CAST(t AS DECIMAL(38,0))) * 1000000)"
+                " DIV COUNT(*) AS DECIMAL(38,0))"
+            ).alias("ct"),
+            F.expr(
+                "CAST((SUM(CAST(v AS DECIMAL(38,0))) * 1000000)"
+                " DIV COUNT(*) AS DECIMAL(38,0))"
+            ).alias("cv"),
+        )
+    )
+    w = Window.orderBy("b")  # <= n_buckets rows: tiny by construction
+    anch = cent.select(
+        "b",
+        F.lag("ct").over(w).alias("pt"),
+        F.lag("cv").over(w).alias("pv"),
+        F.lead("ct").over(w).alias("nt"),
+        F.lead("cv").over(w).alias("nv"),
+    )
+    j = b.join(F.broadcast(anch), "b")
+    area = F.expr(
+        "abs((pt - nt) * (CAST(v AS DECIMAL(38,0)) * 1000000 - pv)"
+        " - (pt - CAST(t AS DECIMAL(38,0)) * 1000000) * (pv - nv))"
+    )
+    scored = j.withColumn(
+        "__a",
+        F.when(F.col("pt").isNotNull() & F.col("nt").isNotNull(), area),
+    )
+    sel = Window.partitionBy("b").orderBy(
+        F.col("__endpick").asc(),
+        F.col("__a").desc(),
+        F.col("t").asc(),
+        F.col("v").asc(),
+    )
+    picked = (
+        scored.withColumn(
+            "__endpick",
+            # earliest existing bucket pins its min-ts point, latest
+            # its max-ts point: rank endpoints ahead of the area argmax
+            F.when(F.col("pt").isNull(), F.col("t"))
+            .when(F.col("nt").isNull(), -F.col("t"))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn("__r", F.row_number().over(sel))
+        .filter(F.col("__r") == 1)
+    )
+    return picked.select(
+        F.col("b").cast("int").alias("bucket"),
+        F.col("t").alias("ts"),
+        F.col("v").alias("value"),
+    )

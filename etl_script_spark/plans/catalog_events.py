@@ -921,3 +921,79 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("b"),
     )
     return ts_ops3.ccf_lags(g, ["user_id"], ["h"], "a", "b", max_lag=2)
+
+
+@register(
+    "ts_lttb_downsample",
+    """
+    WITH pts AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1
+    ),
+    span AS (SELECT MIN(t) AS t0, MAX(t) AS t1 FROM pts),
+    bk AS (
+      SELECT t, v,
+             LEAST(47, CAST(((t - t0) * 48) // (t1 - t0 + 1) AS INT)) AS b
+      FROM pts CROSS JOIN span
+    ),
+    cent AS (
+      SELECT b,
+             (SUM(CAST(t AS HUGEINT)) * 1000000) // COUNT(*) AS ct,
+             (SUM(CAST(v AS HUGEINT)) * 1000000) // COUNT(*) AS cv
+      FROM bk GROUP BY b
+    ),
+    anch AS (
+      SELECT b,
+             LAG(ct) OVER (ORDER BY b) AS pt,
+             LAG(cv) OVER (ORDER BY b) AS pv,
+             LEAD(ct) OVER (ORDER BY b) AS nt,
+             LEAD(cv) OVER (ORDER BY b) AS nv
+      FROM cent
+    ),
+    scored AS (
+      SELECT bk.b, bk.t, bk.v,
+             CASE WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+               abs((pt - nt) * (CAST(bk.v AS HUGEINT) * 1000000 - pv)
+                 - (pt - CAST(bk.t AS HUGEINT) * 1000000) * (pv - nv))
+             END AS a,
+             CASE WHEN pt IS NULL THEN bk.t
+                  WHEN nt IS NULL THEN -bk.t
+                  ELSE 0 END AS endpick
+      FROM bk JOIN anch ON bk.b = anch.b
+    ),
+    ranked AS (
+      SELECT b, t, v,
+             ROW_NUMBER() OVER (
+               PARTITION BY b
+               ORDER BY endpick ASC, a DESC, t ASC, v ASC) AS r
+      FROM scored
+    )
+    SELECT CAST(b AS INT) AS bucket, t AS ts, v AS value
+    FROM ranked WHERE r = 1
+    """,
+    ("X-timeseries",),
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling of the daily-revenue series to 48 buckets
+    (timeseries.lttb_downsample, fixed-anchor parallel variant): per
+    time bucket, keep the point forming the largest triangle with the
+    neighbor buckets' centroids — spike-preserving chart reduction
+    that per-bucket avg/min/max cannot give. Centroids are exact
+    micro-units, areas exact DECIMAL(38) cross products, endpoints
+    pinned; the centroid table is ≤48 rows so its lag/lead window is
+    tiny and broadcasts back onto the points."""
+    from etl_script_spark.plans.catalog import cents
+
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("v"))
+    )
+    return ts_ops.lttb_downsample(daily, "d", "v", n_buckets=48)

@@ -2388,3 +2388,104 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s.select(k.alias("src"), ((k * 3) % 200).alias("dst")))
     )
     return graph.common_neighbor_scores(edges, deg_cap=1000, k=100)
+
+
+@register(
+    "link_sorted_neighborhood",
+    """
+    WITH base AS (
+      SELECT c_custkey AS id, c_mktsegment || '|' || c_name AS k
+      FROM customer
+      WHERE c_mktsegment || '|' || c_name IS NOT NULL
+    ),
+    pos AS (
+      SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY k, id) AS BIGINT) AS pos
+      FROM base
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+    FROM pos a JOIN pos b ON b.pos - a.pos BETWEEN 1 AND 2
+    """,
+    ("X-linkage",),
+)
+def link_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo): candidate
+    pairs are records within window 3 of each other in the
+    (segment|name) sort order — the typo-tolerant complement to the
+    Fellegi-Sunter equi-join blocks. The global position never sees a
+    single-partition window: prefix buckets give broadcastable
+    offsets, within-bucket ranks partition by prefix, and pairing is
+    one equi-join on the position (linkage.sorted_neighborhood_pairs).
+    """
+    from etl_script_spark.operators import linkage
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_mktsegment"), F.lit("|"), F.col("c_name")
+        ).alias("blockkey"),
+    )
+    return linkage.sorted_neighborhood_pairs(
+        c, "c_custkey", "blockkey", window=3, prefix_len=2
+    ).select(
+        F.col("id_a"), F.col("id_b"),
+        F.col("pos_a").cast("long").alias("pos_a"),
+        F.col("pos_b").cast("long").alias("pos_b"),
+    )
+
+
+@register(
+    "j_asof_tolerance",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, MIN(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT l.event_id, l.user_id, r.click_id,
+             datediff('microsecond', r.ts, l.ts) AS g
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN clicks r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN g IS NOT NULL AND g <= 1800000000
+                THEN click_id END AS click_id,
+           CASE WHEN g IS NOT NULL AND g <= 1800000000
+                THEN CAST(g AS BIGINT) END AS gap_us
+    FROM m
+    """,
+    ("X-asof-join",),
+)
+def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (asof.asof_join_tolerance): every
+    purchase matched to the user's most recent click, but the match is
+    voided when it is more than 30 minutes stale — merge_asof's
+    tolerance semantics, same tag+union+one-window scale shape as the
+    plain as-of. The gap rides along in exact microseconds (the
+    granularity both engines diff identically)."""
+    from etl_script_spark.operators import asof as asof_ops
+
+    e = t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    return (
+        asof_ops.asof_join_tolerance(
+            left,
+            clicks,
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            payload={"click_id": "click_id"},
+            tolerance_sec=1800,
+            direction="backward",
+        )
+        .withColumnRenamed("__gap_us", "gap_us")
+        .drop("ts")
+    )

@@ -1497,3 +1497,165 @@ def stat_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("zv"),
     )
     return stats.partial_corr_ppb(li, "xv", "yv", "zv")
+
+
+@register(
+    "stat_theil_sen",
+    """
+    WITH b AS (
+      SELECT p_brand AS g, CAST(p_size AS BIGINT) AS x,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS y
+      FROM part
+      WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+    ),
+    pairs AS (
+      SELECT i.g, j.y - i.y AS dy, j.x - i.x AS dx
+      FROM b i JOIN b j ON i.g = j.g AND i.x < j.x
+    ),
+    slopes AS (
+      SELECT g,
+             CASE WHEN dy < 0 THEN
+               -CAST((abs(CAST(dy AS HUGEINT)) * 1000000)
+                     // CAST(dx AS HUGEINT) AS BIGINT)
+             ELSE
+               CAST((CAST(dy AS HUGEINT) * 1000000)
+                    // CAST(dx AS HUGEINT) AS BIGINT)
+             END AS s
+      FROM pairs
+    ),
+    r AS (
+      SELECT g, s,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY s) AS r,
+             COUNT(*) OVER (PARTITION BY g) AS m
+      FROM slopes
+    )
+    SELECT g AS "group", CAST(m AS BIGINT) AS n_pairs, s AS slope_micro
+    FROM r WHERE r = (m + 1) // 2
+    """,
+    ("X-statistics", "X-robust-stats"),
+)
+def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Theil-Sen slope of retail price (cents) on part size
+    (stats.theil_sen_groups): the MEDIAN of all pairwise slopes — the
+    robust regression twin of stat_ols_slope_groups (breakdown ~29%
+    vs OLS's zero). Pair generation is the group self-joined (Θ(n²)
+    per group — inherent to the statistic, bounded by the brand
+    fan-out here); slopes are exact integer micro-units with the
+    abs/DIV truncation contract; the median is the lower order
+    statistic, no float percentile."""
+    from etl_script_spark.operators import stats
+    from etl_script_spark.plans.catalog import cents
+
+    p = t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("x"),
+        cents(F.col("p_retailprice")).alias("y"),
+    )
+    return stats.theil_sen_groups(p, "p_brand", "x", "y")
+
+
+@register(
+    "stat_bootstrap_ci",
+    f"""
+    WITH v AS (
+      SELECT o_orderkey AS id, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    reps AS (
+      SELECT r.range AS b, id, x,
+             ('0x' || substr(md5('bs' || '|' || CAST(r.range AS VARCHAR)
+                    || '|' || CAST(id AS VARCHAR)), 1, 8))::BIGINT AS u
+      FROM v CROSS JOIN range(64) r
+    ),
+    wt AS (
+      SELECT b, x,
+             (CASE WHEN u >= 1580030168 THEN 1 ELSE 0 END
+            + CASE WHEN u >= 3160060337 THEN 1 ELSE 0 END
+            + CASE WHEN u >= 3950075421 THEN 1 ELSE 0 END
+            + CASE WHEN u >= 4213413783 THEN 1 ELSE 0 END
+            + CASE WHEN u >= 4279248373 THEN 1 ELSE 0 END
+            + CASE WHEN u >= 4292415291 THEN 1 ELSE 0 END
+            + CASE WHEN u >= 4294609777 THEN 1 ELSE 0 END) AS w
+      FROM reps
+    ),
+    means AS (
+      SELECT b,
+             CAST((SUM(CAST(w AS HUGEINT) * x) * 1000000)
+                  // SUM(CAST(w AS HUGEINT)) AS BIGINT) AS m
+      FROM wt GROUP BY b HAVING SUM(w) > 0
+    ),
+    r AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r FROM means
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM means) AS n_boot,
+           (SELECT CAST((SUM(CAST(x AS HUGEINT)) * 1000000) // COUNT(*)
+                        AS BIGINT) FROM v) AS mean_micro,
+           MAX(CASE WHEN r = 4 THEN m END) AS lo_micro,
+           MAX(CASE WHEN r = 61 THEN m END) AS hi_micro
+    FROM r
+    """,
+    ("X-statistics",),
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic percentile-bootstrap 90% CI for the mean order
+    value (stats.bootstrap_ci_mean): replicate weights are Poisson(1)
+    draws decoded from md5(seed|b|id) — no RNG state, identical on any
+    engine/cluster/retry — replicate means are exact micro-units, and
+    the bounds are order statistics of the 64 replicate means. The
+    explode-by-64 feeds straight into a hash agg keyed on b, so the
+    shuffle carries 64·tasks rows, not 64·n."""
+    from etl_script_spark.operators import stats
+    from etl_script_spark.plans.catalog import cents
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("x")
+    )
+    return stats.bootstrap_ci_mean(
+        o, "o_orderkey", "x", n_boot=64, lo_pct=5, hi_pct=95, seed="bs"
+    )
+
+
+@register(
+    "feat_woe_encoding",
+    """
+    WITH h AS (
+      SELECT o_orderpriority AS category, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(SUM(n - pos) AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM h
+    ),
+    woe AS (
+      SELECT category, n, pos,
+             CAST(ROUND((ln((pos + 1) / CAST(p + k AS DOUBLE))
+                       - ln((n - pos + 1) / CAST(q + k AS DOUBLE)))
+                        * 1000000.0) AS BIGINT) AS woe_micro,
+             (pos + 1) / CAST(p + k AS DOUBLE)
+               - (n - pos + 1) / CAST(q + k AS DOUBLE) AS d
+      FROM h CROSS JOIN tot
+    )
+    SELECT category, n, pos, woe_micro,
+           CAST(ROUND(d * woe_micro) AS BIGINT) AS iv_micro
+    FROM woe
+    """,
+    ("X-features",),
+)
+def feat_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence encoding of order priority toward the
+    'finished' status (features.woe_encoding): Laplace-smoothed
+    log-odds per category plus the information-value term — the
+    scorecard-standard monotone encoding, log-odds-shaped where
+    target_encode_loo is probability-shaped. One aggregation + a
+    single-row broadcast of the totals; ln quantized to micro-units at
+    the float boundary (the repo's standard policy)."""
+    from etl_script_spark.operators import features
+
+    o = t(spark, sf_dir, "orders")
+    return features.woe_encoding(
+        o, "o_orderpriority", F.col("o_orderstatus") == "F", alpha=1
+    )

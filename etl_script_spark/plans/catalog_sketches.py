@@ -247,3 +247,74 @@ def sk_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = t(spark, sf_dir, "customer")
     return sk.countmin_estimates(c, "c_nationkey", depth=4, width=64)
+
+
+@register(
+    "sk_kmv_jaccard",
+    """
+    WITH ha AS (
+      SELECT DISTINCT ('0x' || substr(md5('kmv' || '|' || w), 1, 15))::BIGINT
+               AS h
+      FROM (SELECT unnest(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     w -> w != '')) AS w
+            FROM documents WHERE doc_id % 2 = 0)
+    ),
+    hb AS (
+      SELECT DISTINCT ('0x' || substr(md5('kmv' || '|' || w), 1, 15))::BIGINT
+               AS h
+      FROM (SELECT unnest(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     w -> w != '')) AS w
+            FROM documents WHERE doc_id % 2 = 1)
+    ),
+    ska AS (SELECT h, 1 AS ina FROM ha ORDER BY h LIMIT 256),
+    skb AS (SELECT h, 1 AS inb FROM hb ORDER BY h LIMIT 256),
+    merged AS (
+      SELECT COALESCE(ska.h, skb.h) AS h,
+             COALESCE(ina, 0) AS ina, COALESCE(inb, 0) AS inb
+      FROM ska FULL JOIN skb ON ska.h = skb.h
+      ORDER BY 1 LIMIT 256
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(SUM(ina * inb) AS BIGINT) AS inter_cnt,
+             CAST(MAX(h) AS BIGINT) AS hk
+      FROM merged
+    )
+    SELECT k_used, inter_cnt,
+           CAST((CAST(inter_cnt AS HUGEINT) * 1000000000) // k_used
+                AS BIGINT) AS jaccard_ppb,
+           CASE WHEN k_used < 256 THEN k_used
+                ELSE CAST(((CAST(k_used AS HUGEINT) - 1)
+                           * 1152921504606846976) // hk AS BIGINT)
+           END AS union_est
+    FROM agg
+    """,
+    ("X-sketches",),
+)
+def sk_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-similarity between the vocabularies of the even- and
+    odd-doc_id halves of the corpus (sketches.kmv_jaccard): two
+    256-row k-minimum-values sketches, merged by the minima property
+    kmv(A∪B) = k-smallest of kmv(A)∪kmv(B); Jaccard = fraction of
+    union-sketch members in both sides (Beyer SIGMOD'07), plus the KMV
+    union-cardinality estimate. Each side costs one distinct + a
+    TakeOrdered; the estimate itself touches ≤512 rows — the
+    corpus-overlap readout that never joins the corpora."""
+    d = t(spark, sf_dir, "documents")
+
+    def half(parity: int) -> DataFrame:
+        return (
+            d.filter(F.col("doc_id") % 2 == parity)
+            .select(
+                F.explode(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+                ).alias("w")
+            )
+            .filter(F.col("w") != "")
+        )
+
+    return sketches.kmv_jaccard(
+        half(0), "w", half(1), "w", k=256, seed="kmv"
+    )
