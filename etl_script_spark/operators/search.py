@@ -228,3 +228,52 @@ def rrf_fuse(
     return top.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).select("rank", "id", "rrf_ppm", "n_lists")
+
+
+def autocomplete_prefix_topk(
+    df: DataFrame,
+    text_col: str,
+    prefix_len: int = 3,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Search-box autocomplete index: for every ``prefix_len``-char
+    prefix, the top-``k`` completions by corpus frequency — the
+    offline artifact a typeahead service serves from. Completions are
+    whole tokens (the shared [^a-z0-9]+ tokenizer) at least
+    ``prefix_len`` chars long, seen ≥ ``min_count`` times.
+
+    Scale shape: one token aggregation (map-side combined — the
+    shuffle carries the VOCABULARY, not the token stream), prefix is
+    a projection of the word table, and the top-k is one window
+    partitioned by prefix over that vocabulary-sized table. Ranking
+    ties break lexicographically, so the index is engine-portable.
+
+    Returns (prefix, word, cnt, rank).
+    """
+    if prefix_len < 1:
+        raise ValueError(f"prefix_len must be >= 1, got {prefix_len}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    vocab = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("word")
+        )
+        .filter(F.length("word") >= prefix_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .withColumn("prefix", F.substring("word", 1, prefix_len))
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("cnt").desc(), F.col("word").asc()
+    )
+    return (
+        vocab.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("prefix", "word", "cnt", F.col("rank").cast("int").alias("rank"))
+    )

@@ -1427,3 +1427,76 @@ def maxsim_topk(
             "rank",
         )
     )
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985, the 2-approx
+    farthest-point heuristic): seed with the min-id vector, then k−1
+    times pick the point FARTHEST from the current center set — the
+    maximally-diverse data subset a curation pipeline wants for
+    balanced eval sets or cluster seeding (SVP/coreset literature,
+    e.g. Sener & Savarese ICLR'18 use exactly this selection).
+
+    Distances are squared L2 decomposed as ‖v‖² − 2·v·c + ‖c‖², each
+    dot a sequential HOF fold — the SAME association order on any
+    engine, so argmax selection is bitwise-stable. Each round is one
+    aggregation-free scan + a TakeOrdered(1); only the k selected
+    vectors ever reach the driver (the kmeans_lloyd bounded-collect
+    contract). Round i re-derives the min-distance chain from the i
+    broadcast literals (Θ(k²·n/2) dots total — k is single digits).
+
+    Returns (sel_order, vec_id, d2_ppb): the selection order, and the
+    ppb-quantized squared distance to the PRIOR center set at the
+    moment of selection (NULL for the seed; monotonically
+    non-increasing — the coverage-radius curve).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = emb.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
+    ).filter(F.col("__vec").isNotNull())
+    seed = base.orderBy("__vid").limit(1).collect()[0]
+    centers = [(seed["__vid"], [float(x) for x in seed["__vec"]], None)]
+
+    def d2_to(lits: list[float]) -> Column:
+        cc = 0.0
+        for x in lits:
+            cc = cc + float(x) * float(x)
+        return (
+            dot(F.col("__vec"), F.col("__vec"))
+            - 2.0 * dot_lit(F.col("__vec"), lits)
+            + F.lit(cc)
+        )
+
+    for _ in range(k - 1):
+        mind = None
+        for _vid, lits, _ in centers:
+            d = d2_to(lits)
+            mind = d if mind is None else F.least(mind, d)
+        far = (
+            base.withColumn("__d", mind)
+            .orderBy(F.col("__d").desc(), F.col("__vid").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append(
+            (far["__vid"], [float(x) for x in far["__vec"]], far["__d"])
+        )
+    spark = emb.sparkSession
+    import math
+
+    # half-up quantization (floor(x+0.5)), matching SQL ROUND for the
+    # non-negative d2 — python's round() is banker's and would differ
+    # on exact .5 boundaries
+    rows = [
+        (i, vid, None if d is None else int(math.floor(d * 1e9 + 0.5)))
+        for i, (vid, _, d) in enumerate(centers)
+    ]
+    return spark.createDataFrame(
+        rows, "sel_order int, vec_id long, d2_ppb long"
+    )

@@ -1144,3 +1144,167 @@ def bootstrap_ci_mean(
     return stat.crossJoin(F.broadcast(base)).select(
         "n_boot", "mean_micro", "lo_micro", "hi_micro"
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups of an
+    integer-scaled column — the A/B-testing workhorse (Welch 1947).
+    One aggregation computes each group's (n, Σx, Σx²); everything
+    downstream is exact integer arithmetic on those sufficient
+    statistics: standard errors in milli² units via DECIMAL DIV, the
+    pooled SE through the integer-sqrt ladder (isqrt_column — no
+    float sqrt), and the t statistic in exact milli-units with the
+    abs/negate truncation contract. The Welch–Satterthwaite df is the
+    one float boundary (a ratio of already-exact integers, quantized
+    to micro immediately — the repo's standard ln()/ratio policy).
+
+    Scale shape: one map-side-combined aggregation over the fact;
+    the two-row group table does the rest. Returns one row
+    (n_a, n_b, dmean_micro, t_milli, df_micro).
+    """
+    g = F.col(group_col)
+    x = F.col(value_col).cast("long")
+    agg = df.filter(g.isin([group_a, group_b]) & x.isNotNull()).agg(
+        *[
+            f.alias(n)
+            for n, f in {
+                "na": F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long"),
+                "nb": F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long"),
+                "sa": F.sum(F.when(g == group_a, x).otherwise(0)).cast(_D),
+                "sb": F.sum(F.when(g == group_b, x).otherwise(0)).cast(_D),
+                "qa": F.sum(F.when(g == group_a, x * x).otherwise(0)).cast(_D),
+                "qb": F.sum(F.when(g == group_b, x * x).otherwise(0)).cast(_D),
+            }.items()
+        ]
+    )
+    # per-group mean (micro) and squared standard error (milli^2):
+    # se2_g = var_g / n_g = (n*Q - S^2) * 1e6 DIV (n*(n-1)*n)
+    staged = agg.select(
+        "na", "nb",
+        F.expr(
+            "CASE WHEN sa < 0 THEN -((abs(sa) * 1000000) DIV na)"
+            " ELSE (sa * 1000000) DIV na END"
+        ).alias("ma"),
+        F.expr(
+            "CASE WHEN sb < 0 THEN -((abs(sb) * 1000000) DIV nb)"
+            " ELSE (sb * 1000000) DIV nb END"
+        ).alias("mb"),
+        # milli^2 units, NOT micro^2: Spark's DIV returns BIGINT, so
+        # the quotient must fit a long — micro^2 SEs overflow it for
+        # cent-scaled data (DuckDB's // returns HUGEINT and would
+        # silently diverge). milli^2 keeps ~1e4 headroom at sd ~ 3e6
+        # input units; pre-scale smaller if variances exceed that.
+        F.expr(
+            "((na * qa - sa * sa) * 1000000)"
+            " DIV (na * (na - 1) * na)"
+        ).alias("sea2"),
+        F.expr(
+            "((nb * qb - sb * sb) * 1000000)"
+            " DIV (nb * (nb - 1) * nb)"
+        ).alias("seb2"),
+    )
+    se = isqrt_column(F.expr("CAST(sea2 + seb2 AS DECIMAL(38,0))"))
+    out = staged.select(
+        "na", "nb",
+        (F.col("ma") - F.col("mb")).cast("long").alias("dmean_micro"),
+        se.alias("__se"),
+        "sea2", "seb2",
+    ).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "dmean_micro",
+        # __se is in MILLI units, dmean in micro: their plain ratio
+        # is already t in milli-units
+        F.expr(
+            "CASE WHEN __se = 0 THEN NULL"
+            " WHEN dmean_micro < 0 THEN"
+            "  -CAST(abs(CAST(dmean_micro AS DECIMAL(38,0)))"
+            "        DIV __se AS BIGINT)"
+            " ELSE CAST(CAST(dmean_micro AS DECIMAL(38,0))"
+            "      DIV __se AS BIGINT) END"
+        ).alias("t_milli"),
+        # Welch-Satterthwaite df: the one float boundary — a ratio of
+        # exact integers (identical doubles on both engines), micro-
+        # quantized immediately
+        F.round(
+            (
+                (F.col("sea2").cast("double") + F.col("seb2").cast("double"))
+                * (F.col("sea2").cast("double") + F.col("seb2").cast("double"))
+                / (
+                    F.col("sea2").cast("double")
+                    * F.col("sea2").cast("double")
+                    / (F.col("na").cast("double") - 1.0)
+                    + F.col("seb2").cast("double")
+                    * F.col("seb2").cast("double")
+                    / (F.col("nb").cast("double") - 1.0)
+                )
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("df_micro"),
+    )
+    return out
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    treated: Column,
+    post: Column,
+    value_micro: Column,
+) -> DataFrame:
+    """Difference-in-differences estimator per group: the treated
+    group's pre→post mean change minus the control group's — the
+    standard causal readout when treatment assignment is not
+    randomized but trends are parallel (Card & Krueger 1994 shape).
+
+    One conditional aggregation computes all four cell sums/counts;
+    each cell mean is exact micro via DECIMAL DIV (abs/negate for
+    signed values), so the estimate is engine-portable integer
+    arithmetic end to end. Empty cells yield NULL (no estimate), not
+    a throw — at 100 TB a group with an empty cell is data, not a
+    bug.
+
+    Returns (group, n_t_pre, n_t_post, n_c_pre, n_c_post, did_micro).
+    """
+    cells = {
+        "t_post": treated & post,
+        "t_pre": treated & ~post,
+        "c_post": ~treated & post,
+        "c_pre": ~treated & ~post,
+    }
+    v = value_micro.cast("long")
+    aggs = []
+    for n, cond in cells.items():
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n_{n}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, v).otherwise(0)).cast(_D).alias(f"s_{n}")
+        )
+    h = df.groupBy(F.col(group_col).alias("group")).agg(*aggs)
+
+    def mean(n: str) -> str:
+        # exact signed micro mean: truncation toward zero both engines
+        return (
+            f"CASE WHEN n_{n} = 0 THEN NULL"
+            f" WHEN s_{n} < 0 THEN -CAST(abs(s_{n}) DIV n_{n} AS BIGINT)"
+            f" ELSE CAST(s_{n} DIV n_{n} AS BIGINT) END"
+        )
+
+    return h.select(
+        "group",
+        F.col("n_t_pre"), F.col("n_t_post"),
+        F.col("n_c_pre"), F.col("n_c_post"),
+        F.expr(
+            f"(({mean('t_post')}) - ({mean('t_pre')}))"
+            f" - (({mean('c_post')}) - ({mean('c_pre')}))"
+        ).cast("long").alias("did_micro"),
+    )

@@ -997,3 +997,79 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("v"))
     )
     return ts_ops.lttb_downsample(daily, "d", "v", n_buckets=48)
+
+
+@register(
+    "ev_diff_in_diff",
+    """
+    WITH cells AS (
+      SELECT event_type AS "group",
+        CAST(SUM(CASE WHEN user_id % 2 = 0
+                  AND NOT ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+        CAST(SUM(CASE WHEN user_id % 2 = 0
+                  AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+        CAST(SUM(CASE WHEN user_id % 2 <> 0
+                  AND NOT ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+        CAST(SUM(CASE WHEN user_id % 2 <> 0
+                  AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+        SUM(CASE WHEN user_id % 2 = 0
+                  AND NOT ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN CAST(ROUND(value * 1000000) AS HUGEINT)
+                 ELSE 0 END) AS s_t_pre,
+        SUM(CASE WHEN user_id % 2 = 0
+                  AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN CAST(ROUND(value * 1000000) AS HUGEINT)
+                 ELSE 0 END) AS s_t_post,
+        SUM(CASE WHEN user_id % 2 <> 0
+                  AND NOT ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN CAST(ROUND(value * 1000000) AS HUGEINT)
+                 ELSE 0 END) AS s_c_pre,
+        SUM(CASE WHEN user_id % 2 <> 0
+                  AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN CAST(ROUND(value * 1000000) AS HUGEINT)
+                 ELSE 0 END) AS s_c_post
+      FROM events GROUP BY 1
+    )
+    SELECT "group", n_t_pre, n_t_post, n_c_pre, n_c_post,
+      CAST(
+        ((CASE WHEN n_t_post = 0 THEN NULL
+               WHEN s_t_post < 0 THEN -CAST(abs(s_t_post) // n_t_post AS BIGINT)
+               ELSE CAST(s_t_post // n_t_post AS BIGINT) END)
+         - (CASE WHEN n_t_pre = 0 THEN NULL
+               WHEN s_t_pre < 0 THEN -CAST(abs(s_t_pre) // n_t_pre AS BIGINT)
+               ELSE CAST(s_t_pre // n_t_pre AS BIGINT) END))
+        - ((CASE WHEN n_c_post = 0 THEN NULL
+               WHEN s_c_post < 0 THEN -CAST(abs(s_c_post) // n_c_post AS BIGINT)
+               ELSE CAST(s_c_post // n_c_post AS BIGINT) END)
+         - (CASE WHEN n_c_pre = 0 THEN NULL
+               WHEN s_c_pre < 0 THEN -CAST(abs(s_c_pre) // n_c_pre AS BIGINT)
+               ELSE CAST(s_c_pre // n_c_pre AS BIGINT) END))
+      AS BIGINT) AS did_micro
+    FROM cells
+    """,
+    ("X-statistics", "X-attribution"),
+)
+def ev_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences per event type (stats.diff_in_diff):
+    even-user-id cohort as 'treated', 2024-01-16 as the intervention
+    cutoff — the treated group's pre→post mean value change minus the
+    control group's, all in exact micro units (one conditional
+    aggregation; empty cells yield NULL, not a throw). The causal
+    counterpart of the attribution operators."""
+    from etl_script_spark.operators import stats
+
+    e = t(spark, sf_dir, "events")
+    return stats.diff_in_diff(
+        e.select(
+            "event_type", "user_id", "ts",
+            F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("vmic"),
+        ),
+        "event_type",
+        treated=F.col("user_id") % 2 == 0,
+        post=F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"),
+        value_micro=F.col("vmic"),
+    )

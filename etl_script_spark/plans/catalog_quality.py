@@ -1659,3 +1659,81 @@ def feat_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.woe_encoding(
         o, "o_orderpriority", F.col("o_orderstatus") == "F", alpha=1
     )
+
+
+@register(
+    "stat_welch_ttest",
+    """
+    WITH s AS (
+      SELECT
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+             AS BIGINT) AS nb,
+        SUM(CASE WHEN l_returnflag = 'R'
+              THEN CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+              ELSE 0 END) AS sa,
+        SUM(CASE WHEN l_returnflag = 'N'
+              THEN CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+              ELSE 0 END) AS sb,
+        SUM(CASE WHEN l_returnflag = 'R'
+              THEN CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                   * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+              ELSE 0 END) AS qa,
+        SUM(CASE WHEN l_returnflag = 'N'
+              THEN CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                   * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+              ELSE 0 END) AS qb
+      FROM lineitem
+      WHERE l_returnflag IN ('R', 'N') AND l_extendedprice IS NOT NULL
+    ),
+    m AS (
+      SELECT na, nb,
+        CASE WHEN sa < 0 THEN -((abs(sa) * 1000000) // na)
+             ELSE (sa * 1000000) // na END AS ma,
+        CASE WHEN sb < 0 THEN -((abs(sb) * 1000000) // nb)
+             ELSE (sb * 1000000) // nb END AS mb,
+        ((na * qa - sa * sa) * 1000000)
+          // (na * (na - 1) * na) AS sea2,
+        ((nb * qb - sb * sb) * 1000000)
+          // (nb * (nb - 1) * nb) AS seb2
+      FROM s
+    ),
+    v AS (SELECT *, sea2 + seb2 AS vv FROM m),
+    se AS (SELECT *, (CASE WHEN (CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS HUGEINT)+2)*(CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS HUGEINT)+2) <= vv THEN CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS HUGEINT)+2 WHEN (CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS HUGEINT)+1)*(CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS HUGEINT)+1) <= vv THEN CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS HUGEINT)+1 WHEN CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS HUGEINT)*CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS HUGEINT) <= vv THEN CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS HUGEINT) WHEN (CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS HUGEINT)-1)*(CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS HUGEINT)-1) <= vv THEN CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS HUGEINT)-1 ELSE CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS HUGEINT)-2 END) AS se FROM v)
+    SELECT na AS n_a, nb AS n_b,
+           CAST(ma - mb AS BIGINT) AS dmean_micro,
+           CASE WHEN se = 0 THEN NULL
+                WHEN ma - mb < 0 THEN
+                  -CAST(abs(CAST(ma - mb AS HUGEINT)) // se AS BIGINT)
+                ELSE CAST(CAST(ma - mb AS HUGEINT) // se AS BIGINT)
+                END AS t_milli,
+           CAST(ROUND(
+             (CAST(sea2 AS DOUBLE) + CAST(seb2 AS DOUBLE))
+             * (CAST(sea2 AS DOUBLE) + CAST(seb2 AS DOUBLE))
+             / (CAST(sea2 AS DOUBLE) * CAST(sea2 AS DOUBLE)
+                  / (CAST(na AS DOUBLE) - 1.0)
+                + CAST(seb2 AS DOUBLE) * CAST(seb2 AS DOUBLE)
+                  / (CAST(nb AS DOUBLE) - 1.0))
+             * 1e6) AS BIGINT) AS df_micro
+    FROM se
+    """,
+    ("X-statistics",),
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on extended price cents between
+    returned ('R') and current ('N') lineitems (stats.welch_ttest):
+    one map-side-combined aggregation for the sufficient statistics,
+    standard errors in exact micro^2 via DECIMAL DIV, the pooled SE
+    through the integer-sqrt ladder (no float sqrt), t in exact
+    milli-units; the Welch-Satterthwaite df is the one float boundary,
+    micro-quantized. The A/B-test primitive next to the rank tests."""
+    from etl_script_spark.operators import stats
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr(
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        ).alias("cents"),
+    )
+    return stats.welch_ttest(li, "l_returnflag", "cents", "R", "N")

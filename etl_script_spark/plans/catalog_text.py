@@ -2039,3 +2039,101 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
     )
     return search.rrf_fuse([(lex, "lex"), (sem, "sem")], k=10, c=60)
+
+
+@register(
+    "search_autocomplete",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE length(word) >= 3
+      GROUP BY 1 HAVING COUNT(*) >= 3
+    ),
+    r AS (
+      SELECT substr(word, 1, 3) AS prefix, word, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY substr(word, 1, 3)
+               ORDER BY cnt DESC, word) AS rank
+      FROM vocab
+    )
+    SELECT prefix, word, cnt, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+    ("X-search",),
+)
+def search_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typeahead autocomplete index (search.autocomplete_prefix_topk):
+    top-5 completions by corpus frequency for every 3-char prefix,
+    ties lexicographic. One map-side-combined token aggregation (the
+    shuffle carries the vocabulary, not the token stream) + one window
+    over the vocabulary-sized prefix table."""
+    from etl_script_spark.operators import search
+
+    d = t(spark, sf_dir, "documents")
+    return search.autocomplete_prefix_topk(
+        d, "text", prefix_len=3, k=5, min_count=3
+    )
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy k-center SQL: stage i carries the running
+    min-distance chain e_i = LEAST(e_{i-1}, d2(v, c_{i-1})) and picks
+    c_i = argmax — the same LEAST nesting and the same 3-dot d2
+    decomposition (v·v − 2 v·c + c·c, sequential folds) as the Spark
+    operator, so doubles are bitwise-identical."""
+    parts = [
+        "v AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
+        "c0 AS (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT 1)",
+    ]
+    prev = None
+    for i in range(1, k):
+        d_i = (
+            "(list_dot_product(vec, vec)"
+            f" - 2.0 * list_dot_product(vec, (SELECT vec FROM c{i - 1}))"
+            f" + (SELECT list_dot_product(vec, vec) FROM c{i - 1}))"
+        )
+        e_expr = d_i if prev is None else f"LEAST(e, {d_i})"
+        src = "v" if prev is None else prev
+        parts.append(
+            f"e{i} AS (SELECT vec_id, vec, {e_expr} AS e FROM {src})"
+        )
+        parts.append(
+            f"c{i} AS (SELECT vec_id, vec, e FROM e{i}"
+            " ORDER BY e DESC, vec_id LIMIT 1)"
+        )
+        prev = f"e{i}"
+    sel = [
+        "SELECT 0 AS sel_order, vec_id,"
+        " CAST(NULL AS BIGINT) AS d2_ppb FROM c0"
+    ]
+    for i in range(1, k):
+        sel.append(
+            f"SELECT {i} AS sel_order, vec_id,"
+            " CAST(FLOOR(e * 1000000000 + 0.5) AS BIGINT) AS d2_ppb"
+            f" FROM c{i}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + " UNION ALL ".join(sel)
+
+
+@register(
+    "sim_kcenter_coreset",
+    _kcenter_oracle(5),
+    ("LLM-similarity", "X-curation"),
+)
+def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus
+    (similarity.kcenter_coreset, Gonzalez 2-approx farthest-point):
+    5 maximally-diverse vectors for balanced eval sets / cluster
+    seeding. Each round is one scan + TakeOrdered(1); only the
+    selected vectors reach the driver; squared distances decompose
+    into sequential-fold dots, so the argmax is bitwise-stable across
+    engines. d2_ppb is the ppb-quantized coverage-radius curve."""
+    from etl_script_spark.operators import similarity
+
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.kcenter_coreset(e, "vec_id", "embedding", k=5)

@@ -289,3 +289,44 @@ def test_ccf_all_shifts_share_one_window(spark, sf_dir):
     per-key grid."""
     plan = _executed_plan(spark, "ts_cross_correlation", sf_dir)
     assert plan.count("Window") == 1
+
+
+def test_sorted_neighborhood_window_is_prefix_partitioned(spark, sf_dir):
+    """The global-position ranks must come from a window PARTITIONED
+    BY the prefix bucket — a row_number over an unpartitioned spec
+    would serialize the whole relation onto one task."""
+    plan = _executed_plan(spark, "link_sorted_neighborhood", sf_dir)
+    assert "row_number() windowspecdefinition(__pfx" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_tolerance_no_range_explosion(spark, sf_dir):
+    plan = _executed_plan(spark, "j_asof_tolerance", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bootstrap_explode_feeds_partial_agg(spark, sf_dir):
+    """The x64 replicate explode must collapse map-side: a partial
+    aggregation keyed on the replicate id bounds the shuffle at
+    n_boot rows per task regardless of input size."""
+    plan = _executed_plan(spark, "stat_bootstrap_ci", sf_dir)
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theil_sen_pairs_are_group_keyed_join(spark, sf_dir):
+    """Pair generation is an equi-join on the group key (each group
+    pays its own n^2) — never a cross product of the relation."""
+    plan = _executed_plan(spark, "stat_theil_sen", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_sketches_via_take_ordered(spark, sf_dir):
+    """Each KMV side must be a TakeOrdered (per-partition top-k, k
+    rows to the driver), not a global sort of the token set."""
+    plan = _executed_plan(spark, "sk_kmv_jaccard", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,157 @@
+"""Round-7n operator batch: Welch t-test, diff-in-differences,
+autocomplete prefix top-k, and the greedy k-center coreset — each
+against a brute-force Python twin."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import search, similarity, stats
+from tests.conftest import *  # noqa: F401,F403  (spark fixture)
+
+
+def _isqrt(n: int) -> int:
+    import math
+
+    return math.isqrt(n)
+
+
+def test_welch_matches_integer_brute_force(spark):
+    a = [120, 135, 150, 101, 98, 143, 170, 110]
+    b = [90, 95, 102, 88, 130, 92]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = stats.welch_ttest(df, "g", "x", "a", "b").collect()[0]
+    na, nb = len(a), len(b)
+    sa, sb = sum(a), sum(b)
+    qa, qb = sum(v * v for v in a), sum(v * v for v in b)
+    ma = (sa * 1_000_000) // na
+    mb = (sb * 1_000_000) // nb
+    sea2 = ((na * qa - sa * sa) * 1_000_000) // (na * (na - 1) * na)
+    seb2 = ((nb * qb - sb * sb) * 1_000_000) // (nb * (nb - 1) * nb)
+    se = _isqrt(sea2 + seb2)
+    dmean = ma - mb
+    t = (abs(dmean) // se) * (1 if dmean >= 0 else -1)
+    assert (out["n_a"], out["n_b"]) == (na, nb)
+    assert out["dmean_micro"] == dmean
+    assert out["t_milli"] == t
+    df_f = (sea2 + seb2) ** 2 / (sea2**2 / (na - 1) + seb2**2 / (nb - 1))
+    assert abs(out["df_micro"] / 1e6 - df_f) < 1e-3
+
+
+def test_welch_antisymmetric(spark):
+    rows = [("a", v) for v in (10, 20, 30)] + [("b", v) for v in (5, 6, 40)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    t1 = stats.welch_ttest(df, "g", "x", "a", "b").collect()[0]
+    t2 = stats.welch_ttest(df, "g", "x", "b", "a").collect()[0]
+    assert t1["dmean_micro"] == -t2["dmean_micro"]
+    assert abs(t1["t_milli"] + t2["t_milli"]) <= 1  # DIV truncation
+
+
+def test_diff_in_diff_hand_computed(spark):
+    rows = [
+        # treated pre: mean 10; treated post: mean 30 (+20)
+        ("g", True, False, 10), ("g", True, False, 10),
+        ("g", True, True, 20), ("g", True, True, 40),
+        # control pre: mean 5; control post: mean 10 (+5)
+        ("g", False, False, 5), ("g", False, True, 10),
+    ]
+    df = spark.createDataFrame(rows, "grp string, tr boolean, po boolean, v long")
+    out = stats.diff_in_diff(
+        df, "grp", F.col("tr"), F.col("po"), F.col("v")
+    ).collect()[0]
+    assert out["did_micro"] == (30 - 10) - (10 - 5)
+    assert (out["n_t_pre"], out["n_t_post"]) == (2, 2)
+
+
+def test_diff_in_diff_empty_cell_is_null(spark):
+    rows = [("g", True, True, 10), ("g", False, False, 5),
+            ("g", False, True, 7)]
+    df = spark.createDataFrame(rows, "grp string, tr boolean, po boolean, v long")
+    out = stats.diff_in_diff(
+        df, "grp", F.col("tr"), F.col("po"), F.col("v")
+    ).collect()[0]
+    assert out["did_micro"] is None  # treated-pre cell empty
+
+
+def test_autocomplete_matches_brute_force(spark):
+    texts = ["apple apply apple banana", "application apple banana band",
+             "bandit apply appliance"] * 3
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    out = search.autocomplete_prefix_topk(df, "text", prefix_len=3, k=2,
+                                          min_count=2)
+    got = {(r["prefix"], r["rank"]): (r["word"], r["cnt"])
+           for r in out.collect()}
+    counts: dict = {}
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if len(w) >= 3:
+                counts[w] = counts.get(w, 0) + 1
+    want: dict = {}
+    for w, c in counts.items():
+        if c >= 2:
+            want.setdefault(w[:3], []).append((-c, w))
+    for pfx, lst in want.items():
+        for rank, (negc, w) in enumerate(sorted(lst)[:2], 1):
+            assert got[(pfx, rank)] == (w, -negc)
+    assert len(got) == sum(min(2, len(v)) for v in want.values())
+
+
+def test_autocomplete_guards(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        search.autocomplete_prefix_topk(df, "text", prefix_len=0)
+    with pytest.raises(ValueError):
+        search.autocomplete_prefix_topk(df, "text", k=0)
+
+
+def _kcenter_brute(vecs: dict, k: int):
+    ids = sorted(vecs)
+    centers = [ids[0]]
+    dists = [None]
+    while len(centers) < k:
+        best = None
+        for i in ids:
+            d = min(
+                sum((a - b) ** 2 for a, b in zip(vecs[i], vecs[c]))
+                for c in centers
+            )
+            if best is None or d > best[0] or (d == best[0] and i < best[1]):
+                if best is None or d > best[0]:
+                    best = (d, i)
+        centers.append(best[1])
+        dists.append(best[0])
+    return centers, dists
+
+
+def test_kcenter_matches_brute_force(spark):
+    vecs = {
+        0: [0.0, 0.0], 1: [1.0, 0.0], 2: [0.0, 1.0],
+        3: [10.0, 10.0], 4: [-8.0, 3.0], 5: [5.0, -7.0], 6: [9.5, 9.5],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    out = sorted(
+        (r["sel_order"], r["vec_id"], r["d2_ppb"])
+        for r in similarity.kcenter_coreset(df, "vec_id", "embedding",
+                                            k=4).collect()
+    )
+    centers, dists = _kcenter_brute(vecs, 4)
+    assert [c for _, c, _ in out] == centers
+    # coverage radius is non-increasing
+    radii = [d for _, _, d in out if d is not None]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_k1_is_seed_only(spark):
+    df = spark.createDataFrame([(7, [1.0]), (3, [2.0])],
+                               "vec_id long, embedding array<float>")
+    out = similarity.kcenter_coreset(df, "vec_id", "embedding", k=1).collect()
+    assert len(out) == 1 and out[0]["vec_id"] == 3
+    with pytest.raises(ValueError):
+        similarity.kcenter_coreset(df, "vec_id", "embedding", k=0)

@@ -1378,6 +1378,81 @@ def stress_round7l_second_decade(spark):
 
 
 
+def stress_round7m_newops(spark):
+    """Decade push for the round-7f batch: sorted-neighborhood at
+    10 M records, tolerance as-of at 10 M left x 10 M right, bootstrap
+    CI at 10 M rows x 64 replicates (640 M weight draws through the
+    map-side combine), Theil-Sen at 50 M pairs (10 k groups x ~100
+    rows), LTTB at 100 M points, KMV at 10 M keys a side.
+    Run: ``python tools/stress_curation.py --round7m``."""
+    from etl_script_spark.operators import linkage, sketches, stats
+    from etl_script_spark.operators import timeseries as ts_ops
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        out.write.mode("overwrite").format("noop").save()
+        print(f"{name}: {time.time()-t0:.1f}s -> {out.count()} rows")
+
+    rec = spark.range(10_000_000).select(
+        F.col("id"),
+        F.concat(
+            F.conv(F.abs(F.xxhash64("id")) % 36**6, 10, 36),
+            F.lit("-"),
+            F.col("id").cast("string"),
+        ).alias("k"),
+    )
+    run("sorted_neighborhood 10M recs w=3", lambda:
+        linkage.sorted_neighborhood_pairs(rec, "id", "k", window=3,
+                                          prefix_len=2))
+
+    lts = spark.range(10_000_000).select(
+        F.col("id").alias("lid"),
+        (F.col("id") % 100_000).alias("k"),
+        F.timestamp_micros(
+            F.lit(1_600_000_000_000_000) + F.col("id") * 977
+        ).alias("ts"),
+    )
+    rts = spark.range(10_000_000).select(
+        (F.col("id") % 100_000).alias("k"),
+        F.timestamp_micros(
+            F.lit(1_600_000_000_000_000) + F.col("id") * 1013
+        ).alias("ts"),
+        F.col("id").alias("pay"),
+    )
+    from etl_script_spark.operators.asof import asof_join_tolerance
+    run("asof_tolerance 10Mx10M 100k keys", lambda:
+        asof_join_tolerance(lts, rts, "k", "ts", "ts",
+                            {"pay": "pay"}, tolerance_sec=3600))
+
+    vals = spark.range(10_000_000).select(
+        F.col("id"), (F.abs(F.xxhash64("id")) % 100_000).alias("x"))
+    run("bootstrap_ci 10M rows x 64 reps", lambda:
+        stats.bootstrap_ci_mean(vals, "id", "x", n_boot=64))
+
+    pan = spark.range(1_000_000).select(
+        (F.col("id") % 10_000).cast("string").alias("g"),
+        (F.col("id") / 10_000).alias("x"),
+        (F.abs(F.xxhash64("id")) % 1_000_000).alias("y"),
+    )
+    run("theil_sen 1M rows, 10k groups (~50M pairs)", lambda:
+        stats.theil_sen_groups(pan, "g", "x", "y"))
+
+    series = spark.range(100_000_000).select(
+        F.col("id").alias("t"),
+        (F.abs(F.xxhash64("id")) % 1_000_000).alias("v"),
+    )
+    run("lttb 100M points -> 1000 buckets", lambda:
+        ts_ops.lttb_downsample(series, "t", "v", n_buckets=1000))
+
+    ka = spark.range(10_000_000).select(
+        F.col("id").cast("string").alias("w"))
+    kb = spark.range(5_000_000, 15_000_000).select(
+        F.col("id").cast("string").alias("w"))
+    run("kmv_jaccard 10M keys/side k=256", lambda:
+        sketches.kmv_jaccard(ka, "w", kb, "w", k=256))
+
+
 if __name__ == "__main__":
     if "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
@@ -1394,6 +1469,10 @@ if __name__ == "__main__":
     elif "--round6e" in sys.argv:
         spark = get_spark(app_name="stress-round6e")
         stress_round6e_augment(spark)
+        spark.stop()
+    elif "--round7m" in sys.argv:
+        spark = get_spark(app_name="stress-round7m")
+        stress_round7m_newops(spark)
         spark.stop()
     elif "--round7l" in sys.argv:
         spark = get_spark(app_name="stress-round7l")
