@@ -1023,10 +1023,11 @@ def theil_sen_groups(
             (F.col("j.x") - F.col("i.x")).alias("dx"),
         )
     )
-    mag = F.expr(
-        "CAST((abs(CAST(dy AS DECIMAL(38,0))) * 1000000)"
-        " DIV CAST(dx AS DECIMAL(38,0)) AS BIGINT)"
-    )
+    # pure LONG arithmetic, not DECIMAL(38): BigDecimal ops run
+    # outside codegen at ~10x the cost per row, and the slope path is
+    # the O(n^2)-pairs hot loop. Bound: |dy| * 1e6 must fit int64,
+    # i.e. |y_j - y_i| < 9.2e12 — far above any sane integer scale.
+    mag = F.expr("(abs(dy) * 1000000) DIV dx")
     slopes = pairs.select(
         "g",
         F.when(F.col("dy") < 0, -mag).otherwise(mag).alias("s"),

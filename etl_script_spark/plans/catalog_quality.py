@@ -1514,12 +1514,8 @@ def stat_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     slopes AS (
       SELECT g,
-             CASE WHEN dy < 0 THEN
-               -CAST((abs(CAST(dy AS HUGEINT)) * 1000000)
-                     // CAST(dx AS HUGEINT) AS BIGINT)
-             ELSE
-               CAST((CAST(dy AS HUGEINT) * 1000000)
-                    // CAST(dx AS HUGEINT) AS BIGINT)
+             CASE WHEN dy < 0 THEN -((abs(dy) * 1000000) // dx)
+             ELSE (abs(dy) * 1000000) // dx
              END AS s
       FROM pairs
     ),

@@ -1322,3 +1322,62 @@ def s25_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("n_regionkey", 6, "long"),
         ],
     )
+
+
+def _hilbert_oracle() -> str:
+    from etl_script_spark.sources.layout import hilbert_key_sql
+
+    inner = (
+        "SELECT event_id, user_id,"
+        " CAST(EXTRACT(day FROM ts) AS BIGINT) AS d, value"
+        " FROM events"
+        " WHERE user_id BETWEEN 32 AND 63"
+        " AND CAST(EXTRACT(day FROM ts) AS BIGINT) BETWEEN 8 AND 15"
+    )
+    keyed = hilbert_key_sql(
+        "user_id", "d", 8, inner, "event_id, user_id, d, value"
+    )
+    return (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        " CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,"
+        " CAST(SUM(h) AS BIGINT) AS h_checksum"
+        f" FROM ({keyed})"
+    )
+
+
+@register(
+    "layout_hilbert_clustered_read",
+    _hilbert_oracle(),
+    ("X-layout",),
+)
+def layout_hilbert_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve-clustered rewrite of events on (user_id, day)
+    (layout.write_hilbert_clustered): the space-filling curve without
+    Z-order's diagonal jumps, so a box filter touches fewer code
+    intervals (the layout Iceberg offers as 'hilbert'). Same contract
+    as layout_zorder_clustered_read: write → box-filtered read-back →
+    box aggregate plus the SUM of the Hilbert indexes recomputed from
+    the read rows; the oracle replays the identical per-step
+    quadrant/rotate arithmetic (algebraized XOR — no bitwise ops), so
+    one wrong rotation anywhere breaks the hash."""
+    from etl_script_spark.sources import layout
+
+    d = _workdir(sf_dir, "layout_h")
+    out = f"{d}/events_hilbert"
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.dayofmonth("ts").cast("long").alias("d"),
+        "value",
+    )
+    layout.write_hilbert_clustered(ev, out, "user_id", "d", 16, bits=8)
+    back = spark.read.parquet(out).filter(
+        F.col("user_id").between(32, 63) & F.col("d").between(8, 15)
+    )
+    keyed = layout.with_hilbert_key(back, "user_id", "d", bits=8,
+                                    out_col="__h")
+    return keyed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        F.sum("__h").cast("long").alias("h_checksum"),
+    )

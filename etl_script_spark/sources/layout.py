@@ -169,3 +169,129 @@ def write_zorder_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    out_col: str = "__h",
+) -> DataFrame:
+    """Hilbert-curve index of two NON-NEGATIVE integer columns,
+    ``bits`` low bits each — the locality-preserving space-filling
+    curve that beats Z-order for file pruning: the Hilbert curve has
+    no long diagonal jumps, so a box filter touches fewer code
+    intervals (why e.g. Apache Iceberg offers hilbert alongside
+    zorder). Standard xy→d transform (the Wikipedia rot/reflect
+    form, FULL-GRID ``n−1−x`` reflection so coordinates stay in
+    [0, n) — the ``s−1−x`` variant goes negative, where truncating
+    division reads different bits than C's two's-complement ``&``
+    and the curve loses adjacency) unrolled over ``bits`` steps; the
+    quadrant term
+    ``(3·rx) XOR ry`` is algebraized to ``3·rx + ry − 2·rx·ry``
+    (exact for bits rx,ry ∈ {0,1}), so the whole chain is pure
+    +/−/·/CASE integer arithmetic — no bitwise ops an oracle engine
+    might type differently. Each step is one projection; the column
+    staging keeps the expression tree linear in ``bits`` (a single
+    nested expression would grow 3^bits).
+
+    Inputs are clamped into the grid with ``% 2^bits`` (wrap degrades
+    pruning, never correctness — the zorder_key contract)."""
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    n = 1 << bits
+    d = df.withColumn("__hx", F.expr(f"CAST({x_col} AS BIGINT) % {n}")) \
+          .withColumn("__hy", F.expr(f"CAST({y_col} AS BIGINT) % {n}")) \
+          .withColumn(out_col, F.lit(0).cast("long"))
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (__hx DIV {s}) % 2 = 1 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (__hy DIV {s}) % 2 = 1 THEN 1 ELSE 0 END)"
+        d = (
+            d.withColumn("__rx", F.expr(rx).cast("long"))
+            .withColumn("__ry", F.expr(ry).cast("long"))
+            .withColumn(
+                out_col,
+                F.expr(
+                    f"{out_col} + {s}::BIGINT * {s}"
+                    " * (3 * __rx + __ry - 2 * __rx * __ry)"
+                ),
+            )
+            .withColumn(
+                "__hx2",
+                F.expr(
+                    f"CASE WHEN __ry = 0 THEN"
+                    f" (CASE WHEN __rx = 1 THEN {n} - 1 - __hy"
+                    f"  ELSE __hy END) ELSE __hx END"
+                ),
+            )
+            .withColumn(
+                "__hy",
+                F.expr(
+                    f"CASE WHEN __ry = 0 THEN"
+                    f" (CASE WHEN __rx = 1 THEN {n} - 1 - __hx"
+                    f"  ELSE __hx END) ELSE __hy END"
+                ),
+            )
+            .withColumn("__hx", F.col("__hx2"))
+        )
+    return d.drop("__hx", "__hy", "__hx2", "__rx", "__ry")
+
+
+def hilbert_key_sql(
+    x_sql: str, y_sql: str, bits: int, inner_sql: str, passthrough: str
+) -> str:
+    """The DuckDB/ANSI twin of :func:`with_hilbert_key`: the same
+    per-step quadrant/rotate arithmetic as ``bits`` nested SELECTs
+    (column staging, linear text growth). ``passthrough`` is the
+    comma-joined columns to carry; the result exposes them plus
+    ``h`` (the Hilbert index)."""
+    n = 1 << bits
+    q = (
+        f"SELECT {passthrough},"
+        f" CAST({x_sql} AS BIGINT) % {n} AS hx,"
+        f" CAST({y_sql} AS BIGINT) % {n} AS hy,"
+        f" CAST(0 AS BIGINT) AS h FROM ({inner_sql})"
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (hx // {s}) % 2 = 1 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy // {s}) % 2 = 1 THEN 1 ELSE 0 END)"
+        q = (
+            f"SELECT {passthrough},"
+            f" h + CAST({s} AS BIGINT) * {s}"
+            f" * (3 * {rx} + {ry} - 2 * {rx} * {ry}) AS h,"
+            f" CASE WHEN {ry} = 0 THEN"
+            f" (CASE WHEN {rx} = 1 THEN {n} - 1 - hy ELSE hy END)"
+            f" ELSE hx END AS hx,"
+            f" CASE WHEN {ry} = 0 THEN"
+            f" (CASE WHEN {rx} = 1 THEN {n} - 1 - hx ELSE hx END)"
+            f" ELSE hy END AS hy"
+            f" FROM ({q})"
+        )
+    return q
+
+
+def write_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Hilbert-clustered parquet write: same shape as
+    write_zorder_clustered (range-partition on the curve index into
+    ``n_files`` disjoint intervals, sort within each, drop the
+    transient key) with the Hilbert index in place of the Morton
+    code."""
+    (
+        with_hilbert_key(df, x_col, y_col, bits, "__hk")
+        .repartitionByRange(n_files, F.col("__hk"))
+        .sortWithinPartitions("__hk")
+        .drop("__hk")
+        .write.mode(mode)
+        .parquet(path)
+    )

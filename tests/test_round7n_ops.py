@@ -155,3 +155,93 @@ def test_kcenter_k1_is_seed_only(spark):
     assert len(out) == 1 and out[0]["vec_id"] == 3
     with pytest.raises(ValueError):
         similarity.kcenter_coreset(df, "vec_id", "embedding", k=0)
+
+
+# ------------------------------------------------------------------ #
+# Hilbert layout
+# ------------------------------------------------------------------ #
+
+def _hilbert_ref(x: int, y: int, bits: int) -> int:
+    n = 1 << bits
+    x, y = x % n, y % n
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference(spark):
+    from etl_script_spark.sources import layout
+
+    pts = [(i, (i * 7) % 300, (i * 13) % 300) for i in range(400)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    out = layout.with_hilbert_key(df, "x", "y", bits=8, out_col="h")
+    got = {r["id"]: r["h"] for r in out.collect()}
+    for i, x, y in pts:
+        assert got[i] == _hilbert_ref(x, y, 8), (i, x, y)
+
+
+def test_hilbert_is_bijective_on_grid(spark):
+    from etl_script_spark.sources import layout
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    out = layout.with_hilbert_key(df, "x", "y", bits=4, out_col="h")
+    rows = {(r["x"], r["y"]): r["h"] for r in out.collect()}
+    hs = sorted(rows.values())
+    assert hs == list(range(256))  # a bijection onto 0..n^2-1
+    inv = {h: xy for xy, h in rows.items()}
+    # consecutive curve positions are always grid-adjacent — the
+    # locality property that makes it a HILBERT curve, not just a
+    # bijection
+    assert all(
+        abs(inv[i][0] - inv[i + 1][0]) + abs(inv[i][1] - inv[i + 1][1]) == 1
+        for i in range(255)
+    )
+
+
+def test_hilbert_locality_beats_zorder_on_box(spark):
+    """The selling point: consecutive curve positions are always
+    grid-adjacent, so a box maps to fewer index intervals than
+    Z-order's diagonal-jump code."""
+    def intervals(codes):
+        codes = sorted(codes)
+        return 1 + sum(1 for a, b in zip(codes, codes[1:]) if b > a + 1)
+
+    from etl_script_spark.sources import layout
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x long, y long"
+    )
+    hk = layout.with_hilbert_key(df, "x", "y", bits=5, out_col="h")
+    box = [
+        (r["x"], r["y"], r["h"])
+        for r in hk.collect()
+        if 8 <= r["x"] <= 15 and 8 <= r["y"] <= 15
+    ]
+    h_int = intervals([h for _, _, h in box])
+    z_codes = [
+        sum(((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+            for b in range(5))
+        for x, y, _ in box
+    ]
+    assert h_int <= intervals(z_codes)
+
+
+def test_hilbert_guard(spark):
+    from etl_script_spark.sources import layout
+
+    df = spark.createDataFrame([(1, 1)], "x long, y long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        layout.with_hilbert_key(df, "x", "y", bits=0)
