@@ -1101,10 +1101,19 @@ def bootstrap_ci_mean(
     for c in _POIS1_CDF_2P32:
         term = F.when(F.col("__u") >= F.lit(c), 1).otherwise(0)
         w_expr = term if w_expr is None else w_expr + term
+    from etl_script_spark.operators.partitioning import fan_out
+
+    # spread BEFORE the x n_boot explode: the amplification happens
+    # inside the input's scan stage, whose task count comes from the
+    # file size — a one-file input would run all n_boot x n hash draws
+    # serial (the gap_fill serial-stage trap, STRESS.md round-7 bench
+    # audit). fan_out is a no-op when the scan is already wide.
     reps = (
-        df.select(F.col(id_col).alias(id_col),
-                  F.col(value_col).cast("long").alias("__x"))
-        .filter(F.col("__x").isNotNull())
+        fan_out(
+            df.select(F.col(id_col).alias(id_col),
+                      F.col(value_col).cast("long").alias("__x"))
+            .filter(F.col("__x").isNotNull())
+        )
         .select(
             id_col, "__x",
             F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("__b"),
