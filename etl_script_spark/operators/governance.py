@@ -354,3 +354,47 @@ def t_closeness_report(
         F.expr(tvd).alias("tvd_ppm"),
         (F.expr(tvd) > F.lit(t_ppm)).alias("breach"),
     )
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    group_col: str,
+    hash_cols: list[str],
+) -> DataFrame:
+    """Order-independent dataset fingerprint per group: the SUM (mod
+    2^62) of per-row md5 hashes over the named columns, plus the row
+    count — a Merkle-style audit checksum that any engine, any
+    partitioning, and any row order reproduce bit-for-bit. The
+    publish/subscribe contract check: a downstream consumer recomputes
+    the fingerprint after transport and compares — one unequal byte
+    anywhere flips it (modular sum of uniform hashes: a corruption
+    collides with probability 2^-62).
+
+    Summation is the commutative fold (unlike a hash CHAIN, which
+    would serialize); NULLs are encoded distinctly from empty strings
+    (chr(1) sentinel) so null/'' corruption is visible. One map-side
+    combinable aggregation — at 100 TB this is the cheapest full-scan
+    integrity primitive there is.
+
+    Returns (group, n_rows, fingerprint).
+    """
+    sep = "chr(0)"
+    enc = f" || {sep} || ".join(
+        f"COALESCE(CAST({c} AS STRING), chr(1))" for c in hash_cols
+    )
+    h = F.expr(
+        f"CAST(conv(substr(md5({enc}), 1, 15), 16, 10) AS BIGINT)"
+    )
+    m = 1 << 62
+    return (
+        df.select(F.col(group_col).alias("group"), h.alias("__h"))
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            # sum in DECIMAL(38): a plain long SUM of 2^60-scale
+            # hashes overflows int64 after ~8 rows (ANSI throw)
+            F.expr(
+                f"CAST(SUM(CAST(__h AS DECIMAL(38,0))) % {m} AS BIGINT)"
+            ).alias("fingerprint"),
+        )
+    )

@@ -1500,3 +1500,33 @@ def kcenter_coreset(
     return spark.createDataFrame(
         rows, "sel_order int, vec_id long, d2_ppb long"
     )
+
+
+def mutual_knn_pairs(
+    neighbors: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-kNN filter: keep the pairs (a, b) where b is in a's
+    top-k AND a is in b's — the standard high-precision matching
+    refinement (reciprocal nearest neighbors are the backbone of
+    image-dedup and re-ID pipelines; mutual agreement kills the
+    hub/asymmetry false positives one-directional kNN suffers).
+
+    Takes ANY (query, neighbor) top-k relation — brute, LSH, IVF,
+    IVF-PQ — so the recall/cost trade rides the upstream index
+    choice; this stage is one self-equi-join of the (already small,
+    n·k-row) neighbor list on the swapped key pair. Self-pairs are
+    dropped; output is canonicalized a < b (each mutual pair once).
+
+    Returns (id_a, id_b).
+    """
+    e = neighbors.select(
+        F.col(query_col).alias("q"), F.col(neighbor_col).alias("n")
+    ).filter(F.col("q") != F.col("n"))
+    rev = e.select(F.col("n").alias("q"), F.col("q").alias("n"))
+    return (
+        e.join(rev, ["q", "n"], "left_semi")
+        .filter(F.col("q") < F.col("n"))
+        .select(F.col("q").alias("id_a"), F.col("n").alias("id_b"))
+    )

@@ -1733,3 +1733,37 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents"),
     )
     return stats.welch_ttest(li, "l_returnflag", "cents", "R", "N")
+
+
+@register(
+    "gov_dataset_fingerprint",
+    """
+    WITH h AS (
+      SELECT source AS "group",
+             ('0x' || substr(md5(
+                COALESCE(CAST(doc_id AS VARCHAR), chr(1)) || chr(0) ||
+                COALESCE(text, chr(1)) || chr(0) ||
+                COALESCE(lang, chr(1))), 1, 15))::BIGINT AS hh
+      FROM documents
+    )
+    SELECT "group", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(hh AS HUGEINT)) % 4611686018427387904
+                AS BIGINT) AS fingerprint
+    FROM h GROUP BY 1
+    """,
+    ("X-governance", "DQ-expectations"),
+)
+def gov_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-source dataset fingerprint
+    (governance.dataset_fingerprint): modular sum of per-row md5
+    hashes over (doc_id, text, lang) + row count — the Merkle-style
+    publish/verify checksum any engine, partitioning, or row order
+    reproduces bit-for-bit, and one corrupted byte anywhere flips.
+    One map-side-combinable aggregation; NULL encodes distinctly from
+    '' (chr(1) sentinel)."""
+    from etl_script_spark.operators import governance
+
+    d = t(spark, sf_dir, "documents")
+    return governance.dataset_fingerprint(
+        d, "source", ["doc_id", "text", "lang"]
+    )

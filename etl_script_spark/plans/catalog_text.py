@@ -2137,3 +2137,56 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     return similarity.kcenter_coreset(e, "vec_id", "embedding", k=5)
+
+
+@register(
+    "ann_mutual_knn",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    knn AS (
+      SELECT a.vec_id AS q, b.vec_id AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.vec, b.vec)
+                 / (sqrt(list_dot_product(a.vec, a.vec))
+                    * sqrt(list_dot_product(b.vec, b.vec))) DESC,
+               b.vec_id) AS rn
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    e AS (SELECT q, n FROM knn WHERE rn <= 5)
+    SELECT a.q AS id_a, a.n AS id_b
+    FROM e a JOIN e b ON a.q = b.n AND a.n = b.q
+    WHERE a.q < a.n
+    """,
+    ("LLM-similarity", "LLM-dedup"),
+)
+def ann_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-kNN pairs over the embedding corpus
+    (similarity.mutual_knn_pairs): (a, b) kept only when each is in
+    the OTHER's cosine top-5 — the mutual-agreement refinement that
+    kills one-directional kNN's hub false positives (the re-ID /
+    image-dedup standard). The mutual stage is one semi-join of the
+    n·k-row neighbor list on the swapped key pair; the neighbor list
+    itself comes from any upstream ANN index (brute here, at fixture
+    scale)."""
+    from etl_script_spark.operators import similarity
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    knn = similarity.brute_force_topk(e, queries, k=6, dim=64).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    top5 = knn.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= 5
+    )
+    return similarity.mutual_knn_pairs(top5, "query_id", "vec_id")

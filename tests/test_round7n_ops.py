@@ -245,3 +245,51 @@ def test_hilbert_guard(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         layout.with_hilbert_key(df, "x", "y", bits=0)
+
+
+# ------------------------------------------------------------------ #
+# mutual kNN + dataset fingerprint
+# ------------------------------------------------------------------ #
+
+def test_mutual_knn_keeps_only_reciprocal_pairs(spark):
+    # directed top-1 lists: 1->2, 2->1 (mutual); 3->1 (one-way)
+    edges = [(1, 2), (2, 1), (3, 1), (4, 4)]
+    df = spark.createDataFrame(edges, "query_id long, vec_id long")
+    out = {(r["id_a"], r["id_b"])
+           for r in similarity.mutual_knn_pairs(df).collect()}
+    assert out == {(1, 2)}  # canonical a < b, self-pair dropped
+
+
+def test_dataset_fingerprint_order_and_partition_invariant(spark):
+    from etl_script_spark.operators import governance
+
+    rows = [("s", i, f"t{i}") for i in range(100)]
+    a = spark.createDataFrame(rows, "src string, id long, txt string")
+    b = spark.createDataFrame(list(reversed(rows)),
+                              "src string, id long, txt string").repartition(7)
+    fa = governance.dataset_fingerprint(a, "src", ["id", "txt"]).collect()[0]
+    fb = governance.dataset_fingerprint(b, "src", ["id", "txt"]).collect()[0]
+    assert fa["fingerprint"] == fb["fingerprint"]
+    assert fa["n_rows"] == 100
+
+
+def test_dataset_fingerprint_detects_single_byte_and_null(spark):
+    from etl_script_spark.operators import governance
+
+    base = [("s", 1, "abc"), ("s", 2, "xyz")]
+    f0 = governance.dataset_fingerprint(
+        spark.createDataFrame(base, "src string, id long, txt string"),
+        "src", ["id", "txt"]).collect()[0]["fingerprint"]
+    flip = governance.dataset_fingerprint(
+        spark.createDataFrame([("s", 1, "abd"), ("s", 2, "xyz")],
+                              "src string, id long, txt string"),
+        "src", ["id", "txt"]).collect()[0]["fingerprint"]
+    nullv = governance.dataset_fingerprint(
+        spark.createDataFrame([("s", 1, ""), ("s", 2, "xyz")],
+                              "src string, id long, txt string"),
+        "src", ["id", "txt"]).collect()[0]["fingerprint"]
+    nonev = governance.dataset_fingerprint(
+        spark.createDataFrame([("s", 1, None), ("s", 2, "xyz")],
+                              "src string, id long, txt string"),
+        "src", ["id", "txt"]).collect()[0]["fingerprint"]
+    assert len({f0, flip, nullv, nonev}) == 4  # all distinct
