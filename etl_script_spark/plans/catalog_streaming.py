@@ -816,3 +816,47 @@ def st_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_available_now(
         agg, f"st_stream_ohlc_{_tag(sf_dir)}", output_mode="complete"
     )
+
+
+@register(
+    "st_stream_fingerprint",
+    """
+    WITH h AS (
+      SELECT event_type AS "group",
+             ('0x' || substr(md5(
+                COALESCE(CAST(event_id AS VARCHAR), chr(1)) || chr(0) ||
+                COALESCE(CAST(user_id AS VARCHAR), chr(1)) || chr(0) ||
+                COALESCE(CAST(CAST(ROUND(value * 1000000) AS BIGINT)
+                              AS VARCHAR), chr(1))), 1, 15))::BIGINT AS hh
+      FROM events
+    )
+    SELECT "group", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(hh AS HUGEINT)) % 4611686018427387904
+                AS BIGINT) AS fingerprint
+    FROM h GROUP BY 1
+    """,
+    ("ST-streaming", "X-governance"),
+)
+def st_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental dataset fingerprint: the modular-sum
+    checksum is a commutative monoid, so Structured Streaming
+    maintains it per event type as plain aggregation state — each
+    micro-batch folds its rows in, no retraction, no window, and the
+    drained result equals the batch fingerprint over the same rows
+    bit-for-bit (the oracle). The publish/verify audit primitive
+    running ON the ingest feed: a consumer compares this against the
+    producer's claimed checksum without ever re-reading the corpus.
+    The value rides as micro-quantized integer (double->string
+    formatting differs across engines; integers don't)."""
+    from etl_script_spark.operators import governance
+    from etl_script_spark.streaming import ingest
+
+    sdf = ingest.stream_events(spark, sf_dir).withColumn(
+        "vmic", F.expr("CAST(ROUND(value * 1000000) AS BIGINT)")
+    )
+    fp = governance.dataset_fingerprint(
+        sdf, "event_type", ["event_id", "user_id", "vmic"]
+    )
+    return ingest.run_available_now(
+        fp, f"st_fp_{_tag(sf_dir)}", output_mode="complete"
+    )

@@ -293,3 +293,27 @@ def test_dataset_fingerprint_detects_single_byte_and_null(spark):
                               "src string, id long, txt string"),
         "src", ["id", "txt"]).collect()[0]["fingerprint"]
     assert len({f0, flip, nullv, nonev}) == 4  # all distinct
+
+
+def test_stream_fingerprint_equals_batch(spark):
+    """The monoid contract: the streaming aggregation's drained state
+    equals the batch fingerprint over the same rows."""
+    from etl_script_spark.operators import governance
+    from etl_script_spark.plans.catalog import CATALOG, t
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = {
+        (r["group"], r["n_rows"], r["fingerprint"])
+        for r in CATALOG["st_stream_fingerprint"]
+        .spark(spark, sf_dir).collect()
+    }
+    e = t(spark, sf_dir, "events").withColumn(
+        "vmic", F.expr("CAST(ROUND(value * 1000000) AS BIGINT)")
+    )
+    batch = {
+        (r["group"], r["n_rows"], r["fingerprint"])
+        for r in governance.dataset_fingerprint(
+            e, "event_type", ["event_id", "user_id", "vmic"]
+        ).collect()
+    }
+    assert streamed == batch
