@@ -200,6 +200,31 @@ SHOW = {
         "map-side-combinable aggregation — one exchange total, no "
         "window, deterministic tie policy by struct ordering."
     ),
+    "link_sorted_neighborhood": (
+        "Sorted-neighborhood blocking: the global position comes from "
+        "prefix-bucket offsets (broadcast) + a window PARTITIONED BY "
+        "prefix — no single-partition rank — and pairing is an "
+        "equi-join on the position."
+    ),
+    "stat_bootstrap_ci": (
+        "Hashed multiplier bootstrap: the x64 replicate explode feeds "
+        "straight into a map-side-combined aggregation keyed on the "
+        "replicate id (partial_sum before the exchange), so the "
+        "shuffle carries 64·tasks rows, not 64·n; fan_out spreads the "
+        "one-file scan before the amplification."
+    ),
+    "layout_hilbert_clustered_read": (
+        "Hilbert-clustered layout: the curve index is a pure integer "
+        "projection chain (codegen), range-partitioned write, and the "
+        "read-back box filter prunes files by footer stats in BOTH "
+        "dimensions."
+    ),
+    "sk_kmv_jaccard": (
+        "KMV sketch: each side is a TakeOrderedAndProject (per-"
+        "partition top-k, k rows to the driver) over the distinct "
+        "token hashes — the set-similarity estimate never joins the "
+        "corpora."
+    ),
 }
 
 
