@@ -1186,10 +1186,13 @@ def welch_ttest(
             for n, f in {
                 "na": F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long"),
                 "nb": F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long"),
-                "sa": F.sum(F.when(g == group_a, x).otherwise(0)).cast(_D),
-                "sb": F.sum(F.when(g == group_b, x).otherwise(0)).cast(_D),
-                "qa": F.sum(F.when(g == group_a, x * x).otherwise(0)).cast(_D),
-                "qb": F.sum(F.when(g == group_b, x * x).otherwise(0)).cast(_D),
+                # accumulate in DECIMAL, not long-then-cast: sums of
+                # squares overflow int64 at ~1e7 rows of 1e6-scale
+                # values — far below the target scale
+                "sa": F.sum(F.when(g == group_a, x).otherwise(0).cast(_D)),
+                "sb": F.sum(F.when(g == group_b, x).otherwise(0).cast(_D)),
+                "qa": F.sum(F.when(g == group_a, x * x).otherwise(0).cast(_D)),
+                "qb": F.sum(F.when(g == group_b, x * x).otherwise(0).cast(_D)),
             }.items()
         ]
     )
@@ -1297,7 +1300,8 @@ def diff_in_diff(
             F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n_{n}")
         )
         aggs.append(
-            F.sum(F.when(cond, v).otherwise(0)).cast(_D).alias(f"s_{n}")
+            # decimal accumulation: long sums overflow at target scale
+            F.sum(F.when(cond, v).otherwise(0).cast(_D)).alias(f"s_{n}")
         )
     h = df.groupBy(F.col(group_col).alias("group")).agg(*aggs)
 

@@ -1453,6 +1453,60 @@ def stress_round7m_newops(spark):
         sketches.kmv_jaccard(ka, "w", kb, "w", k=256))
 
 
+def stress_round7o_newops(spark):
+    """Decade push for the round-7n batch: dataset fingerprint and
+    Welch/DiD sufficient-statistic aggregations at 100 M rows, the
+    Hilbert key chain at 100 M points, autocomplete over the 1 M-doc
+    corpus, mutual-kNN over a 10 M-edge neighbor list.
+    Run: ``python tools/stress_curation.py --round7o``."""
+    import os
+
+    from etl_script_spark.operators import governance, search, similarity, stats
+    from etl_script_spark.sources import layout
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        out.write.mode("overwrite").format("noop").save()
+        print(f"{name}: {time.time()-t0:.1f}s -> {out.count()} rows")
+
+    big = spark.range(100_000_000).select(
+        "id",
+        (F.col("id") % 20).cast("string").alias("g"),
+        F.abs(F.xxhash64("id") % 1_000_000).alias("v"),
+        (F.col("id") % 2 == 0).alias("tr"),
+        (F.col("id") % 3 == 0).alias("po"),
+    )
+    run("dataset_fingerprint 100M rows x 20 groups", lambda:
+        governance.dataset_fingerprint(big, "g", ["id", "v"]))
+    run("welch_ttest 100M rows", lambda:
+        stats.welch_ttest(big, "g", "v", "1", "2"))
+    run("diff_in_diff 100M rows x 20 groups", lambda:
+        stats.diff_in_diff(big, "g", F.col("tr"), F.col("po"), F.col("v")))
+
+    pts = spark.range(100_000_000).select(
+        (F.abs(F.xxhash64("id")) % 65536).alias("x"),
+        (F.abs(F.xxhash64("id", F.lit(1))) % 65536).alias("y"),
+    )
+    run("hilbert_key 100M points (16-bit grid)", lambda:
+        layout.with_hilbert_key(pts, "x", "y", bits=16, out_col="h")
+        .groupBy((F.col("h") % 64).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n")))
+
+    corpus_path = "/tmp/etl_script_spark_io/stress_1000000"
+    if os.path.exists(corpus_path + "/_SUCCESS"):
+        d = spark.read.parquet(corpus_path)
+        run("autocomplete 1M docs", lambda:
+            search.autocomplete_prefix_topk(d, "text", 3, 5, 5))
+
+    edges = spark.range(10_000_000).select(
+        (F.col("id") % 1_000_000).alias("query_id"),
+        F.abs(F.xxhash64("id") % 1_000_000).alias("vec_id"),
+    )
+    run("mutual_knn 10M-edge neighbor list", lambda:
+        similarity.mutual_knn_pairs(edges))
+
+
 if __name__ == "__main__":
     if "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
@@ -1469,6 +1523,10 @@ if __name__ == "__main__":
     elif "--round6e" in sys.argv:
         spark = get_spark(app_name="stress-round6e")
         stress_round6e_augment(spark)
+        spark.stop()
+    elif "--round7o" in sys.argv:
+        spark = get_spark(app_name="stress-round7o")
+        stress_round7o_newops(spark)
         spark.stop()
     elif "--round7m" in sys.argv:
         spark = get_spark(app_name="stress-round7m")
