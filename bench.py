@@ -151,6 +151,16 @@ EXTRA = [
     "pipeline_r7_analytics_report",
     "cust_rfm_segments",
     "li_ship_latency_hist",
+    # round 7: second batch (7f/7n) — the two with real steady-state
+    # costs (pairwise statistic, x64 hashed bootstrap) plus the new
+    # layout/sketch/streaming families
+    "stat_theil_sen",
+    "stat_bootstrap_ci",
+    "link_sorted_neighborhood",
+    "sk_kmv_jaccard",
+    "layout_hilbert_clustered_read",
+    "sim_kcenter_coreset",
+    "st_stream_fingerprint",
 ]
 
 # Entries whose plans are dominated by codegen'd lambda aggregates

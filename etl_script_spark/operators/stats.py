@@ -1186,13 +1186,20 @@ def welch_ttest(
             for n, f in {
                 "na": F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long"),
                 "nb": F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long"),
-                # accumulate in DECIMAL, not long-then-cast: sums of
-                # squares overflow int64 at ~1e7 rows of 1e6-scale
-                # values — far below the target scale
-                "sa": F.sum(F.when(g == group_a, x).otherwise(0).cast(_D)),
-                "sb": F.sum(F.when(g == group_b, x).otherwise(0).cast(_D)),
-                "qa": F.sum(F.when(g == group_a, x * x).otherwise(0).cast(_D)),
-                "qb": F.sum(F.when(g == group_b, x * x).otherwise(0).cast(_D)),
+                # accumulate in DECIMAL(18,0) per row -> DECIMAL(28,0)
+                # sum buffer: long sums overflow int64 at ~1e7 rows of
+                # 1e6-scale squares, and a DECIMAL(38) buffer falls off
+                # the mutable fast path (measured 13x slower); 18-digit
+                # rows / 28-digit sums keep codegen AND carry 1e28.
+                # Bound: per-row |x| and x^2 must fit 18 digits.
+                "sa": F.sum(F.when(g == group_a, x).otherwise(0)
+                            .cast("decimal(18,0)")),
+                "sb": F.sum(F.when(g == group_b, x).otherwise(0)
+                            .cast("decimal(18,0)")),
+                "qa": F.sum(F.when(g == group_a, x * x).otherwise(0)
+                            .cast("decimal(18,0)")),
+                "qb": F.sum(F.when(g == group_b, x * x).otherwise(0)
+                            .cast("decimal(18,0)")),
             }.items()
         ]
     )
@@ -1213,13 +1220,15 @@ def welch_ttest(
         # cent-scaled data (DuckDB's // returns HUGEINT and would
         # silently diverge). milli^2 keeps ~1e4 headroom at sd ~ 3e6
         # input units; pre-scale smaller if variances exceed that.
+        # the n^2(n-1) denominator is DECIMAL: a long product
+        # overflows int64 at ~2.1M rows per group
         F.expr(
             "((na * qa - sa * sa) * 1000000)"
-            " DIV (na * (na - 1) * na)"
+            " DIV (CAST(na AS DECIMAL(38,0)) * (na - 1) * na)"
         ).alias("sea2"),
         F.expr(
             "((nb * qb - sb * sb) * 1000000)"
-            " DIV (nb * (nb - 1) * nb)"
+            " DIV (CAST(nb AS DECIMAL(38,0)) * (nb - 1) * nb)"
         ).alias("seb2"),
     )
     se = isqrt_column(F.expr("CAST(sea2 + seb2 AS DECIMAL(38,0))"))
@@ -1294,16 +1303,43 @@ def diff_in_diff(
         "c_pre": ~treated & ~post,
     }
     v = value_micro.cast("long")
+    # SPLIT-SUM accumulation: every aggregation buffer stays LONG so
+    # the grouped HashAggregate keeps whole-stage codegen — a
+    # DECIMAL(>18) buffer is object-backed and disabled codegen for
+    # the WHOLE input stage (measured 20x on 100M rows); a plain long
+    # sum overflows at target scale. Each cell sum is carried as two
+    # bounded long sums of the OFFSET-shifted value (w = v + 2^42,
+    # w >= 0 by the documented |v| < 2^42 micro bound) split at 2^21,
+    # recombined exactly in DECIMAL on the tiny group table:
+    # S = (hi*2^21 + lo) - n*2^42. Each partial stays under int64 to
+    # ~4e12 rows per cell; past that ANSI overflow errors loudly.
+    OFF = 1 << 42
+    SPL = 1 << 21
+    w = v + F.lit(OFF)
     aggs = []
     for n, cond in cells.items():
         aggs.append(
             F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n_{n}")
         )
         aggs.append(
-            # decimal accumulation: long sums overflow at target scale
-            F.sum(F.when(cond, v).otherwise(0).cast(_D)).alias(f"s_{n}")
+            F.sum(F.when(cond, w.bitwiseAND(F.lit(SPL - 1))).otherwise(0))
+            .cast("long")
+            .alias(f"__lo_{n}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, F.shiftrightunsigned(w, 21)).otherwise(0))
+            .cast("long")
+            .alias(f"__hi_{n}")
         )
     h = df.groupBy(F.col(group_col).alias("group")).agg(*aggs)
+    for n in cells:
+        h = h.withColumn(
+            f"s_{n}",
+            F.expr(
+                f"CAST(__hi_{n} AS DECIMAL(38,0)) * {SPL} + __lo_{n}"
+                f" - CAST(n_{n} AS DECIMAL(38,0)) * {OFF}"
+            ),
+        )
 
     def mean(n: str) -> str:
         # exact signed micro mean: truncation toward zero both engines

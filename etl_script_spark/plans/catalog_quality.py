@@ -1690,9 +1690,9 @@ def feat_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         CASE WHEN sb < 0 THEN -((abs(sb) * 1000000) // nb)
              ELSE (sb * 1000000) // nb END AS mb,
         ((na * qa - sa * sa) * 1000000)
-          // (na * (na - 1) * na) AS sea2,
+          // (CAST(na AS HUGEINT) * (na - 1) * na) AS sea2,
         ((nb * qb - sb * sb) * 1000000)
-          // (nb * (nb - 1) * nb) AS seb2
+          // (CAST(nb AS HUGEINT) * (nb - 1) * nb) AS seb2
       FROM s
     ),
     v AS (SELECT *, sea2 + seb2 AS vv FROM m),

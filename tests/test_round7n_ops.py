@@ -317,3 +317,17 @@ def test_stream_fingerprint_equals_batch(spark):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_diff_in_diff_negative_values_exact(spark):
+    """The offset/split-sum accumulation must stay exact for signed
+    micro values."""
+    rows = [("g", True, False, -7), ("g", True, False, -3),
+            ("g", True, True, 11), ("g", False, False, -100),
+            ("g", False, True, -90)]
+    df = spark.createDataFrame(rows, "grp string, tr boolean, po boolean, v long")
+    out = stats.diff_in_diff(
+        df, "grp", F.col("tr"), F.col("po"), F.col("v")
+    ).collect()[0]
+    # t_pre mean = -5, t_post mean = 11; c_pre = -100, c_post = -90
+    assert out["did_micro"] == (11 - (-5)) - ((-90) - (-100))
