@@ -22,7 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries that already earned a GREEN driver CORRECTNESS row in rounds
-# 1-4 (CORRECTNESS_r0{1,2,3,4}.json). The driver samples queries() in
+# 1-6 (CORRECTNESS_r0{1..6}.json). The driver samples queries() in
 # dict order, so entries NOT yet driver-checked are listed first —
 # across rounds every catalog query earns a driver-green row.
 _CHECKED = frozenset(

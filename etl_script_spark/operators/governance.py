@@ -398,3 +398,74 @@ def dataset_fingerprint(
             ).alias("fingerprint"),
         )
     )
+
+
+def maintain_fingerprint(
+    base: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    hash_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Incrementally maintain :func:`dataset_fingerprint` under a CDC
+    batch — the monoid's IVM form: inserts ADD their row hashes,
+    deletes SUBTRACT (modular), and the maintained checksum equals a
+    full recompute of the final state BIT-FOR-BIT (group theory, not
+    approximation — the same contract as the aggregate-IVM family).
+    The audit loop this closes: a 100 TB corpus re-fingerprints after
+    every ingest batch at the COST OF THE BATCH, never the corpus.
+
+    ``changes.op_col`` is 'I' or 'D' (delete rows must match base
+    rows exactly — a fingerprint maintains set-sum state, it cannot
+    validate your CDC feed). Modular arithmetic stays non-negative on
+    both engines: delta = sum(±h) folded as (fp + M + delta % M) % M
+    with M = 2^62.
+
+    Returns (group, n_rows, fingerprint) for the maintained state.
+    """
+    m = 1 << 62
+    fp0 = dataset_fingerprint(base, group_col, hash_cols).select(
+        "group",
+        F.col("n_rows").alias("__n0"),
+        F.col("fingerprint").alias("__f0"),
+    )
+    sep = "chr(0)"
+    enc = f" || {sep} || ".join(
+        f"COALESCE(CAST({c} AS STRING), chr(1))" for c in hash_cols
+    )
+    h = F.expr(
+        f"CAST(conv(substr(md5({enc}), 1, 15), 16, 10) AS BIGINT)"
+    )
+    sgn = F.when(F.col(op_col) == "I", 1).otherwise(-1)
+    delta = (
+        changes.select(
+            F.col(group_col).alias("group"),
+            sgn.alias("__s"),
+            h.alias("__h"),
+        )
+        .groupBy("group")
+        .agg(
+            F.sum("__s").cast("long").alias("__dn"),
+            F.expr(
+                "CAST(SUM(CAST(__s AS DECIMAL(38,0))"
+                " * CAST(__h AS DECIMAL(38,0)))"
+                f" % {m} AS DECIMAL(38,0))"
+            ).alias("__df"),
+        )
+    )
+    return (
+        fp0.join(delta, "group", "full")
+        .select(
+            "group",
+            (
+                F.coalesce(F.col("__n0"), F.lit(0))
+                + F.coalesce(F.col("__dn"), F.lit(0))
+            ).cast("long").alias("n_rows"),
+            F.expr(
+                f"CAST((COALESCE(__f0, 0) + {m}"
+                f" + COALESCE(__df, CAST(0 AS DECIMAL(38,0)))) % {m}"
+                " AS BIGINT)"
+            ).alias("fingerprint"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )

@@ -1767,3 +1767,45 @@ def gov_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return governance.dataset_fingerprint(
         d, "source", ["doc_id", "text", "lang"]
     )
+
+
+@register(
+    "inc_fingerprint_maintenance",
+    """
+    WITH h AS (
+      SELECT source AS "group",
+             ('0x' || substr(md5(
+                COALESCE(CAST(doc_id AS VARCHAR), chr(1)) || chr(0) ||
+                COALESCE(text, chr(1))), 1, 15))::BIGINT AS hh
+      FROM documents
+      WHERE doc_id % 10 <> 3
+    )
+    SELECT "group", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(hh AS HUGEINT)) % 4611686018427387904
+                AS BIGINT) AS fingerprint
+    FROM h GROUP BY 1
+    """,
+    ("X-governance", "X-incremental"),
+)
+def inc_fingerprint_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained dataset fingerprint
+    (governance.maintain_fingerprint): base corpus (doc_id%10 != 0)
+    plus a CDC batch (insert the %10==0 docs, delete the %10==3) —
+    the maintained checksum must equal the oracle's DIRECT recompute
+    of the final state bit-for-bit, because the modular hash sum is a
+    group under addition (the IVM contract applied to the audit
+    primitive; cost of the batch, never the corpus)."""
+    from etl_script_spark.operators import governance
+
+    d = t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    changes = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("op", F.lit("I"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 3).withColumn("op", F.lit("D"))
+        )
+    )
+    return governance.maintain_fingerprint(
+        base, changes, "source", ["doc_id", "text"], "op"
+    )

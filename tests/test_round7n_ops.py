@@ -331,3 +331,36 @@ def test_diff_in_diff_negative_values_exact(spark):
     ).collect()[0]
     # t_pre mean = -5, t_post mean = 11; c_pre = -100, c_post = -90
     assert out["did_micro"] == (11 - (-5)) - ((-90) - (-100))
+
+
+def test_maintain_fingerprint_equals_recompute(spark):
+    from etl_script_spark.operators import governance
+
+    rows = [("s", i, f"t{i}") for i in range(50)]
+    base = spark.createDataFrame(rows[:40], "src string, id long, txt string")
+    changes = spark.createDataFrame(
+        [("s", i, f"t{i}", "I") for i in range(40, 50)]
+        + [("s", i, f"t{i}", "D") for i in range(0, 10)],
+        "src string, id long, txt string, op string",
+    )
+    maintained = governance.maintain_fingerprint(
+        base, changes, "src", ["id", "txt"], "op"
+    ).collect()[0]
+    final = spark.createDataFrame(rows[10:], "src string, id long, txt string")
+    recomputed = governance.dataset_fingerprint(
+        final, "src", ["id", "txt"]
+    ).collect()[0]
+    assert maintained["fingerprint"] == recomputed["fingerprint"]
+    assert maintained["n_rows"] == recomputed["n_rows"] == 40
+
+
+def test_maintain_fingerprint_group_emptied_drops(spark):
+    from etl_script_spark.operators import governance
+
+    base = spark.createDataFrame([("a", 1, "x"), ("b", 2, "y")],
+                                 "src string, id long, txt string")
+    changes = spark.createDataFrame([("a", 1, "x", "D")],
+                                    "src string, id long, txt string, op string")
+    out = {r["group"] for r in governance.maintain_fingerprint(
+        base, changes, "src", ["id", "txt"], "op").collect()}
+    assert out == {"b"}
