@@ -405,6 +405,7 @@ def _bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
 
 
 _PLANES4 = similarity.random_hyperplanes(64, 4, 42)
+_PLANES6 = similarity.random_hyperplanes(64, 6, 42)
 
 _COS = (
     "list_dot_product({a}, {b}) / "
@@ -2141,24 +2142,25 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_mutual_knn",
-    """
+    f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       FROM embeddings
     ),
+    b AS (
+      SELECT vec_id, vec, {_bucket_sql('vec', _PLANES6)} AS bucket FROM v
+    ),
     knn AS (
-      SELECT a.vec_id AS q, b.vec_id AS n,
+      SELECT q.vec_id AS q, c.vec_id AS n,
              ROW_NUMBER() OVER (
-               PARTITION BY a.vec_id
-               ORDER BY list_dot_product(a.vec, b.vec)
-                 / (sqrt(list_dot_product(a.vec, a.vec))
-                    * sqrt(list_dot_product(b.vec, b.vec))) DESC,
-               b.vec_id) AS rn
-      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+               PARTITION BY q.vec_id
+               ORDER BY {_COS.format(a='c.vec', b='q.vec')} DESC,
+               c.vec_id) AS rn
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
     ),
     e AS (SELECT q, n FROM knn WHERE rn <= 5)
     SELECT a.q AS id_a, a.n AS id_b
-    FROM e a JOIN e b ON a.q = b.n AND a.n = b.q
+    FROM e a JOIN e b2 ON a.q = b2.n AND a.n = b2.q
     WHERE a.q < a.n
     """,
     ("LLM-similarity", "LLM-dedup"),
@@ -2166,27 +2168,43 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-kNN pairs over the embedding corpus
     (similarity.mutual_knn_pairs): (a, b) kept only when each is in
-    the OTHER's cosine top-5 — the mutual-agreement refinement that
-    kills one-directional kNN's hub false positives (the re-ID /
-    image-dedup standard). The mutual stage is one semi-join of the
-    n·k-row neighbor list on the swapped key pair; the neighbor list
-    itself comes from any upstream ANN index (brute here, at fixture
-    scale)."""
+    the OTHER's top-5 among its LSH-bucket candidates — the
+    mutual-agreement refinement that kills one-directional kNN's hub
+    false positives (the re-ID / image-dedup standard). The neighbor
+    list comes from the 6-plane LSH bucketing (compare count divided
+    by ~2^6 — never all-pairs; both engines replay the identical
+    hyperplanes), and the mutual stage is one semi-join of the
+    n·k-row list on the swapped key pair."""
+    from pyspark.sql import Window
+
     from etl_script_spark.operators import similarity
 
     e = t(spark, sf_dir, "embeddings")
-    queries = e.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    planes = _PLANES6
+    b = e.withColumn(
+        "__bucket", similarity.lsh_bucket("embedding", planes)
+    ).withColumn("__n", similarity.l2_norm(F.col("embedding")))
+    q = b.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("__bucket"),
+        F.col("__n").alias("__qn"),
     )
-    knn = similarity.brute_force_topk(e, queries, k=6, dim=64).filter(
-        F.col("query_id") != F.col("vec_id")
+    cand = b.join(F.broadcast(q), "__bucket").filter(
+        F.col("vec_id") != F.col("query_id")
     )
-    from pyspark.sql import Window
-
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        (
+            similarity.dot(F.col("embedding"), F.col("qvec"))
+            / (F.col("__n") * F.col("__qn"))
+        ).alias("cosine_sim"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
     )
-    top5 = knn.withColumn("__r", F.row_number().over(w)).filter(
+    top5 = scored.withColumn("__r", F.row_number().over(w)).filter(
         F.col("__r") <= 5
     )
     return similarity.mutual_knn_pairs(top5, "query_id", "vec_id")
