@@ -191,12 +191,20 @@ def chi2_contingency(
         .withColumn("__ct", F.sum("obs").over(wc))
         .withColumn("__n", F.sum("obs").over(wn))
         .withColumn(
-            "exp_milli", F.expr("(__rt * __ct * 1000) DIV __n")
+            # DECIMAL products: rt*ct and the squared residual overflow
+            # int64 at ~1e8-row margins (DuckDB's SUM is already
+            # HUGEINT, so only the Spark side needed widening); this
+            # runs on CELL-cardinality data, so decimal cost is nil
+            "exp_milli",
+            F.expr(
+                "(CAST(__rt AS DECIMAL(38,0)) * __ct * 1000) DIV __n"
+            ),
         )
         .withColumn(
             "chi2_cell_milli",
             F.expr(
-                "((obs * 1000 - exp_milli) * (obs * 1000 - exp_milli))"
+                "(CAST(obs * 1000 - exp_milli AS DECIMAL(38,0))"
+                " * (obs * 1000 - exp_milli))"
                 " DIV greatest(exp_milli, 1)"
             ),
         )
@@ -659,7 +667,9 @@ def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
         rows_m.crossJoin(cols_m)
         .crossJoin(F.broadcast(n_tot))
         .agg(
-            F.sum(F.expr("(rt * ct * 1000) DIV __n"))
+            F.sum(F.expr(
+                "(CAST(rt AS DECIMAL(38,0)) * ct * 1000) DIV __n"
+            ))
             .cast("long")
             .alias("__e_all")
         )
