@@ -145,6 +145,28 @@ _CHECKED = frozenset(
         "sample_match_length_dist", "sample_weighted_gumbel_topk",
         "search_phrase_positional", "st_stream_drift_monitor",
         "st_stream_neardup_gate", "tok_unigram_roundtrip",
+        # --- round 7 (all 50 sampled rows green, CORRECTNESS_r07.json) ---
+        "ann_maxsim_topk", "ann_mutual_knn", "curation_soft_dedup_weights",
+        "cust_gini_by_nation", "cust_rfm_segments",
+        "dedup_containment_pairs", "dedup_continuation_pairs",
+        "dedup_jaccard_prefix_filter", "dedup_sentences_global",
+        "diag_key_skew", "dq_benford_first_digit", "ev_markov_transitions",
+        "ev_top_paths", "feat_hashed_buckets", "feat_quantile_normalize",
+        "feat_target_encode_loo", "feat_weighted_median",
+        "gov_l_diversity_groups", "gov_randomized_response",
+        "gov_source_datacard", "gov_t_closeness", "search_autocomplete",
+        "search_rrf_fusion", "sim_kcenter_coreset", "split_group_aware",
+        "sql_grouping_sets", "sql_null_semantics", "sql_window_suite",
+        "stat_chi2_independence", "stat_cohens_kappa", "stat_cramers_v",
+        "stat_mannwhitney_u", "stat_ols_slope_groups",
+        "stat_randomization_test", "stat_roc_auc", "stat_spearman_rho",
+        "text_code_detect", "text_kneser_ney_bigrams",
+        "text_novelty_vs_reference", "text_pmi_collocations",
+        "text_readability_flesch", "text_script_profile",
+        "text_stupid_backoff", "text_top_keywords",
+        "text_winnow_fingerprints", "tok_fertility_stats",
+        "tok_wordpiece_roundtrip", "ts_cusum_changepoints",
+        "ts_ohlc_resample", "ts_seasonality_index",
     }
 )
 
