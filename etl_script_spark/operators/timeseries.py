@@ -668,9 +668,12 @@ def lttb_downsample(
         F.lead("cv").over(w).alias("nv"),
     )
     j = b.join(F.broadcast(anch), "b")
+    # 2*area of triangle (pt,pv)-(t,v)-(nt,nv): the cross product
+    # (pt-nt)*(v-pv) - (pt-t)*(nv-pv). Second factor is (nv - pv) —
+    # a flipped sign here scores chord-line points above real spikes.
     area = F.expr(
         "abs((pt - nt) * (CAST(v AS DECIMAL(38,0)) * 1000000 - pv)"
-        " - (pt - CAST(t AS DECIMAL(38,0)) * 1000000) * (pv - nv))"
+        " - (pt - CAST(t AS DECIMAL(38,0)) * 1000000) * (nv - pv))"
     )
     scored = j.withColumn(
         "__a",

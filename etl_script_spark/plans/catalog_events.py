@@ -957,7 +957,7 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT bk.b, bk.t, bk.v,
              CASE WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
                abs((pt - nt) * (CAST(bk.v AS HUGEINT) * 1000000 - pv)
-                 - (pt - CAST(bk.t AS HUGEINT) * 1000000) * (pv - nv))
+                 - (pt - CAST(bk.t AS HUGEINT) * 1000000) * (nv - pv))
              END AS a,
              CASE WHEN pt IS NULL THEN bk.t
                   WHEN nt IS NULL THEN -bk.t
