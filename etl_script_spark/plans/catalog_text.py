@@ -2190,7 +2190,10 @@ def ann_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__bucket"),
         F.col("__n").alias("__qn"),
     )
-    cand = b.join(F.broadcast(q), "__bucket").filter(
+    # bucket equi-join: both sides are the full corpus, so it must
+    # SHUFFLE on __bucket — broadcasting q would ship every vector to
+    # every executor and OOM at corpus scale.
+    cand = b.join(q, "__bucket").filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cand.select(

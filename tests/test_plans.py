@@ -330,3 +330,15 @@ def test_kmv_sketches_via_take_ordered(spark, sf_dir):
     plan = _executed_plan(spark, "sk_kmv_jaccard", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mutual_knn_bucket_join_not_hinted_broadcast(spark, sf_dir):
+    """The LSH-bucket candidate join in ann_mutual_knn carries the
+    FULL corpus (with vectors) on both sides — an explicit broadcast
+    hint there ships every embedding to every executor and OOMs at
+    corpus scale. The logical plan must carry no broadcast hint; AQE
+    may still pick a broadcast at tiny SF from MEASURED sizes, which
+    is exactly the desired behavior."""
+    df = CATALOG["ann_mutual_knn"].spark(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
