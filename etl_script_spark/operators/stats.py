@@ -775,8 +775,14 @@ def randomization_test_mean_diff(
         ),
         1, 1,
     ).isin("0", "2", "4", "6", "8", "a", "c", "e")
+    from etl_script_spark.operators.partitioning import fan_out
+
+    # spread BEFORE the x reps explode: the amplification happens
+    # inside the input's scan stage, whose task count comes from file
+    # size — a one-file input would run all reps x n md5 draws serial
+    # (the gap_fill serial-stage trap; same fix as bootstrap_ci_mean).
     per = (
-        base.select("__id", "__v", reps_col)
+        fan_out(base).select("__id", "__v", reps_col)
         .withColumn("__pa", assign)
         .groupBy("__rep")
         .agg(
@@ -1143,15 +1149,36 @@ def bootstrap_ci_mean(
             ).alias("__m")
         )
     )
-    lo_pos = (n_boot * lo_pct + 99) // 100
-    hi_pos = n_boot - ((n_boot * (100 - hi_pct) + 99) // 100) + 1
-    ranked = reps.withColumn(
-        "__r", F.row_number().over(Window.orderBy(F.col("__m").asc()))
+    # Order-statistic positions come from the REALIZED replicate
+    # count, not the requested n_boot: a replicate whose Poisson
+    # weights are all zero (possible only on tiny inputs) is dropped
+    # by the __wn > 0 filter, and positions computed from n_boot
+    # would then point past the ranked list — hi_micro silently NULL
+    # while n_boot reports the smaller count. Both windows run on the
+    # <= n_boot-row replicate table, so the extra count is free.
+    ranked = (
+        reps.withColumn(
+            "__r", F.row_number().over(Window.orderBy(F.col("__m").asc()))
+        )
+        .withColumn(
+            "__cnt", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+        )
+        .withColumn(
+            "__lo_pos", F.expr(f"(__cnt * {lo_pct} + 99) DIV 100")
+        )
+        .withColumn(
+            "__hi_pos",
+            F.expr(f"__cnt - ((__cnt * {100 - hi_pct} + 99) DIV 100) + 1"),
+        )
     )
     stat = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_boot"),
-        F.max(F.when(F.col("__r") == lo_pos, F.col("__m"))).alias("lo_micro"),
-        F.max(F.when(F.col("__r") == hi_pos, F.col("__m"))).alias("hi_micro"),
+        F.max(
+            F.when(F.col("__r") == F.col("__lo_pos"), F.col("__m"))
+        ).alias("lo_micro"),
+        F.max(
+            F.when(F.col("__r") == F.col("__hi_pos"), F.col("__m"))
+        ).alias("hi_micro"),
     )
     base = df.select(F.col(value_col).cast("long").alias("__x")).filter(
         F.col("__x").isNotNull()

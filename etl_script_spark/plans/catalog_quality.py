@@ -1581,13 +1581,16 @@ def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wt GROUP BY b HAVING SUM(w) > 0
     ),
     r AS (
-      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r FROM means
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r,
+             COUNT(*) OVER () AS cnt
+      FROM means
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM means) AS n_boot,
            (SELECT CAST((SUM(CAST(x AS HUGEINT)) * 1000000) // COUNT(*)
                         AS BIGINT) FROM v) AS mean_micro,
-           MAX(CASE WHEN r = 4 THEN m END) AS lo_micro,
-           MAX(CASE WHEN r = 61 THEN m END) AS hi_micro
+           MAX(CASE WHEN r = (cnt * 5 + 99) // 100 THEN m END) AS lo_micro,
+           MAX(CASE WHEN r = cnt - ((cnt * 5 + 99) // 100) + 1 THEN m END)
+             AS hi_micro
     FROM r
     """,
     ("X-statistics",),

@@ -103,3 +103,26 @@ def test_lttb_spike_beats_chord_point(spark):
            for r in ts_ops.lttb_downsample(df, "t", "v",
                                            n_buckets=3).collect()}
     assert out[1] == (120, -3000)
+
+
+# ------------------------------------------------------------------ #
+# bootstrap CI under replicate loss
+# ------------------------------------------------------------------ #
+
+def test_bootstrap_positions_follow_realized_replicates(spark):
+    # A single-row input loses every replicate whose Poisson weight
+    # draw is 0 (~37% of them): order-statistic positions must then
+    # come from the REALIZED count, so hi_micro is a real replicate
+    # mean, never a silently-NULL past-the-end rank.
+    from etl_script_spark.operators import stats
+
+    df = spark.createDataFrame([(1, 500)], "id long, x long")
+    row = stats.bootstrap_ci_mean(
+        df, "id", "x", n_boot=64, lo_pct=5, hi_pct=95, seed="loss"
+    ).collect()[0]
+    assert row["n_boot"] < 64          # replicates actually dropped
+    assert row["n_boot"] >= 1
+    # every surviving replicate mean equals the single value
+    assert row["lo_micro"] == 500_000_000
+    assert row["hi_micro"] == 500_000_000
+    assert row["mean_micro"] == 500_000_000
