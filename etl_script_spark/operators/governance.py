@@ -436,7 +436,21 @@ def maintain_fingerprint(
     h = F.expr(
         f"CAST(conv(substr(md5({enc}), 1, 15), 16, 10) AS BIGINT)"
     )
-    sgn = F.when(F.col(op_col) == "I", 1).otherwise(-1)
+    # op codes are VALIDATED, not defaulted: treating an unexpected
+    # code ('U', 'insert', NULL) as a delete would silently subtract
+    # row hashes and corrupt the maintained fingerprint forever.
+    sgn = (
+        F.when(F.col(op_col) == "I", F.lit(1))
+        .when(F.col(op_col) == "D", F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("maintain_fingerprint: op must be 'I' or 'D', got "),
+                    F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("int")
+        )
+    )
     delta = (
         changes.select(
             F.col(group_col).alias("group"),

@@ -126,3 +126,33 @@ def test_bootstrap_positions_follow_realized_replicates(spark):
     assert row["lo_micro"] == 500_000_000
     assert row["hi_micro"] == 500_000_000
     assert row["mean_micro"] == 500_000_000
+
+
+# ------------------------------------------------------------------ #
+# fingerprint IVM: op-code validation
+# ------------------------------------------------------------------ #
+
+def test_maintain_fingerprint_rejects_unknown_op(spark):
+    # An op code outside {'I','D'} must raise, never silently
+    # subtract (the corrupt-forever failure mode).
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from etl_script_spark.operators import governance
+
+    base = spark.createDataFrame([("g", 1), ("g", 2)], "g string, v long")
+    ok = spark.createDataFrame(
+        [("g", 3, "I"), ("g", 1, "D")], "g string, v long, op string"
+    )
+    out = {r["group"]: (r["n_rows"], r["fingerprint"])
+           for r in governance.maintain_fingerprint(
+               base, ok, "g", ["v"]).collect()}
+    full = {r["group"]: (r["n_rows"], r["fingerprint"])
+            for r in governance.dataset_fingerprint(
+                spark.createDataFrame([("g", 2), ("g", 3)],
+                                      "g string, v long"),
+                "g", ["v"]).collect()}
+    assert out == full
+    bad = spark.createDataFrame([("g", 3, "U")], "g string, v long, op string")
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)):
+        governance.maintain_fingerprint(base, bad, "g", ["v"]).collect()
