@@ -196,14 +196,20 @@ def with_hilbert_key(
     staging keeps the expression tree linear in ``bits`` (a single
     nested expression would grow 3^bits).
 
-    Inputs are clamped into the grid with ``% 2^bits`` (wrap degrades
-    pruning, never correctness — the zorder_key contract)."""
+    Inputs are clamped into the grid with a POSITIVE mod
+    ``((v % 2^bits) + 2^bits) % 2^bits`` (wrap degrades pruning,
+    never correctness — the zorder_key contract). Plain ``%`` follows
+    the dividend's sign in both engines, and a negative __hx/__hy
+    would break the n−1−x reflection AND make the DIV/% bit reads
+    misread — the same reason zorder_key masks bits."""
     if bits < 1 or 2 * bits > 62:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
     n = 1 << bits
-    d = df.withColumn("__hx", F.expr(f"CAST({x_col} AS BIGINT) % {n}")) \
-          .withColumn("__hy", F.expr(f"CAST({y_col} AS BIGINT) % {n}")) \
-          .withColumn(out_col, F.lit(0).cast("long"))
+    d = df.withColumn(
+        "__hx", F.expr(f"((CAST({x_col} AS BIGINT) % {n}) + {n}) % {n}")
+    ).withColumn(
+        "__hy", F.expr(f"((CAST({y_col} AS BIGINT) % {n}) + {n}) % {n}")
+    ).withColumn(out_col, F.lit(0).cast("long"))
     for i in range(bits - 1, -1, -1):
         s = 1 << i
         rx = f"(CASE WHEN (__hx DIV {s}) % 2 = 1 THEN 1 ELSE 0 END)"
@@ -250,8 +256,8 @@ def hilbert_key_sql(
     n = 1 << bits
     q = (
         f"SELECT {passthrough},"
-        f" CAST({x_sql} AS BIGINT) % {n} AS hx,"
-        f" CAST({y_sql} AS BIGINT) % {n} AS hy,"
+        f" ((CAST({x_sql} AS BIGINT) % {n}) + {n}) % {n} AS hx,"
+        f" ((CAST({y_sql} AS BIGINT) % {n}) + {n}) % {n} AS hy,"
         f" CAST(0 AS BIGINT) AS h FROM ({inner_sql})"
     )
     for i in range(bits - 1, -1, -1):

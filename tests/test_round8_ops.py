@@ -156,3 +156,26 @@ def test_maintain_fingerprint_rejects_unknown_op(spark):
     bad = spark.createDataFrame([("g", 3, "U")], "g string, v long, op string")
     with pytest.raises((Py4JJavaError, PySparkException, Exception)):
         governance.maintain_fingerprint(base, bad, "g", ["v"]).collect()
+
+
+# ------------------------------------------------------------------ #
+# Hilbert key: negative coordinates wrap into the grid
+# ------------------------------------------------------------------ #
+
+def test_hilbert_negative_coords_wrap_like_positive(spark):
+    # ADVICE r7: sign-following % left negative __hx/__hy, breaking
+    # the n-1-x reflection and the DIV/% bit reads. Positive-mod must
+    # make (-1, y) produce exactly the key of (n-1, y).
+    from etl_script_spark.sources import layout
+
+    bits, n = 4, 16
+    df = spark.createDataFrame(
+        [(-1, 5), (n - 1, 5), (-n - 3, 7), (n - 3, 7), (3, -2), (3, n - 2)],
+        "x long, y long",
+    )
+    rows = layout.with_hilbert_key(df, "x", "y", bits=bits, out_col="hkey").collect()
+    key = {(r["x"], r["y"]): r["hkey"] for r in rows}
+    assert key[(-1, 5)] == key[(n - 1, 5)]
+    assert key[(-n - 3, 7)] == key[(n - 3, 7)]
+    assert key[(3, -2)] == key[(3, n - 2)]
+    assert all(0 <= v < n * n for v in key.values())
