@@ -25,7 +25,7 @@ order-independent across partitionings, the same policy as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_script_spark.operators.partitioning import fan_out
@@ -276,4 +276,55 @@ def autocomplete_prefix_topk(
         vocab.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("prefix", "word", "cnt", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def snippet_best_window(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    window_tokens: int = 10,
+) -> DataFrame:
+    """Best-snippet selection: per matching document, the
+    ``window_tokens``-token window with the most query-term hits —
+    the search-result excerpt picker (and the context selector a RAG
+    pipeline runs after retrieval). Ties break toward the EARLIEST
+    window start, so selection is deterministic.
+
+    Shape: posexplode to token positions, filter to the (bounded)
+    query-term set — the corpus shrinks to hit positions only — then
+    ONE range-frame window per doc counts the hits within
+    [pos, pos+W-1] of each hit (candidate window starts at a hit by
+    the standard density argument: shifting left to the previous hit
+    never loses a hit), and one row_number picks the argmax. Two
+    windows, both partitioned by doc id — one shuffle; per-doc cost
+    is its own hit count, never the token count.
+
+    Returns (id, start_pos, n_hits).
+    """
+    if window_tokens < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    from etl_script_spark.operators.textstats import words
+
+    tset = [t.lower() for t in terms]
+    hits = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(tset))
+    w_range = (
+        Window.partitionBy("id")
+        .orderBy(F.col("pos").cast("long"))
+        .rangeBetween(0, window_tokens - 1)
+    )
+    scored = hits.withColumn(
+        "n_hits", F.count(F.lit(1)).over(w_range).cast("long")
+    )
+    w_pick = Window.partitionBy("id").orderBy(
+        F.col("n_hits").desc(), F.col("pos").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w_pick))
+        .filter(F.col("__r") == 1)
+        .select("id", F.col("pos").alias("start_pos"), "n_hits")
     )

@@ -1395,3 +1395,374 @@ def diff_in_diff(
             f" - (({mean('c_post')}) - ({mean('c_pre')}))"
         ).cast("long").alias("did_micro"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact Kruskal-Wallis H test across ALL groups of an integer
+    column — the k-sample generalization of Mann-Whitney (Kruskal &
+    Wallis 1952): rank the pooled values with midranks, and measure
+    how far each group's mean rank sits from the grand mean,
+
+        H = 12/(N(N+1)) · Σ_g n_g·(r̄_g − (N+1)/2)²,
+
+    with the standard tie correction H' = H / (1 − ΣT/(N³−N)),
+    T = t³−t per tied value. Everything is exact integer arithmetic
+    on DOUBLED rank sums (midranks double to integers); the two DIV
+    quantizations (per-group deviation² DIV n_g, tie ratio in ppb)
+    are replayed identically by the oracle, so engines agree to the
+    bit. Magnitude bound: deviation² ≤ (n_g·N)² must fit DECIMAL(38)
+    — holds to ~1e12 pooled rows with balanced groups; the tie
+    ratio's N³·1e9 holds to N ≈ 2e9 (beyond that, pre-aggregate or
+    accept the uncorrected H, which is itself valid).
+
+    Scale shape: one (group, value) histogram aggregation, one
+    per-value histogram, the two-phase bucketed prefix sum (no
+    global sort — see _doubled_midrank_sums), then joins over
+    value-cardinality tables and a group-cardinality fold. Ranks are
+    never materialized per row.
+
+    Returns one row (n_total, n_groups, h_ppm, h_tie_adj_ppm).
+    """
+    gv = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .filter(F.col("v").isNotNull() & F.col("g").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("cgv"))
+    )
+    hv = gv.groupBy("v").agg(F.sum("cgv").alias("c"))
+    below = _bucketed_below(hv)
+    # doubled midrank of value v = 2*below + c + 1 (exact integer)
+    per_gv = gv.join(below, "v").select(
+        "g",
+        "cgv",
+        (
+            F.col("cgv").cast(_D)
+            * (2 * F.col("__below") + F.col("c") + 1).cast(_D)
+        ).alias("__r2c"),
+    )
+    per_g = per_gv.groupBy("g").agg(
+        F.sum("cgv").cast("long").alias("n_g"),
+        F.sum("__r2c").cast(_D).alias("r2_g"),
+    )
+    ties = hv.agg(
+        F.sum(
+            F.col("c").cast(_D) * F.col("c") * F.col("c") - F.col("c")
+        ).alias("s3"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    # q_g = (R2_g − n_g(N+1))² DIV (4·n_g): n_g·(r̄_g − (N+1)/2)²
+    # exactly, up to the <1 rank² DIV truncation both engines share
+    dev = per_g.crossJoin(F.broadcast(ties)).select(
+        "n_g",
+        F.expr(
+            f"(CAST(r2_g AS {_D})"
+            f" - CAST(n_g AS {_D}) * (CAST(n AS {_D}) + 1)) AS d2"
+        ).alias("d2"),
+        "n",
+        "s3",
+    )
+    # per-group quantization in MILLI rank² (×1000 before DIV): the
+    # bare DIV truncates up to 1 rank² per group — ~1% of H on small
+    # fixtures; milli keeps the loss sub-ppm while (n_g·N)²·10³ still
+    # fits DECIMAL(38) to N ≈ 1e9 (beyond: drop to the bare quotient)
+    folded = dev.groupBy("n", "s3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(
+            F.expr(f"(d2 * d2 * 1000) DIV (4 * CAST(n_g AS {_D}))")
+        ).alias("ssq_milli"),
+    )
+    return folded.select(
+        F.col("n").alias("n_total"),
+        "n_groups",
+        F.expr(
+            f"CAST((12 * ssq_milli * 1000) DIV (CAST(n AS {_D})"
+            f" * (CAST(n AS {_D}) + 1)) AS BIGINT)"
+        ).alias("h_ppm"),
+        F.expr(
+            f"CAST( ( (12 * ssq_milli * 1000) DIV (CAST(n AS {_D})"
+            f" * (CAST(n AS {_D}) + 1)) * 1000000000 )"
+            f" DIV ( ((CAST(n AS {_D})*CAST(n AS {_D})*CAST(n AS {_D})"
+            f" - CAST(n AS {_D}) - s3) * 1000000000)"
+            f" DIV (CAST(n AS {_D})*CAST(n AS {_D})*CAST(n AS {_D})"
+            f" - CAST(n AS {_D})) ) AS BIGINT)"
+        ).alias("h_tie_adj_ppm"),
+    )
+
+
+def kendall_tau_groups(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Kendall's τ-b rank correlation — the concordance
+    statistic (do x and y ORDER the rows the same way?) with the
+    tie-corrected denominator (Kendall 1945):
+
+        τ_b = (C − D) / √((n0 − n1)(n0 − n2)),
+
+    n0 = n(n−1)/2, n1/n2 = Σt(t−1)/2 over x-/y-tie groups. C and D
+    come from the pairwise sign products; the denominator goes
+    through the exact integer-sqrt ladder (isqrt_column — no float
+    sqrt), and τ reports in exact milli with the magnitude-DIV-then-
+    sign form (truncation toward zero matches DuckDB on negatives).
+
+    Scale contract: pair generation is an equi-join of the group on
+    itself — Θ(n²) PER GROUP, inherent to the statistic (same
+    posture as theil_sen_groups): use on bounded groups (panels,
+    entities, cohorts ≤ a few 10³ rows). The join, the tie counts,
+    and the fold all key on the group, so groups distribute and one
+    group's cost is its own n².
+
+    Returns (group, n, concordant, discordant, tau_b_milli).
+    """
+    b = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    # stable within-group pair id so each unordered pair counts once:
+    # row_number over (x, y) — deterministic even with full-row ties
+    w = Window.partitionBy("g").orderBy("x", "y")
+    bi = b.withColumn("__i", F.row_number().over(w))
+    pairs = (
+        bi.alias("i")
+        .join(bi.alias("j"), F.col("i.g") == F.col("j.g"))
+        .filter(F.col("i.__i") < F.col("j.__i"))
+        .select(
+            F.col("i.g").alias("g"),
+            F.signum(
+                (F.col("j.x") - F.col("i.x")).cast("double")
+            ).cast("long").alias("sx"),
+            F.signum(
+                (F.col("j.y") - F.col("i.y")).cast("double")
+            ).cast("long").alias("sy"),
+        )
+    )
+    cd = pairs.groupBy("g").agg(
+        F.sum(
+            F.when((F.col("sx") * F.col("sy")) > 0, 1).otherwise(0)
+        ).cast("long").alias("concordant"),
+        F.sum(
+            F.when((F.col("sx") * F.col("sy")) < 0, 1).otherwise(0)
+        ).cast("long").alias("discordant"),
+    )
+    nrows = b.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tx = (
+        b.groupBy("g", "x")
+        .agg(F.count(F.lit(1)).cast(_D).alias("t"))
+        .groupBy("g")
+        .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("n1"))
+    )
+    ty = (
+        b.groupBy("g", "y")
+        .agg(F.count(F.lit(1)).cast(_D).alias("t"))
+        .groupBy("g")
+        .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("n2"))
+    )
+    j = (
+        nrows.join(cd, "g", "left")
+        .join(tx, "g", "left")
+        .join(ty, "g", "left")
+        .select(
+            "g",
+            "n",
+            F.coalesce("concordant", F.lit(0)).alias("concordant"),
+            F.coalesce("discordant", F.lit(0)).alias("discordant"),
+            F.expr(f"CAST(n AS {_D}) * (n - 1) DIV 2").alias("n0"),
+            F.coalesce(F.col("n1"), F.lit(0).cast(_D)).alias("n1"),
+            F.coalesce(F.col("n2"), F.lit(0).cast(_D)).alias("n2"),
+        )
+    )
+    # pre-scale the radicand by 10^6 so isqrt carries the sqrt to
+    # milli precision (bare isqrt floors √380 to 19, a 3% error on
+    # small groups — the corr_ppb ladder convention); n0²·10⁶ fits
+    # DECIMAL(38) for groups to ~10⁶ rows, far past the n² contract
+    den = isqrt_column(
+        (F.col("n0") - F.col("n1"))
+        * (F.col("n0") - F.col("n2"))
+        * F.lit(1000000).cast(_D)
+    )
+    num = (F.col("concordant") - F.col("discordant")).cast(_D)
+    mag = F.expr("(abs(__num) * 1000000) DIV __den")
+    return (
+        j.withColumn("__num", num)
+        .withColumn("__den", den)
+        .select(
+            F.col("g").alias("group"),
+            "n",
+            "concordant",
+            "discordant",
+            F.when(F.col("__den") == 0, F.lit(None))
+            .when(F.col("__num") < 0, -mag)
+            .otherwise(mag)
+            .cast("long")
+            .alias("tau_b_milli"),
+        )
+    )
+
+
+def cuped_adjusted_means(
+    df: DataFrame,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """CUPED variance reduction for A/B readouts (Deng et al., WSDM
+    2013): adjust each unit's post-period metric by its pre-period
+    covariate, Y' = Y − θ·(X − X̄), θ = cov(X,Y)/var(X) pooled across
+    variants — removes the between-user variance the experiment
+    didn't randomize, typically halving the CI width at zero cost.
+
+    Exact integer pipeline: θ in ppm from the pooled sufficient
+    statistics (N·Sxy − Sx·Sy)·1e6 DIV (N·Sxx − Sx²) — the sign
+    split from the magnitude so truncation matches across engines —
+    then each variant's adjusted mean in micro-units from its own
+    (n_g, Sy_g, Sx_g) and the global X̄: adj = Ȳ_g − θ·(X̄_g − X̄),
+    evaluated as (Sy_g·1e6 DIV n_g) − θ_ppm·((Sx_g·1e6 DIV n_g) −
+    (Sx·1e6 DIV N)) DIV 1e6. All quantizations are shared by the
+    oracle.
+
+    Scale shape: ONE map-side-combinable aggregation over the fact
+    (five decimal sums per variant); the θ fold and the per-variant
+    adjustment run on the variant-cardinality table. The cheapest
+    possible variance reduction at 100 TB.
+
+    Returns (variant, n, mean_post_micro, adj_mean_post_micro,
+    theta_ppm).
+    """
+    x = F.col(pre_col).cast("long")
+    y = F.col(post_col).cast("long")
+    per = df.filter(x.isNotNull() & y.isNotNull()).groupBy(
+        F.col(variant_col).alias("variant")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x.cast(_D)).alias("sx"),
+        F.sum(y.cast(_D)).alias("sy"),
+        F.sum(x.cast(_D) * x.cast(_D)).alias("sxx"),
+        F.sum(x.cast(_D) * y.cast(_D)).alias("sxy"),
+    )
+    tot = per.agg(
+        F.sum("n").cast(_D).alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    with_tot = per.crossJoin(F.broadcast(tot))
+    theta_num = F.expr("tn * tsxy - tsx * tsy")
+    theta_den = F.expr("tn * tsxx - tsx * tsx")
+    theta_mag = F.expr("(abs(tn * tsxy - tsx * tsy) * 1000000)"
+                       " DIV (tn * tsxx - tsx * tsx)")
+    theta = (
+        F.when(theta_den == 0, F.lit(0).cast(_D))
+        .when(theta_num < 0, -theta_mag)
+        .otherwise(theta_mag)
+    )
+    staged = with_tot.withColumn("theta_ppm", theta)
+    mean_y = F.expr(f"(sy * 1000000) DIV CAST(n AS {_D})")
+    dx = F.expr(
+        f"(sx * 1000000) DIV CAST(n AS {_D}) - (tsx * 1000000) DIV tn"
+    )
+    adj_shift = F.expr(
+        "CASE WHEN theta_ppm * ((sx * 1000000) DIV CAST(n AS"
+        f" {_D}) - (tsx * 1000000) DIV tn) < 0 THEN"
+        " -((abs(theta_ppm * ((sx * 1000000) DIV CAST(n AS"
+        f" {_D}) - (tsx * 1000000) DIV tn))) DIV 1000000)"
+        " ELSE (abs(theta_ppm * ((sx * 1000000) DIV CAST(n AS"
+        f" {_D}) - (tsx * 1000000) DIV tn))) DIV 1000000 END"
+    )
+    return staged.select(
+        "variant",
+        "n",
+        mean_y.cast("long").alias("mean_post_micro"),
+        (mean_y - adj_shift).cast("long").alias("adj_mean_post_micro"),
+        F.col("theta_ppm").cast("long").alias("theta_ppm"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe test of equal variances across groups — the
+    robust Levene variant (deviations from the group MEDIAN, not the
+    mean; Brown & Forsythe 1974): one-way ANOVA F on z = |x − med_g|,
+
+        F = [(N−k)/(k−1)] · Σn_g(z̄_g−z̄)² / ΣΣ(z−z̄_g)²,
+
+    the pre-flight check before trusting a pooled-variance t-test or
+    a variance-targeting quality gate. The group median is the LOWER
+    median (order statistic at (n_g+1) DIV 2) found on the per-group
+    value histogram with the bucketed prefix sum — an exact integer,
+    no sort, no float percentile. The F statistic folds from exact
+    (Σz, Σz²) per group with the shared DIV quantizations (SSB/SSW
+    in micro-units), reported in milli.
+
+    Scale shape: one (group, value) histogram aggregation; medians
+    come from value-cardinality joins (two-phase prefix sum per
+    group); one more pass over the histogram (not the fact) computes
+    the z sums. Two fact-table passes total, both map-side
+    combinable. Returns one row (n_total, n_groups, f_milli).
+    """
+    gv = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .filter(F.col("v").isNotNull() & F.col("g").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = gv.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    # lower median per group: min v with cumulative count >= (n+1)/2.
+    # The prefix sum partitions by group; within a group it reuses the
+    # bucketed two-phase machinery via a composite ordering — groups
+    # are independent, so a per-group window on the VALUE HISTOGRAM
+    # (not the fact) is already bounded by the group's distinct values.
+    w_cum = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = gv.withColumn("__cum", F.sum("c").over(w_cum)).join(
+        F.broadcast(totals), "g"
+    )
+    med = (
+        cum.filter(F.col("__cum") >= F.expr("(n_g + 1) DIV 2"))
+        .groupBy("g")
+        .agg(F.min("v").alias("med"))
+    )
+    z = gv.join(F.broadcast(med), "g").select(
+        "g",
+        "c",
+        F.abs(F.col("v") - F.col("med")).cast(_D).alias("z"),
+    )
+    per_g = z.groupBy("g").agg(
+        F.sum("c").cast(_D).alias("n_g"),
+        F.sum(F.col("c") * F.col("z")).alias("sz"),
+        F.sum(F.col("c") * F.col("z") * F.col("z")).alias("szz"),
+    )
+    folded = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_g").alias("n"),
+        F.sum(F.expr("(sz * sz * 1000000) DIV n_g")).alias("a_micro"),
+        F.sum("sz").alias("s"),
+        F.sum("szz").alias("q"),
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n_total"),
+        "n_groups",
+        F.expr(
+            "CAST( ( (a_micro - (s * s * 1000000) DIV n)"
+            " * (n - n_groups) * 1000 )"
+            " DIV ( (q * 1000000 - a_micro) * (n_groups - 1) )"
+            " AS BIGINT)"
+        ).alias("f_milli"),
+    )

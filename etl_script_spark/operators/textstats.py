@@ -1849,3 +1849,316 @@ def release_kn_tables() -> None:
             _KN_PERSISTED.pop().unpersist(blocking=False)
         except Exception:
             pass
+
+
+def char_entropy(df, text_col: str, id_col: str) -> "DataFrame":
+    """Per-document Shannon character entropy in milli-bits/char — the
+    compressibility quality signal (near-zero entropy = repeated
+    filler/padding; implausibly high = binary junk or encrypted blobs
+    masquerading as text) that a quality gate reads next to the
+    repetition and Gopher rules.
+
+    H = log2(n) − (Σ_c cnt_c·log2(cnt_c))/n over the char histogram —
+    the per-term log2 is the ONE float boundary, quantized to micro
+    immediately (round(log2(c)·1e6), the repo's ln()/ratio policy);
+    everything around it is exact integer/DECIMAL arithmetic with DIV,
+    so engines agree bit-for-bit. Empty docs report 0.
+
+    Shape: explode to (doc, char) — corpus-linear, same fan-out class
+    as every tokenizing op — one histogram aggregation, one per-doc
+    fold. No windows, no joins beyond the id spine for empty docs.
+
+    Returns (id, n_chars, entropy_mbits).
+    """
+    ids = df.select(F.col(id_col).alias("id"))
+    hist = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = hist.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * F.round(F.log2(F.col("c").cast("double")) * 1e6).cast(
+                "decimal(38,0)"
+            )
+        ).alias("t_micro"),
+    )
+    out = per.select(
+        "id",
+        F.col("n").alias("n_chars"),
+        (
+            F.round(F.log2(F.col("n").cast("double")) * 1e6).cast(
+                "decimal(38,0)"
+            )
+            - F.expr("t_micro DIV CAST(n AS DECIMAL(38,0))")
+        ).cast("long").alias("__h_micro"),
+    ).select(
+        "id",
+        "n_chars",
+        F.expr("CAST(__h_micro DIV 1000 AS BIGINT)").alias("entropy_mbits"),
+    )
+    return ids.join(out, "id", "left").select(
+        "id",
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        F.coalesce("entropy_mbits", F.lit(0)).alias("entropy_mbits"),
+    )
+
+
+def js_divergence_tokens(
+    df, text_col: str, split_flag, min_count: int = 1
+) -> "DataFrame":
+    """Jensen-Shannon divergence between the token distributions of
+    two corpus halves (split by the boolean ``split_flag``) — the
+    bounded, symmetric drift measure ([0, ln 2] nats) that PSI and KS
+    don't give for heavy-tailed vocabularies: JS handles tokens
+    present in only one side without PSI's ±∞ cells.
+
+    JS = ½Σp·ln(p/m) + ½Σq·ln(q/m), m = (p+q)/2. With integer counts
+    the per-token ratio p/m = 2·cp·NQ/(cp·NQ + cq·NP) — evaluated
+    exactly in DECIMAL, its ln() is the one float boundary, quantized
+    to nano immediately (round·1e9); the two weighted sums fold in
+    DECIMAL and divide by 2·N with DIV. One-sided tokens contribute
+    the full ln(2) on their side, as the math says. Reported in
+    nano-nats.
+
+    Shape: one token-histogram aggregation keyed (token) carrying
+    both sides' counts (map-side combinable), one fold. The
+    vocabulary table is the only intermediate — never the corpus.
+
+    Returns one row (n_p, n_q, vocab, js_nano).
+    """
+    toks = df.select(
+        F.explode(words(F.col(text_col))).alias("tok"),
+        F.when(split_flag, 1).otherwise(0).cast("long").alias("__p"),
+    ).filter(F.col("tok") != "")
+    hist = toks.groupBy("tok").agg(
+        F.sum("__p").alias("cp"),
+        F.sum(F.lit(1) - F.col("__p")).alias("cq"),
+    ).filter((F.col("cp") + F.col("cq")) >= min_count)
+    tot = hist.agg(
+        F.sum("cp").cast("decimal(38,0)").alias("np"),
+        F.sum("cq").cast("decimal(38,0)").alias("nq"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    staged = hist.crossJoin(F.broadcast(tot))
+    # ratio_p = 2*cp*nq / (cp*nq + cq*np), exact decimal then one ln
+    lp = F.round(
+        F.log(
+            F.expr(
+                "CAST(2 AS DECIMAL(38,0)) * cp * nq"
+            ).cast("double")
+            / F.expr(
+                "CAST(cp AS DECIMAL(38,0)) * nq"
+                " + CAST(cq AS DECIMAL(38,0)) * np"
+            ).cast("double")
+        )
+        * 1e9
+    ).cast("decimal(38,0)")
+    lq = F.round(
+        F.log(
+            F.expr(
+                "CAST(2 AS DECIMAL(38,0)) * cq * np"
+            ).cast("double")
+            / F.expr(
+                "CAST(cp AS DECIMAL(38,0)) * nq"
+                " + CAST(cq AS DECIMAL(38,0)) * np"
+            ).cast("double")
+        )
+        * 1e9
+    ).cast("decimal(38,0)")
+    folded = staged.groupBy("np", "nq", "vocab").agg(
+        F.sum(
+            F.when(F.col("cp") > 0, F.col("cp").cast("decimal(38,0)") * lp)
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("a"),
+        F.sum(
+            F.when(F.col("cq") > 0, F.col("cq").cast("decimal(38,0)") * lq)
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("b"),
+    )
+    return folded.select(
+        F.col("np").cast("long").alias("n_p"),
+        F.col("nq").cast("long").alias("n_q"),
+        "vocab",
+        F.expr(
+            "CAST(a DIV (2 * np) + b DIV (2 * nq) AS BIGINT)"
+        ).alias("js_nano"),
+    )
+
+
+def token_dropout(
+    df, text_col: str, id_col: str, rate_ppm: int = 100000,
+    seed: str = "td",
+) -> "DataFrame":
+    """Token-dropout augmentation: delete each token independently
+    with probability ``rate_ppm``/1e6, decided by the pure md5
+    predicate over (seed, doc, position) — the word-level denoising
+    companion to mlm_mask/span_corrupt (BART's token deletion), fully
+    deterministic and engine-replayable, so an augmented corpus can
+    be regenerated bit-for-bit on any cluster.
+
+    Shape: posexplode (corpus-linear) + one ordered string_agg per
+    doc — ONE shuffle on the doc id. Empty results keep their row
+    (a doc whose every token dropped emits '').
+
+    Returns (id, augmented, n_tokens, n_dropped).
+    """
+    if not 0 < rate_ppm < 1_000_000:
+        raise ValueError(f"rate_ppm must be in (0, 1e6), got {rate_ppm}")
+    thr = format(rate_ppm * 16**8 // 1_000_000, "08x")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    h = F.md5(
+        F.concat_ws(
+            "\x1f", F.lit(seed), F.col("id").cast("string"),
+            F.col("pos").cast("string"),
+        )
+    )
+    marked = toks.withColumn(
+        "__drop", F.substring(h, 1, 8) < F.lit(thr)
+    )
+    return marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__drop"),
+                            F.struct(F.col("pos"), F.col("tok")),
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("augmented"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__drop"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+def batch_by_token_budget(
+    df, id_col: str, token_col: str, budget: int, seed: str = "bb"
+) -> "DataFrame":
+    """Token-budget batch planning: assign documents to training
+    batches so each batch's token total stays near ``budget``,
+    WITHOUT a global serial pack — documents are banded by
+    power-of-two length (band = floor(log2(tokens)), so same-band
+    docs differ < 2× in length), shuffled deterministically within
+    the band by md5, and cut by the running token sum at budget
+    boundaries (batch = cumsum DIV budget; the same
+    floor-of-running-sum packer as pack_chunks_greedy). Similar-
+    length batching is what minimizes padding waste in practice
+    (bucketed batching); the band key also makes every batch's id
+    stable across engines, runs, and cluster sizes.
+
+    Shape: one window per band (single shuffle on the band key — no
+    global sort); bands distribute independently. Oversized docs
+    (tokens > budget) get their own batch, never dropped.
+
+    Returns (id, n_tokens, band, batch_id).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens").isNotNull() & (F.col("n_tokens") > 0))
+    band = F.expr(
+        "CAST(floor(log2(CAST(n_tokens AS DOUBLE))) AS INT)"
+    )
+    h = F.md5(F.concat(F.lit(seed), F.col("id").cast("string")))
+    w = (
+        Window.partitionBy("band")
+        .orderBy(h.asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        base.withColumn("band", band)
+        .withColumn("__cum", cum)
+        .withColumn(
+            "batch_id",
+            F.expr(
+                f"CAST((CAST(__cum AS DECIMAL(38,0)) - n_tokens)"
+                f" DIV {budget} AS BIGINT)"
+            ),
+        )
+        .select("id", "n_tokens", "band", "batch_id")
+    )
+
+
+def curriculum_interleave(
+    df, id_col: str, score_col: str, n_strata: int = 10, seed: str = "ci"
+) -> "DataFrame":
+    """Curriculum-balanced training order: stratify documents into
+    ``n_strata`` equal-count quality bands (exact rank, not quantile
+    sketch), shuffle deterministically within each band by md5, and
+    interleave the bands round-robin — position = within_rank·k +
+    band — so EVERY consecutive window of k positions spans the full
+    quality spectrum. The data-ordering step between curation and
+    sharding: plain quality-sorted order trains on easy data for
+    epochs (loss cliffs), a raw shuffle wastes the scores; the
+    interleave holds the per-batch quality mix constant through the
+    whole run.
+
+    Exact global rank WITHOUT a one-partition sort: the score
+    histogram's two-phase bucketed prefix sum (stats._bucketed_below)
+    gives each score value its count-below offset, and a window
+    partitioned BY SCORE VALUE ranks within ties — every window in
+    the plan partitions on a real key, so the banding distributes at
+    any corpus size. Position is derived arithmetic, no final sort
+    (the consumer sorts shards, not the planner).
+
+    Returns (id, band, position).
+    """
+    if n_strata < 2:
+        raise ValueError(f"n_strata must be >= 2, got {n_strata}")
+    from pyspark.sql import Window
+
+    from etl_script_spark.operators.stats import _bucketed_below
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("long").alias("__s"),
+    ).filter(F.col("__s").isNotNull())
+    hist = base.groupBy(F.col("__s").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    below = _bucketed_below(hist)
+    tot = hist.agg(F.sum("c").cast("long").alias("__n"))
+    w_tie = Window.partitionBy("__s").orderBy(F.col("id").asc())
+    banded = (
+        base.withColumn("__tr", F.row_number().over(w_tie).cast("long"))
+        .join(below.select(F.col("v").alias("__s"), "__below"), "__s")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "band",
+            F.expr(
+                f"CAST((__below + __tr - 1) * {n_strata} DIV __n AS INT)"
+            ),
+        )
+    )
+    h = F.md5(F.concat(F.lit(seed), F.col("id").cast("string")))
+    w_in = Window.partitionBy("band").orderBy(h.asc(), F.col("id").asc())
+    return banded.withColumn(
+        "__wr", F.row_number().over(w_in).cast("long")
+    ).select(
+        "id",
+        "band",
+        ((F.col("__wr") - 1) * n_strata + F.col("band"))
+        .cast("long")
+        .alias("position"),
+    )

@@ -702,3 +702,49 @@ def lttb_downsample(
         F.col("t").alias("ts"),
         F.col("v").alias("value"),
     )
+
+
+def detect_period(
+    df: DataFrame,
+    key_cols: list[str],
+    pos_col: str,
+    value_col: str,
+    max_lag: int = 48,
+    min_lag: int = 2,
+    step: int = 1,
+) -> DataFrame:
+    """Dominant-period detection per key: the lag in [min_lag,
+    max_lag] with the highest sample autocorrelation — the "does this
+    metric cycle daily/weekly?" readout that picks the seasonality
+    window for gap-fill, OHLC resample, or the seasonality index.
+    Lags 0 and 1 are excluded by default (trivially high under any
+    trend); ties break toward the SMALLER lag (the fundamental, not
+    its harmonic at equal strength), then deterministic.
+
+    Built on :func:`acf_lags_regular` (the mega-key scale path: lag
+    by POSITION on a regular grid — self-join on shifted position,
+    no per-key window sort), so a 30 M-point key distributes. The
+    argmax runs on the keys × max_lag ACF table — bounded, one
+    window.
+
+    Returns (key_cols..., period, corr_ppb, n).
+    """
+    if min_lag < 1 or max_lag < min_lag:
+        raise ValueError(f"need 1 <= min_lag <= max_lag, got"
+                         f" {min_lag}..{max_lag}")
+    acf = acf_lags_regular(
+        df, key_cols, pos_col, value_col, max_lag=max_lag, step=step
+    ).filter(F.col("lag") >= min_lag)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("corr_ppb").desc_nulls_last(), F.col("lag").asc()
+    )
+    return (
+        acf.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            *key_cols,
+            F.col("lag").cast("int").alias("period"),
+            "corr_ppb",
+            "n",
+        )
+    )

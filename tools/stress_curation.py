@@ -1507,8 +1507,145 @@ def stress_round7o_newops(spark):
         similarity.mutual_knn_pairs(edges))
 
 
+def stress_round8_newops(spark):
+    """Round-8 decade push for the last unswept round-7 operators:
+    mutual-kNN CANDIDATE GENERATION at 10 M vectors through the LSH
+    bucket path (round 7o covered only the edge-list filter),
+    WordPiece and Kneser-Ney at 10 M docs, the streaming fingerprint
+    across 128 micro-batch epochs (bit-equal to batch), and the
+    re-measure of the fan_out'd randomization test.
+    Run: ``python tools/stress_curation.py --round8``."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from etl_script_spark.operators import (
+        governance, similarity, stats, textstats, wordpiece,
+    )
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        out.write.mode("overwrite").format("noop").save()
+        print(f"{name}: {time.time()-t0:.1f}s -> {out.count()} rows")
+
+    # --- mutual-kNN at 10 M x 16-dim vectors, LSH-bucketed ---------
+    # 18 hyperplanes -> 262k buckets -> ~38 vectors/bucket: candidate
+    # pairs ~= 38^2 x 262k ~= 3.8e8, each one 16-dim JVM dot — the
+    # bucket join is the scale knob; all-pairs would be 1e14.
+    dim = 16
+    vecs = spark.range(10_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                (F.xxhash64(F.col("id"), i) % 2001) / 1000.0 - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    planes = similarity.random_hyperplanes(dim, 18, seed=8)
+
+    def mknn():
+        b = vecs.withColumn(
+            "__bucket", similarity.lsh_bucket("embedding", planes)
+        ).withColumn("__n", similarity.l2_norm(F.col("embedding")))
+        q = b.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            "__bucket",
+            F.col("__n").alias("__qn"),
+        )
+        cand = b.join(q, "__bucket").filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+        scored = cand.select(
+            "query_id", "vec_id",
+            (similarity.dot(F.col("embedding"), F.col("qvec"))
+             / (F.col("__n") * F.col("__qn"))).alias("cs"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cs").desc(), F.col("vec_id").asc()
+        )
+        top5 = scored.withColumn("__r", F.row_number().over(w)).filter(
+            F.col("__r") <= 5
+        )
+        return similarity.mutual_knn_pairs(top5, "query_id", "vec_id")
+
+    run("mutual_knn 10M vectors via 18-plane LSH", mknn)
+
+    # --- WordPiece + Kneser-Ney at 10 M docs -----------------------
+    corpus_path = "/tmp/etl_script_spark_io/stress_10000000"
+    if os.path.exists(corpus_path + "/_SUCCESS"):
+        d = spark.read.parquet(corpus_path)
+    else:
+        t0 = time.time()
+        d = build(spark, n=10_000_000, out=corpus_path)
+        print(f"build 10M corpus: {time.time()-t0:.1f}s")
+    run("wordpiece 10M docs", lambda: wordpiece.tokenize_wordpiece(
+        d, "text", "doc_id"))
+    run("kneser_ney_bigrams 10M docs", lambda:
+        textstats.kneser_ney_bigrams(d, "text", k=100, min_count=5))
+
+    # --- randomization test re-measure (fan_out fix, VERDICT #2) ---
+    fact = spark.range(20_000_000).select(
+        "id",
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+        F.abs(F.xxhash64("id") % 100_000).alias("v"),
+    )
+    run("randomization_test 20M rows x 49 reps", lambda:
+        stats.randomization_test_mean_diff(fact, "id", "g", "v", "a", "b"))
+
+    # --- streaming fingerprint across 128 epochs -------------------
+    feed = "/tmp/etl_script_spark_io/stress_fp_feed"
+    shutil.rmtree(feed, ignore_errors=True)
+    for e in range(128):
+        spark.range(e * 10_000, (e + 1) * 10_000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).cast("string").alias("grp"),
+            F.abs(F.xxhash64("id")).alias("v"),
+        ).coalesce(1).write.mode("append").parquet(feed)
+    batch = spark.read.parquet(feed)
+    want = {
+        r["group"]: (r["n_rows"], r["fingerprint"])
+        for r in governance.dataset_fingerprint(
+            batch, "grp", ["event_id", "v"]).collect()
+    }
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    fp = governance.dataset_fingerprint(sdf, "grp", ["event_id", "v"])
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_fp128_")
+    t0 = time.time()
+    q = (
+        fp.writeStream.format("memory").queryName("fp128")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(1200), "fp stream did not drain"
+    n_batches = (q.lastProgress or {}).get("batchId", -1) + 1
+    got = {
+        r["group"]: (r["n_rows"], r["fingerprint"])
+        for r in spark.table("fp128").collect()
+    }
+    wall = time.time() - t0
+    assert got == want, (got, want)
+    print(f"streaming fingerprint 128 epochs (1.28M rows): {wall:.1f}s, "
+          f"{n_batches} micro-batches, bit-equal to batch: True")
+
+
 if __name__ == "__main__":
-    if "--round6" in sys.argv:
+    if "--round8" in sys.argv:
+        spark = get_spark(app_name="stress-round8")
+        stress_round8_newops(spark)
+        spark.stop()
+    elif "--round6" in sys.argv:
         spark = get_spark(app_name="stress-round6")
         stress_round6_decade(spark)
         spark.stop()
