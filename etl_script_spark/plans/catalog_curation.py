@@ -2905,3 +2905,127 @@ def curation_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return ddp.soft_dedup_weights(d, "text", "doc_id")
+
+
+@register(
+    "augment_token_dropout",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS id, tok, pos
+      FROM (
+        SELECT doc_id, unnest(ws) AS tok,
+               unnest(range(0, len(ws))) AS pos
+        FROM (SELECT doc_id, {_WS_SQL} AS ws FROM documents)
+      ) WHERE tok != ''
+    ),
+    marked AS (
+      SELECT id, tok, pos,
+             substr(md5('td' || chr(31) || CAST(id AS VARCHAR)
+                        || chr(31) || CAST(pos AS VARCHAR)), 1, 8)
+               < '19999999' AS d
+      FROM toks
+    )
+    SELECT id,
+           COALESCE(string_agg(CASE WHEN NOT d THEN tok END, ' '
+                               ORDER BY pos), '') AS augmented,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE d) AS BIGINT) AS n_dropped
+    FROM marked GROUP BY id
+    """,
+    ("LLM-curation",),
+)
+def augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-dropout augmentation at 10% (textstats.token_dropout;
+    BART's token deletion): each token independently dropped by the
+    pure md5 predicate over (seed, doc, position) — the augmented
+    corpus regenerates bit-for-bit on any cluster. posexplode + one
+    ordered reassembly per doc, a single shuffle on the doc id.
+    0x19999999/16^8 = 0.1."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.token_dropout(
+        d, "text", "doc_id", rate_ppm=100000, seed="td"
+    )
+
+
+@register(
+    "curation_batch_budget",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             CAST(len(list_filter({_WS_SQL}, w -> w != '')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    banded AS (
+      SELECT id, n_tokens,
+             CAST(floor(log2(CAST(n_tokens AS DOUBLE))) AS INT) AS band
+      FROM base WHERE n_tokens > 0
+    ),
+    packed AS (
+      SELECT id, n_tokens, band,
+             SUM(n_tokens) OVER (
+               PARTITION BY band
+               ORDER BY md5('bb' || CAST(id AS VARCHAR)) ASC, id ASC
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM banded
+    )
+    SELECT id, n_tokens, band,
+           CAST((CAST(cum AS HUGEINT) - n_tokens) // 500 AS BIGINT)
+             AS batch_id
+    FROM packed
+    """,
+    ("LLM-curation",),
+)
+def curation_batch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget batch planning at 500 tokens/batch
+    (textstats.batch_by_token_budget): documents band by power-of-two
+    length (so batch-mates differ < 2x — the padding-waste
+    minimizer), shuffle deterministically within the band by md5, and
+    cut at running-sum budget boundaries. One window per band, no
+    global sort; bands distribute independently."""
+    d = t(spark, sf_dir, "documents")
+    from etl_script_spark.operators.textstats import token_count_ws
+
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        token_count_ws(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return textstats.batch_by_token_budget(base, "id", "n_tok", budget=500)
+
+
+@register(
+    "curation_curriculum_interleave",
+    """
+    WITH base AS (
+      SELECT doc_id AS id, n_chars AS s FROM documents
+      WHERE n_chars IS NOT NULL
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM base),
+    banded AS (
+      SELECT id,
+             CAST(((ROW_NUMBER() OVER (ORDER BY s ASC, id ASC)) - 1)
+                  * 10 // n AS INT) AS band
+      FROM base CROSS JOIN tot
+    )
+    SELECT id, band,
+           CAST(((ROW_NUMBER() OVER (
+                    PARTITION BY band
+                    ORDER BY md5('ci' || CAST(id AS VARCHAR)) ASC, id ASC))
+                 - 1) * 10 + band AS BIGINT) AS position
+    FROM banded
+    """,
+    ("LLM-curation",),
+)
+def curation_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-balanced training order (textstats.
+    curriculum_interleave): exact-rank decile bands on document
+    length, deterministic md5 shuffle within each band, round-robin
+    interleave — every consecutive 10-position window spans the full
+    quality spectrum. The Spark side derives the exact global rank
+    WITHOUT a one-partition sort (score-histogram bucketed prefix sum
+    + per-score-value tie window); the oracle's plain global
+    row_number is the semantic twin at fixture cardinality."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.curriculum_interleave(
+        d, "doc_id", "n_chars", n_strata=10, seed="ci"
+    )

@@ -1073,3 +1073,82 @@ def ev_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         post=F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"),
         value_micro=F.col("vmic"),
     )
+
+
+def _period_oracle() -> str:
+    from etl_script_spark.plans.catalog_quality import _corr_oracle_tail
+
+    tail = _corr_oracle_tail(keys="g, lag,", out="corr_ppb")
+    i = tail.rfind("SELECT")
+    wrapped = tail[:i] + ", acf AS (" + tail[i:] + ")"
+    return (
+        """
+    WITH base AS (
+      SELECT o_orderpriority AS g,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS pos,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM orders GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT g, pos, v, lag, pos - lag AS ppos
+      FROM base CROSS JOIN (SELECT UNNEST(range(1, 15)) AS lag)
+    ),
+    pairs AS (
+      SELECT p.g, p.lag, p.v AS x, b2.v AS y
+      FROM probes p JOIN base b2
+        ON p.g = b2.g AND p.ppos = b2.pos
+    ),
+    st AS (
+      SELECT g, lag, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pairs GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT g, lag, n, n * sxy - sx * sy AS num,
+             (n * sxx - sx * sx) // n AS qx,
+             (n * syy - sy * sy) // n AS qy
+      FROM st
+    )"""
+        + wrapped
+        + """
+    SELECT g AS priority, CAST(lag AS INT) AS period, corr_ppb, n
+    FROM (
+      SELECT g, lag, corr_ppb, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY g
+               ORDER BY corr_ppb DESC NULLS LAST, lag ASC) AS r
+      FROM acf WHERE lag >= 2
+    ) WHERE r = 1
+    """
+    )
+
+
+@register(
+    "ts_period_detect",
+    _period_oracle(),
+    ("TS-acf",),
+)
+def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-period detection of each priority class's daily order
+    count (timeseries.detect_period): argmax of the sample ACF over
+    lags 2-14, built on the REGULAR-grid scale path (lag by position
+    = equi-join on (key, pos-k) — no per-key window sort, so a
+    single 30 M-point key still distributes). Ties break to the
+    smaller lag; corr_ppb under the integer-sqrt convention, so the
+    winning lag matches the oracle exactly."""
+    from etl_script_spark.operators import timeseries as ts_ops2
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("pos"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return ts_ops2.detect_period(
+        daily, ["priority"], "pos", "v", max_lag=14, min_lag=2
+    )

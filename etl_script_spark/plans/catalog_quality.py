@@ -1812,3 +1812,293 @@ def inc_fingerprint_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return governance.maintain_fingerprint(
         base, changes, "source", ["doc_id", "text"], "op"
     )
+
+
+@register(
+    "stat_kruskal_wallis",
+    """
+    WITH gv AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+             COUNT(*) AS cgv
+      FROM lineitem GROUP BY 1, 2
+    ),
+    hv AS (SELECT v, SUM(cgv) AS c FROM gv GROUP BY v),
+    bl AS (
+      SELECT v, c,
+             SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c
+               AS below
+      FROM hv
+    ),
+    pg AS (
+      SELECT g, SUM(cgv) AS n_g,
+             SUM(CAST(cgv AS HUGEINT) * (2 * below + c + 1)) AS r2
+      FROM gv JOIN bl USING (v) GROUP BY g
+    ),
+    tt AS (
+      SELECT SUM(CAST(c AS HUGEINT) * c * c - c) AS s3, SUM(c) AS n
+      FROM hv
+    ),
+    dev AS (
+      SELECT n_g, r2 - CAST(n_g AS HUGEINT) * (n + 1) AS d2, n, s3
+      FROM pg CROSS JOIN tt
+    ),
+    fold AS (
+      SELECT n, s3, COUNT(*) AS n_groups,
+             SUM((d2 * d2 * 1000) // (4 * CAST(n_g AS HUGEINT)))
+               AS ssq_milli
+      FROM dev GROUP BY n, s3
+    )
+    SELECT CAST(n AS BIGINT) AS n_total,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST((12 * ssq_milli * 1000)
+                // (CAST(n AS HUGEINT) * (n + 1)) AS BIGINT) AS h_ppm,
+           CAST(((12 * ssq_milli * 1000)
+                  // (CAST(n AS HUGEINT) * (n + 1)) * 1000000000)
+                // (((CAST(n AS HUGEINT) * n * n - n - s3) * 1000000000)
+                     // (CAST(n AS HUGEINT) * n * n - n))
+                AS BIGINT) AS h_tie_adj_ppm
+    FROM fold
+    """,
+    ("X-statistics",),
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the three return-flag populations of
+    line quantities (stats.kruskal_wallis) — the k-sample rank test
+    with exact doubled-midrank arithmetic, milli-quantized per-group
+    deviations, and the tie-corrected H in ppm. Ranks never
+    materialize per row: the (group, value) histogram + the two-phase
+    bucketed prefix sum carry everything (the oracle's plain window
+    is the semantic twin at fixture cardinality)."""
+    from etl_script_spark.operators import stats
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return stats.kruskal_wallis(li, "l_returnflag", "qty")
+
+
+@register(
+    "stat_kendall_tau",
+    """
+    WITH oc AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1),
+    b AS (
+      SELECT c_nationkey AS g,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x,
+             CAST(COALESCE(cnt, 0) AS BIGINT) AS y
+      FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+    ),
+    bi AS (
+      SELECT g, x, y,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, y) AS i
+      FROM b
+    ),
+    cd AS (
+      SELECT i.g,
+             SUM(CASE WHEN sign(j.x - i.x) * sign(j.y - i.y) > 0
+                      THEN 1 ELSE 0 END) AS concordant,
+             SUM(CASE WHEN sign(j.x - i.x) * sign(j.y - i.y) < 0
+                      THEN 1 ELSE 0 END) AS discordant
+      FROM bi i JOIN bi j ON i.g = j.g AND i.i < j.i
+      GROUP BY i.g
+    ),
+    nr AS (SELECT g, COUNT(*) AS n FROM b GROUP BY g),
+    tx AS (
+      SELECT g, SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS n1
+      FROM (SELECT g, x, COUNT(*) AS t FROM b GROUP BY g, x) GROUP BY g
+    ),
+    ty AS (
+      SELECT g, SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS n2
+      FROM (SELECT g, y, COUNT(*) AS t FROM b GROUP BY g, y) GROUP BY g
+    ),
+    j AS (
+      SELECT nr.g, nr.n,
+             COALESCE(concordant, 0) AS concordant,
+             COALESCE(discordant, 0) AS discordant,
+             CAST(nr.n AS HUGEINT) * (nr.n - 1) // 2 AS n0,
+             COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+      FROM nr LEFT JOIN cd USING (g) LEFT JOIN tx USING (g)
+              LEFT JOIN ty USING (g)
+    ),
+    staged AS (
+      SELECT g, n, concordant, discordant,
+             concordant - discordant AS num,
+             (n0 - n1) * (n0 - n2) * 1000000 AS rad
+      FROM j
+    )
+    SELECT g AS "group", CAST(n AS BIGINT) AS n,
+           CAST(concordant AS BIGINT) AS concordant,
+           CAST(discordant AS BIGINT) AS discordant,
+           CASE WHEN (CASE WHEN (CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+2)*(CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+2) <= rad THEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+2 WHEN (CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+1)*(CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+1) <= rad THEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+1 WHEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)*CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT) <= rad THEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT) WHEN (CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)-1)*(CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)-1) <= rad THEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)-1 ELSE CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)-2 END) = 0 THEN NULL
+                WHEN num < 0
+                  THEN CAST(-((abs(CAST(num AS HUGEINT)) * 1000000)
+                               // (CASE WHEN (CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+2)*(CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+2) <= rad THEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+2 WHEN (CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+1)*(CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+1) <= rad THEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+1 WHEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)*CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT) <= rad THEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT) WHEN (CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)-1)*(CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)-1) <= rad THEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)-1 ELSE CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)-2 END)) AS BIGINT)
+                ELSE CAST((abs(CAST(num AS HUGEINT)) * 1000000)
+                           // (CASE WHEN (CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+2)*(CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+2) <= rad THEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+2 WHEN (CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+1)*(CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+1) <= rad THEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)+1 WHEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)*CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT) <= rad THEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT) WHEN (CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)-1)*(CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)-1) <= rad THEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)-1 ELSE CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS HUGEINT)-2 END) AS BIGINT)
+           END AS tau_b_milli
+    FROM staged
+    """,
+    ("X-statistics",),
+)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Kendall tau-b between customer account balance and
+    order count (stats.kendall_tau_groups) — the tie-corrected
+    concordance statistic over group-keyed pairwise sign products
+    (Θ(n²) PER GROUP by construction, same bounded-group contract as
+    Theil-Sen), denominator through the exact integer-sqrt ladder at
+    milli precision. Answers 'does a higher balance ORDER customers
+    the same way order activity does, nation by nation?'."""
+    from etl_script_spark.operators import stats
+    from etl_script_spark.plans.catalog import cents
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("c_custkey")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    b = c.join(o, "c_custkey", "left").select(
+        F.col("c_nationkey").alias("g"),
+        cents(F.col("c_acctbal")).alias("x"),
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("y"),
+    )
+    return stats.kendall_tau_groups(b, "g", "x", "y")
+
+
+@register(
+    "stat_cuped_adjust",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS variant,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN
+                 CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN
+                 CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT variant, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM per_user GROUP BY variant
+    ),
+    tot AS (
+      SELECT SUM(CAST(n AS HUGEINT)) AS tn, SUM(sx) AS tsx,
+             SUM(sy) AS tsy, SUM(sxx) AS tsxx, SUM(sxy) AS tsxy
+      FROM per
+    ),
+    st AS (
+      SELECT variant, n, sx, sy, tn, tsx,
+             CASE WHEN tn * tsxx - tsx * tsx = 0 THEN 0
+                  WHEN tn * tsxy - tsx * tsy < 0
+                    THEN -((abs(tn * tsxy - tsx * tsy) * 1000000)
+                            // (tn * tsxx - tsx * tsx))
+                  ELSE (abs(tn * tsxy - tsx * tsy) * 1000000)
+                        // (tn * tsxx - tsx * tsx)
+             END AS theta_ppm
+      FROM per CROSS JOIN tot
+    )
+    SELECT variant, CAST(n AS BIGINT) AS n,
+           CAST((sy * 1000000) // CAST(n AS HUGEINT) AS BIGINT)
+             AS mean_post_micro,
+           CAST((sy * 1000000) // CAST(n AS HUGEINT)
+                - (CASE WHEN theta_ppm * ((sx * 1000000) // CAST(n AS HUGEINT)
+                                          - (tsx * 1000000) // tn) < 0
+                        THEN -((abs(theta_ppm * ((sx * 1000000)
+                                  // CAST(n AS HUGEINT)
+                                  - (tsx * 1000000) // tn))) // 1000000)
+                        ELSE (abs(theta_ppm * ((sx * 1000000)
+                                  // CAST(n AS HUGEINT)
+                                  - (tsx * 1000000) // tn))) // 1000000
+                   END) AS BIGINT) AS adj_mean_post_micro,
+           CAST(theta_ppm AS BIGINT) AS theta_ppm
+    FROM st
+    """,
+    ("X-statistics", "EV-events"),
+)
+def stat_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout over the event stream
+    (stats.cuped_adjusted_means): per-user pre-period value (first
+    half of January) as the covariate for the post-period metric,
+    variants split by user parity. One fact aggregation to per-user
+    sums, one to per-variant sufficient statistics; θ and the
+    adjusted means are exact integer arithmetic the oracle replays."""
+    from etl_script_spark.operators import stats
+
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("long").alias("variant")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz"),
+                F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+            ).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("ts") >= F.lit("2024-01-16").cast("timestamp_ntz"),
+                F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    return stats.cuped_adjusted_means(per_user, "variant", "x", "y")
+
+
+@register(
+    "stat_brown_forsythe",
+    """
+    WITH gv AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT g, SUM(c) AS n_g FROM gv GROUP BY g),
+    cum AS (
+      SELECT gv.g, v, c, n_g,
+             SUM(c) OVER (PARTITION BY gv.g ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cc
+      FROM gv JOIN tot ON gv.g = tot.g
+    ),
+    med AS (
+      SELECT g, MIN(v) AS med FROM cum
+      WHERE cc >= (n_g + 1) // 2 GROUP BY g
+    ),
+    z AS (
+      SELECT gv.g, c, CAST(abs(v - med) AS HUGEINT) AS z
+      FROM gv JOIN med ON gv.g = med.g
+    ),
+    pg AS (
+      SELECT g, SUM(CAST(c AS HUGEINT)) AS n_g,
+             SUM(c * z) AS sz, SUM(c * z * z) AS szz
+      FROM z GROUP BY g
+    ),
+    fold AS (
+      SELECT COUNT(*) AS n_groups, SUM(n_g) AS n,
+             SUM((sz * sz * 1000000) // n_g) AS a_micro,
+             SUM(sz) AS s, SUM(szz) AS q
+      FROM pg
+    )
+    SELECT CAST(n AS BIGINT) AS n_total,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(((a_micro - (s * s * 1000000) // n)
+                  * (n - n_groups) * 1000)
+                // ((q * 1000000 - a_micro) * (n_groups - 1))
+                AS BIGINT) AS f_milli
+    FROM fold
+    """,
+    ("X-statistics",),
+)
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe equal-variance test across the return-flag
+    groups of line quantities (stats.brown_forsythe): ANOVA F on
+    |x − group median|, the group median found as an exact order
+    statistic on the value histogram (no sort, no float percentile),
+    the F statistic folded from exact (Σz, Σz²) with shared DIV
+    quantizations. The robust pre-flight before pooled-variance
+    inference."""
+    from etl_script_spark.operators import stats
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return stats.brown_forsythe(li, "l_returnflag", "qty")

@@ -2211,3 +2211,187 @@ def ann_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__r") <= 5
     )
     return similarity.mutual_knn_pairs(top5, "query_id", "vec_id")
+
+
+@register(
+    "text_char_entropy",
+    """
+    WITH hist AS (
+      SELECT doc_id AS id, ch, CAST(COUNT(*) AS HUGEINT) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ''), x -> x != ''))
+                 AS ch
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT id, SUM(c) AS n,
+             SUM(c * CAST(ROUND(log2(CAST(c AS DOUBLE)) * 1000000)
+                          AS HUGEINT)) AS t_micro
+      FROM hist GROUP BY id
+    ),
+    out AS (
+      SELECT id, n,
+             (CAST(ROUND(log2(CAST(n AS DOUBLE)) * 1000000) AS HUGEINT)
+              - t_micro // n) AS h_micro
+      FROM per
+    )
+    SELECT d.doc_id AS id,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_chars,
+           CAST(COALESCE(h_micro // 1000, 0) AS BIGINT) AS entropy_mbits
+    FROM documents d LEFT JOIN out ON d.doc_id = out.id
+    """,
+    ("LLM-text",),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy in milli-bits
+    (textstats.char_entropy): the compressibility quality signal —
+    near-zero = repeated filler, implausibly high = binary junk.
+    One char-histogram aggregation + one per-doc fold; the per-term
+    log2 is the single float boundary, quantized to micro
+    immediately (the repo's ln()/ratio policy), so both engines fold
+    identical integers."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.char_entropy(d, "text", "doc_id")
+
+
+@register(
+    "corpus_js_divergence",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter({_WS}, w -> w != '')) AS tok,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+      FROM documents
+    ),
+    hist AS (
+      SELECT tok, CAST(SUM(p) AS HUGEINT) AS cp,
+             CAST(SUM(1 - p) AS HUGEINT) AS cq
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT SUM(cp) AS np, SUM(cq) AS nq,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM hist
+    ),
+    staged AS (
+      SELECT cp, cq, np, nq, vocab,
+             CAST(ROUND(ln(CAST(2 * cp * nq AS DOUBLE)
+                           / CAST(cp * nq + cq * np AS DOUBLE)) * 1e9)
+                  AS HUGEINT) AS lp,
+             CAST(ROUND(ln(CAST(2 * cq * np AS DOUBLE)
+                           / CAST(cp * nq + cq * np AS DOUBLE)) * 1e9)
+                  AS HUGEINT) AS lq
+      FROM hist CROSS JOIN tot
+    ),
+    folded AS (
+      SELECT np, nq, vocab,
+             SUM(CASE WHEN cp > 0 THEN cp * lp ELSE 0 END) AS a,
+             SUM(CASE WHEN cq > 0 THEN cq * lq ELSE 0 END) AS b
+      FROM staged GROUP BY 1, 2, 3
+    )
+    SELECT CAST(np AS BIGINT) AS n_p, CAST(nq AS BIGINT) AS n_q, vocab,
+           CAST(a // (2 * np) + b // (2 * nq) AS BIGINT) AS js_nano
+    FROM folded
+    """,
+    ("LLM-corpus",),
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the English and non-English
+    token distributions (textstats.js_divergence_tokens) — the
+    bounded symmetric drift measure that handles one-sided tokens
+    without PSI's infinities. One vocabulary-keyed histogram carrying
+    both sides' counts; per-token ln quantized to nano, folds exact.
+    The corpus-vs-corpus comparison a mixture rebalance reads."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.js_divergence_tokens(
+        d, "text", F.col("lang") == "en"
+    )
+
+
+@register(
+    "search_snippet_window",
+    f"""
+    WITH hits AS (
+      SELECT doc_id AS id, pos
+      FROM (
+        SELECT doc_id, unnest(ws) AS tok,
+               unnest(range(0, len(ws))) AS pos
+        FROM (SELECT doc_id, {_WS} AS ws FROM documents)
+      ) WHERE tok IN ('table', 'value')
+    ),
+    scored AS (
+      SELECT id, pos,
+             COUNT(*) OVER (PARTITION BY id ORDER BY pos
+                            RANGE BETWEEN CURRENT ROW
+                            AND 9 FOLLOWING) AS n_hits
+      FROM hits
+    )
+    SELECT id, CAST(pos AS BIGINT) AS start_pos,
+           CAST(n_hits AS BIGINT) AS n_hits
+    FROM (
+      SELECT id, pos, n_hits,
+             ROW_NUMBER() OVER (PARTITION BY id
+                                ORDER BY n_hits DESC, pos ASC) AS r
+      FROM scored
+    ) WHERE r = 1
+    """,
+    ("LLM-search",),
+)
+def search_snippet_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-snippet selection (search.snippet_best_window): per
+    matching document, the 10-token window with the most query-term
+    hits for the query {{table, value}} — the excerpt picker a search
+    result page (or a RAG context selector) runs after retrieval.
+    The corpus shrinks to hit positions before any window; one
+    range-frame density count + one argmax, both partitioned by doc."""
+    from etl_script_spark.operators import search
+
+    d = t(spark, sf_dir, "documents")
+    out = search.snippet_best_window(
+        d, "text", "doc_id", ["table", "value"], window_tokens=10
+    )
+    return out.select(
+        "id", F.col("start_pos").cast("long").alias("start_pos"), "n_hits"
+    )
+
+
+@register(
+    "dedup_pair_sim_histogram",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle, len({_SHINGLES}) AS n_sh
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             (COUNT(*) * 1000000)
+               // (any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*))
+               AS jaccard_ppm
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT CAST(jaccard_ppm // 100000 AS INT) AS sim_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs WHERE jaccard_ppm >= 300000
+    GROUP BY 1
+    """,
+    ("LLM-dedup",),
+)
+def dedup_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair similarity histogram for dedup threshold tuning
+    (dedup.jaccard_pairs_prefix_filtered at 0.3 + one decile rollup):
+    where does the pair-similarity mass sit? A bimodal histogram says
+    0.5 is safe; mass piling at the threshold says candidates are
+    being cut mid-cluster. Same lossless prefix-filter candidate
+    generation as dedup_jaccard_prefix_filter — never all-pairs —
+    with the verified exact ppm folded to ≤10 rows."""
+    from etl_script_spark.operators import dedup as dd
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs_prefix_filtered(
+        d, "text", "doc_id", threshold_ppm=300000, shingle_n=3
+    )
+    return pairs.groupBy(
+        F.expr("CAST(jaccard_ppm DIV 100000 AS INT)").alias("sim_decile")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
