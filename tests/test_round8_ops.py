@@ -179,3 +179,261 @@ def test_hilbert_negative_coords_wrap_like_positive(spark):
     assert key[(-n - 3, 7)] == key[(n - 3, 7)]
     assert key[(3, -2)] == key[(3, n - 2)]
     assert all(0 <= v < n * n for v in key.values())
+
+
+# ------------------------------------------------------------------ #
+# round-8 operator batch: brute-force twins
+# ------------------------------------------------------------------ #
+
+def test_kruskal_wallis_matches_brute(spark):
+    import collections
+
+    from etl_script_spark.operators import stats
+
+    data = {"a": [1, 2, 3, 4, 5, 2, 3], "b": [3, 4, 5, 6, 7, 7, 8],
+            "c": [1, 1, 2, 9, 9]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = stats.kruskal_wallis(df, "g", "v").collect()[0]
+    allv = sorted(v for _, v in rows)
+    N = len(allv)
+
+    def rank(v):
+        lo = sum(1 for x in allv if x < v)
+        t = sum(1 for x in allv if x == v)
+        return lo + (t + 1) / 2
+
+    R = {g: sum(rank(v) for v in vs) for g, vs in data.items()}
+    H = 12 / (N * (N + 1)) * sum(
+        (R[g] - len(vs) * (N + 1) / 2) ** 2 / len(vs)
+        for g, vs in data.items()
+    )
+    cnt = collections.Counter(allv)
+    S3 = sum(t ** 3 - t for t in cnt.values())
+    assert got["n_total"] == N and got["n_groups"] == 3
+    assert abs(got["h_ppm"] - round(H * 1e6)) <= 40        # milli quant
+    assert abs(got["h_tie_adj_ppm"]
+               - round(H / (1 - S3 / (N ** 3 - N)) * 1e6)) <= 40
+
+
+def test_kendall_tau_matches_brute(spark):
+    import collections
+    import itertools
+    import math
+
+    from etl_script_spark.operators import stats
+
+    pts = [(1, 2), (2, 1), (3, 3), (4, 4), (4, 5), (5, 5), (6, 1)]
+    df = spark.createDataFrame([("g", x, y) for x, y in pts],
+                               "g string, x long, y long")
+    got = stats.kendall_tau_groups(df, "g", "x", "y").collect()[0]
+    C = D = 0
+    for (a1, b1), (a2, b2) in itertools.combinations(pts, 2):
+        s = (a2 - a1) * (b2 - b1)
+        if s > 0:
+            C += 1
+        elif s < 0:
+            D += 1
+    n = len(pts)
+    n0 = n * (n - 1) // 2
+    tx = collections.Counter(x for x, _ in pts)
+    ty = collections.Counter(y for _, y in pts)
+    n1 = sum(t * (t - 1) // 2 for t in tx.values())
+    n2 = sum(t * (t - 1) // 2 for t in ty.values())
+    tau = (C - D) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert (got["concordant"], got["discordant"]) == (C, D)
+    assert abs(got["tau_b_milli"] - tau * 1000) <= 1
+
+
+def test_kendall_tau_degenerate_group_null(spark):
+    # all-x-tied group: denominator 0 -> NULL tau, never a crash
+    from etl_script_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("g", 5, y) for y in (1, 2, 3)], "g string, x long, y long"
+    )
+    row = stats.kendall_tau_groups(df, "g", "x", "y").collect()[0]
+    assert row["tau_b_milli"] is None
+
+
+def test_cuped_matches_brute(spark):
+    import random
+
+    from etl_script_spark.operators import stats
+
+    random.seed(3)
+    urows = []
+    for u in range(200):
+        x = random.randint(0, 1000)
+        v = "t" if u % 2 else "c"
+        y = x + (50 if v == "t" else 0) + random.randint(-100, 100)
+        urows.append((v, x, y))
+    df = spark.createDataFrame(urows, "variant string, x long, y long")
+    got = {r["variant"]: r for r in
+           stats.cuped_adjusted_means(df, "variant", "x", "y").collect()}
+    N = len(urows)
+    sx = sum(r[1] for r in urows)
+    sy = sum(r[2] for r in urows)
+    sxx = sum(r[1] ** 2 for r in urows)
+    sxy = sum(r[1] * r[2] for r in urows)
+    theta = (N * sxy - sx * sy) / (N * sxx - sx * sx)
+    xbar = sx / N
+    for v in ("c", "t"):
+        g = [r for r in urows if r[0] == v]
+        my = sum(r[2] for r in g) / len(g)
+        mx = sum(r[1] for r in g) / len(g)
+        adj = my - theta * (mx - xbar)
+        assert abs(got[v]["mean_post_micro"] - my * 1e6) <= 1
+        assert abs(got[v]["adj_mean_post_micro"] - adj * 1e6) <= 5
+        assert abs(got[v]["theta_ppm"] - theta * 1e6) <= 1
+    # CUPED moves the two variants TOWARD each other when the
+    # covariate is imbalanced, preserving the true effect direction
+    assert (got["t"]["adj_mean_post_micro"]
+            > got["c"]["adj_mean_post_micro"])
+
+
+def test_brown_forsythe_matches_brute(spark):
+    from etl_script_spark.operators import stats
+
+    data = {"a": [1, 2, 3, 4, 100], "b": [10, 11, 12, 13, 14],
+            "c": [5, 5, 6, 50, 51, 52]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = stats.brown_forsythe(df, "g", "v").collect()[0]
+    zs = {
+        g: [abs(v - sorted(vs)[(len(vs) + 1) // 2 - 1]) for v in vs]
+        for g, vs in data.items()
+    }
+    allz = [z for vs in zs.values() for z in vs]
+    Nz, k = len(allz), len(zs)
+    zb = sum(allz) / Nz
+    ssb = sum(len(v) * (sum(v) / len(v) - zb) ** 2 for v in zs.values())
+    ssw = sum(sum((z - sum(v) / len(v)) ** 2 for z in v)
+              for v in zs.values())
+    f = ((Nz - k) / (k - 1)) * ssb / ssw
+    assert got["n_total"] == Nz and got["n_groups"] == k
+    assert abs(got["f_milli"] - f * 1000) <= 1
+
+
+def test_detect_period_finds_cycle(spark):
+    import math
+
+    from etl_script_spark.operators import timeseries as ts_ops
+
+    pts = [(1, i, 100 + round(50 * math.sin(2 * math.pi * i / 12)))
+           for i in range(240)]
+    df = spark.createDataFrame(pts, "k int, pos long, v long")
+    row = ts_ops.detect_period(df, ["k"], "pos", "v", max_lag=24).collect()[0]
+    assert row["period"] == 12
+    assert row["corr_ppb"] > 990_000_000
+
+
+def test_char_entropy_known_values(spark):
+    from etl_script_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "id long, text string",
+    )
+    got = {r["id"]: (r["n_chars"], r["entropy_mbits"])
+           for r in ts.char_entropy(df, "text", "id").collect()}
+    assert got == {1: (4, 0), 2: (4, 1000), 3: (4, 2000), 4: (0, 0)}
+
+
+def test_js_divergence_matches_brute(spark):
+    import collections
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_script_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [(1, "a b c a", True), (2, "a b d d", False), (3, "c c a", True)],
+        "id long, text string, p boolean",
+    )
+    row = ts.js_divergence_tokens(df, "text", F.col("p")).collect()[0]
+    P = collections.Counter("a b c a c c a".split())
+    Q = collections.Counter("a b d d".split())
+    NP, NQ = sum(P.values()), sum(Q.values())
+    js = 0.0
+    for tk in set(P) | set(Q):
+        p, q = P[tk] / NP, Q[tk] / NQ
+        m = (p + q) / 2
+        if p:
+            js += 0.5 * p * math.log(p / m)
+        if q:
+            js += 0.5 * q * math.log(q / m)
+    assert (row["n_p"], row["n_q"], row["vocab"]) == (NP, NQ, 4)
+    assert abs(row["js_nano"] - js * 1e9) <= 10
+    # JS is bounded by ln 2
+    assert 0 <= row["js_nano"] <= 693_147_181
+
+
+def test_token_dropout_deterministic_and_counted(spark):
+    from etl_script_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta") for i in range(20)],
+        "id long, text string",
+    )
+    a = sorted(map(tuple, ts.token_dropout(
+        df, "text", "id", rate_ppm=300000).collect()))
+    b = sorted(map(tuple, ts.token_dropout(
+        df, "text", "id", rate_ppm=300000).collect()))
+    assert a == b
+    for (_id, aug, n_tok, n_drop) in a:
+        assert n_tok == 5
+        assert len(aug.split()) == n_tok - n_drop if aug else n_drop == n_tok
+    total_drop = sum(r[3] for r in a)
+    assert 0 < total_drop < 100  # ~30% of 100 tokens
+
+
+def test_batch_budget_respects_band_and_budget(spark):
+    import collections
+
+    from etl_script_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 50) for i in range(100)], "id long, n long"
+    )
+    rows = ts.batch_by_token_budget(df, "id", "n", budget=100).collect()
+    per_batch = collections.defaultdict(list)
+    for r in rows:
+        per_batch[(r["band"], r["batch_id"])].append(r["n_tokens"])
+        # band invariant: same power-of-two length band
+        assert r["band"] == len(bin(r["n_tokens"])) - 3
+    for (band, _b), toks in per_batch.items():
+        # a batch exceeds budget by at most its last doc (greedy cut)
+        assert sum(toks) < 100 + max(toks)
+
+
+def test_snippet_best_window_argmax(spark):
+    from etl_script_spark.operators import search
+
+    df = spark.createDataFrame(
+        [(1, "x x cat x dog x x cat dog cat x"),
+         (2, "dog x x x x x x x x cat")],
+        "id long, text string",
+    )
+    got = {r["id"]: (r["start_pos"], r["n_hits"])
+           for r in search.snippet_best_window(
+               df, "text", "id", ["cat", "dog"], window_tokens=4).collect()}
+    assert got[1] == (7, 3)   # window [7,10] covers cat@7 dog@8 cat@9
+    assert got[2] == (0, 1)   # tie on 1 hit -> earliest start
+
+
+def test_curriculum_interleave_band_mix(spark):
+    import collections
+
+    from etl_script_spark.operators import textstats as ts
+
+    df = spark.createDataFrame([(i, i % 37) for i in range(50)],
+                               "id long, s long")
+    rows = ts.curriculum_interleave(df, "id", "s", n_strata=5).collect()
+    assert len({r["position"] for r in rows}) == 50     # total order
+    bands = collections.Counter(r["band"] for r in rows)
+    assert all(bands[b] == 10 for b in range(5))        # equal strata
+    first10 = sorted(rows, key=lambda r: r["position"])[:10]
+    mix = collections.Counter(r["band"] for r in first10)
+    assert all(mix[b] == 2 for b in range(5))           # interleaved
