@@ -342,3 +342,45 @@ def test_mutual_knn_bucket_join_not_hinted_broadcast(spark, sf_dir):
     df = CATALOG["ann_mutual_knn"].spark(spark, sf_dir)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in logical
+
+
+def test_kendall_pairs_are_group_keyed_join(spark, sf_dir):
+    """Pair generation is an equi-join on the group key (each group
+    pays its own n²) — never a cross product; same contract as
+    theil_sen."""
+    plan = _executed_plan(spark, "stat_kendall_tau", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kruskal_no_fact_table_sort(spark, sf_dir):
+    """Ranks never materialize per row: the only unpartitioned window
+    runs on the ≤1025-row bucket-offset table; the fact table sees
+    exactly one histogram aggregation. A global Sort of the fact
+    stream would show as Sort outside any bucket/group partitioning."""
+    plan = _executed_plan(spark, "stat_kruskal_wallis", sf_dir)
+    assert "CartesianProduct" not in plan
+    # one histogram agg + bounded-table folds: no more than the
+    # prefix-sum pair of window nodes
+    assert plan.count("Window") <= 2
+
+
+def test_curriculum_windows_all_partitioned_by_key(spark, sf_dir):
+    """The exact-rank banding must come from the score-histogram
+    prefix sum, not a global row_number: every Window node except the
+    bounded bucket-offset one partitions on a real key."""
+    plan = _executed_plan(spark, "curation_curriculum_interleave", sf_dir)
+    assert "CartesianProduct" not in plan
+    # exactly the designed four: band interleave (by band), tie rank
+    # (by score value), within-bucket prefix (by bucket), and the one
+    # bounded unpartitioned bucket-offset window
+    assert plan.count("Window") <= 4
+    import re
+
+    unpart = [
+        m.group(0)
+        for m in re.finditer(r"windowspecdefinition\([^)]*\)", plan)
+        if "ASC" in m.group(0).split(",")[0]  # first arg is an ORDER col
+    ]
+    for spec in unpart:
+        assert "__bkt" in spec, spec
