@@ -161,6 +161,19 @@ EXTRA = [
     "layout_hilbert_clustered_read",
     "sim_kcenter_coreset",
     "st_stream_fingerprint",
+    # round 8: rank statistics / curation planning batch
+    "stat_kruskal_wallis",
+    "stat_kendall_tau",
+    "stat_cuped_adjust",
+    "stat_brown_forsythe",
+    "ts_period_detect",
+    "text_char_entropy",
+    "corpus_js_divergence",
+    "dedup_pair_sim_histogram",
+    "augment_token_dropout",
+    "curation_batch_budget",
+    "curation_curriculum_interleave",
+    "search_snippet_window",
 ]
 
 # Entries whose plans are dominated by codegen'd lambda aggregates
