@@ -1640,8 +1640,84 @@ def stress_round8_newops(spark):
           f"{n_batches} micro-batches, bit-equal to batch: True")
 
 
+def stress_round8b_newops(spark):
+    """Decade push for the round-8 operator batch: Kruskal-Wallis at
+    100 M rows (histogram + bucketed prefix sum — ranks never
+    materialize), Brown-Forsythe at 100 M, CUPED at 100 M units,
+    Kendall tau-b at 2 k-row groups x 500 groups (5e8 pairs through
+    the group-keyed join), curriculum interleave + batch planner at
+    100 M docs, char entropy + JS divergence + token dropout at the
+    10 M-doc corpus. Run: ``python tools/stress_curation.py
+    --round8b``."""
+    import os
+
+    from etl_script_spark.operators import search, stats, textstats
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        out.write.mode("overwrite").format("noop").save()
+        print(f"{name}: {time.time()-t0:.1f}s -> {out.count()} rows")
+
+    big = spark.range(100_000_000).select(
+        "id",
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.abs(F.xxhash64("id") % 100_000).alias("v"),
+    )
+    run("kruskal_wallis 100M rows x 5 groups", lambda:
+        stats.kruskal_wallis(big, "g", "v"))
+    run("brown_forsythe 100M rows x 5 groups", lambda:
+        stats.brown_forsythe(big, "g", "v"))
+
+    units = spark.range(100_000_000).select(
+        (F.col("id") % 2).cast("string").alias("variant"),
+        F.abs(F.xxhash64("id") % 10_000).alias("x"),
+        (F.abs(F.xxhash64("id") % 10_000)
+         + F.abs(F.xxhash64("id", F.lit(1)) % 1_000)).alias("y"),
+    )
+    run("cuped 100M units", lambda:
+        stats.cuped_adjusted_means(units, "variant", "x", "y"))
+
+    pair_groups = spark.range(1_000_000).select(
+        (F.col("id") % 500).alias("g"),
+        F.abs(F.xxhash64("id") % 100_000).alias("x"),
+        F.abs(F.xxhash64("id", F.lit(1)) % 100_000).alias("y"),
+    )
+    run("kendall_tau 2k-row groups x 500 (1e9 pairs)", lambda:
+        stats.kendall_tau_groups(pair_groups, "g", "x", "y"))
+
+    docs100m = spark.range(100_000_000).select(
+        F.col("id"),
+        (10 + F.abs(F.xxhash64("id")) % 4000).alias("n_tok"),
+    )
+    run("batch_by_token_budget 100M docs", lambda:
+        textstats.batch_by_token_budget(docs100m, "id", "n_tok",
+                                        budget=8192))
+    run("curriculum_interleave 100M docs", lambda:
+        textstats.curriculum_interleave(docs100m, "id", "n_tok",
+                                        n_strata=10))
+
+    corpus_path = "/tmp/etl_script_spark_io/stress_10000000"
+    if os.path.exists(corpus_path + "/_SUCCESS"):
+        d = spark.read.parquet(corpus_path)
+        run("char_entropy 10M docs", lambda:
+            textstats.char_entropy(d, "text", "doc_id"))
+        run("js_divergence 10M docs (split by doc parity)", lambda:
+            textstats.js_divergence_tokens(
+                d, "text", F.col("doc_id") % 2 == 0))
+        run("token_dropout 10M docs", lambda:
+            textstats.token_dropout(d, "text", "doc_id"))
+        run("snippet_best_window 10M docs", lambda:
+            search.snippet_best_window(
+                d, "text", "doc_id", ["w001", "w002"], window_tokens=10))
+
+
 if __name__ == "__main__":
-    if "--round8" in sys.argv:
+    if "--round8b" in sys.argv:
+        spark = get_spark(app_name="stress-round8b")
+        stress_round8b_newops(spark)
+        spark.stop()
+    elif "--round8" in sys.argv:
         spark = get_spark(app_name="stress-round8")
         stress_round8_newops(spark)
         spark.stop()
