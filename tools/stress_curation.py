@@ -1534,13 +1534,18 @@ def stress_round8_newops(spark):
     # 18 hyperplanes -> 262k buckets -> ~38 vectors/bucket: candidate
     # pairs ~= 38^2 x 262k ~= 3.8e8, each one 16-dim JVM dot — the
     # bucket join is the scale knob; all-pairs would be 1e14.
+    # pmod, NOT %: the sign-following % gives [-3,1] with mean -1 —
+    # every vector then shares one LSH orthant and the bucket join
+    # degenerates quadratic (caught live: the first run sat >13 min
+    # in the join). Uniform [-1,1] keeps the 2^18 buckets balanced.
     dim = 16
     vecs = spark.range(10_000_000).select(
         F.col("id").alias("vec_id"),
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda i: (
-                (F.xxhash64(F.col("id"), i) % 2001) / 1000.0 - 1.0
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) / 1000.0
+                - 1.0
             ).cast("float"),
         ).alias("embedding"),
     )
