@@ -1531,9 +1531,12 @@ def stress_round8_newops(spark):
         print(f"{name}: {time.time()-t0:.1f}s -> {out.count()} rows")
 
     # --- mutual-kNN at 10 M x 16-dim vectors, LSH-bucketed ---------
-    # 18 hyperplanes -> 262k buckets -> ~38 vectors/bucket: candidate
-    # pairs ~= 38^2 x 262k ~= 3.8e8, each one 16-dim JVM dot — the
-    # bucket join is the scale knob; all-pairs would be 1e14.
+    # 22 hyperplanes -> 4.2 M buckets. Candidate volume is
+    # sum n_b^2 = (n^2/B) x imbalance; a 100 k probe measured
+    # imbalance ~15 (orthant mass varies), so 18 planes would have
+    # meant ~5.8e9 pairs (caught live: the run sat >13 min in the
+    # join) — 22 planes bound it at ~3.6e8. The plane count IS the
+    # candidate-volume knob; all-pairs would be 1e14.
     # pmod, NOT %: the sign-following % gives [-3,1] with mean -1 —
     # every vector then shares one LSH orthant and the bucket join
     # degenerates quadratic (caught live: the first run sat >13 min
@@ -1549,7 +1552,7 @@ def stress_round8_newops(spark):
             ).cast("float"),
         ).alias("embedding"),
     )
-    planes = similarity.random_hyperplanes(dim, 18, seed=8)
+    planes = similarity.random_hyperplanes(dim, 22, seed=8)
 
     def mknn():
         b = vecs.withColumn(
@@ -1577,7 +1580,7 @@ def stress_round8_newops(spark):
         )
         return similarity.mutual_knn_pairs(top5, "query_id", "vec_id")
 
-    run("mutual_knn 10M vectors via 18-plane LSH", mknn)
+    run("mutual_knn 10M vectors via 22-plane LSH", mknn)
 
     # --- WordPiece + Kneser-Ney at 10 M docs -----------------------
     corpus_path = "/tmp/etl_script_spark_io/stress_10000000"
