@@ -1531,12 +1531,15 @@ def stress_round8_newops(spark):
         print(f"{name}: {time.time()-t0:.1f}s -> {out.count()} rows")
 
     # --- mutual-kNN at 10 M x 16-dim vectors, LSH-bucketed ---------
-    # 22 hyperplanes -> 4.2 M buckets. Candidate volume is
-    # sum n_b^2 = (n^2/B) x imbalance; a 100 k probe measured
-    # imbalance ~15 (orthant mass varies), so 18 planes would have
-    # meant ~5.8e9 pairs (caught live: the run sat >13 min in the
-    # join) — 22 planes bound it at ~3.6e8. The plane count IS the
-    # candidate-volume knob; all-pairs would be 1e14.
+    # 26 hyperplanes. Candidate volume = n^2 * sum_b p_b^2, and each
+    # extra plane multiplies sum p_b^2 by q^2+(1-q)^2 where q is that
+    # bit's split — MEASURED 0.68 here (biased bits: bounded integer
+    # components concentrate hyperplane sums), NOT the 0.5 of ideal
+    # bits. Probes: 18 planes -> 4.8e9 pairs at 10 M (run sat >13 min
+    # in the join), 22 planes -> 1.04e9 (measured 60 s count), 26 ->
+    # ~2e8. Lesson for the operator docs: the plane count must grow
+    # with log(n) x measured bit quality, not ideal-bit math; the
+    # plane count IS the candidate-volume knob (all-pairs is 1e14).
     # pmod, NOT %: the sign-following % gives [-3,1] with mean -1 —
     # every vector then shares one LSH orthant and the bucket join
     # degenerates quadratic (caught live: the first run sat >13 min
@@ -1552,7 +1555,7 @@ def stress_round8_newops(spark):
             ).cast("float"),
         ).alias("embedding"),
     )
-    planes = similarity.random_hyperplanes(dim, 22, seed=8)
+    planes = similarity.random_hyperplanes(dim, 26, seed=8)
 
     def mknn():
         b = vecs.withColumn(
@@ -1580,7 +1583,7 @@ def stress_round8_newops(spark):
         )
         return similarity.mutual_knn_pairs(top5, "query_id", "vec_id")
 
-    run("mutual_knn 10M vectors via 22-plane LSH", mknn)
+    run("mutual_knn 10M vectors via 26-plane LSH", mknn)
 
     # --- WordPiece + Kneser-Ney at 10 M docs -----------------------
     corpus_path = "/tmp/etl_script_spark_io/stress_10000000"
