@@ -1397,6 +1397,48 @@ def diff_in_diff(
     )
 
 
+def _sq_scaled_div_cols(df, x_col: str, den_col: str, scale: int,
+                        out_col: str):
+    """Exact ``(x² · scale) DIV den`` for NON-NEGATIVE decimal x, den
+    — as a DECIMAL(38,0) column, with every intermediate DIV's
+    (BIGINT) quotient bounded: Spark's DIV returns int64, so the
+    one-shot form silently overflows once the quotient passes 9.2e18
+    (hit live by the 100 M-row Kruskal-Wallis sweep). Two-level long
+    division keeps it exact:
+
+        q1 = x DIV den, r1 = x − q1·den          (q1 ≤ x/den)
+        q2 = x·s DIV den, r2 = x·s − q2·den      (q2 ≤ x·s/den)
+        x²s DIV den = x·s·q1 + q2·r1 + (r2·r1) DIV den
+
+    — the three DIV quotients are ≤ x/den, ≤ x·s/den, and < den,
+    each comfortably int64 for any plausible rank/sufficient-stat
+    magnitude; the recombination is pure DECIMAL +/·. DuckDB's //
+    is 128-bit, so oracles keep the one-shot form — the
+    decomposition is mathematically identical, not a quantization.
+    """
+    d = (
+        df.withColumn("__sq_q1", F.expr(f"{x_col} DIV {den_col}"))
+        .withColumn(
+            "__sq_r1",
+            F.expr(f"{x_col} - CAST(__sq_q1 AS {_D}) * {den_col}"),
+        )
+        .withColumn("__sq_xs", F.expr(f"{x_col} * {scale}"))
+        .withColumn("__sq_q2", F.expr(f"__sq_xs DIV {den_col}"))
+        .withColumn(
+            "__sq_r2",
+            F.expr(f"__sq_xs - CAST(__sq_q2 AS {_D}) * {den_col}"),
+        )
+        .withColumn(
+            out_col,
+            F.expr(
+                f"__sq_xs * __sq_q1 + CAST(__sq_q2 AS {_D}) * __sq_r1"
+                f" + CAST((__sq_r2 * __sq_r1) DIV {den_col} AS {_D})"
+            ),
+        )
+    )
+    return d.drop("__sq_q1", "__sq_r1", "__sq_xs", "__sq_q2", "__sq_r2")
+
+
 def kruskal_wallis(
     df: DataFrame,
     group_col: str,
@@ -1470,13 +1512,17 @@ def kruskal_wallis(
     )
     # per-group quantization in MILLI rank² (×1000 before DIV): the
     # bare DIV truncates up to 1 rank² per group — ~1% of H on small
-    # fixtures; milli keeps the loss sub-ppm while (n_g·N)²·10³ still
-    # fits DECIMAL(38) to N ≈ 1e9 (beyond: drop to the bare quotient)
-    folded = dev.groupBy("n", "s3").agg(
+    # fixtures; milli keeps the loss sub-ppm. The quotient itself
+    # passes int64 at ~1e8 rows (Spark DIV returns BIGINT — caught
+    # by the 100 M sweep), so it goes through the exact two-level
+    # decomposition; the oracle keeps the one-shot 128-bit // form.
+    staged = dev.withColumn("__da", F.expr("abs(d2)")).withColumn(
+        "__den", F.expr(f"4 * CAST(n_g AS {_D})")
+    )
+    staged = _sq_scaled_div_cols(staged, "__da", "__den", 1000, "__q")
+    folded = staged.groupBy("n", "s3").agg(
         F.count(F.lit(1)).cast("long").alias("n_groups"),
-        F.sum(
-            F.expr(f"(d2 * d2 * 1000) DIV (4 * CAST(n_g AS {_D}))")
-        ).alias("ssq_milli"),
+        F.sum("__q").cast(_D).alias("ssq_milli"),
     )
     return folded.select(
         F.col("n").alias("n_total"),
@@ -1746,21 +1792,26 @@ def brown_forsythe(
     )
     per_g = z.groupBy("g").agg(
         F.sum("c").cast(_D).alias("n_g"),
-        F.sum(F.col("c") * F.col("z")).alias("sz"),
-        F.sum(F.col("c") * F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("c") * F.col("z")).cast(_D).alias("sz"),
+        F.sum(F.col("c") * F.col("z") * F.col("z")).cast(_D).alias("szz"),
     )
+    # (sz²·1e6) DIV n_g and (s²·1e6) DIV n pass int64 quotients at
+    # ~1e8-row margins (Spark DIV returns BIGINT) — both go through
+    # the exact two-level decomposition; oracles keep the 128-bit //.
+    per_g = _sq_scaled_div_cols(per_g, "sz", "n_g", 1000000, "__a")
     folded = per_g.agg(
         F.count(F.lit(1)).cast("long").alias("n_groups"),
-        F.sum("n_g").alias("n"),
-        F.sum(F.expr("(sz * sz * 1000000) DIV n_g")).alias("a_micro"),
-        F.sum("sz").alias("s"),
-        F.sum("szz").alias("q"),
+        F.sum("n_g").cast(_D).alias("n"),
+        F.sum("__a").cast(_D).alias("a_micro"),
+        F.sum("sz").cast(_D).alias("s"),
+        F.sum("szz").cast(_D).alias("q"),
     )
+    folded = _sq_scaled_div_cols(folded, "s", "n", 1000000, "__sn")
     return folded.select(
         F.col("n").cast("long").alias("n_total"),
         "n_groups",
         F.expr(
-            "CAST( ( (a_micro - (s * s * 1000000) DIV n)"
+            "CAST( ( (a_micro - __sn)"
             " * (n - n_groups) * 1000 )"
             " DIV ( (q * 1000000 - a_micro) * (n_groups - 1) )"
             " AS BIGINT)"
