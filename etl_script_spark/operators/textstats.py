@@ -2062,9 +2062,16 @@ def batch_by_token_budget(
     (bucketed batching); the band key also makes every batch's id
     stable across engines, runs, and cluster sizes.
 
-    Shape: one window per band (single shuffle on the band key — no
-    global sort); bands distribute independently. Oversized docs
-    (tokens > budget) get their own batch, never dropped.
+    Shape: there are only ~60 power-of-two bands, so a window
+    partitioned on the band alone would serialize n/60 rows through
+    one task (caught by the 100 M-row sweep). The within-band running
+    sum is therefore TWO-PHASE: the md5 order's first two hex chars
+    split each band into 256 sub-buckets whose token totals fold to a
+    bands×256 offset table (exclusive prefix over ≤15 k rows), and
+    the per-row window partitions by (band, bucket) — identical
+    output to the single-window form (md5 order = (prefix, rest)
+    order), with every partition bounded at n/(bands·256). Oversized
+    docs (tokens > budget) get their own batch, never dropped.
 
     Returns (id, n_tokens, band, batch_id).
     """
@@ -2080,15 +2087,32 @@ def batch_by_token_budget(
         "CAST(floor(log2(CAST(n_tokens AS DOUBLE))) AS INT)"
     )
     h = F.md5(F.concat(F.lit(seed), F.col("id").cast("string")))
-    w = (
+    staged = (
+        base.withColumn("band", band)
+        .withColumn("__h", h)
+        .withColumn("__bkt", F.substring("__h", 1, 2))
+    )
+    per_bucket = staged.groupBy("band", "__bkt").agg(
+        F.sum("n_tokens").alias("__bn")
+    )
+    w_off = (
         Window.partitionBy("band")
-        .orderBy(h.asc(), F.col("id").asc())
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "band",
+        "__bkt",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy("band", "__bkt")
+        .orderBy(F.col("__h").asc(), F.col("id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tokens").over(w)
     return (
-        base.withColumn("band", band)
-        .withColumn("__cum", cum)
+        staged.join(offsets, ["band", "__bkt"])
+        .withColumn("__cum", F.col("__off") + F.sum("n_tokens").over(w_in))
         .withColumn(
             "batch_id",
             F.expr(
@@ -2151,14 +2175,44 @@ def curriculum_interleave(
             ),
         )
     )
+    # within-band rank, two-phase: a window on the band alone
+    # serializes n/k rows through one task (caught by the 100 M-row
+    # sweep — k is ~10, not a distribution key). The md5 order's
+    # first two hex chars split each band into 256 sub-buckets whose
+    # counts fold to a k×256 offset table; the per-row rank window
+    # partitions by (band, bucket). Identical ranks to the
+    # single-window form (md5 order = (prefix, rest) order).
     h = F.md5(F.concat(F.lit(seed), F.col("id").cast("string")))
-    w_in = Window.partitionBy("band").orderBy(h.asc(), F.col("id").asc())
-    return banded.withColumn(
-        "__wr", F.row_number().over(w_in).cast("long")
-    ).select(
-        "id",
+    staged = banded.withColumn("__h", h).withColumn(
+        "__bkt", F.substring("__h", 1, 2)
+    )
+    per_bucket = staged.groupBy("band", "__bkt").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    w_off = (
+        Window.partitionBy("band")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
         "band",
-        ((F.col("__wr") - 1) * n_strata + F.col("band"))
-        .cast("long")
-        .alias("position"),
+        "__bkt",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("band", "__bkt").orderBy(
+        F.col("__h").asc(), F.col("id").asc()
+    )
+    return (
+        staged.join(offsets, ["band", "__bkt"])
+        .withColumn(
+            "__wr",
+            (F.col("__off") + F.row_number().over(w_in)).cast("long"),
+        )
+        .select(
+            "id",
+            "band",
+            ((F.col("__wr") - 1) * n_strata + F.col("band"))
+            .cast("long")
+            .alias("position"),
+        )
     )

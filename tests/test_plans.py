@@ -371,10 +371,22 @@ def test_curriculum_windows_all_partitioned_by_key(spark, sf_dir):
     bounded bucket-offset one partitions on a real key."""
     plan = _executed_plan(spark, "curation_curriculum_interleave", sf_dir)
     assert "CartesianProduct" not in plan
-    # exactly the designed four: band interleave (by band), tie rank
-    # (by score value), within-bucket prefix (by bucket), and the one
-    # bounded unpartitioned bucket-offset window
-    assert plan.count("Window") <= 4
+    # the designed window set (appearing twice in the plan — the
+    # histogram subtree re-executes on both join sides): tie rank (by
+    # score value), score-histogram within-bucket prefix (by bucket)
+    # + its bounded unpartitioned bucket-offset window, and the
+    # two-phase within-band rank pair. The load-bearing assertions:
+    # NO per-row window partitioned on the ~10-value band alone (the
+    # 100 M-row serialization trap — every per-row window's first
+    # partition key is a score value or includes __bkt), and every
+    # unpartitioned window orders on the bounded __bkt table.
+    assert plan.count("Window") <= 8
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\(band#\d+,\s*(\S+)", plan):
+        # a band-partitioned window must sub-partition or order by
+        # the 256-value bucket, never carry per-row rows alone
+        assert "__bkt" in m.group(1), m.group(0)
     import re
 
     unpart = [
