@@ -2003,45 +2003,64 @@ def token_dropout(
     deterministic and engine-replayable, so an augmented corpus can
     be regenerated bit-for-bit on any cluster.
 
-    Shape: posexplode (corpus-linear) + one ordered string_agg per
-    doc — ONE shuffle on the doc id. Empty results keep their row
-    (a doc whose every token dropped emits '').
+    Shape: pure higher-order ARRAY functions (transform + filter +
+    array_join), zero explode, zero shuffle — scan speed at 100 TB,
+    the same idiom as mlm_mask. (The first cut used posexplode +
+    collect_list reassembly: 386 s at 10 M docs vs ~60 s for the
+    array form — the shuffle AND the per-group array_sort were pure
+    overhead for a per-row computation.) Empty results keep their
+    row (a doc whose every token dropped emits ''); docs with zero
+    non-empty tokens are excluded, matching the exploded form.
 
     Returns (id, augmented, n_tokens, n_dropped).
     """
     if not 0 < rate_ppm < 1_000_000:
         raise ValueError(f"rate_ppm must be in (0, 1e6), got {rate_ppm}")
     thr = format(rate_ppm * 16**8 // 1_000_000, "08x")
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(words(F.col(text_col))).alias("pos", "tok"),
-    ).filter(F.col("tok") != "")
-    h = F.md5(
-        F.concat_ws(
-            "\x1f", F.lit(seed), F.col("id").cast("string"),
-            F.col("pos").cast("string"),
-        )
-    )
-    marked = toks.withColumn(
-        "__drop", F.substring(h, 1, 8) < F.lit(thr)
-    )
-    return marked.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            ~F.col("__drop"),
-                            F.struct(F.col("pos"), F.col("tok")),
-                        )
+
+    def dropped(i: "Column") -> "Column":
+        return (
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit(seed),
+                        F.col("id").cast("string"),
+                        i.cast("string"),
                     )
                 ),
-                lambda s: s["tok"],
+                1,
+                8,
+            )
+            < F.lit(thr)
+        )
+
+    base = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws")
+    )
+    staged = base.select(
+        "id",
+        F.filter(
+            F.transform(
+                F.col("__ws"),
+                lambda w, i: F.struct(
+                    w.alias("w"), dropped(i).alias("d")
+                ),
+            ),
+            lambda s: s["w"] != "",
+        ).alias("__tok"),
+    ).filter(F.size("__tok") > 0)
+    return staged.select(
+        "id",
+        F.array_join(
+            F.transform(
+                F.filter(F.col("__tok"), lambda s: ~s["d"]),
+                lambda s: s["w"],
             ),
             " ",
         ).alias("augmented"),
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.sum(F.when(F.col("__drop"), 1).otherwise(0))
+        F.size("__tok").cast("long").alias("n_tokens"),
+        F.size(F.filter(F.col("__tok"), lambda s: s["d"]))
         .cast("long")
         .alias("n_dropped"),
     )
@@ -2114,11 +2133,12 @@ def batch_by_token_budget(
         staged.join(offsets, ["band", "__bkt"])
         .withColumn("__cum", F.col("__off") + F.sum("n_tokens").over(w_in))
         .withColumn(
+            # pure LONG DIV on the per-row hot path (a DECIMAL cast
+            # here is a BigDecimal alloc per row outside codegen —
+            # the theil-sen lesson); a band's token cumsum tops out
+            # at ~1e14 even for a 100 TB corpus, far inside int64
             "batch_id",
-            F.expr(
-                f"CAST((CAST(__cum AS DECIMAL(38,0)) - n_tokens)"
-                f" DIV {budget} AS BIGINT)"
-            ),
+            F.expr(f"(__cum - n_tokens) DIV {budget}"),
         )
         .select("id", "n_tokens", "band", "batch_id")
     )
