@@ -249,17 +249,19 @@ def main() -> None:
                 "noop"
             ).save()
 
-    # min of two timed passes, same estimator as the extras: single
-    # passes scatter +-10% run-to-round (GC/JIT timing), which is
-    # larger than most real round-over-round deltas — the min is the
-    # steady-state number a warmed cluster actually delivers
+    # min of THREE timed passes (raised from two in r8): this host is
+    # a shared VM whose single-pass numbers scatter up to 2x with
+    # neighbor load (r7/r8 both recorded uniform ~1.3x inflation on
+    # untouched code; isolated quiet-window re-measures landed back
+    # at the r6 numbers). The min over three warmed passes is the
+    # steady-state number a warmed cluster actually delivers.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in CATALOG:
             continue
         q = CATALOG[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - start)
@@ -399,7 +401,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "protocol": "headline_isolated_session_min_of_2",
+        "protocol": "headline_isolated_session_min_of_3",
     }
     line = json.dumps(out)
     assert len(line) < 1500, f"bench stdout line too long ({len(line)} chars)"
