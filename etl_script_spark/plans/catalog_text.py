@@ -2395,3 +2395,138 @@ def dedup_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.expr("CAST(jaccard_ppm DIV 100000 AS INT)").alias("sim_decile")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+@register(
+    "search_symspell_suggest",
+    f"""
+    WITH vocab AS (
+      SELECT tok AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_filter({_WS}, w -> w != '')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ),
+    vk AS (
+      SELECT c, cnt, unnest(list_distinct(list_append(
+               [substr(c, 1, i - 1) || substr(c, i + 1)
+                for i in range(1, len(c) + 1)], c))) AS key
+      FROM vocab
+    ),
+    qs AS (SELECT * FROM (VALUES ('tabl'), ('valu'), ('sparkk'),
+                                 ('windw'), ('zzzq')) t(q)),
+    qk AS (
+      SELECT q, unnest(list_distinct(list_append(
+               [substr(q, 1, i - 1) || substr(q, i + 1)
+                for i in range(1, len(q) + 1)], q))) AS key
+      FROM qs
+    ),
+    cand AS (
+      SELECT DISTINCT q, c, cnt
+      FROM qk JOIN vk USING (key)
+      WHERE levenshtein(q, c) <= 1
+    )
+    SELECT q, suggestion, cnt, rank FROM (
+      SELECT q, c AS suggestion, cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q
+                                     ORDER BY cnt DESC, c ASC) AS INT)
+               AS rank
+      FROM cand
+    ) WHERE rank <= 3
+    """,
+    ("LLM-search",),
+)
+def search_symspell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 spelling suggestions over the corpus
+    vocabulary (search.symspell_suggest; SymSpell deletion-variant
+    indexing): candidates come from an EQUI-JOIN on single-deletion
+    keys — vocabulary-bounded fan-out, never a fuzzy scan — verified
+    exactly by the built-in levenshtein and ranked by corpus
+    frequency. The query-correction front end an autocomplete or
+    search box runs; five fixture queries, one guaranteed miss."""
+    from etl_script_spark.operators import search, textstats
+
+    d = t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(
+                F.filter(textstats.words(F.col("text")), lambda w: w != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    qs = spark.createDataFrame(
+        [("tabl",), ("valu",), ("sparkk",), ("windw",), ("zzzq",)],
+        "q string",
+    )
+    return search.symspell_suggest(vocab, qs, "word", "cnt", "q", k=3)
+
+
+@register(
+    "curation_pack_efficiency",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             CAST(len(list_filter({_WS}, w -> w != '')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    banded AS (
+      SELECT id, n_tokens,
+             CAST(floor(log2(CAST(n_tokens AS DOUBLE))) AS INT) AS band
+      FROM base WHERE n_tokens > 0
+    ),
+    packed AS (
+      SELECT id, n_tokens, band,
+             SUM(n_tokens) OVER (
+               PARTITION BY band
+               ORDER BY md5('bb' || CAST(id AS VARCHAR)) ASC, id ASC
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM banded
+    ),
+    batches AS (
+      SELECT band,
+             (CAST(cum AS HUGEINT) - n_tokens) // 500 AS batch_id,
+             SUM(n_tokens) AS toks,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM packed GROUP BY 1, 2
+    )
+    SELECT CAST(LEAST((toks * 10) // 500, 10) AS INT) AS fill_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens
+    FROM batches GROUP BY 1
+    """,
+    ("LLM-curation",),
+)
+def curation_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-efficiency report over the token-budget batch plan
+    (textstats.batch_by_token_budget + one rollup): per fill-decile
+    (batch tokens ÷ budget), how many batches/docs/tokens — the
+    padding-waste readout that says whether the band structure is
+    actually packing near the budget or leaving stragglers. One
+    (band, batch) aggregation over the planner's output, then a
+    ≤11-row histogram."""
+    from etl_script_spark.operators.textstats import (
+        batch_by_token_budget, token_count_ws,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        token_count_ws(F.col("text")).cast("long").alias("n_tok"),
+    )
+    plan = batch_by_token_budget(base, "id", "n_tok", budget=500)
+    batches = plan.groupBy("band", "batch_id").agg(
+        F.sum("n_tokens").alias("toks"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return batches.groupBy(
+        F.least(
+            F.expr("(toks * 10) DIV 500"), F.lit(10)
+        ).cast("int").alias("fill_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+    )

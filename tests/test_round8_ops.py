@@ -437,3 +437,37 @@ def test_curriculum_interleave_band_mix(spark):
     first10 = sorted(rows, key=lambda r: r["position"])[:10]
     mix = collections.Counter(r["band"] for r in first10)
     assert all(mix[b] == 2 for b in range(5))           # interleaved
+
+
+def test_symspell_distance1_only_and_ranked(spark):
+    from etl_script_spark.operators import search
+
+    vocab = spark.createDataFrame(
+        [("table", 50), ("value", 40), ("tale", 5), ("vale", 3),
+         ("spark", 99)],
+        "word string, cnt long",
+    )
+    qs = spark.createDataFrame(
+        [("tabel",), ("valu",), ("sparkk",), ("zzz",)], "q string"
+    )
+    got = {(r["q"], r["rank"]): r["suggestion"]
+           for r in search.symspell_suggest(vocab, qs).collect()}
+    # 'tabel' vs 'table' is levenshtein 2 (transposition) -> excluded
+    assert ("tabel", 1) not in got
+    assert got[("valu", 1)] == "value"       # freq 40 beats 'vale' 3
+    assert got[("valu", 2)] == "vale"
+    assert got[("sparkk", 1)] == "spark"     # insertion
+    assert not any(q == "zzz" for q, _ in got)
+
+
+def test_pack_efficiency_deciles_cover_plan(spark):
+    from etl_script_spark.operators.textstats import batch_by_token_budget
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 50) for i in range(200)], "id long, n long"
+    )
+    plan = batch_by_token_budget(df, "id", "n", budget=100)
+    total = plan.groupBy().sum("n_tokens").collect()[0][0]
+    batches = plan.groupBy("band", "batch_id").count().count()
+    assert total == sum(10 + (i * 7) % 50 for i in range(200))
+    assert batches >= total // 150  # every batch below budget+maxdoc
