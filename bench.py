@@ -174,6 +174,8 @@ EXTRA = [
     "curation_batch_budget",
     "curation_curriculum_interleave",
     "search_snippet_window",
+    "search_symspell_suggest",
+    "curation_pack_efficiency",
 ]
 
 # Entries whose plans are dominated by codegen'd lambda aggregates
