@@ -1532,12 +1532,15 @@ def kruskal_wallis(
             f" * (CAST(n AS {_D}) + 1)) AS BIGINT)"
         ).alias("h_ppm"),
         F.expr(
+            # NULLIF: a constant column makes the tie ratio 0/0 (all
+            # rows one value -> s3 = N^3 - N); the adjusted H is then
+            # undefined -> NULL, never a DIVIDE_BY_ZERO throw
             f"CAST( ( (12 * ssq_milli * 1000) DIV (CAST(n AS {_D})"
             f" * (CAST(n AS {_D}) + 1)) * 1000000000 )"
-            f" DIV ( ((CAST(n AS {_D})*CAST(n AS {_D})*CAST(n AS {_D})"
+            f" DIV NULLIF( ((CAST(n AS {_D})*CAST(n AS {_D})*CAST(n AS {_D})"
             f" - CAST(n AS {_D}) - s3) * 1000000000)"
             f" DIV (CAST(n AS {_D})*CAST(n AS {_D})*CAST(n AS {_D})"
-            f" - CAST(n AS {_D})) ) AS BIGINT)"
+            f" - CAST(n AS {_D})), 0 ) AS BIGINT)"
         ).alias("h_tie_adj_ppm"),
     )
 
@@ -1811,9 +1814,11 @@ def brown_forsythe(
         F.col("n").cast("long").alias("n_total"),
         "n_groups",
         F.expr(
+            # NULLIF: SSW = 0 (every z equals its group mean — e.g. a
+            # constant column) leaves F undefined -> NULL, not a throw
             "CAST( ( (a_micro - __sn)"
             " * (n - n_groups) * 1000 )"
-            " DIV ( (q * 1000000 - a_micro) * (n_groups - 1) )"
+            " DIV NULLIF( (q * 1000000 - a_micro) * (n_groups - 1), 0 )"
             " AS BIGINT)"
         ).alias("f_milli"),
     )

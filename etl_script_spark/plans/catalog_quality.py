@@ -1854,8 +1854,9 @@ def inc_fingerprint_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // (CAST(n AS HUGEINT) * (n + 1)) AS BIGINT) AS h_ppm,
            CAST(((12 * ssq_milli * 1000)
                   // (CAST(n AS HUGEINT) * (n + 1)) * 1000000000)
-                // (((CAST(n AS HUGEINT) * n * n - n - s3) * 1000000000)
-                     // (CAST(n AS HUGEINT) * n * n - n))
+                // NULLIF(((CAST(n AS HUGEINT) * n * n - n - s3)
+                            * 1000000000)
+                          // (CAST(n AS HUGEINT) * n * n - n), 0)
                 AS BIGINT) AS h_tie_adj_ppm
     FROM fold
     """,
@@ -2082,7 +2083,7 @@ def stat_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_groups AS BIGINT) AS n_groups,
            CAST(((a_micro - (s * s * 1000000) // n)
                   * (n - n_groups) * 1000)
-                // ((q * 1000000 - a_micro) * (n_groups - 1))
+                // NULLIF((q * 1000000 - a_micro) * (n_groups - 1), 0)
                 AS BIGINT) AS f_milli
     FROM fold
     """,

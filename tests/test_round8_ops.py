@@ -471,3 +471,17 @@ def test_pack_efficiency_deciles_cover_plan(spark):
     batches = plan.groupBy("band", "batch_id").count().count()
     assert total == sum(10 + (i * 7) % 50 for i in range(200))
     assert batches >= total // 150  # every batch below budget+maxdoc
+
+
+def test_kw_bf_degenerate_constant_column_nulls(spark):
+    # a constant column leaves both statistics undefined: NULL, never
+    # a DIVIDE_BY_ZERO throw (ANSI mode)
+    from etl_script_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5), ("b", 5)], "g string, v long"
+    )
+    kw = stats.kruskal_wallis(df, "g", "v").collect()[0]
+    assert kw["h_ppm"] == 0 and kw["h_tie_adj_ppm"] is None
+    bf = stats.brown_forsythe(df, "g", "v").collect()[0]
+    assert bf["f_milli"] is None
