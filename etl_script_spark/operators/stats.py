@@ -995,11 +995,46 @@ def partial_corr_ppb(
     )
 
 
+def _guard_group_size(
+    df: DataFrame, group_col: str, max_rows: int, op_name: str
+) -> DataFrame:
+    """Distributed guard for the Θ(n²)-per-group operators: raise at
+    EXECUTION time if any group exceeds ``max_rows`` instead of
+    silently going quadratic (validate-don't-default, the
+    maintain_fingerprint convention). One unordered window count on
+    the group key — the same hash partitioning the self-join needs
+    anyway, so the guard adds no extra shuffle stage class."""
+    w = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__gn", F.count(F.lit(1)).over(w))
+        .filter(
+            F.when(F.col("__gn") <= max_rows, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"{op_name}: group "),
+                        F.col(group_col).cast("string"),
+                        F.lit(" has "),
+                        F.col("__gn").cast("string"),
+                        F.lit(
+                            f" rows, over max_group_rows={max_rows};"
+                            " this statistic is Θ(n²) per group"
+                            " — pre-aggregate, or raise the bound"
+                            " explicitly to accept the quadratic cost"
+                        ),
+                    )
+                ).cast("boolean")
+            )
+        )
+        .drop("__gn")
+    )
+
+
 def theil_sen_groups(
     df: DataFrame,
     group_col: str,
     x_col: str,
     y_col: str,
+    max_group_rows: int | None = 10000,
 ) -> DataFrame:
     """Per-group Theil–Sen estimator: the MEDIAN of all pairwise
     slopes ``(y_j − y_i)/(x_j − x_i)`` over ``x_i < x_j`` — the robust
@@ -1018,7 +1053,10 @@ def theil_sen_groups(
     pair is the statistic); use it on bounded groups (panels, SKUs,
     per-entity series — the classic guidance ≤ a few 10³ rows/group).
     The join and the median window both key on the group, so groups
-    distribute; one group's cost is its own n².
+    distribute; one group's cost is its own n². The contract is
+    ENFORCED: any group over ``max_group_rows`` raises at execution
+    time (pass ``None`` to explicitly accept unbounded quadratic
+    cost), like maintain_fingerprint's op-code validation.
 
     Returns (group, n_pairs, slope_micro).
     """
@@ -1029,6 +1067,12 @@ def theil_sen_groups(
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    if max_group_rows is not None:
+        if max_group_rows < 2:
+            raise ValueError(
+                f"max_group_rows must be >= 2, got {max_group_rows}"
+            )
+        b = _guard_group_size(b, "g", max_group_rows, "theil_sen_groups")
     pairs = (
         b.alias("i")
         .join(b.alias("j"), F.col("i.g") == F.col("j.g"))
@@ -1550,6 +1594,7 @@ def kendall_tau_groups(
     group_col: str,
     x_col: str,
     y_col: str,
+    max_group_rows: int | None = 10000,
 ) -> DataFrame:
     """Per-group Kendall's τ-b rank correlation — the concordance
     statistic (do x and y ORDER the rows the same way?) with the
@@ -1568,7 +1613,9 @@ def kendall_tau_groups(
     posture as theil_sen_groups): use on bounded groups (panels,
     entities, cohorts ≤ a few 10³ rows). The join, the tie counts,
     and the fold all key on the group, so groups distribute and one
-    group's cost is its own n².
+    group's cost is its own n². The contract is ENFORCED: any group
+    over ``max_group_rows`` raises at execution time (pass ``None``
+    to explicitly accept unbounded quadratic cost).
 
     Returns (group, n, concordant, discordant, tau_b_milli).
     """
@@ -1577,6 +1624,12 @@ def kendall_tau_groups(
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    if max_group_rows is not None:
+        if max_group_rows < 2:
+            raise ValueError(
+                f"max_group_rows must be >= 2, got {max_group_rows}"
+            )
+        b = _guard_group_size(b, "g", max_group_rows, "kendall_tau_groups")
     # stable within-group pair id so each unordered pair counts once:
     # row_number over (x, y) — deterministic even with full-row ties
     w = Window.partitionBy("g").orderBy("x", "y")
@@ -1587,12 +1640,15 @@ def kendall_tau_groups(
         .filter(F.col("i.__i") < F.col("j.__i"))
         .select(
             F.col("i.g").alias("g"),
-            F.signum(
-                (F.col("j.x") - F.col("i.x")).cast("double")
-            ).cast("long").alias("sx"),
-            F.signum(
-                (F.col("j.y") - F.col("i.y")).cast("double")
-            ).cast("long").alias("sy"),
+            # sign by DIRECT comparison, never subtraction: the long
+            # difference wraps silently at int64 extremes (ANSI off)
+            # and would flip concordant/discordant classification
+            F.when(F.col("j.x") > F.col("i.x"), F.lit(1))
+            .when(F.col("j.x") < F.col("i.x"), F.lit(-1))
+            .otherwise(F.lit(0)).cast("long").alias("sx"),
+            F.when(F.col("j.y") > F.col("i.y"), F.lit(1))
+            .when(F.col("j.y") < F.col("i.y"), F.lit(-1))
+            .otherwise(F.lit(0)).cast("long").alias("sy"),
         )
     )
     cd = pairs.groupBy("g").agg(

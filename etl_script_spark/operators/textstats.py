@@ -33,6 +33,15 @@ def token_count_ws(c: Column) -> Column:
     return F.size(words(c))
 
 
+def token_count_ws_nonempty(c: Column) -> Column:
+    """Whitespace token count excluding empty tokens: 0 for an
+    empty/whitespace-only document (``split('', ' ')`` is ``['']``,
+    so the plain ``token_count_ws`` yields 1 there). Use this form
+    when a downstream ``n_tokens > 0`` filter must agree bit-exact
+    with an oracle that counts non-empty tokens."""
+    return F.size(F.filter(words(c), lambda w: w != ""))
+
+
 def token_count_bpe_ish(c: Column) -> Column:
     """BPE-ish subword proxy: count of word pieces after splitting on
     non-alphanumerics plus per-4-chars continuation pieces — a
@@ -1861,52 +1870,70 @@ def char_entropy(df, text_col: str, id_col: str) -> "DataFrame":
     H = log2(n) − (Σ_c cnt_c·log2(cnt_c))/n over the char histogram —
     the per-term log2 is the ONE float boundary, quantized to micro
     immediately (round(log2(c)·1e6), the repo's ln()/ratio policy);
-    everything around it is exact integer/DECIMAL arithmetic with DIV,
-    so engines agree bit-for-bit. Empty docs report 0.
+    everything around it is exact integer arithmetic with DIV, so
+    engines agree bit-for-bit. Empty docs report 0.
 
-    Shape: explode to (doc, char) — corpus-linear, same fan-out class
-    as every tokenizing op — one histogram aggregation, one per-doc
-    fold. No windows, no joins beyond the id spine for empty docs.
+    Shape: ENTIRELY per-row — entropy is a pure function of one
+    document, so the char histogram comes from array_sort +
+    run-length over run-head positions (the token_dropout idiom),
+    never an exploded (doc, char) corpus shuffle (the previous form
+    shuffled 4e9 rows at 10 M docs). ``fan_out`` spreads the
+    CPU-bound narrow stage when the scan arrives under-partitioned.
+
+    Bounds (documented, not reachable by text): per-doc chars must
+    fit INT (< 2.1e9, the sequence() index type) and
+    n·round(log2(n)·1e6) must fit int64 — docs to ~1.4e11 chars.
 
     Returns (id, n_chars, entropy_mbits).
     """
-    ids = df.select(F.col(id_col).alias("id"))
-    hist = (
+    from etl_script_spark.operators.partitioning import fan_out
+
+    b = fan_out(
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(F.split(F.col(text_col), "")).alias("ch"),
+            F.col(text_col).cast("string").alias("__t"),
         )
-        .filter(F.col("ch") != "")
-        .groupBy("id", "ch")
-        .agg(F.count(F.lit(1)).alias("c"))
     )
-    per = hist.groupBy("id").agg(
-        F.sum("c").cast("long").alias("n"),
-        F.sum(
-            F.col("c").cast("decimal(38,0)")
-            * F.round(F.log2(F.col("c").cast("double")) * 1e6).cast(
-                "decimal(38,0)"
+    # sorted chars put equal chars adjacent; run heads are positions
+    # where the char differs from its predecessor, run lengths are
+    # head-to-next-head gaps — the per-row histogram without a shuffle
+    sorted_chars = "array_sort(filter(split(__t, ''), c -> c != ''))"
+    heads = (
+        "filter(sequence(1, size(__s)),"
+        " i -> i = 1 OR element_at(__s, i) != element_at(__s, i - 1))"
+    )
+    counts = (
+        "zip_with("
+        "concat(slice(__hd, 2, size(__hd) - 1), array(size(__s) + 1)),"
+        " __hd, (nxt, cur) -> CAST(nxt - cur AS BIGINT))"
+    )
+    t_micro = (
+        "aggregate(__cnt, CAST(0 AS BIGINT), (acc, c) -> acc"
+        " + c * CAST(round(log2(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))"
+    )
+    return (
+        b.withColumn("__s", F.expr(sorted_chars))
+        .withColumn("__n", F.size("__s").cast("long"))
+        .withColumn(
+            "__hd",
+            F.expr(
+                f"CASE WHEN size(__s) = 0 THEN array() ELSE {heads} END"
+            ),
+        )
+        .withColumn("__cnt", F.expr(counts))
+        .withColumn("__t_micro", F.expr(t_micro))
+        .select(
+            "id",
+            F.col("__n").alias("n_chars"),
+            F.when(F.col("__n") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "(CAST(round(log2(CAST(__n AS DOUBLE)) * 1000000)"
+                    " AS BIGINT) - __t_micro DIV __n) DIV 1000"
+                )
             )
-        ).alias("t_micro"),
-    )
-    out = per.select(
-        "id",
-        F.col("n").alias("n_chars"),
-        (
-            F.round(F.log2(F.col("n").cast("double")) * 1e6).cast(
-                "decimal(38,0)"
-            )
-            - F.expr("t_micro DIV CAST(n AS DECIMAL(38,0))")
-        ).cast("long").alias("__h_micro"),
-    ).select(
-        "id",
-        "n_chars",
-        F.expr("CAST(__h_micro DIV 1000 AS BIGINT)").alias("entropy_mbits"),
-    )
-    return ids.join(out, "id", "left").select(
-        "id",
-        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
-        F.coalesce("entropy_mbits", F.lit(0)).alias("entropy_mbits"),
+            .alias("entropy_mbits"),
+        )
     )
 
 
@@ -2102,8 +2129,13 @@ def batch_by_token_budget(
         F.col(id_col).alias("id"),
         F.col(token_col).cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens").isNotNull() & (F.col("n_tokens") > 0))
+    # Exact integer floor(log2): bit length via base-2 digit count.
+    # Spark evaluates log2 as log(x)/log(2) (DuckDB uses native
+    # log2), and near 2^48 the two float paths floor to DIFFERENT
+    # bands (2^48-1 -> 48 on Spark, 47 exact) — so the band is
+    # computed in integer space on both engines.
     band = F.expr(
-        "CAST(floor(log2(CAST(n_tokens AS DOUBLE))) AS INT)"
+        "CAST(length(conv(CAST(n_tokens AS STRING), 10, 2)) - 1 AS INT)"
     )
     h = F.md5(F.concat(F.lit(seed), F.col("id").cast("string")))
     staged = (

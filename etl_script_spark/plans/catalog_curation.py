@@ -2958,7 +2958,7 @@ def augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     banded AS (
       SELECT id, n_tokens,
-             CAST(floor(log2(CAST(n_tokens AS DOUBLE))) AS INT) AS band
+             CAST(length(to_base(n_tokens, 2)) - 1 AS INT) AS band
       FROM base WHERE n_tokens > 0
     ),
     packed AS (
@@ -2984,11 +2984,11 @@ def curation_batch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut at running-sum budget boundaries. One window per band, no
     global sort; bands distribute independently."""
     d = t(spark, sf_dir, "documents")
-    from etl_script_spark.operators.textstats import token_count_ws
+    from etl_script_spark.operators.textstats import token_count_ws_nonempty
 
     base = d.select(
         F.col("doc_id").alias("id"),
-        token_count_ws(F.col("text")).cast("long").alias("n_tok"),
+        token_count_ws_nonempty(F.col("text")).cast("long").alias("n_tok"),
     )
     return textstats.batch_by_token_budget(base, "id", "n_tok", budget=500)
 

@@ -2473,7 +2473,7 @@ def search_symspell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     banded AS (
       SELECT id, n_tokens,
-             CAST(floor(log2(CAST(n_tokens AS DOUBLE))) AS INT) AS band
+             CAST(length(to_base(n_tokens, 2)) - 1 AS INT) AS band
       FROM base WHERE n_tokens > 0
     ),
     packed AS (
@@ -2508,13 +2508,13 @@ def curation_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, batch) aggregation over the planner's output, then a
     ≤11-row histogram."""
     from etl_script_spark.operators.textstats import (
-        batch_by_token_budget, token_count_ws,
+        batch_by_token_budget, token_count_ws_nonempty,
     )
 
     d = t(spark, sf_dir, "documents")
     base = d.select(
         F.col("doc_id").alias("id"),
-        token_count_ws(F.col("text")).cast("long").alias("n_tok"),
+        token_count_ws_nonempty(F.col("text")).cast("long").alias("n_tok"),
     )
     plan = batch_by_token_budget(base, "id", "n_tok", budget=500)
     batches = plan.groupBy("band", "batch_id").agg(

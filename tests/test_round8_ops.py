@@ -154,7 +154,13 @@ def test_maintain_fingerprint_rejects_unknown_op(spark):
                 "g", ["v"]).collect()}
     assert out == full
     bad = spark.createDataFrame([("g", 3, "U")], "g string, v long, op string")
-    with pytest.raises((Py4JJavaError, PySparkException, Exception)):
+    # pin the MESSAGE too: a bare exception class would be satisfied
+    # by any failure (e.g. an AnalysisException from a column rename)
+    # and the op-code validation could silently stop being exercised
+    with pytest.raises(
+        (Py4JJavaError, PySparkException),
+        match="op must be 'I' or 'D'",
+    ):
         governance.maintain_fingerprint(base, bad, "g", ["v"]).collect()
 
 
