@@ -208,7 +208,86 @@ DEEP_ISOLATED = [
     "ann_ivfpq_topk",
     "st_stream_quota_gate",
     "sim_tfidf_cosine_pairs",
+    # round 9: never-isolated 13.8 s manifest wall (VERDICT r8 ask)
+    "stat_partial_corr",
 ]
+
+
+# --- per-pass host-load instrumentation (round 9) --------------------
+# The r8 isolated tier contradicted STRESS.md quiet-host numbers by
+# 2.5-24x with no load evidence attached. Every timed pass now records
+# the JVM's actual CPU seconds (from /proc/<jvm>/stat) next to wall:
+# a contended host shows wall >> jvm_cpu/32 with jvm_cpu stable across
+# rounds; a real regression shows jvm_cpu itself growing. Host steal
+# time (hypervisor neighbors on a shared VM) and loadavg complete the
+# picture.
+
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def _jvm_pid() -> int | None:
+    """The py4j-launched JVM: the direct java child of this process."""
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                content = f.read()
+            comm = content[content.index("(") + 1 : content.rindex(")")]
+            rest = content[content.rindex(")") + 2 :].split()
+            if comm == "java" and int(rest[1]) == me:
+                return int(pid)
+        except (OSError, ValueError):
+            continue
+    return None
+
+
+def _pid_cpu_sec(pid: int | None) -> float | None:
+    """utime+stime of one process (its threads included) in seconds."""
+    if pid is None:
+        return None
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            content = f.read()
+        rest = content[content.rindex(")") + 2 :].split()
+        return (int(rest[11]) + int(rest[12])) / _CLK
+    except (OSError, ValueError):
+        return None
+
+
+def _host_cpu_sec() -> tuple[float, float]:
+    """(busy, steal) seconds summed over all cpus since boot."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    # user nice system idle iowait irq softirq steal
+    busy = vals[0] + vals[1] + vals[2] + (vals[5] if len(vals) > 5 else 0) \
+        + (vals[6] if len(vals) > 6 else 0)
+    steal = vals[7] if len(vals) > 7 else 0
+    return busy / _CLK, steal / _CLK
+
+
+def _loadavg1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _timed_pass(run, jvm_pid: int | None) -> dict:
+    """One timed execution with load evidence attached."""
+    c0 = _pid_cpu_sec(jvm_pid)
+    b0, s0 = _host_cpu_sec()
+    t0 = time.perf_counter()
+    run()
+    wall = time.perf_counter() - t0
+    b1, s1 = _host_cpu_sec()
+    c1 = _pid_cpu_sec(jvm_pid)
+    return {
+        "wall": round(wall, 4),
+        "jvm_cpu": round(c1 - c0, 2) if c0 is not None else None,
+        "host_busy_cpu": round(b1 - b0, 2),
+        "host_steal_cpu": round(s1 - s0, 2),
+        "loadavg1": _loadavg1(),
+    }
 
 
 def _release(spark) -> None:
@@ -258,16 +337,24 @@ def main() -> None:
     # at the r6 numbers). The min over three warmed passes is the
     # steady-state number a warmed cluster actually delivers.
     timings: dict[str, float] = {}
+    headline_passes: dict[str, list[dict]] = {}
+    jvm = _jvm_pid()
     for name in HEADLINE:
         if name not in CATALOG:
             continue
         q = CATALOG[name]
-        best = float("inf")
-        for _ in range(3):
-            start = time.perf_counter()
-            q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 4)
+        passes = [
+            _timed_pass(
+                lambda: q.spark(spark, sf_dir)
+                .write.mode("overwrite")
+                .format("noop")
+                .save(),
+                jvm,
+            )
+            for _ in range(3)
+        ]
+        headline_passes[name] = passes
+        timings[name] = round(min(p["wall"] for p in passes), 4)
     spark.stop()
 
     # --- session 2: breadth sample + full manifest -------------------
@@ -326,25 +413,31 @@ def main() -> None:
 
     # --- session 3: isolated steady-state tier for the top walls ----
     spark = get_spark(app_name="etl-script-spark-bench-isolated")
+    jvm = _jvm_pid()
     isolated: dict[str, float] = {}
+    isolated_passes: dict[str, list[dict]] = {}
     for name in DEEP_ISOLATED:
         if name not in CATALOG:
             continue
         q = CATALOG[name]
-        try:
-            _release(spark)
+
+        def _run(q=q):
             q.spark(spark, sf_dir).write.mode("overwrite").format(
                 "noop"
-            ).save()  # warm
-            best = float("inf")
+            ).save()
+
+        try:
+            _release(spark)
+            warm = _timed_pass(_run, jvm)
+            warm["warmup"] = True
+            passes = [warm]
             for _ in range(2):
                 _release(spark)
-                start = time.perf_counter()
-                q.spark(spark, sf_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                best = min(best, time.perf_counter() - start)
-            isolated[name] = round(best, 4)
+                passes.append(_timed_pass(_run, jvm))
+            isolated_passes[name] = passes
+            isolated[name] = round(
+                min(p["wall"] for p in passes if not p.get("warmup")), 4
+            )
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
@@ -355,6 +448,19 @@ def main() -> None:
     full = {
         "manifest": manifest,
         "isolated_steady_state": isolated,
+        "isolated_passes": isolated_passes,
+        "headline_passes": headline_passes,
+        "load_semantics": (
+            "Every headline/isolated pass records wall seconds next to "
+            "the JVM's actual CPU seconds (/proc/<jvm>/stat utime+stime "
+            "across all executor threads), whole-host busy and STEAL "
+            "CPU seconds (/proc/stat; steal = hypervisor neighbors on "
+            "this shared VM), and loadavg at pass end. Read it as: "
+            "jvm_cpu stable across rounds but wall inflated (or steal "
+            "high) = host contention, not a regression; jvm_cpu itself "
+            "grown = a real plan/code regression. host_busy_cpu minus "
+            "jvm_cpu approximates co-tenant load inside the VM."
+        ),
         "isolated_semantics": (
             "DEEP_ISOLATED entries re-measured in a dedicated fresh "
             "session at the end: warm-up pass + min-of-2, caches "
@@ -397,6 +503,7 @@ def main() -> None:
     # final line compact — headline queries only. extra_queries live in
     # BENCH_MANIFEST.json (round 5's line with them inline was >3 KB and
     # the head, including "value", fell outside the capture window).
+    hp = [p for ps in headline_passes.values() for p in ps]
     out = {
         "metric": "headline_queries_wall_clock",
         "value": total,
@@ -404,6 +511,16 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "protocol": "headline_isolated_session_min_of_3",
+        # contention-vs-regression evidence for the headline, summed
+        # over all timed passes (per-pass detail in BENCH_MANIFEST)
+        "host": {
+            "jvm_cpu_sec": round(
+                sum(p["jvm_cpu"] or 0 for p in hp), 1
+            ),
+            "wall_sec": round(sum(p["wall"] for p in hp), 1),
+            "steal_sec": round(sum(p["host_steal_cpu"] for p in hp), 1),
+            "loadavg_max": max((p["loadavg1"] for p in hp), default=0.0),
+        },
     }
     line = json.dumps(out)
     assert len(line) < 1500, f"bench stdout line too long ({len(line)} chars)"
