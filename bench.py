@@ -176,6 +176,19 @@ EXTRA = [
     "search_snippet_window",
     "search_symspell_suggest",
     "curation_pack_efficiency",
+    # round 9: effect-size/paired-binary stats, link prediction,
+    # smoothing, corpus diagnostics, layout audit
+    "stat_levene_mean",
+    "stat_mcnemar",
+    "stat_cochran_q",
+    "stat_friedman",
+    "stat_cohens_d",
+    "graph_adamic_adar",
+    "ts_holt_linear",
+    "corpus_burstiness",
+    "text_oov_rate",
+    "layout_file_skipping",
+    "dq_referential_integrity",
 ]
 
 # Entries whose plans are dominated by codegen'd lambda aggregates

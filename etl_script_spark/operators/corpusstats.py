@@ -295,3 +295,67 @@ def heaps_curve(
         .agg(F.count(F.lit(1)).alias("vocab"))
         .orderBy("prefix_docs")
     )
+
+
+def burstiness_fano(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Token burstiness by the Fano factor (variance-to-mean ratio of
+    a token's per-document counts, over the documents that contain
+    it; Church & Gale 1995): content words clump (F ≫ 1 — a doc that
+    mentions them mentions them repeatedly) while function words
+    scatter Poisson-like (F ≈ 1). The corpus-curation signal for
+    keyword extraction and stop-list induction that raw frequency
+    (tok_vocab_counts) can't give.
+
+    With integer per-doc counts c over n containing docs, S = Σc,
+    Q = Σc²:  F = ((n·Q − S²)) / (n·S) — exact integers end to end,
+    reported in ppm via one DIV (operands non-negative by
+    Cauchy-Schwarz). Tokens in fewer than ``min_docs`` docs are
+    noise-filtered; top-k by (fano desc, token asc) via TakeOrdered.
+
+    Shape: one exploded (doc, token) aggregation (fan_out before the
+    explode — the scan-stage amplification rule), one per-token fold,
+    one bounded top-k. No windows, no joins.
+
+    Returns (token, n_docs, total, fano_ppm).
+    """
+    from etl_script_spark.operators.partitioning import fan_out
+    from etl_script_spark.operators.textstats import words
+
+    b = fan_out(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).cast("string").alias("__t"),
+        )
+    )
+    per_doc = (
+        b.select(
+            "id", F.explode(words(F.col("__t"))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_tok = per_doc.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.expr("c * c")).cast("long").alias("q"),
+    ).filter(F.col("n_docs") >= min_docs)
+    scored = per_tok.select(
+        F.col("tok").alias("token"),
+        "n_docs",
+        F.col("s").alias("total"),
+        F.expr(
+            "CAST(((CAST(n_docs AS DECIMAL(38,0)) * q - CAST(s AS"
+            " DECIMAL(38,0)) * s) * 1000000)"
+            " DIV (CAST(n_docs AS DECIMAL(38,0)) * s) AS BIGINT)"
+        ).alias("fano_ppm"),
+    )
+    return scored.orderBy(
+        F.col("fano_ppm").desc(), F.col("token").asc()
+    ).limit(k)

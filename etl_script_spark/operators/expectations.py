@@ -176,3 +176,60 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "__n AS n_rows",
         f"stack({len(cols)}, {stacked}) AS (column_name, n_null, n_distinct)",
     ).select("column_name", "n_rows", "n_null", "n_distinct")
+
+
+def referential_integrity_report(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Orphan audit across a star schema's foreign keys: for each
+    (name, fact, fk_col, dim, key_col) relation, how many fact rows
+    reference a missing dimension row — the data-quality contract
+    check run before every publish (an orphan fact silently drops
+    from every inner join downstream).
+
+    Counts fold per relation from ONE left join of the dim's distinct
+    key (broadcast — a key set is bounded relative to the fact):
+    n_rows, n_nulls (fk NULL — excused, reported separately),
+    n_orphans (non-null fk with no dim row), orphan_ppm over the
+    non-null rows. The per-relation frames union into one report.
+
+    Returns (relation, n_rows, n_nulls, n_orphans, orphan_ppm).
+    """
+    outs = []
+    for name, fact, fk, dim, key in relations:
+        keys = (
+            dim.select(F.col(key).alias("__k"))
+            .distinct()
+            .withColumn("__in", F.lit(1))
+        )
+        marked = fact.select(F.col(fk).alias("__k")).join(
+            F.broadcast(keys), "__k", "left"
+        )
+        outs.append(
+            marked.agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("__k").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_nulls"),
+                F.sum(
+                    F.when(
+                        F.col("__k").isNotNull() & F.col("__in").isNull(),
+                        1,
+                    ).otherwise(0)
+                ).cast("long").alias("n_orphans"),
+            ).select(
+                "relation",
+                "n_rows",
+                "n_nulls",
+                "n_orphans",
+                F.expr(
+                    "CAST((n_orphans * 1000000)"
+                    " DIV NULLIF(n_rows - n_nulls, 0) AS BIGINT)"
+                ).alias("orphan_ppm"),
+            )
+        )
+    report = outs[0]
+    for o in outs[1:]:
+        report = report.unionByName(o)
+    return report.orderBy("relation")

@@ -407,6 +407,89 @@ def label_propagation(
     return labels
 
 
+def _wedge_centers(edges, src_col, dst_col, deg_cap):
+    """Shared wedge-enumeration prelude for the link-prediction
+    scores: undirected/deduped edge set, vertex degrees, and the
+    center-keyed half-wedges (n→x with deg(n)) with hub centers above
+    ``deg_cap`` excluded — join volume Σ_n deg(n)² bounded by
+    deg_cap·|E|. Returns (und, deg, centers)."""
+    fwd = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    )
+    und = (
+        fwd.unionByName(
+            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    centers = und.join(
+        deg.filter(F.col("d") <= deg_cap), und["a"] == F.col("v")
+    ).select(
+        F.col("a").alias("n"), F.col("b").alias("x"),
+        F.col("d").alias("dn"),
+    )
+    return und, deg, centers
+
+
+def adamic_adar_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    deg_cap: int = 1000,
+    k: int = 100,
+) -> DataFrame:
+    """Link prediction by the Adamic-Adar index (Adamic & Adar 2003):
+    for non-adjacent pairs sharing neighbors, AA = Σ over common
+    neighbors n of 1/ln(deg(n)) — the log-damped cousin of the
+    resource-allocation score in common_neighbor_scores, standard in
+    entity-resolution and recommend-missing-edge pipelines.
+
+    Every common neighbor has degree ≥ 2 by construction (it touches
+    both endpoints), so ln(deg) ≥ ln 2 > 0. The per-wedge term is
+    1e12 DIV round(ln(deg)·1e6) — ln is the one float boundary,
+    micro-quantized immediately (the repo's ln() policy), the
+    division exact integer — summed to aa_micro (units of 1e-6).
+
+    Same scale posture as common_neighbor_scores: wedges enumerate
+    through capped centers (Σ deg² ≤ deg_cap·|E|), existing edges
+    anti-joined out, top-k via TakeOrdered — never a global sort.
+
+    Returns (x, y, common, aa_micro).
+    """
+    und, deg, centers = _wedge_centers(edges, src_col, dst_col, deg_cap)
+    wedges = (
+        centers.alias("l")
+        .join(
+            centers.select(
+                F.col("n").alias("n2"), F.col("x").alias("y")
+            ),
+            (F.col("n") == F.col("n2")) & (F.col("x") < F.col("y")),
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum(
+                F.expr(
+                    "1000000000000 DIV CAST(round(ln(CAST(dn AS DOUBLE))"
+                    " * 1000000) AS BIGINT)"
+                )
+            ).cast("long").alias("aa_micro"),
+        )
+    )
+    scored = wedges.join(
+        und,
+        (wedges["x"] == und["a"]) & (wedges["y"] == und["b"]),
+        "left_anti",
+    ).select("x", "y", "common", "aa_micro")
+    return scored.orderBy(
+        F.col("aa_micro").desc(), "x", "y"
+    ).limit(k)
+
+
 def common_neighbor_scores(
     edges: DataFrame,
     src_col: str = "src",
@@ -438,25 +521,7 @@ def common_neighbor_scores(
 
     Returns (x, y, common, jaccard_ppm, ra_ppm).
     """
-    fwd = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    )
-    und = (
-        fwd.unionByName(
-            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = und.groupBy(F.col("a").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
-    )
-    centers = und.join(
-        deg.filter(F.col("d") <= deg_cap), und["a"] == F.col("v")
-    ).select(
-        F.col("a").alias("n"), F.col("b").alias("x"),
-        F.col("d").alias("dn"),
-    )
+    und, deg, centers = _wedge_centers(edges, src_col, dst_col, deg_cap)
     wedges = (
         centers.alias("l")
         .join(

@@ -1849,6 +1849,16 @@ def brown_forsythe(
         "c",
         F.abs(F.col("v") - F.col("med")).cast(_D).alias("z"),
     )
+    return _anova_f_on_z(z)
+
+
+def _anova_f_on_z(z: DataFrame) -> DataFrame:
+    """One-way ANOVA F over a (g, c, z) deviation histogram — the
+    shared fold behind the Levene-family variance tests
+    (brown_forsythe = median centers, levene_center_mean = floor-mean
+    centers). z must be a non-negative DECIMAL(38,0); c is the
+    multiplicity of that (group, deviation) cell. Returns one row
+    (n_total, n_groups, f_milli)."""
     per_g = z.groupBy("g").agg(
         F.sum("c").cast(_D).alias("n_g"),
         F.sum(F.col("c") * F.col("z")).cast(_D).alias("sz"),
@@ -1877,4 +1887,395 @@ def brown_forsythe(
             " DIV NULLIF( (q * 1000000 - a_micro) * (n_groups - 1), 0 )"
             " AS BIGINT)"
         ).alias("f_milli"),
+    )
+
+
+def levene_center_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Levene's test of equal variances with MEAN centers (Levene
+    1960) — the classic sibling of brown_forsythe (median centers):
+    one-way ANOVA F on z = |x − x̄_g|, more powerful under near-normal
+    data, less robust under heavy tails (which is why both belong in
+    the battery).
+
+    The center is the FLOOR mean — an exact integer, tdiv(Σx, n_g)
+    with the abs/negate truncation convention so Spark DIV and
+    DuckDB // agree on negative sums. For cents/micro-scaled inputs
+    the center sits within one least-significant unit of the true
+    mean, and BOTH engines quantize identically, which is the
+    contract that matters; the deviation magnitudes then reuse the
+    exact Brown-Forsythe fold unchanged (same DECIMAL budgets: z is
+    in the input's own unit).
+
+    Scale shape: one (group, value) histogram aggregation, one
+    bounded per-group mean table broadcast back, one fold — two
+    map-side-combinable passes, no windows over the fact.
+
+    Returns one row (n_total, n_groups, f_milli).
+    """
+    gv = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .filter(F.col("v").isNotNull() & F.col("g").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    means = gv.groupBy("g").agg(
+        F.expr(
+            # floor-mean with truncation toward zero on both engines
+            f"CASE WHEN SUM(CAST(c AS {_D}) * v) < 0"
+            f" THEN -((-SUM(CAST(c AS {_D}) * v)) DIV SUM(CAST(c AS {_D})))"
+            f" ELSE SUM(CAST(c AS {_D}) * v) DIV SUM(CAST(c AS {_D})) END"
+        ).alias("ctr")
+    )
+    z = gv.join(F.broadcast(means), "g").select(
+        "g",
+        "c",
+        F.abs(F.col("v").cast(_D) - F.col("ctr")).cast(_D).alias("z"),
+    )
+    return _anova_f_on_z(z)
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_col,
+    b_col,
+) -> DataFrame:
+    """McNemar's test for paired binary outcomes (McNemar 1947): did
+    condition A flip relative to condition B more often in one
+    direction? Only the DISCORDANT cells matter:
+
+        χ² = (b − c)² / (b + c),
+
+    b = |A ∧ ¬B|, c = |¬A ∧ B|. The workhorse for before/after flags
+    on the same population (did the new quality gate pass documents
+    the old one failed?) where a plain chi-square of the 2×2 would
+    wrongly treat the pairs as independent samples.
+
+    Everything is exact integers; the single ratio reports in ppm via
+    DIV (both operands non-negative). NULL when b + c = 0 (no
+    discordant pairs — the statistic is undefined, not zero).
+
+    Returns one row (n, b_only, c_only, chi2_ppm).
+    """
+    flags = df.select(
+        F.when(F.col(a_col) if isinstance(a_col, str) else a_col, 1)
+        .otherwise(0)
+        .alias("a"),
+        F.when(F.col(b_col) if isinstance(b_col, str) else b_col, 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("b_only"),
+        F.sum(F.expr("CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("c_only"),
+    ).select(
+        "n",
+        "b_only",
+        "c_only",
+        F.expr(
+            f"CAST(((CAST(b_only AS {_D}) - c_only)"
+            f" * (CAST(b_only AS {_D}) - c_only) * 1000000)"
+            " DIV NULLIF(CAST(b_only AS DECIMAL(38,0)) + c_only, 0)"
+            " AS BIGINT)"
+        ).alias("chi2_ppm"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    success_col,
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) — k-treatment generalization of
+    McNemar for binary outcomes over matched blocks:
+
+        Q = (k−1) · (k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²),
+
+    C_j = column (treatment) success totals, R_i = row (block)
+    success totals. Detects whether ANY treatment's success rate
+    differs across the blocks — the gate before pairwise McNemars.
+
+    Blocks missing a treatment observation count that cell as 0 (the
+    operator densifies over the observed treatment set); duplicate
+    (block, treatment) observations OR-fold (success if any). All
+    integer arithmetic; the single ratio reports in ppm via DIV.
+    NULL when every block has all-equal rows (denominator 0).
+
+    Scale shape: one (block, treatment) aggregation, one per-block
+    fold, one per-treatment fold, then scalars — all map-side
+    combinable, no windows, no joins beyond a broadcast of the
+    treatment count.
+
+    Returns one row (n_blocks, k, q_ppm).
+    """
+    s = F.col(success_col) if isinstance(success_col, str) else success_col
+    cell = (
+        df.select(
+            F.col(block_col).alias("blk"),
+            F.col(treatment_col).alias("trt"),
+            F.when(s, 1).otherwise(0).alias("x"),
+        )
+        .groupBy("blk", "trt")
+        .agg(F.max("x").alias("x"))
+    )
+    k_tbl = cell.agg(
+        F.countDistinct("trt").cast("long").alias("k")
+    )
+    rows = cell.groupBy("blk").agg(F.sum("x").cast(_D).alias("r"))
+    row_fold = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("r").cast(_D).alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast(_D).alias("srr"),
+    )
+    cols = cell.groupBy("trt").agg(F.sum("x").cast(_D).alias("cj"))
+    col_fold = cols.agg(
+        F.sum(F.col("cj") * F.col("cj")).cast(_D).alias("scc")
+    )
+    return (
+        row_fold.crossJoin(F.broadcast(col_fold))
+        .crossJoin(F.broadcast(k_tbl))
+        .select(
+            "n_blocks",
+            "k",
+            F.expr(
+                f"CAST(((CAST(k AS {_D}) - 1)"
+                f" * (CAST(k AS {_D}) * scc - sr * sr) * 1000000)"
+                f" DIV NULLIF(CAST(k AS {_D}) * sr - srr, 0) AS BIGINT)"
+            ).alias("q_ppm"),
+        )
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test (Friedman 1937) — the nonparametric
+    repeated-measures ANOVA: within each block, rank the k treatment
+    values; a treatment consistently ranked high/low across blocks
+    drives
+
+        χ² = 12/(n·k·(k+1)) · ΣR_j² − 3·n·(k+1),
+
+    R_j = Σ over blocks of treatment j's within-block rank. Ties take
+    the AVERAGE rank, carried exactly as DOUBLED ranks (average of
+    consecutive integers is a half-integer, so 2·rank is always an
+    integer — the _doubled_midrank_sums convention): with R2_j = 2R_j,
+    χ²·1e6 = (12e6·ΣR2_j²) DIV (4nk(k+1)) − 3e6·n·(k+1), all exact
+    integers until the one DIV.
+
+    Requires every block to observe every treatment exactly once —
+    VALIDATED, not defaulted (a missing cell silently shifts every
+    rank in its block): blocks with an incomplete or duplicated
+    treatment set raise at execution time.
+
+    Scale shape: within-block midranks come from a window over the
+    (block) partition — blocks are the natural distribution key and
+    each holds exactly k rows, so no two-phase spread is needed.
+
+    Returns one row (n_blocks, k, chi2_ppm).
+    """
+    b = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(treatment_col).alias("trt"),
+        F.col(value_col).cast("long").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    k_tbl = b.agg(F.countDistinct("trt").cast("long").alias("k"))
+    checked = b.withColumn(
+        "__bn",
+        F.count(F.lit(1)).over(Window.partitionBy("blk")),
+    ).withColumn(
+        "__bd",
+        F.size(
+            F.collect_set("trt").over(Window.partitionBy("blk"))
+        ).cast("long"),
+    )
+    checked = checked.crossJoin(F.broadcast(k_tbl)).filter(
+        F.when(
+            (F.col("__bn") == F.col("k")) & (F.col("__bd") == F.col("k")),
+            F.lit(True),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("friedman_test: block "),
+                    F.col("blk").cast("string"),
+                    F.lit(" has "),
+                    F.col("__bn").cast("string"),
+                    F.lit(" rows / "),
+                    F.col("__bd").cast("string"),
+                    F.lit(" distinct treatments, expected exactly "),
+                    F.col("k").cast("string"),
+                    F.lit(" of each — incomplete blocks silently shift"
+                          " every rank; densify or filter first"),
+                )
+            ).cast("boolean")
+        )
+    )
+    # doubled midrank within the block: 2·avg rank of the tie run =
+    # (first + last) of the run's 1-based positions
+    w_blk = Window.partitionBy("blk").orderBy("v")
+    w_tie = Window.partitionBy("blk", "v")
+    ranked = checked.select(
+        "blk",
+        "trt",
+        "k",
+        (
+            F.min(F.row_number().over(w_blk)).over(w_tie)
+            + F.max(F.row_number().over(w_blk)).over(w_tie)
+        ).cast("long").alias("r2"),
+    )
+    per_trt = ranked.groupBy("trt").agg(
+        F.sum("r2").cast(_D).alias("r2j"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.max("k").alias("k"),
+    )
+    return per_trt.agg(
+        F.max("n_blocks").alias("n_blocks"),
+        F.max("k").alias("k"),
+        F.sum(F.expr("r2j * r2j")).cast(_D).alias("s"),
+    ).select(
+        "n_blocks",
+        "k",
+        F.expr(
+            f"CAST((12000000 * s) DIV (4 * CAST(n_blocks AS {_D}) * k"
+            f" * (k + 1)) - 3000000 * CAST(n_blocks AS {_D}) * (k + 1)"
+            " AS BIGINT)"
+        ).alias("chi2_ppm"),
+    )
+
+
+def cohens_d_groups(
+    df: DataFrame,
+    segment_col: str,
+    group_col,
+    value_col: str,
+) -> DataFrame:
+    """Per-segment Cohen's d — the standardized mean difference
+    between two groups (Cohen 1988), the effect-size companion the
+    repo's t-tests report significance without:
+
+        d = (x̄₁ − x̄₀) / s_pooled,
+        s_pooled² = ((n₁−1)s₁² + (n₀−1)s₀²) / (n₁+n₀−2).
+
+    From exact per-(segment, group) sufficient stats (n, Σx, Σx²):
+    (n−1)s² = Σx² − (Σx)²/n folds through the overflow-safe
+    _sq_scaled_div_cols ladder in micro units; the final ratio runs
+    magnitude-DIV-then-sign through the exact integer sqrt (the
+    welch_ttest ladder), reported in ppm (effect sizes live in
+    0.1–2.0, so ppm keeps 6 significant digits). NULL when either
+    group is empty/degenerate (pooled variance 0).
+
+    ``group_col`` may be a boolean column/expression (True = group 1).
+
+    Returns (segment, n1, n0, d_ppm).
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    b = df.select(
+        F.col(segment_col).alias("seg"),
+        F.when(g, 1).otherwise(0).alias("grp"),
+        F.col(value_col).cast("long").alias("x"),
+    ).filter(F.col("x").isNotNull())
+    per = b.groupBy("seg", "grp").agg(
+        F.count(F.lit(1)).cast(_D).alias("n"),
+        F.sum("x").cast(_D).alias("s"),
+        F.sum(F.expr(f"CAST(x AS {_D}) * x")).cast(_D).alias("q"),
+    )
+    # (s²·1e6) DIV n exactly, then ss_micro = q·1e6 − that (≥ 0 up to
+    # the DIV truncation; clamped at 0 like the welch ladder)
+    per = _sq_scaled_div_cols(
+        per.withColumn("__sabs", F.abs(F.col("s"))), "__sabs", "n",
+        1000000, "__sn",
+    )
+    per = per.select(
+        "seg",
+        "grp",
+        "n",
+        "s",
+        F.greatest(
+            F.expr("q * 1000000 - __sn"), F.lit(0).cast(_D)
+        ).alias("ss_micro"),
+    )
+    one = per.filter(F.col("grp") == 1).select(
+        "seg",
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("ss_micro").alias("ss1"),
+    )
+    zero = per.filter(F.col("grp") == 0).select(
+        "seg",
+        F.col("n").alias("n0"),
+        F.col("s").alias("s0"),
+        F.col("ss_micro").alias("ss0"),
+    )
+    j = one.join(zero, "seg")
+    # mean diff in micro: tdiv(s1·1e6, n1) − tdiv(s0·1e6, n0) with the
+    # abs/negate convention (sums may be negative)
+    tdiv = (
+        lambda a, d: f"(CASE WHEN {a} < 0 THEN -((-({a})) DIV {d})"
+        f" ELSE ({a}) DIV {d} END)"
+    )
+    j = j.withColumn(
+        "__dm",
+        F.expr(
+            f"{tdiv('s1 * 1000000', 'n1')} - {tdiv('s0 * 1000000', 'n0')}"
+        ).cast(_D),
+    ).withColumn(
+        # pooled variance in micro units: (ss1 + ss0) / (n1 + n0 − 2).
+        # The one-shot DIV's int64 quotient overflows right at fixture
+        # scale (segment A at sf0.001: 1.82e22/1960 = 9.31e18, past
+        # 9.22e18 — caught by the oracle sweep); two-level long
+        # division keeps every sub-quotient bounded, like
+        # _sq_scaled_div_cols. DuckDB // is 128-bit; the oracle keeps
+        # the one-shot form.
+        "__ss", F.expr("ss1 + ss0").cast(_D),
+    ).withColumn(
+        "__d2", F.expr("NULLIF(n1 + n0 - 2, 0)").cast(_D)
+    ).withColumn(
+        # split at 1e12: hi = ss/1e12 stays int64 for ss < 9.2e30
+        # (ss_micro = n·var·1e6 — ~1e26 even at 1e8 cents-scaled rows)
+        "__vhi", F.expr("(__ss DIV 1000000000000)")
+    ).withColumn(
+        "__vrem", F.expr(f"__ss - CAST(__vhi AS {_D}) * 1000000000000")
+    ).withColumn(
+        "__vq", F.expr("__vhi DIV __d2")
+    ).withColumn(
+        "__vr", F.expr(f"__vhi - CAST(__vq AS {_D}) * __d2")
+    ).withColumn(
+        "__vp",
+        F.expr(
+            f"CAST(__vq AS {_D}) * 1000000000000"
+            f" + CAST((__vr * 1000000000000 + __vrem) DIV __d2 AS {_D})"
+        ),
+    )
+    # d = dm_micro / sqrt(vp_micro · 1e6) → milli via the isqrt ladder
+    den = isqrt_column(F.expr("__vp * 1000000").cast(_D))
+    mag = F.expr("(abs(__dm) * 1000000) DIV __den")
+    return (
+        j.withColumn("__den", den)
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n0").cast("long").alias("n0"),
+            F.when(
+                F.col("__den").isNull() | (F.col("__den") == 0), F.lit(None)
+            )
+            .when(F.col("__dm") < 0, -mag)
+            .otherwise(mag)
+            .cast("long")
+            .alias("d_ppm"),
+        )
     )

@@ -2268,3 +2268,60 @@ def curriculum_interleave(
             .alias("position"),
         )
     )
+
+
+def oov_rate(
+    df,
+    text_col: str,
+    id_col: str,
+    vocab,
+    token_col: str = "token",
+) -> "DataFrame":
+    """Per-document out-of-vocabulary rate against a reference
+    vocabulary — the domain-shift / junk signal a tokenizer-bound
+    pipeline reads before committing a corpus to training: a doc
+    whose tokens mostly miss the reference vocab is either another
+    language, another domain, or noise.
+
+    Tokens are the whitespace words after normalize_text; the vocab
+    joins BROADCAST (a reference vocabulary is bounded by
+    construction — top-N from a trusted corpus). oov_ppm = misses ·
+    1e6 DIV tokens, exact integers; a doc with zero tokens reports
+    NULL (undefined, not 0 — the empty doc isn't "all in-vocab").
+
+    Shape: fan_out before the explode (scan-stage amplification
+    rule); one (doc) aggregation keyed by the id; the id spine
+    left-joins back so token-less docs survive with NULL.
+
+    Returns (id, n_tokens, n_oov, oov_ppm).
+    """
+    from etl_script_spark.operators.partitioning import fan_out
+
+    ids = df.select(F.col(id_col).alias("id"))
+    b = fan_out(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).cast("string").alias("__t"),
+        )
+    )
+    v = vocab.select(
+        F.col(token_col).alias("tok")
+    ).distinct().withColumn("__in", F.lit(1))
+    toks = (
+        b.select("id", F.explode(words(F.col("__t"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .join(F.broadcast(v), "tok", "left")
+    )
+    per = toks.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return ids.join(per, "id", "left").select(
+        "id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.expr("CAST((n_oov * 1000000) DIV NULLIF(n_tokens, 0)"
+               " AS BIGINT)").alias("oov_ppm"),
+    )

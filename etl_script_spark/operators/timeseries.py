@@ -748,3 +748,96 @@ def detect_period(
             "n",
         )
     )
+
+
+def holt_linear_smooth(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    alpha_ppm: int = 300000,
+    beta_ppm: int = 100000,
+    horizon: int = 1,
+    max_series_rows: int = 100000,
+) -> DataFrame:
+    """Per-series Holt double exponential smoothing (Holt 1957) —
+    level + linear trend, the forecasting step up from ts_ewma_fir
+    when series drift:
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1}),
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},
+
+    initialized l_1 = x_1, b_1 = 0. α/β arrive as exact ppm integers
+    and every step is integer arithmetic with truncating division
+    (Spark DIV; the oracle wraps DuckDB's flooring // in the
+    abs/negate form), so the recurrence is bit-identical across
+    engines and cluster sizes — no float accumulation drift.
+
+    Shape: a smoothing recurrence is inherently sequential PER
+    SERIES, so each series folds as ONE ROW — ordered collect into an
+    array, then a single aggregate() lambda pass (the HOF fold both
+    engines evaluate element-by-element). Series distribute across
+    the cluster; one series' cost is its own length, ENFORCED ≤
+    ``max_series_rows`` (raise, don't silently collect an unbounded
+    array — the kendall/theil-sen convention). Magnitude budget:
+    |value| < ~9e11 keeps every intermediate in int64 (α·x ≤ 1e6·|x|).
+
+    Returns (series, n, level, trend, forecast) where forecast =
+    level + horizon·trend.
+    """
+    if not (0 < alpha_ppm <= 1000000 and 0 <= beta_ppm <= 1000000):
+        raise ValueError(
+            f"alpha_ppm/beta_ppm must be in (0, 1e6], got "
+            f"{alpha_ppm}/{beta_ppm}"
+        )
+    b = df.select(
+        F.col(series_col).alias("srs"),
+        F.col(order_col).alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    ).filter(F.col("x").isNotNull())
+    per = b.groupBy("srs").agg(
+        F.expr("sort_array(collect_list(struct(t, x)))").alias("pts"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    per = per.filter(
+        F.when(F.col("n") <= max_series_rows, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("holt_linear_smooth: series "),
+                    F.col("srs").cast("string"),
+                    F.lit(" has "),
+                    F.col("n").cast("string"),
+                    F.lit(
+                        f" rows, over max_series_rows={max_series_rows};"
+                        " a smoothing recurrence folds one series in one"
+                        " task — pre-aggregate to a coarser grain or"
+                        " raise the bound explicitly"
+                    ),
+                )
+            ).cast("boolean")
+        )
+    )
+    a, s = alpha_ppm, 1000000
+    bb = beta_ppm
+    new_l = f"({a} * x.x + {s - a} * (acc.l + acc.b)) DIV {s}"
+    fold = (
+        "aggregate("
+        "slice(__vs, 2, size(__vs) - 1),"
+        " named_struct('l', CAST(element_at(__vs, 1).x AS BIGINT),"
+        " 'b', CAST(0 AS BIGINT)),"
+        f" (acc, x) -> named_struct("
+        f"'l', CAST({new_l} AS BIGINT),"
+        f" 'b', CAST(({bb} * (({new_l}) - acc.l) + {s - bb} * acc.b)"
+        f" DIV {s} AS BIGINT)))"
+    )
+    return (
+        per.withColumn("__vs", F.col("pts"))
+        .withColumn("__f", F.expr(fold))
+        .select(
+            F.col("srs").alias("series"),
+            "n",
+            F.expr("__f.l").alias("level"),
+            F.expr("__f.b").alias("trend"),
+            F.expr(f"__f.l + {int(horizon)} * __f.b").alias("forecast"),
+        )
+    )

@@ -1152,3 +1152,65 @@ def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops2.detect_period(
         daily, ["priority"], "pos", "v", max_lag=14, min_lag=2
     )
+
+
+def _tdiv6(e: str) -> str:
+    """DuckDB truncate-toward-zero // 1e6 (Spark DIV truncates;
+    DuckDB // floors on negatives — the repo's signed-DIV rule)."""
+    return (f"(CASE WHEN ({e}) < 0 THEN -((-({e})) // 1000000)"
+            f" ELSE ({e}) // 1000000 END)")
+
+
+_HOLT_NL = "(300000 * s.x + 700000 * (r.l + r.b))"
+_HOLT_NB = f"(100000 * ({_tdiv6(_HOLT_NL)} - r.l) + 900000 * r.b)"
+
+
+@register(
+    "ts_holt_linear",
+    f"""
+    WITH RECURSIVE s AS (
+      SELECT user_id AS srs,
+             CAST(ROUND(value * 100) AS BIGINT) AS x,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT srs, rn, x AS l, CAST(0 AS BIGINT) AS b
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.srs, s.rn,
+             CAST({_tdiv6(_HOLT_NL)} AS BIGINT),
+             CAST({_tdiv6(_HOLT_NB)} AS BIGINT)
+      FROM r JOIN s ON s.srs = r.srs AND s.rn = r.rn + 1
+    )
+    SELECT srs AS series, CAST(mx AS BIGINT) AS n,
+           l AS level, b AS trend, l + b AS forecast
+    FROM (SELECT *, MAX(rn) OVER (PARTITION BY srs) AS mx FROM r)
+    WHERE rn = mx
+    """,
+    ("X-timeseries",),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double exponential smoothing of event values
+    (timeseries.holt_linear_smooth, α=0.3 β=0.1 in exact ppm): level
+    + trend + one-step forecast, the drift-aware upgrade over plain
+    EWMA. The recurrence folds each series in ONE ordered-array
+    aggregate() pass (inherently sequential per series — series
+    distribute, length is ENFORCED bounded); the oracle replays the
+    identical integer recurrence as a recursive CTE, sidestepping a
+    DuckDB 1.0 list_reduce defect where multi-field struct
+    accumulators see sibling fields mid-update."""
+    from etl_script_spark.operators import timeseries as ts_ops
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        F.col("user_id").alias("srs"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("ord"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return ts_ops.holt_linear_smooth(
+        e, "srs", "ord", "x",
+        alpha_ppm=300000, beta_ppm=100000, horizon=1,
+    )

@@ -2489,3 +2489,133 @@ def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("__gap_us", "gap_us")
         .drop("ts")
     )
+
+
+@register(
+    "graph_adamic_adar",
+    """
+    WITH e AS (
+      SELECT s_suppkey AS src, (s_suppkey * 7 + 1) % 200 AS dst
+      FROM supplier WHERE s_suppkey < 200
+      UNION ALL
+      SELECT s_suppkey, (s_suppkey * 13 + 2) % 200
+      FROM supplier WHERE s_suppkey < 200
+      UNION ALL
+      SELECT s_suppkey, (s_suppkey * 3) % 200
+      FROM supplier WHERE s_suppkey < 200
+    ),
+    und AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM e
+        UNION ALL SELECT dst, src FROM e
+      ) WHERE a <> b
+    ),
+    deg AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY 1),
+    centers AS (
+      SELECT u.a AS n, u.b AS x, deg.d AS dn
+      FROM und u JOIN deg ON u.a = deg.v WHERE d <= 1000
+    ),
+    w AS (
+      SELECT l.x AS x, r.x AS y, CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(SUM(1000000000000
+                      // CAST(ROUND(ln(CAST(l.dn AS DOUBLE)) * 1000000)
+                              AS BIGINT)) AS BIGINT) AS aa_micro
+      FROM centers l JOIN centers r ON l.n = r.n AND l.x < r.x
+      GROUP BY 1, 2
+    )
+    SELECT w.x, w.y, common, aa_micro FROM w
+    LEFT JOIN und ON w.x = und.a AND w.y = und.b
+    WHERE und.a IS NULL
+    ORDER BY aa_micro DESC, x, y
+    LIMIT 100
+    """,
+    ("X-graph",),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the 200-vertex 3-out supplier
+    graph (graph.adamic_adar_scores): Σ 1/ln(deg) over common
+    neighbors — the log-damped missing-edge score next to
+    graph_common_neighbors' Jaccard/RA. ln micro-quantized (the one
+    float boundary), wedges deg-capped, top-100 deterministic."""
+    from etl_script_spark.operators import graph
+
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 200)
+        .select("s_suppkey")
+    )
+    k = F.col("s_suppkey")
+    edges = (
+        s.select(k.alias("src"), ((k * 7 + 1) % 200).alias("dst"))
+        .unionByName(s.select(k.alias("src"), ((k * 13 + 2) % 200).alias("dst")))
+        .unionByName(s.select(k.alias("src"), ((k * 3) % 200).alias("dst")))
+    )
+    return graph.adamic_adar_scores(edges, deg_cap=1000, k=100)
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    WITH rel AS (
+      SELECT 'lineitem.l_orderkey->orders' AS relation,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_nulls,
+             CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL
+                            AND o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(SUM(CASE WHEN l.l_partkey IS NOT NULL
+                            AND p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL
+                            AND c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders o
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+    )
+    SELECT relation, n_rows, n_nulls, n_orphans,
+           CAST((n_orphans * 1000000)
+                // NULLIF(n_rows - n_nulls, 0) AS BIGINT) AS orphan_ppm
+    FROM rel ORDER BY relation
+    """,
+    ("X-data-quality",),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema orphan audit (expectations.
+    referential_integrity_report): for each foreign key, how many
+    fact rows reference a missing dimension row — counted from one
+    broadcast left join of the dim's distinct keys per relation,
+    orphan rate in exact ppm over the non-null rows. The
+    before-publish contract check: an orphan fact silently drops from
+    every downstream inner join."""
+    from etl_script_spark.operators.expectations import (
+        referential_integrity_report,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part")
+    c = t(spark, sf_dir, "customer")
+    return referential_integrity_report([
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+    ])

@@ -2103,3 +2103,269 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
     )
     return stats.brown_forsythe(li, "l_returnflag", "qty")
+
+
+@register(
+    "stat_levene_mean",
+    """
+    WITH gv AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ctr AS (
+      SELECT g,
+             SUM(CAST(c AS HUGEINT) * v) // SUM(CAST(c AS HUGEINT)) AS ctr
+      FROM gv GROUP BY g
+    ),
+    z AS (
+      SELECT gv.g, c, CAST(abs(v - ctr) AS HUGEINT) AS z
+      FROM gv JOIN ctr ON gv.g = ctr.g
+    ),
+    pg AS (
+      SELECT g, SUM(CAST(c AS HUGEINT)) AS n_g,
+             SUM(c * z) AS sz, SUM(c * z * z) AS szz
+      FROM z GROUP BY g
+    ),
+    fold AS (
+      SELECT COUNT(*) AS n_groups, SUM(n_g) AS n,
+             SUM((sz * sz * 1000000) // n_g) AS a_micro,
+             SUM(sz) AS s, SUM(szz) AS q
+      FROM pg
+    )
+    SELECT CAST(n AS BIGINT) AS n_total,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(((a_micro - (s * s * 1000000) // n)
+                  * (n - n_groups) * 1000)
+                // NULLIF((q * 1000000 - a_micro) * (n_groups - 1), 0)
+                AS BIGINT) AS f_milli
+    FROM fold
+    """,
+    ("X-statistics",),
+)
+def stat_levene_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's equal-variance test with mean centers
+    (stats.levene_center_mean) over the same return-flag quantity
+    groups as stat_brown_forsythe — the near-normal-optimal sibling
+    of the median-centered robust form; running both is the classic
+    battery. Center = exact integer floor-mean, deviations reuse the
+    Brown-Forsythe fold unchanged."""
+    from etl_script_spark.operators import stats
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return stats.levene_center_mean(li, "l_returnflag", "qty")
+
+
+@register(
+    "stat_mcnemar",
+    """
+    WITH flags AS (
+      SELECT CASE WHEN CAST(ROUND(c_acctbal * 100) AS BIGINT) > 500000
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN o.cnt IS NOT NULL THEN 1 ELSE 0 END AS b
+      FROM customer c
+      LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+                 GROUP BY o_custkey) o
+        ON c.c_custkey = o.o_custkey
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b_only,
+             CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_only
+      FROM flags
+    )
+    SELECT n, b_only, c_only,
+           CAST(((CAST(b_only AS HUGEINT) - c_only)
+                 * (CAST(b_only AS HUGEINT) - c_only) * 1000000)
+                // NULLIF(CAST(b_only AS HUGEINT) + c_only, 0)
+                AS BIGINT) AS chi2_ppm
+    FROM agg
+    """,
+    ("X-statistics",),
+)
+def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired-binary test (stats.mcnemar_test): does
+    holding a high account balance and actually placing orders flip
+    in one direction more than the other across the SAME customers?
+    Only the discordant cells enter the statistic — the paired design
+    a plain chi-square would get wrong."""
+    from etl_script_spark.operators import stats
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("c_custkey")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    from etl_script_spark.plans.catalog import cents
+
+    flags = c.join(o, "c_custkey", "left").select(
+        (cents(F.col("c_acctbal")) > 500000).alias("a"),
+        F.col("cnt").isNotNull().alias("b"),
+    )
+    return stats.mcnemar_test(flags, "a", "b")
+
+
+@register(
+    "stat_cochran_q",
+    """
+    WITH cell AS (
+      SELECT o_custkey AS blk, o_orderpriority AS trt,
+             MAX(CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      > 15000000 THEN 1 ELSE 0 END) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    k_tbl AS (SELECT CAST(COUNT(DISTINCT trt) AS BIGINT) AS k FROM cell),
+    rows_f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             SUM(r) AS sr, SUM(r * r) AS srr
+      FROM (SELECT blk, CAST(SUM(x) AS HUGEINT) AS r FROM cell GROUP BY blk)
+    ),
+    cols_f AS (
+      SELECT SUM(cj * cj) AS scc
+      FROM (SELECT trt, CAST(SUM(x) AS HUGEINT) AS cj FROM cell GROUP BY trt)
+    )
+    SELECT n_blocks, k,
+           CAST(((CAST(k AS HUGEINT) - 1)
+                 * (CAST(k AS HUGEINT) * scc - sr * sr) * 1000000)
+                // NULLIF(CAST(k AS HUGEINT) * sr - srr, 0)
+                AS BIGINT) AS q_ppm
+    FROM rows_f, cols_f, k_tbl
+    """,
+    ("X-statistics",),
+)
+def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (stats.cochran_q): across customers (blocks), does
+    the probability of placing a HIGH-VALUE order differ by order
+    priority (treatments)? The k-treatment generalization of McNemar
+    over matched binary outcomes, exact integers to one ppm DIV."""
+    from etl_script_spark.operators import stats
+    from etl_script_spark.plans.catalog import cents
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+        (cents(F.col("o_totalprice")) > 15000000).alias("hi"),
+    )
+    return stats.cochran_q(o, "blk", "trt", "hi")
+
+
+@register(
+    "stat_friedman",
+    """
+    WITH cell AS (
+      SELECT c.c_nationkey AS blk, o.o_orderpriority AS trt,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT blk, trt,
+             CAST(MIN(rn) OVER (PARTITION BY blk, v)
+                  + MAX(rn) OVER (PARTITION BY blk, v) AS BIGINT) AS r2
+      FROM (SELECT blk, trt, v,
+                   ROW_NUMBER() OVER (PARTITION BY blk ORDER BY v) AS rn
+            FROM cell)
+    ),
+    per_trt AS (
+      SELECT trt, CAST(SUM(r2) AS HUGEINT) AS r2j,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks
+      FROM ranked GROUP BY trt
+    ),
+    fold AS (
+      SELECT MAX(n_blocks) AS n_blocks,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(r2j * r2j) AS s
+      FROM per_trt
+    )
+    SELECT n_blocks, k,
+           CAST((12000000 * s) // (4 * CAST(n_blocks AS HUGEINT) * k
+                 * (k + 1)) - 3000000 * CAST(n_blocks AS HUGEINT)
+                 * (k + 1) AS BIGINT) AS chi2_ppm
+    FROM fold
+    """,
+    ("X-statistics",),
+)
+def stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (stats.friedman_test): within each nation
+    (block), rank the five order priorities by their total revenue;
+    a priority consistently ranked high across nations drives the
+    statistic. Doubled midranks keep ties exact; complete blocks are
+    VALIDATED (a missing cell would silently shift every rank)."""
+    from etl_script_spark.operators import stats
+    from etl_script_spark.plans.catalog import cents
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cell = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("v"))
+    )
+    return stats.friedman_test(cell, "blk", "trt", "v")
+
+
+@register(
+    "stat_cohens_d",
+    f"""
+    WITH b AS (
+      SELECT l_returnflag AS seg,
+             CASE WHEN CAST(ROUND(l_discount * 100) AS BIGINT) >= 5
+                  THEN 1 ELSE 0 END AS grp,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    per AS (
+      SELECT seg, grp, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS s,
+             SUM(CAST(x AS HUGEINT) * x) AS q
+      FROM b GROUP BY 1, 2
+    ),
+    ss AS (
+      SELECT seg, grp, n, s,
+             GREATEST(q * 1000000 - (abs(s) * abs(s) * 1000000) // n,
+                      0) AS ss_micro
+      FROM per
+    ),
+    j AS (
+      SELECT o.seg, o.n AS n1, z.n AS n0,
+             (CASE WHEN o.s < 0 THEN -((-(o.s) * 1000000) // o.n)
+                   ELSE (o.s * 1000000) // o.n END)
+             - (CASE WHEN z.s < 0 THEN -((-(z.s) * 1000000) // z.n)
+                     ELSE (z.s * 1000000) // z.n END) AS dm,
+             (o.ss_micro + z.ss_micro)
+               // NULLIF(o.n + z.n - 2, 0) AS vp
+      FROM ss o JOIN ss z ON o.seg = z.seg AND o.grp = 1 AND z.grp = 0
+    ),
+    rad AS (SELECT seg, n1, n0, dm, vp * 1000000 AS r FROM j)
+    SELECT seg AS segment, CAST(n1 AS BIGINT) AS n1,
+           CAST(n0 AS BIGINT) AS n0,
+           CAST(CASE WHEN {_isqrt_sql('r')} IS NULL
+                       OR {_isqrt_sql('r')} = 0 THEN NULL
+                WHEN dm < 0 THEN -((abs(dm) * 1000000) // {_isqrt_sql('r')})
+                ELSE (abs(dm) * 1000000) // {_isqrt_sql('r')} END
+                AS BIGINT) AS d_ppm
+    FROM rad
+    """,
+    ("X-statistics",),
+)
+def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag Cohen's d (stats.cohens_d_groups): the
+    standardized deep-discount-vs-not difference in line revenue —
+    the effect-size companion to the significance tests (a tiny p
+    with d = 0.02 is noise at scale). Exact sufficient stats, the
+    overflow-safe square ladder, integer sqrt, ppm report."""
+    from etl_script_spark.operators import stats
+    from etl_script_spark.plans.catalog import cents
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("seg"),
+        (cents(F.col("l_discount")) >= 5).alias("grp"),
+        cents(F.col("l_extendedprice")).alias("x"),
+    )
+    return stats.cohens_d_groups(li, "seg", "grp", "x")

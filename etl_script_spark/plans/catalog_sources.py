@@ -1381,3 +1381,65 @@ def layout_hilbert_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
         F.sum("__h").cast("long").alias("h_checksum"),
     )
+
+
+@register(
+    "layout_file_skipping",
+    """
+    WITH mx AS (SELECT MAX(user_id) AS m FROM events),
+    b AS (
+      SELECT user_id, (user_id * 8) // (m + 1) AS bucket
+      FROM events, mx
+    ),
+    g AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(user_id) AS BIGINT) AS min_key,
+             CAST(MAX(user_id) AS BIGINT) AS max_key
+      FROM b GROUP BY bucket
+    ),
+    p AS (
+      SELECT (m + 1) // 4 AS lo, (m + 1) // 4 + (m + 1) // 8 AS hi
+      FROM mx
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY min_key) AS BIGINT)
+             AS file_rank,
+           n_rows, min_key, max_key,
+           (max_key < lo OR min_key > hi) AS skippable
+    FROM g, p
+    """,
+    ("X-layout",),
+)
+def layout_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning report (layout.file_skipping_stats): events
+    rewritten into 8 deterministic key-range files, then per actual
+    data FILE the cluster key's (min, max, rows) and whether a range
+    predicate could skip the file entirely — the layout-quality
+    number that says what fraction of a 100 TB table the scanner
+    never opens. The report keys by rank-of-min (8-row window), so
+    the oracle replays the bucket arithmetic without knowing file
+    paths."""
+    from etl_script_spark.sources import layout
+    from pyspark.sql import Window
+
+    d = _workdir(sf_dir, "fileskip")
+    out = f"{d}/events_bucketed"
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    mx = ev.agg(F.max("user_id")).collect()[0][0]  # bounded scalar
+    lo = (mx + 1) // 4
+    hi = (mx + 1) // 4 + (mx + 1) // 8
+    (
+        ev.withColumn("bucket", F.expr(f"(user_id * 8) DIV {mx + 1}"))
+        .repartition(8, F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out)
+    )
+    stats = layout.file_skipping_stats(spark, out, "user_id", lo, hi)
+    w = Window.orderBy("min_key")  # 8 rows — bounded window
+    return stats.select(
+        F.row_number().over(w).cast("long").alias("file_rank"),
+        F.col("rows").alias("n_rows"),
+        "min_key",
+        "max_key",
+        "skippable",
+    )

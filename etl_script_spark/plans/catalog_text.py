@@ -2530,3 +2530,109 @@ def curation_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("toks").cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "corpus_burstiness",
+    f"""
+    WITH per_doc AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter({_WS}, w -> w != '')) AS tok
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    per_tok AS (
+      SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(c) AS BIGINT) AS total,
+             SUM(CAST(c AS HUGEINT) * c) AS q
+      FROM per_doc GROUP BY 1
+    )
+    SELECT token, n_docs, total,
+           CAST(((CAST(n_docs AS HUGEINT) * q
+                  - CAST(total AS HUGEINT) * total) * 1000000)
+                // (CAST(n_docs AS HUGEINT) * total) AS BIGINT)
+             AS fano_ppm
+    FROM per_tok WHERE n_docs >= 5
+    ORDER BY fano_ppm DESC, token ASC
+    LIMIT 50
+    """,
+    ("LLM-text",),
+)
+def corpus_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness by the Fano factor (corpusstats.
+    burstiness_fano): variance-to-mean of per-document counts over
+    containing docs — content words clump (F >> 1), function words
+    scatter Poisson-like (F ~ 1). Exact integers to one ppm DIV;
+    top-50 deterministic TakeOrdered."""
+    from etl_script_spark.operators import corpusstats
+
+    d = t(spark, sf_dir, "documents")
+    return corpusstats.burstiness_fano(
+        d, "text", "doc_id", min_docs=5, k=50
+    )
+
+
+@register(
+    "text_oov_rate",
+    f"""
+    WITH vocab AS (
+      SELECT tok FROM (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+          SELECT unnest(list_filter({_WS}, w -> w != '')) AS tok
+          FROM documents WHERE lang = 'en'
+        ) GROUP BY 1
+      ) QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) <= 2000
+    ),
+    toks AS (
+      SELECT d.doc_id AS id, tok,
+             CASE WHEN v.tok IS NOT NULL THEN 0 ELSE 1 END AS miss
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter({_WS}, w -> w != '')) AS tok
+        FROM documents
+      ) d LEFT JOIN vocab v USING (tok)
+    ),
+    per AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(miss) AS BIGINT) AS n_oov
+      FROM toks GROUP BY id
+    )
+    SELECT d.doc_id AS id,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(n_oov, 0) AS n_oov,
+           CAST((COALESCE(n_oov, 0) * 1000000)
+                // NULLIF(COALESCE(n_tokens, 0), 0) AS BIGINT) AS oov_ppm
+    FROM documents d LEFT JOIN per ON d.doc_id = per.id
+    """,
+    ("LLM-text",),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the top-2000 'en' reference
+    vocabulary (textstats.oov_rate): the domain-shift / junk signal
+    before committing a corpus to training. Vocabulary bounded by
+    construction and broadcast; token-less docs report NULL (the
+    empty doc isn't 'all in-vocab')."""
+    from etl_script_spark.operators import textstats
+
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.filter(F.col("lang") == "en")
+        .select(
+            F.explode(textstats.words(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # top-2000 via orderBy+limit = TakeOrdered (never a global sort;
+    # the vocabulary can be millions of distinct tokens at corpus
+    # scale, the cut stays a bounded heap per partition)
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(2000)
+        .select(F.col("tok").alias("token"))
+    )
+    return textstats.oov_rate(d, "text", "doc_id", vocab, "token")

@@ -301,3 +301,48 @@ def write_hilbert_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def file_skipping_stats(
+    spark: SparkSession,
+    path: str,
+    cluster_col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Zone-map pruning report for a range predicate ``lo <= col <=
+    hi``: per data file, the cluster key's (min, max, rows) and
+    whether the file is SKIPPABLE (its range misses the predicate
+    entirely) — the layout-quality readout that says what fraction of
+    the table a clustered write (write_range_clustered / zorder /
+    hilbert) lets the scanner never open. At 100 TB this is THE
+    number that matters: a scattered layout reads everything, a
+    clustered one opens max(1, selectivity·files) files.
+
+    Test scale reads the column to derive the stats (same numbers the
+    parquet footers carry); the file identity normalizes the file:
+    URI so the report joins/compares across engines by plain path.
+
+    Returns (file, rows, min_key, max_key, skippable) sorted by file.
+    """
+    ranges = (
+        spark.read.parquet(path)
+        .groupBy(
+            F.regexp_replace(
+                F.input_file_name(), "^file:(//)?", ""
+            ).alias("file")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows"),
+            F.min(cluster_col).cast("long").alias("min_key"),
+            F.max(cluster_col).cast("long").alias("max_key"),
+        )
+    )
+    return ranges.select(
+        "file",
+        "rows",
+        "min_key",
+        "max_key",
+        ((F.col("max_key") < F.lit(lo)) | (F.col("min_key") > F.lit(hi)))
+        .alias("skippable"),
+    ).orderBy("file")
