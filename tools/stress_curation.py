@@ -1723,8 +1723,176 @@ def stress_round8b_newops(spark):
                 d, "text", "doc_id", ["w001", "w002"], window_tokens=10))
 
 
+def stress_round9_newops(spark):
+    """Decade push for the round-9 batch + the round-8 long tail the
+    VERDICT asked for: SymSpell at 1 M / 4 M vocabulary (deletion-key
+    index is |V|·(len+1) — the join's candidate volume is the thing
+    to watch), the snippet picker under hostile hit density (every
+    token a query term), pack-efficiency + the batch planner at
+    100 M docs, js_divergence at 100 M short docs (1.2e9 tokens, 2x
+    the r8b token volume), the rewritten char_entropy at 10 M docs
+    (was 232.6 s exploded), Holt at 10 M series x 20 points, Cohen's
+    d / Levene-mean / McNemar / Cochran Q at 100 M rows, Friedman at
+    1 M blocks, Adamic-Adar on a 1 M-vertex 4-out graph, burstiness +
+    OOV at the 10 M-doc corpus. Run:
+    ``python tools/stress_curation.py --round9``."""
+    import os
+
+    from etl_script_spark.operators import corpusstats  # noqa: F401
+    from etl_script_spark.operators import graph as graph_ops
+    from etl_script_spark.operators import search, stats, textstats
+    from etl_script_spark.operators import timeseries as ts_ops
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        out.write.mode("overwrite").format("noop").save()
+        print(f"{name}: {time.time()-t0:.1f}s -> {out.count()} rows")
+
+    # --- SymSpell vocabulary decades -------------------------------
+    def vocab_df(v):
+        return spark.range(v).select(
+            F.concat(
+                F.lit("wd"),
+                F.conv(
+                    F.abs(F.xxhash64("id")).cast("string"), 10, 36
+                ),
+            ).alias("word"),
+            (F.abs(F.xxhash64("id", F.lit(7))) % 100000 + 1).alias("cnt"),
+        ).groupBy("word").agg(
+            F.max("cnt").alias("cnt")
+        )
+
+    def queries_df(v, nq):
+        # queries = vocab words with the 3rd char dropped (real ed-1)
+        return (
+            spark.range(nq)
+            .select((F.abs(F.xxhash64("id", F.lit(3))) % v).alias("k"))
+            .join(
+                vocab_df(v).withColumn(
+                    "k", F.abs(F.xxhash64(F.col("word"))) % v
+                ),
+                "k",
+            )
+            .select(
+                F.concat(
+                    F.substring("word", 1, 2), F.expr("substring(word, 4)")
+                ).alias("q")
+            )
+            .distinct()
+        )
+
+    for v in (1_000_000, 4_000_000):
+        vd, qd = vocab_df(v), queries_df(v, 10_000)
+        run(f"symspell_suggest vocab={v//1_000_000}M, ~10k queries",
+            lambda vd=vd, qd=qd: search.symspell_suggest(
+                vd, qd, "word", "cnt", "q", k=3))
+
+    # --- round-8 tail at the next decade ---------------------------
+    corpus_path = "/tmp/etl_script_spark_io/stress_10000000"
+    if os.path.exists(corpus_path + "/_SUCCESS"):
+        d = spark.read.parquet(corpus_path)
+        run("char_entropy 10M docs (per-row rewrite; was 232.6s)",
+            lambda: textstats.char_entropy(d, "text", "doc_id"))
+        # hostile snippet: EVERY token is a query term (the 500-word
+        # salad vocab) -> hit count == token count in every doc
+        terms = [f"w{i:03d}" for i in range(500)]
+        run("snippet_best_window 10M docs, all-hit density",
+            lambda: search.snippet_best_window(
+                d, "text", "doc_id", terms, window_tokens=10))
+        run("burstiness_fano 10M docs", lambda:
+            corpusstats.burstiness_fano(d, "text", "doc_id",
+                                        min_docs=5, k=50))
+        vocab_ref = spark.range(300).select(
+            F.format_string("w%03d", F.col("id")).alias("token"))
+        run("oov_rate 10M docs vs 300-word vocab", lambda:
+            textstats.oov_rate(d, "text", "doc_id", vocab_ref, "token"))
+
+    docs100m = spark.range(100_000_000).select(
+        F.col("id"),
+        (10 + F.abs(F.xxhash64("id")) % 4000).alias("n_tok"),
+    )
+
+    def pack_eff():
+        plan = textstats.batch_by_token_budget(
+            docs100m, "id", "n_tok", budget=8192)
+        batches = plan.groupBy("band", "batch_id").agg(
+            F.sum("n_tokens").alias("toks"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"))
+        return batches.groupBy(
+            F.least(F.expr("(toks * 10) DIV 8192"), F.lit(10))
+            .cast("int").alias("fill_decile")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_batches"),
+              F.sum("n_docs").cast("long").alias("n_docs"),
+              F.sum("toks").cast("long").alias("n_tokens"))
+
+    run("pack_efficiency rollup 100M docs", pack_eff)
+
+    docs_txt_100m = spark.range(100_000_000).select(
+        "id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(11)),
+                lambda i: F.format_string(
+                    "w%03d",
+                    (F.xxhash64(i, F.col("id")) % 500 + 500) % 500),
+            ), " ").alias("text"),
+    )
+    run("js_divergence 100M x 12-word docs (1.2e9 tokens)", lambda:
+        textstats.js_divergence_tokens(
+            docs_txt_100m, "text", F.col("id") % 2 == 0))
+
+    # --- round-9 operators at their own decades --------------------
+    big = spark.range(100_000_000).select(
+        "id",
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.abs(F.xxhash64("id") % 100_000).alias("v"),
+    )
+    run("levene_center_mean 100M rows x 5 groups", lambda:
+        stats.levene_center_mean(big, "g", "v"))
+    run("cohens_d 100M rows x 5 segments", lambda:
+        stats.cohens_d_groups(
+            big.withColumn("grp", F.col("id") % 2 == 0),
+            "g", "grp", "v"))
+    run("mcnemar 100M pairs", lambda:
+        stats.mcnemar_test(
+            big.select((F.col("v") > 50_000).alias("a"),
+                       (F.xxhash64("id") % 3 == 0).alias("b")),
+            "a", "b"))
+    run("cochran_q 20M blocks x 5 treatments (100M cells)", lambda:
+        stats.cochran_q(
+            spark.range(100_000_000).select(
+                (F.col("id") % 20_000_000).alias("blk"),
+                F.expr("id DIV 20000000").alias("trt"),
+                (F.xxhash64("id") % 4 == 0).alias("s")),
+            "blk", "trt", "s"))
+    run("friedman 1M blocks x 5 treatments", lambda:
+        stats.friedman_test(
+            spark.range(5_000_000).select(
+                (F.col("id") % 1_000_000).alias("blk"),
+                F.expr("id DIV 1000000").cast("string").alias("trt"),
+                F.abs(F.xxhash64("id")).alias("v")),
+            "blk", "trt", "v"))
+    run("holt_linear 10M series x 20 points (200M rows)", lambda:
+        ts_ops.holt_linear_smooth(
+            spark.range(200_000_000).select(
+                (F.col("id") % 10_000_000).alias("srs"),
+                F.expr("id DIV 10000000").alias("t"),
+                (F.xxhash64("id") % 10_000).alias("x")),
+            "srs", "t", "x"))
+    edges = spark.range(4_000_000).select(
+        (F.col("id") % 1_000_000).alias("src"),
+        (F.abs(F.xxhash64("id")) % 1_000_000).alias("dst"))
+    run("adamic_adar 1M vertices, 4M edges, k=100", lambda:
+        graph_ops.adamic_adar_scores(edges, deg_cap=64, k=100))
+
+
 if __name__ == "__main__":
-    if "--round8b" in sys.argv:
+    if "--round9" in sys.argv:
+        spark = get_spark(app_name="stress-round9")
+        stress_round9_newops(spark)
+        spark.stop()
+    elif "--round8b" in sys.argv:
         spark = get_spark(app_name="stress-round8b")
         stress_round8b_newops(spark)
         spark.stop()
