@@ -917,19 +917,80 @@ def pearson_pairwise_ppb(
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
             aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"__x_{a}__{b}"))
-    s = base.agg(*aggs)
-    out = [F.col("__n").cast("long").alias("n")]
+    # LAZY localCheckpoint cuts the expression tree at the one-row
+    # sufficient-stats boundary: each corr_ppb ladder below references
+    # its inputs many times (the isqrt ±2 window alone duplicates its
+    # radicand 8x), and composing ladders over ladders (partial_corr)
+    # goes EXPONENTIAL in Column-tree size — measured 15-23 s of
+    # DRIVER-side plan building + ~8 s of Janino compile per run at
+    # sf0.1, against ~1.5 s of actual execution. Post-checkpoint the
+    # ladders build over plain attribute references.
+    s = base.agg(*aggs).localCheckpoint(eager=False)
+    # STAGED evaluation of the corr ladders on the one-row frame:
+    # inlining corr_ppb_from_suffstats k·(k−1)/2 times duplicates its
+    # subtrees (the isqrt window alone references its radicand 8x)
+    # and the Python Column construction goes to ~10⁴ py4j calls —
+    # measured 7-18 s of DRIVER time per build at k=3. Each staged
+    # step below references plain attributes, so the tree stays
+    # linear; Catalyst collapses the projects JVM-side for free.
+    # Arithmetic is IDENTICAL to corr_ppb_from_suffstats.
+    def fdiv(x, y):
+        return ((x - (x % y)) / y).cast(_D)
+
+    def ladder(q):
+        t21 = F.lit(10**15).cast(_D) * F.lit(10**6)
+        return (
+            F.when(q <= F.lit(10**9), F.lit(10**9))
+            .when(q <= F.lit(10**15), F.lit(10**6))
+            .when(q <= t21, F.lit(10**3))
+            .otherwise(F.lit(1))
+            .cast(_D)
+        )
+
+    n = F.col("__n")
+    cur = s
+    for c in cols:
+        cur = cur.withColumn(
+            f"__qx_{c}",
+            fdiv(n * F.col(f"__q_{c}") - F.col(f"__s_{c}") * F.col(f"__s_{c}"), n),
+        )
+        cur = cur.withColumn(f"__k_{c}", ladder(F.col(f"__qx_{c}")))
+        cur = cur.withColumn(
+            f"__b_{c}",
+            isqrt_column(
+                F.col(f"__qx_{c}") * F.col(f"__k_{c}") * F.col(f"__k_{c}")
+            ),
+        )
+    pair_cols = []
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
-            out.append(
-                corr_ppb_from_suffstats(
-                    F.col("__n"),
-                    F.col(f"__s_{a}"), F.col(f"__s_{b}"),
-                    F.col(f"__q_{a}"), F.col(f"__q_{b}"),
-                    F.col(f"__x_{a}__{b}"),
-                ).alias(f"corr_{a}__{b}")
+            cur = cur.withColumn(
+                f"__num_{a}__{b}",
+                n * F.col(f"__x_{a}__{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}"),
             )
-    return s.select(*out)
+            cur = cur.withColumn(
+                f"__mag_{a}__{b}",
+                fdiv(
+                    fdiv(F.abs(F.col(f"__num_{a}__{b}")), n)
+                    * F.col(f"__k_{a}") * F.col(f"__k_{b}")
+                    * F.lit(1000000000).cast(_D),
+                    # NULLIF: staging evaluates this UNCONDITIONALLY;
+                    # a constant column makes b zero and ANSI % throws
+                    # where the old guarded branch never ran — NULL
+                    # flows to the corr guard instead
+                    F.expr(f"NULLIF(__b_{a} * __b_{b}, 0)").cast(_D),
+                ),
+            )
+            pair_cols.append(
+                F.when(
+                    (F.col(f"__b_{a}") * F.col(f"__b_{b}")) == 0, F.lit(None)
+                )
+                .when(F.col(f"__num_{a}__{b}") < 0, -F.col(f"__mag_{a}__{b}"))
+                .otherwise(F.col(f"__mag_{a}__{b}"))
+                .cast("long")
+                .alias(f"corr_{a}__{b}")
+            )
+    return cur.select(F.col("__n").cast("long").alias("n"), *pair_cols)
 
 
 def partial_corr_ppb(
@@ -956,37 +1017,52 @@ def partial_corr_ppb(
     One fact aggregation total (via pearson_pairwise_ppb). Returns
     one row (n, rxy_ppb, rxz_ppb, rzy_ppb, partial_ppb).
     """
+    # second tree cut (see pearson_pairwise_ppb): the partial formula
+    # squares the corr ladders — without the checkpoint the composed
+    # Column tree is ladders-of-ladders and plan building dominates
     pw = pearson_pairwise_ppb(df, [x_col, y_col, z_col])
     rxy = F.col(f"corr_{x_col}__{y_col}").cast(_D)
     rxz = F.col(f"corr_{x_col}__{z_col}").cast(_D)
     rzy = F.col(f"corr_{y_col}__{z_col}").cast(_D)
     R2 = F.lit(10**9).cast(_D) * F.lit(10**9)
-    # units: rxy·R and rxz·rzy are both r·R² — a stray extra factor
-    # of R here overflows BIGINT the moment confounding is strong
-    num = rxy * F.lit(10**9).cast(_D) - rxz * rzy
-    bx = isqrt_column(R2 - rxz * rxz)
-    by = isqrt_column(R2 - rzy * rzy)
 
     def fdiv(xc, yc):
         return ((xc - (xc % yc)) / yc).cast(_D)
 
-    # clamp to ±1e9: quantized inputs can breach Cauchy consistency
-    # by ppb-scale amounts when the denominator is tiny
-    mag = F.least(
-        fdiv(F.abs(num) * F.lit(10**9).cast(_D), bx * by),
-        F.lit(10**9).cast(_D),
+    # staged on the one-row frame (see pearson_pairwise_ppb): each
+    # step references attributes, so nothing duplicates
+    # units: rxy·R and rxz·rzy are both r·R² — a stray extra factor
+    # of R here overflows BIGINT the moment confounding is strong
+    cur = (
+        pw.withColumn("__num", rxy * F.lit(10**9).cast(_D) - rxz * rzy)
+        .withColumn("__bx", isqrt_column(R2 - rxz * rxz))
+        .withColumn("__by", isqrt_column(R2 - rzy * rzy))
+        .withColumn(
+            # clamp to ±1e9: quantized inputs can breach Cauchy
+            # consistency by ppb-scale amounts near a tiny denominator
+            "__mag",
+            F.least(
+                fdiv(
+                    F.abs(F.col("__num")) * F.lit(10**9).cast(_D),
+                    # NULLIF: same unconditional-evaluation guard as
+                    # the pairwise mags
+                    F.expr("NULLIF(__bx * __by, 0)").cast(_D),
+                ),
+                F.lit(10**9).cast(_D),
+            ),
+        )
     )
     partial = (
         F.when(
             rxy.isNull() | rxz.isNull() | rzy.isNull()
-            | ((bx * by) == 0),
+            | ((F.col("__bx") * F.col("__by")) == 0),
             F.lit(None),
         )
-        .when(num < 0, -mag)
-        .otherwise(mag)
+        .when(F.col("__num") < 0, -F.col("__mag"))
+        .otherwise(F.col("__mag"))
         .cast("long")
     )
-    return pw.select(
+    return cur.select(
         "n",
         F.col(f"corr_{x_col}__{y_col}").alias("rxy_ppb"),
         F.col(f"corr_{x_col}__{z_col}").alias("rxz_ppb"),
