@@ -1077,31 +1077,42 @@ def _guard_group_size(
     """Distributed guard for the Θ(n²)-per-group operators: raise at
     EXECUTION time if any group exceeds ``max_rows`` instead of
     silently going quadratic (validate-don't-default, the
-    maintain_fingerprint convention). One unordered window count on
-    the group key — the same hash partitioning the self-join needs
-    anyway, so the guard adds no extra shuffle stage class."""
-    w = Window.partitionBy(group_col)
+    maintain_fingerprint convention). The counts come from a bounded
+    map-side-combinable aggregate that broadcast-joins back — NOT a
+    window over the fact (the first version's per-group window made
+    the self-join input a window child and doubled stat_theil_sen's
+    wall, 5.3 → 12.4 s at sf0.1). The validated count column rides
+    through the join and a trivial filter so the raise_error can't be
+    pruned away."""
+    counts = df.groupBy(F.col(group_col).alias("__gk")).agg(
+        F.count(F.lit(1)).alias("__gn")
+    )
+    checked = counts.select(
+        "__gk",
+        F.when(F.col("__gn") <= max_rows, F.col("__gn")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{op_name}: group "),
+                    F.col("__gk").cast("string"),
+                    F.lit(" has "),
+                    F.col("__gn").cast("string"),
+                    F.lit(
+                        f" rows, over max_group_rows={max_rows};"
+                        " this statistic is Θ(n²) per group"
+                        " — pre-aggregate, or raise the bound"
+                        " explicitly to accept the quadratic cost"
+                    ),
+                )
+            ).cast("long")
+        ).alias("__gn"),
+    )
     return (
-        df.withColumn("__gn", F.count(F.lit(1)).over(w))
-        .filter(
-            F.when(F.col("__gn") <= max_rows, F.lit(True)).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(f"{op_name}: group "),
-                        F.col(group_col).cast("string"),
-                        F.lit(" has "),
-                        F.col("__gn").cast("string"),
-                        F.lit(
-                            f" rows, over max_group_rows={max_rows};"
-                            " this statistic is Θ(n²) per group"
-                            " — pre-aggregate, or raise the bound"
-                            " explicitly to accept the quadratic cost"
-                        ),
-                    )
-                ).cast("boolean")
-            )
+        df.join(
+            F.broadcast(checked),
+            df[group_col] == F.col("__gk"),
         )
-        .drop("__gn")
+        .filter(F.col("__gn") >= 0)
+        .drop("__gk", "__gn")
     )
 
 
