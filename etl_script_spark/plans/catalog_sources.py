@@ -1443,3 +1443,76 @@ def layout_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_key",
         "skippable",
     )
+
+
+@register(
+    "s26_avro_roundtrip",
+    """
+    SELECT s_suppkey,
+           s_name,
+           CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           CASE WHEN s_nationkey % 5 = 0 THEN NULL
+                ELSE s_nationkey END AS opt_nation
+    FROM supplier
+    """,
+    ("S2", "X-sources"),
+)
+def s26_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro object-container round-trip with ZERO optional deps: the
+    supplier dim written into 4 avro shards (deflate codec) by the
+    from-scratch pure-Python codec (sources/avro_io.py — the
+    spark-avro connector jar is absent from this container, same
+    posture as the from-scratch BIFF8 engine), read back DISTRIBUTED
+    via binaryFile + Arrow-batched mapInPandas (one task per shard).
+    A union[null, long] column proves branch-index decoding."""
+    import pyspark.sql.types as T
+
+    from etl_script_spark.sources import avro_io
+
+    d = _workdir(sf_dir, "s26")
+    rows = sorted(
+        t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+        .collect(),
+        key=lambda r: r["s_suppkey"],
+    )  # bounded dim — driver-side fixture build is the point
+    schema = {
+        "type": "record",
+        "name": "supplier",
+        "fields": [
+            {"name": "s_suppkey", "type": "long"},
+            {"name": "s_name", "type": "string"},
+            {"name": "acctbal_cents", "type": "long"},
+            {"name": "opt_nation", "type": ["null", "long"]},
+        ],
+    }
+    recs = [
+        {
+            "s_suppkey": r["s_suppkey"],
+            "s_name": r["s_name"],
+            "acctbal_cents": int(round(r["s_acctbal"] * 100)),
+            "opt_nation": (
+                None if r["s_nationkey"] % 5 == 0 else r["s_nationkey"]
+            ),
+        }
+        for r in rows
+    ]
+    n_shards = 4
+    for i in range(n_shards):
+        avro_io.write_avro(
+            f"{d}/supplier_{i}.avro",
+            schema,
+            recs[i::n_shards],
+            codec="deflate",
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("acctbal_cents", T.LongType()),
+            T.StructField("opt_nation", T.LongType()),
+        ]
+    )
+    return avro_io.read_avro_distributed(
+        spark, f"{d}/supplier_*.avro", out_schema
+    )

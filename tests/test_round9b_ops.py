@@ -463,3 +463,73 @@ def test_referential_integrity_report(spark):
     ).collect()[0]
     assert (got["n_rows"], got["n_nulls"], got["n_orphans"]) == (5, 1, 1)
     assert got["orphan_ppm"] == _tdiv(1 * 10**6, 4)
+
+
+# ------------------------------------------------------------------ #
+# Avro codec: pure-Python container roundtrip + distributed read
+# ------------------------------------------------------------------ #
+
+def test_avro_roundtrip_all_types_and_codecs(tmp_path):
+    from etl_script_spark.sources.avro_io import read_avro_bytes, write_avro
+
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "boolean"},
+        {"name": "opt", "type": ["null", "long"]},
+    ]}
+    recs = [
+        {"k": 0, "s": "zero", "d": 0.5, "b": True, "opt": None},
+        {"k": -(1 << 44) - 7, "s": "nég ünïcode", "d": -2.25, "b": False,
+         "opt": 42},
+        {"k": 1 << 62, "s": "", "d": 1e300, "b": True, "opt": -1},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_avro(p, schema, recs, codec=codec, block_records=2)
+        _, got = read_avro_bytes(open(p, "rb").read())
+        assert got == recs, codec
+
+
+def test_avro_bad_magic_and_corrupt_sync_raise(tmp_path):
+    from etl_script_spark.sources.avro_io import read_avro_bytes, write_avro
+
+    with pytest.raises(ValueError, match="bad magic"):
+        read_avro_bytes(b"XXXX" + b"\x00" * 64)
+    schema = {"type": "record", "name": "t",
+              "fields": [{"name": "k", "type": "long"}]}
+    p = str(tmp_path / "t.avro")
+    write_avro(p, schema, [{"k": 1}, {"k": 2}])
+    data = bytearray(open(p, "rb").read())
+    data[-1] ^= 0xFF  # corrupt the trailing sync marker
+    with pytest.raises(ValueError, match="sync marker"):
+        read_avro_bytes(bytes(data))
+
+
+def test_avro_distributed_read_many_shards(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from etl_script_spark.sources.avro_io import (
+        read_avro_distributed, write_avro,
+    )
+
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "v", "type": ["null", "string"]},
+    ]}
+    want = set()
+    for shard in range(3):
+        recs = [
+            {"k": shard * 100 + i,
+             "v": None if i % 3 == 0 else f"s{shard}_{i}"}
+            for i in range(10)
+        ]
+        want |= {(r["k"], r["v"]) for r in recs}
+        write_avro(str(tmp_path / f"p{shard}.avro"), schema, recs)
+    out = read_avro_distributed(
+        spark, str(tmp_path / "p*.avro"),
+        T.StructType([T.StructField("k", T.LongType()),
+                      T.StructField("v", T.StringType())]),
+    )
+    assert {(r["k"], r["v"]) for r in out.collect()} == want
