@@ -189,6 +189,8 @@ EXTRA = [
     "text_oov_rate",
     "layout_file_skipping",
     "dq_referential_integrity",
+    "s26_avro_roundtrip",
+    "lake_time_travel_read",
 ]
 
 # Entries whose plans are dominated by codegen'd lambda aggregates

@@ -1516,3 +1516,52 @@ def s26_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avro_io.read_avro_distributed(
         spark, f"{d}/supplier_*.avro", out_schema
     )
+
+
+@register(
+    "lake_time_travel_read",
+    """
+    SELECT r_regionkey AS k, r_name AS name, 1 AS since_version
+    FROM region
+    UNION ALL
+    SELECT n_nationkey AS k, n_name AS name, 2 AS since_version
+    FROM nation
+    """,
+    ("X-lakehouse", "J3"),
+)
+def lake_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on the from-scratch lakehouse
+    commit log (sources/lakelog.py): v1 commits region, v2 APPENDS
+    nation, v3 OVERWRITES everything with a decoy — and the query
+    time-travels back to v2, whose log replay must see exactly
+    v1 ∪ v2 and nothing of v3. Readers never list the data directory,
+    so half-staged files are invisible by construction; writers CAS
+    their commit with O_CREAT|O_EXCL (the local stand-in for a
+    conditional PUT). The response to the reference's single-writer
+    transaction (ImportDbdFinancial.php:209-212) at table scale."""
+    import shutil
+
+    from etl_script_spark.sources import lakelog
+
+    d = _workdir(sf_dir, "lake")
+    table = f"{d}/dim_table"
+    shutil.rmtree(table, ignore_errors=True)
+    v1 = t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("k"),
+        F.col("r_name").alias("name"),
+        F.lit(1).alias("since_version"),
+    )
+    lakelog.write_table(v1, table, mode="append")
+    v2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+        F.lit(2).alias("since_version"),
+    )
+    lakelog.write_table(v2, table, mode="append")
+    decoy = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.lit("DECOY").alias("name"),
+        F.lit(3).alias("since_version"),
+    )
+    lakelog.write_table(decoy, table, mode="overwrite")
+    return lakelog.read_table(spark, table, version=2)
