@@ -351,25 +351,61 @@ def main() -> None:
     # untouched code; isolated quiet-window re-measures landed back
     # at the r6 numbers). The min over three warmed passes is the
     # steady-state number a warmed cluster actually delivers.
+    #
+    # STEAL RETRY (round 10): the r9 artifact recorded a 15.7 s
+    # headline whose own pass evidence showed 164.8 CPU-s of
+    # hypervisor steal vs 61.1 of jvm_cpu — a contended-window
+    # number, with the quiet 6.27 s re-run living only in STRESS.md
+    # prose. Now the tier itself retries (bounded) when any pass's
+    # steal exceeds HEADLINE_STEAL_LIMIT, KEEPS every attempt's
+    # passes as evidence, and banks the min over steal-clean passes
+    # (falling back to the global min if no window was quiet).
+    HEADLINE_STEAL_LIMIT = 5.0  # CPU-s of steal in one timed pass
+    HEADLINE_MAX_ATTEMPTS = 3
+    HEADLINE_RETRY_SLEEP = 45.0
     timings: dict[str, float] = {}
-    headline_passes: dict[str, list[dict]] = {}
+    headline_passes: dict[str, list[dict]] = {
+        n: [] for n in HEADLINE if n in CATALOG
+    }
     jvm = _jvm_pid()
-    for name in HEADLINE:
-        if name not in CATALOG:
-            continue
-        q = CATALOG[name]
-        passes = [
-            _timed_pass(
-                lambda: q.spark(spark, sf_dir)
-                .write.mode("overwrite")
-                .format("noop")
-                .save(),
-                jvm,
+    attempt_max_steal: list[float] = []
+    for attempt in range(HEADLINE_MAX_ATTEMPTS):
+        worst = 0.0
+        for name in HEADLINE:
+            if name not in CATALOG:
+                continue
+            q = CATALOG[name]
+            for _ in range(3):
+                p = _timed_pass(
+                    lambda q=q: q.spark(spark, sf_dir)
+                    .write.mode("overwrite")
+                    .format("noop")
+                    .save(),
+                    jvm,
+                )
+                p["attempt"] = attempt
+                headline_passes[name].append(p)
+                worst = max(worst, p["host_steal_cpu"])
+        attempt_max_steal.append(round(worst, 2))
+        if worst <= HEADLINE_STEAL_LIMIT:
+            break
+        if attempt < HEADLINE_MAX_ATTEMPTS - 1:
+            print(
+                f"headline attempt {attempt}: max pass steal "
+                f"{worst:.1f} CPU-s > {HEADLINE_STEAL_LIMIT}; "
+                f"retrying in {HEADLINE_RETRY_SLEEP:.0f}s",
+                file=sys.stderr,
             )
-            for _ in range(3)
-        ]
-        headline_passes[name] = passes
-        timings[name] = round(min(p["wall"] for p in passes), 4)
+            time.sleep(HEADLINE_RETRY_SLEEP)
+    # bank the min over steal-clean passes; if every window was
+    # contended the global min still records, and attempt_max_steal
+    # carries the indictment in the artifact itself
+    used_passes: list[dict] = []
+    for name, ps in headline_passes.items():
+        quiet = [p for p in ps if p["host_steal_cpu"] <= HEADLINE_STEAL_LIMIT]
+        pool = quiet if quiet else ps
+        used_passes.extend(pool)
+        timings[name] = round(min(p["wall"] for p in pool), 4)
     spark.stop()
 
     # --- session 2: breadth sample + full manifest -------------------

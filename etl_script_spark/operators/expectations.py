@@ -180,6 +180,7 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
 
 def referential_integrity_report(
     relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+    broadcast_dim_keys: bool = True,
 ) -> DataFrame:
     """Orphan audit across a star schema's foreign keys: for each
     (name, fact, fk_col, dim, key_col) relation, how many fact rows
@@ -188,10 +189,17 @@ def referential_integrity_report(
     from every inner join downstream).
 
     Counts fold per relation from ONE left join of the dim's distinct
-    key (broadcast — a key set is bounded relative to the fact):
-    n_rows, n_nulls (fk NULL — excused, reported separately),
+    key: n_rows, n_nulls (fk NULL — excused, reported separately),
     n_orphans (non-null fk with no dim row), orphan_ppm over the
     non-null rows. The per-relation frames union into one report.
+
+    ``broadcast_dim_keys`` (default True) hints the dim's distinct
+    key set as the broadcast side. The CONTRACT for the default is
+    that every dim key set fits in executor memory (region/nation/
+    part-class dims — the star-schema norm). For a billion-row dim
+    (a customer dim at 100×) pass False: the join runs unhinted and
+    AQE picks broadcast vs shuffle from MEASURED sizes instead of
+    the hint foreclosing the choice.
 
     Returns (relation, n_rows, n_nulls, n_orphans, orphan_ppm).
     """
@@ -202,8 +210,10 @@ def referential_integrity_report(
             .distinct()
             .withColumn("__in", F.lit(1))
         )
+        if broadcast_dim_keys:
+            keys = F.broadcast(keys)
         marked = fact.select(F.col(fk).alias("__k")).join(
-            F.broadcast(keys), "__k", "left"
+            keys, "__k", "left"
         )
         outs.append(
             marked.agg(

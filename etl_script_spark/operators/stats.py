@@ -1081,21 +1081,37 @@ def _guard_group_size(
     map-side-combinable aggregate that broadcast-joins back — NOT a
     window over the fact (the first version's per-group window made
     the self-join input a window child and doubled stat_theil_sen's
-    wall, 5.3 → 12.4 s at sf0.1). The validated count column rides
-    through the join and a trivial filter so the raise_error can't be
-    pruned away."""
+    wall, 5.3 → 12.4 s at sf0.1).
+
+    The broadcast side is ONE ROW by construction: the per-group
+    counts fold to a global (max count, arg-max group) before the
+    raise check, and that single validated row equi-joins back on a
+    constant key. (The second version broadcast the full per-group
+    count table — group SIZE is bounded but group COUNT is not, and
+    100 TB of many small groups — exactly the shape per-group
+    statistics serve — makes that broadcast side millions of rows.
+    Same size-estimate-is-garbage class the r6 plan audit purged.)
+    The validated column rides through the join and a trivial filter
+    so the raise_error can't be pruned away."""
     counts = df.groupBy(F.col(group_col).alias("__gk")).agg(
         F.count(F.lit(1)).alias("__gn")
     )
-    checked = counts.select(
-        "__gk",
-        F.when(F.col("__gn") <= max_rows, F.col("__gn")).otherwise(
+    checked = counts.agg(
+        F.max("__gn").alias("__mx"),
+        F.max_by(F.col("__gk").cast("string"), F.col("__gn")).alias("__mk"),
+    ).select(
+        F.lit(1).alias("__one"),
+        F.when(
+            # NULL max = empty input: nothing to guard, pass 0 through
+            F.col("__mx").isNull() | (F.col("__mx") <= max_rows),
+            F.coalesce(F.col("__mx"), F.lit(0)),
+        ).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(f"{op_name}: group "),
-                    F.col("__gk").cast("string"),
+                    F.col("__mk"),
                     F.lit(" has "),
-                    F.col("__gn").cast("string"),
+                    F.col("__mx").cast("string"),
                     F.lit(
                         f" rows, over max_group_rows={max_rows};"
                         " this statistic is Θ(n²) per group"
@@ -1104,15 +1120,13 @@ def _guard_group_size(
                     ),
                 )
             ).cast("long")
-        ).alias("__gn"),
+        ).alias("__mxgn"),
     )
     return (
-        df.join(
-            F.broadcast(checked),
-            df[group_col] == F.col("__gk"),
-        )
-        .filter(F.col("__gn") >= 0)
-        .drop("__gk", "__gn")
+        df.withColumn("__one", F.lit(1))
+        .join(F.broadcast(checked), "__one")
+        .filter(F.col("__mxgn") >= 0)
+        .drop("__one", "__mxgn")
     )
 
 

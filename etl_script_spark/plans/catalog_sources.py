@@ -1565,3 +1565,151 @@ def lake_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lakelog.write_table(decoy, table, mode="overwrite")
     return lakelog.read_table(spark, table, version=2)
+
+
+@register(
+    "lake_upsert_txn",
+    """
+    WITH a AS (
+      SELECT o_custkey AS k, COUNT(*) AS cnt, 1 AS ver
+      FROM orders WHERE o_orderdate < DATE '1995-01-01' GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT o_custkey AS k, COUNT(*) AS cnt, 2 AS ver
+      FROM orders WHERE o_orderdate >= DATE '1995-01-01' GROUP BY o_custkey
+    )
+    SELECT k, cnt, ver FROM a WHERE k NOT IN (SELECT k FROM b)
+    UNION ALL
+    SELECT k, cnt, ver FROM b
+    """,
+    ("X-lakehouse", "J6"),
+)
+def lake_upsert_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional keyed upsert through the lakehouse commit log
+    (lakelog.upsert_table): v1 commits per-customer pre-1995 order
+    counts, then an upsert batch of 1995+ counts merges in
+    last-write-wins and commits as an overwrite CASed directly after
+    the snapshot it read — the reference's updateOrCreate
+    (ImportDbdFinancial.php:209-212) with table-level transactions
+    instead of a DB row lock. The read proves the merge: customers
+    with post-1995 orders carry ver 2, the rest keep their v1 row,
+    and the pre-upsert snapshot stays readable (time travel)."""
+    import shutil
+
+    from etl_script_spark.sources import lakelog
+
+    d = _workdir(sf_dir, "lake_upsert")
+    table = f"{d}/cust_counts"
+    shutil.rmtree(table, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    a = (
+        orders.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("ver", F.lit(1))
+    )
+    lakelog.write_table(a, table, mode="append")
+    b = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("ver", F.lit(2))
+    )
+    v = lakelog.upsert_table(spark, b, table, keys=["k"])
+    assert v == 2
+    # snapshot isolation held: version 1 still replays pre-upsert
+    assert lakelog.read_table(spark, table, version=1).columns == [
+        "k", "cnt", "ver",
+    ]
+    return lakelog.read_table(spark, table)
+
+
+@register(
+    "s26_avro_decimal_date",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+             AS price_cents,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+           END AS opt_cents
+    FROM orders WHERE o_orderkey % 997 = 0
+    """,
+    ("S2", "X-sources"),
+)
+def s26_avro_decimal_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro logical types round-trip (Avro 1.11 spec §Logical Types):
+    money as bytes-backed decimal(15,2) — two's-complement unscaled
+    int, so DecimalType(15,2) survives EXACTLY, never through a
+    double — and int-backed date (days since epoch), plus a
+    union[null, decimal] branch. A deterministic 1-in-997 orders
+    slice writes to 3 shards and reads back distributed; the oracle
+    states the same rows straight off the parquet view. For the
+    comparison, the date surfaces as its ISO string and the decimals
+    as cents BIGINT — pandas-conversion-stable on both engines
+    (DuckDB's .df() floats DECIMAL columns, so '6685.40' would
+    compare against float '6685.4') — while the Spark path decodes
+    the real logical types end to end (exactness pinned by the codec
+    unit tests)."""
+    from decimal import Decimal
+
+    from etl_script_spark.sources import avro_io
+
+    d = _workdir(sf_dir, "s26ld")
+    rows = sorted(
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 997 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .collect(),
+        key=lambda r: r["o_orderkey"],
+    )  # ~1/997 of orders — a bounded, deterministic fixture slice
+    dec_t = {
+        "type": "bytes", "logicalType": "decimal",
+        "precision": 15, "scale": 2,
+    }
+    schema = {
+        "type": "record",
+        "name": "order_money",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "price", "type": dec_t},
+            {"name": "odate", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "opt_price", "type": ["null", dec_t]},
+        ],
+    }
+    recs = [
+        {
+            "o_orderkey": r["o_orderkey"],
+            "price": Decimal(str(r["o_totalprice"])).quantize(
+                Decimal("0.01")
+            ),
+            "odate": r["o_orderdate"],
+            "opt_price": (
+                None
+                if r["o_orderkey"] % 3 == 0
+                else Decimal(str(r["o_totalprice"])).quantize(
+                    Decimal("0.01")
+                )
+            ),
+        }
+        for r in rows
+    ]
+    n_shards = 3
+    for i in range(n_shards):
+        avro_io.write_avro(
+            f"{d}/orders_{i}.avro", schema, recs[i::n_shards],
+            codec="deflate",
+        )
+    decoded = avro_io.read_avro_distributed(
+        spark,
+        f"{d}/orders_*.avro",
+        "o_orderkey long, price decimal(15,2), odate date,"
+        " opt_price decimal(15,2)",
+    )
+    return decoded.select(
+        "o_orderkey",
+        (F.col("price") * 100).cast("long").alias("price_cents"),
+        F.date_format("odate", "yyyy-MM-dd").alias("odate"),
+        (F.col("opt_price") * 100).cast("long").alias("opt_cents"),
+    )

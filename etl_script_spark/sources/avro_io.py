@@ -12,7 +12,11 @@ little-endian IEEE doubles, union values prefixed by the branch index.
 
 Scope (the interchange subset a pipeline actually moves): record
 schemas whose fields are null / boolean / int / long / double /
-string or a union of null with one of those. Codec: ``null``
+string or a union of null with one of those, plus the two logical
+types the repo's money policy needs (Avro 1.11 spec §Logical Types):
+``decimal`` over bytes (two's-complement big-endian unscaled int —
+DecimalType(15,2) money round-trips exactly, never through double)
+and ``date`` over int (days since Unix epoch). Codec: ``null``
 (uncompressed) and ``deflate``.
 
 Write side is a fixture/driver utility (one file per call — shard by
@@ -24,13 +28,16 @@ parallelizes by file exactly like the Excel source.
 
 from __future__ import annotations
 
+import datetime
 import io
 import json
 import struct
 import zlib
+from decimal import Decimal
 from hashlib import md5
 
 _MAGIC = b"Obj\x01"
+_EPOCH = datetime.date(1970, 1, 1)
 
 
 # --------------------------------------------------------------- #
@@ -65,6 +72,17 @@ def _zigzag_decode(buf: io.BytesIO) -> int:
     return (acc >> 1) ^ -(acc & 1)
 
 
+def _twos_complement(unscaled: int) -> bytes:
+    """Minimal-length big-endian two's complement, per the decimal
+    logical type's bytes representation."""
+    length = 1
+    while True:
+        try:
+            return unscaled.to_bytes(length, "big", signed=True)
+        except OverflowError:
+            length += 1
+
+
 def _enc_value(typ, v) -> bytes:
     if isinstance(typ, list):  # union — branch index prefix
         if v is None:
@@ -72,6 +90,27 @@ def _enc_value(typ, v) -> bytes:
             return _zigzag_encode(idx)
         idx = next(i for i, t in enumerate(typ) if t != "null")
         return _zigzag_encode(idx) + _enc_value(typ[idx], v)
+    if isinstance(typ, dict):  # logical types / schema objects
+        lt = typ.get("logicalType")
+        if lt == "decimal":
+            if typ.get("type") != "bytes":
+                raise ValueError("avro: decimal must be bytes-backed")
+            scale = int(typ.get("scale", 0))
+            unscaled = int(
+                Decimal(str(v)).scaleb(scale).to_integral_value()
+            )
+            raw = _twos_complement(unscaled)
+            return _zigzag_encode(len(raw)) + raw
+        if lt == "date":
+            if typ.get("type") != "int":
+                raise ValueError("avro: date must be int-backed")
+            if isinstance(v, datetime.datetime):  # datetime IS a date
+                v = v.date()
+            days = (v - _EPOCH).days if isinstance(v, datetime.date) else int(v)
+            return _zigzag_encode(days)
+        if lt is not None:
+            raise ValueError(f"avro: unsupported logical type {lt!r}")
+        return _enc_value(typ["type"], v)  # plain {"type": ...} wrapper
     if typ == "null":
         return b""
     if typ == "boolean":
@@ -90,6 +129,18 @@ def _dec_value(typ, buf: io.BytesIO):
     if isinstance(typ, list):
         idx = _zigzag_decode(buf)
         return _dec_value(typ[idx], buf)
+    if isinstance(typ, dict):
+        lt = typ.get("logicalType")
+        if lt == "decimal":
+            scale = int(typ.get("scale", 0))
+            ln = _zigzag_decode(buf)
+            unscaled = int.from_bytes(buf.read(ln), "big", signed=True)
+            return Decimal(unscaled).scaleb(-scale)
+        if lt == "date":
+            return _EPOCH + datetime.timedelta(days=_zigzag_decode(buf))
+        if lt is not None:
+            raise ValueError(f"avro: unsupported logical type {lt!r}")
+        return _dec_value(typ["type"], buf)
     if typ == "null":
         return None
     if typ == "boolean":
@@ -161,13 +212,17 @@ def read_avro_bytes(data: bytes) -> tuple[dict, list[dict]]:
         n = _zigzag_decode(buf)
         if n == 0:
             break
-        for _ in range(abs(n)):
+        if n < 0:
+            # Per the spec a negative count is followed by a byte-size
+            # long BEFORE the entries; raise before consuming anything
+            # so the caller sees the intended 'unsupported' error, not
+            # garbage decode failures from a misaligned stream.
+            raise ValueError("avro: negative-count metadata blocks unsupported")
+        for _ in range(n):
             kl = _zigzag_decode(buf)
             k = buf.read(kl).decode()
             vl = _zigzag_decode(buf)
             meta[k] = buf.read(vl)
-        if n < 0:  # negative block count = byte size follows (spec)
-            raise ValueError("avro: negative-count metadata blocks unsupported")
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
@@ -206,9 +261,15 @@ def read_avro_distributed(spark, path_glob: str, result_schema):
         for pdf in batches:
             frames = []
             for _, row in pdf.iterrows():
-                _, records = read_avro_bytes(row["content"])
-                frames.append(pd.DataFrame.from_records(records))
-            yield pd.concat(frames) if frames else pd.DataFrame()
+                schema, records = read_avro_bytes(row["content"])
+                # Explicit columns from the decoded schema: a file (or
+                # a whole partition) with zero records must still yield
+                # a correctly-shaped empty frame, or Arrow conversion
+                # against result_schema fails at runtime.
+                cols = [f["name"] for f in schema["fields"]]
+                frames.append(pd.DataFrame.from_records(records, columns=cols))
+            if frames:  # an input batch with zero files yields nothing
+                yield pd.concat(frames)
 
     bf = spark.read.format("binaryFile").load(path_glob)
     return bf.select("path", "content").mapInPandas(_extract, result_schema)

