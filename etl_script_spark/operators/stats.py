@@ -1098,7 +1098,12 @@ def _guard_group_size(
     )
     checked = counts.agg(
         F.max("__gn").alias("__mx"),
-        F.max_by(F.col("__gk").cast("string"), F.col("__gn")).alias("__mk"),
+        # coalesce: a NULL group key must still name itself in the
+        # raise message (concat with NULL would null the whole string)
+        F.max_by(
+            F.coalesce(F.col("__gk").cast("string"), F.lit("NULL")),
+            F.col("__gn"),
+        ).alias("__mk"),
     ).select(
         F.lit(1).alias("__one"),
         F.when(
@@ -2379,4 +2384,322 @@ def cohens_d_groups(
             .cast("long")
             .alias("d_ppm"),
         )
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Classic one-way ANOVA F across groups on the RAW values
+    (Fisher) — the location test completing the variance-test family
+    (brown_forsythe / levene_center_mean test SPREAD; this tests
+    MEANS):
+
+        F = [Σn_g(x̄_g−x̄)²/(k−1)] / [ΣΣ(x−x̄_g)²/(N−k)].
+
+    F is invariant under adding a constant to every value, so the
+    values shift by the global minimum first — that keeps the input
+    to the shared `_anova_f_on_z` fold non-negative (its two-level
+    long division is specified for non-negative sums) with ZERO
+    change to the statistic; both engines apply the identical shift.
+
+    Scale shape: one (group, value) histogram aggregation, a 1-row
+    global-min attach, one fold — same two map-side-combinable
+    passes as the Levene family; no windows over the fact.
+
+    Returns one row (n_total, n_groups, f_milli).
+    """
+    gv = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .filter(F.col("v").isNotNull() & F.col("g").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lo = gv.agg(F.min("v").alias("__lo")).select(
+        F.lit(1).alias("__one"), "__lo"
+    )
+    z = (
+        gv.withColumn("__one", F.lit(1))
+        .join(F.broadcast(lo), "__one")
+        .select(
+            "g",
+            "c",
+            (F.col("v").cast(_D) - F.col("__lo")).cast(_D).alias("z"),
+        )
+    )
+    return _anova_f_on_z(z)
+
+
+def two_proportion_z(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test (pooled): does the success rate differ
+    between the two arms of ``group_col`` (boolean)? The A/B-test
+    primitive for binary outcomes — the proportions sibling of
+    welch_ttest.
+
+        z = (p̂₁ − p̂₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)),  p̂ pooled.
+
+    All in exact integer ppm: rates are x·1e6 DIV n, the variance in
+    ppm² is p̂_ppm·(1e6−p̂_ppm)·(n₁+n₂) DIV (n₁·n₂) (DECIMAL
+    intermediates — the product tops 2.5e20 at 1e9-row arms), the
+    square root via the exact isqrt ladder, and the final division
+    sign-split so truncation matches DuckDB's // on negatives.
+
+    One aggregation over the fact — sufficient statistics only.
+    Returns one row (n1, x1, n2, x2, p1_ppm, p2_ppm, z_milli).
+    """
+    agg = df.select(
+        F.col(group_col).cast("boolean").alias("g"),
+        F.col(success_col).cast("boolean").alias("s"),
+    ).filter(F.col("g").isNotNull() & F.col("s").isNotNull()).agg(
+        F.sum(F.when(F.col("g"), 1).otherwise(0)).cast(_D).alias("n1"),
+        F.sum(F.when(F.col("g") & F.col("s"), 1).otherwise(0))
+        .cast(_D).alias("x1"),
+        F.sum(F.when(~F.col("g"), 1).otherwise(0)).cast(_D).alias("n2"),
+        F.sum(F.when((~F.col("g")) & F.col("s"), 1).otherwise(0))
+        .cast(_D).alias("x2"),
+    )
+    cur = (
+        agg.withColumn("p1_ppm", F.expr("CAST(x1 * 1000000 DIV NULLIF(n1, 0) AS BIGINT)"))
+        .withColumn("p2_ppm", F.expr("CAST(x2 * 1000000 DIV NULLIF(n2, 0) AS BIGINT)"))
+        .withColumn(
+            "__pp",
+            F.expr("CAST((x1 + x2) * 1000000 DIV NULLIF(n1 + n2, 0) AS BIGINT)"),
+        )
+        .withColumn(
+            "__var_ppm2",
+            F.expr(
+                f"CAST(CAST(__pp AS {_D}) * (1000000 - __pp) * (n1 + n2)"
+                f" DIV NULLIF(n1 * n2, 0) AS {_D})"
+            ),
+        )
+        .withColumn("__sd_ppm", isqrt_column(F.col("__var_ppm2")))
+        .withColumn("__num", F.expr(f"CAST(p1_ppm - p2_ppm AS {_D}) * 1000"))
+    )
+    z = (
+        F.when(
+            F.col("p1_ppm").isNull() | F.col("p2_ppm").isNull()
+            | (F.col("__sd_ppm") <= 0),
+            F.lit(None),
+        )
+        .when(
+            F.col("__num") < 0,
+            -F.expr("CAST((-__num) DIV __sd_ppm AS BIGINT)"),
+        )
+        .otherwise(F.expr("CAST(__num DIV __sd_ppm AS BIGINT)"))
+        .cast("long")
+    )
+    return cur.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("x1").cast("long").alias("x1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("x2").cast("long").alias("x2"),
+        "p1_ppm",
+        "p2_ppm",
+        z.alias("z_milli"),
+    )
+
+
+def runs_test_groups(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Wald–Wolfowitz runs test of randomness: walk the
+    series in ``order_col`` order, classify each value above/below
+    the group's lower MEDIAN (ties at the median drop, the standard
+    convention), and count the RUNS — maximal streaks of one side.
+    Too few runs = trending/clustered; too many = oscillating. The
+    drift check a forecasting pipeline runs before trusting
+    residuals.
+
+        μ_R = 1 + 2ab/n,   σ²_R = 2ab(2ab − n) / (n²(n−1)),
+
+    a/b = counts above/below, n = a + b. Everything exact integer:
+    the median is the order statistic off the per-group value
+    histogram (the brown_forsythe machinery), expectation in milli
+    and variance in micro via DECIMAL DIV, z in milli with the exact
+    isqrt ladder and the sign-split truncation convention.
+
+    Scale shape: the runs count is inherently sequential per series,
+    so the one fact-table window (lag over (group, order)) partitions
+    by group — groups distribute, one group's cost is its own sort.
+    Everything else folds from (group, value) histograms.
+
+    Returns (group, n_above, n_below, n_runs, expected_milli,
+    var_micro, z_milli).
+    """
+    b = df.select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    ).filter(F.col("v").isNotNull() & F.col("g").isNotNull())
+    gv = b.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    totals = gv.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    w_cum = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    med = (
+        gv.withColumn("__cum", F.sum("c").over(w_cum))
+        .join(F.broadcast(totals), "g")
+        .filter(F.col("__cum") >= F.expr("(n_g + 1) DIV 2"))
+        .groupBy("g")
+        .agg(F.min("v").alias("med"))
+    )
+    signed = (
+        b.join(F.broadcast(med), "g")
+        .filter(F.col("v") != F.col("med"))  # ties at median drop
+        .withColumn("__s", (F.col("v") > F.col("med")).cast("int"))
+    )
+    w_ord = Window.partitionBy("g").orderBy("t")
+    runs = (
+        signed.withColumn("__prev", F.lag("__s").over(w_ord))
+        .groupBy("g")
+        .agg(
+            F.sum("__s").cast(_D).alias("a"),
+            F.sum(F.lit(1) - F.col("__s")).cast(_D).alias("b"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("__prev").isNull()
+                        | (F.col("__prev") != F.col("__s")),
+                        1,
+                    ).otherwise(0)
+                )
+            ).cast("long").alias("n_runs"),
+        )
+    )
+    cur = (
+        runs.withColumn("__n", F.expr(f"CAST(a + b AS {_D})"))
+        .withColumn(
+            "expected_milli",
+            F.expr(
+                "CAST(1000 + (2000 * a * b) DIV NULLIF(__n, 0) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "var_micro",
+            F.expr(
+                "CAST((2 * a * b * (2 * a * b - __n) * 1000000)"
+                " DIV NULLIF(__n * __n * (__n - 1), 0) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "__num",
+            F.expr(
+                f"CAST(n_runs AS {_D}) * 1000000"
+                f" - CAST(expected_milli AS {_D}) * 1000"
+            ),
+        )
+        .withColumn(
+            "__sd_milli", isqrt_column(F.expr(f"CAST(var_micro AS {_D})"))
+        )
+    )
+    z = (
+        F.when(
+            F.col("var_micro").isNull() | (F.col("__sd_milli") <= 0),
+            F.lit(None),
+        )
+        .when(
+            # __num is (R−μ)·1e6 and __sd_milli is σ·1e3, so the plain
+            # quotient is already z·1e3 — z in exact milli
+            F.col("__num") < 0,
+            -F.expr("CAST((-__num) DIV __sd_milli AS BIGINT)"),
+        )
+        .otherwise(F.expr("CAST(__num DIV __sd_milli AS BIGINT)"))
+        .cast("long")
+    )
+    return cur.select(
+        F.col("g").alias("group"),
+        F.col("a").cast("long").alias("n_above"),
+        F.col("b").cast("long").alias("n_below"),
+        "n_runs",
+        "expected_milli",
+        "var_micro",
+        z.alias("z_milli"),
+    )
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    test_col: str,
+    p_ppm_col: str,
+    alpha_ppm: int = 50000,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a table of p-values (BH
+    1995): rank the m tests by p ascending, find the largest k with
+    p_(k) ≤ k·α/m, reject tests 1..k — THE multiple-testing
+    correction for the per-group statistic batteries this module
+    produces (run theil_sen/kendall/welch per segment, then gate the
+    discoveries here).
+
+    p-values arrive as exact ppm integers (the module's statistic
+    convention). Adjusted p is the step-up minimum
+    p̃_(i) = min_{j≥i} (p_(j)·m DIV j) capped at 1e6 — a suffix min;
+    rejection uses the exact integer cross-multiplied comparison
+    p·m ≤ rank·α (no division at all).
+
+    Scale note: the two windows are GLOBAL over the p-value table —
+    a multiple-testing table is thousands-to-millions of rows (one
+    per test, not per observation), orders of magnitude under fact
+    scale; this operator is for the TEST table, never raw data.
+
+    Returns (test, p_ppm, rank, padj_ppm, rejected), rank ascending.
+    """
+    if not (0 < alpha_ppm <= 1000000):
+        raise ValueError(f"alpha_ppm must be in (0, 1e6], got {alpha_ppm}")
+    b = df.select(
+        F.col(test_col).alias("test"),
+        F.col(p_ppm_col).cast("long").alias("p_ppm"),
+    ).filter(F.col("p_ppm").isNotNull())
+    w_rank = Window.orderBy("p_ppm", "test")
+    ranked = (
+        b.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("__m", F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long"))
+    )
+    w_suffix = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = (
+        ranked.withColumn(
+            "__step",
+            F.expr(
+                f"CAST(CAST(p_ppm AS {_D}) * __m DIV rank AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "padj_ppm",
+            F.least(F.min("__step").over(w_suffix), F.lit(1000000)),
+        )
+        .withColumn(
+            "__hit",
+            (
+                F.expr(f"CAST(p_ppm AS {_D}) * __m")
+                <= F.expr(f"CAST(rank AS {_D}) * {int(alpha_ppm)}")
+            ).cast("int"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    kmax = F.max(F.when(F.col("__hit") == 1, F.col("rank"))).over(w_all)
+    return (
+        adj.withColumn(
+            "rejected", F.col("rank") <= F.coalesce(kmax, F.lit(0))
+        )
+        .select("test", "p_ppm", "rank", "padj_ppm", "rejected")
+        .orderBy("rank")
     )

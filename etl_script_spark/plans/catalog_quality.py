@@ -2369,3 +2369,309 @@ def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("l_extendedprice")).alias("x"),
     )
     return stats.cohens_d_groups(li, "seg", "grp", "x")
+
+
+@register(
+    "stat_anova_oneway",
+    """
+    WITH gv AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    lo AS (SELECT MIN(v) AS lo FROM gv),
+    z AS (
+      SELECT g, c, CAST(v - lo AS HUGEINT) AS z FROM gv, lo
+    ),
+    pg AS (
+      SELECT g, SUM(CAST(c AS HUGEINT)) AS n_g,
+             SUM(c * z) AS sz, SUM(c * z * z) AS szz
+      FROM z GROUP BY g
+    ),
+    fold AS (
+      SELECT COUNT(*) AS n_groups, SUM(n_g) AS n,
+             SUM((sz * sz * 1000000) // n_g) AS a_micro,
+             SUM(sz) AS s, SUM(szz) AS q
+      FROM pg
+    )
+    SELECT CAST(n AS BIGINT) AS n_total,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(((a_micro - (s * s * 1000000) // n)
+                  * (n - n_groups) * 1000)
+                // NULLIF((q * 1000000 - a_micro) * (n_groups - 1), 0)
+                AS BIGINT) AS f_milli
+    FROM fold
+    """,
+    ("X-statistics",),
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic one-way ANOVA F on raw quantities across return-flag
+    groups (stats.anova_oneway) — the LOCATION test completing the
+    Levene/Brown-Forsythe variance battery over the same groups. F is
+    shift-invariant, so both engines shift by the global minimum to
+    keep the shared fold's sums non-negative; statistic unchanged."""
+    from etl_script_spark.operators import stats
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return stats.anova_oneway(li, "l_returnflag", "qty")
+
+
+@register(
+    "stat_two_proportion_z",
+    f"""
+    WITH b AS (
+      SELECT (o_orderpriority LIKE '1-%') AS g,
+             (o_orderstatus = 'F') AS s
+      FROM orders
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+             CAST(SUM(CASE WHEN g AND s THEN 1 ELSE 0 END) AS HUGEINT) AS x1,
+             CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+             CAST(SUM(CASE WHEN (NOT g) AND s THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS x2
+      FROM b
+    ),
+    cur AS (
+      SELECT *,
+             (x1 * 1000000) // NULLIF(n1, 0) AS p1,
+             (x2 * 1000000) // NULLIF(n2, 0) AS p2,
+             ((x1 + x2) * 1000000) // NULLIF(n1 + n2, 0) AS pp
+      FROM agg
+    ),
+    v AS (
+      SELECT *,
+             (pp * (1000000 - pp) * (n1 + n2)) // NULLIF(n1 * n2, 0)
+               AS var_ppm2,
+             (p1 - p2) * 1000 AS num
+      FROM cur
+    ),
+    sd AS (SELECT *, {_isqrt_sql('var_ppm2')} AS sd_ppm FROM v)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+           CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+           CAST(p1 AS BIGINT) AS p1_ppm, CAST(p2 AS BIGINT) AS p2_ppm,
+           CASE WHEN p1 IS NULL OR p2 IS NULL OR sd_ppm <= 0 THEN NULL
+                WHEN num < 0 THEN CAST(-((-num) // sd_ppm) AS BIGINT)
+                ELSE CAST(num // sd_ppm AS BIGINT) END AS z_milli
+    FROM sd
+    """,
+    ("X-statistics",),
+)
+def stat_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test (stats.two_proportion_z): does
+    the fraction of fulfilled orders differ between urgent
+    (priority 1-URGENT) and non-urgent orders — the binary-outcome
+    A/B primitive next to welch_ttest. Exact ppm rates, DECIMAL
+    variance product, isqrt ladder for the root, sign-split DIV."""
+    from etl_script_spark.operators import stats
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").startswith("1-").alias("urgent"),
+        (F.col("o_orderstatus") == "F").alias("filled"),
+    )
+    return stats.two_proportion_z(o, "urgent", "filled")
+
+
+@register(
+    "stat_runs_test",
+    f"""
+    WITH b AS (
+      SELECT user_id % 8 AS g, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    gv AS (SELECT g, v, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    tot AS (SELECT g, SUM(c) AS n_g FROM gv GROUP BY g),
+    med AS (
+      SELECT g, MIN(v) AS med FROM (
+        SELECT gv.g, v,
+               SUM(c) OVER (PARTITION BY gv.g ORDER BY v) AS cum, n_g
+        FROM gv JOIN tot ON gv.g = tot.g
+      ) WHERE cum >= (n_g + 1) // 2 GROUP BY g
+    ),
+    s AS (
+      SELECT b.g, ts, event_id,
+             CASE WHEN v > med THEN 1 ELSE 0 END AS sgn
+      FROM b JOIN med ON b.g = med.g WHERE v <> med
+    ),
+    lagd AS (
+      SELECT g, sgn,
+             LAG(sgn) OVER (PARTITION BY g ORDER BY ts, event_id) AS prev
+      FROM s
+    ),
+    runs AS (
+      SELECT g, CAST(SUM(sgn) AS HUGEINT) AS a,
+             CAST(SUM(1 - sgn) AS HUGEINT) AS bb,
+             CAST(SUM(CASE WHEN prev IS NULL OR prev <> sgn
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      FROM lagd GROUP BY g
+    ),
+    cur AS (
+      SELECT *, a + bb AS n,
+             1000 + (2000 * a * bb) // NULLIF(a + bb, 0) AS expected_milli,
+             (2 * a * bb * (2 * a * bb - (a + bb)) * 1000000)
+               // NULLIF((a + bb) * (a + bb) * ((a + bb) - 1), 0)
+               AS var_micro,
+             CAST(n_runs AS HUGEINT) * 1000000
+               - (1000 + (2000 * a * bb) // NULLIF(a + bb, 0)) * 1000
+               AS num
+      FROM runs
+    ),
+    sd AS (SELECT *, {_isqrt_sql('var_micro')} AS sd_milli FROM cur)
+    SELECT g AS "group", CAST(a AS BIGINT) AS n_above,
+           CAST(bb AS BIGINT) AS n_below, n_runs,
+           CAST(expected_milli AS BIGINT) AS expected_milli,
+           CAST(var_micro AS BIGINT) AS var_micro,
+           CASE WHEN var_micro IS NULL OR sd_milli <= 0 THEN NULL
+                WHEN num < 0 THEN CAST(-((-num) // sd_milli) AS BIGINT)
+                ELSE CAST(num // sd_milli AS BIGINT) END AS z_milli
+    FROM sd
+    """,
+    ("X-statistics", "X-timeseries"),
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per user-bucket event series
+    (stats.runs_test_groups): are values above/below the bucket
+    median randomly interleaved in time, or trending/oscillating —
+    the residual-randomness drift check. Median off the value
+    histogram, runs from one group-keyed ordered window, moments and
+    z in exact integer milli/micro with the isqrt ladder."""
+    from etl_script_spark.operators import stats
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 8).alias("bucket"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("ord"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return stats.runs_test_groups(ev, "bucket", "ord", "cents")
+
+
+@register(
+    "stat_bh_fdr",
+    """
+    WITH p AS (
+      SELECT p_partkey AS test,
+             ('0x' || substr(md5('bh|' || CAST(p_partkey AS VARCHAR)),
+                             1, 8))::BIGINT % 1000000 AS p_ppm
+      FROM part
+    ),
+    ranked AS (
+      SELECT test, p_ppm,
+             CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, test) AS BIGINT)
+               AS rnk,
+             COUNT(*) OVER () AS m
+      FROM p
+    ),
+    adj AS (
+      SELECT *,
+             LEAST(MIN((CAST(p_ppm AS HUGEINT) * m) // rnk)
+                     OVER (ORDER BY rnk DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW),
+                   1000000) AS padj_ppm,
+             CASE WHEN CAST(p_ppm AS HUGEINT) * m
+                       <= CAST(rnk AS HUGEINT) * 50000
+                  THEN rnk END AS hit
+      FROM ranked
+    ),
+    k AS (SELECT MAX(hit) AS kmax FROM adj)
+    SELECT test, p_ppm, rnk AS rank,
+           CAST(padj_ppm AS BIGINT) AS padj_ppm,
+           rnk <= COALESCE(kmax, 0) AS rejected
+    FROM adj, k ORDER BY rank
+    """,
+    ("X-statistics",),
+)
+def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR gate (stats.benjamini_hochberg) over a
+    deterministic per-part p-value table (md5-derived ppm — the
+    bootstrap entry's cross-engine hash idiom): step-up rejection at
+    α=0.05 plus the suffix-min adjusted p. The correction every
+    per-segment statistic battery needs before shipping
+    'discoveries'; windows run over the TEST table, never raw
+    facts."""
+    from etl_script_spark.operators import stats
+
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("test"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bh|"),
+                            F.col("p_partkey").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % 1000000
+        ).alias("p_ppm"),
+    )
+    return stats.benjamini_hochberg(p, "test", "p_ppm", alpha_ppm=50000)
+
+
+@register(
+    "surv_kaplan_meier",
+    """
+    WITH RECURSIVE subj AS (
+      SELECT user_id % 3 AS g,
+             CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                            CAST(MAX(ts) AS DATE)) AS BIGINT) AS t,
+             (COUNT(*) % 2 = 1) AS e
+      FROM events GROUP BY user_id
+    ),
+    per_t AS (
+      SELECT g, t,
+             CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c
+      FROM subj GROUP BY g, t
+    ),
+    h AS (
+      SELECT g, t, d, c,
+             SUM(d + c) OVER (PARTITION BY g ORDER BY t DESC) AS n,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY t) AS rn
+      FROM per_t
+    ),
+    r AS (
+      SELECT g, t, rn, n, d, c,
+             CAST((1000000 * (n - d)) // n AS BIGINT) AS s
+      FROM h WHERE rn = 1
+      UNION ALL
+      SELECT h.g, h.t, h.rn, h.n, h.d, h.c,
+             CAST((r.s * (h.n - h.d)) // h.n AS BIGINT)
+      FROM r JOIN h ON h.g = r.g AND h.rn = r.rn + 1
+    )
+    SELECT g AS stratum, t, CAST(n AS BIGINT) AS at_risk,
+           d AS events, c AS censored, s AS surv_ppm
+    FROM r
+    """,
+    ("X-statistics", "X-survival"),
+)
+def surv_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curves (survival.kaplan_meier_curve)
+    over per-user observation spans: subject = user, time = days
+    between first and last event, 'event' = odd event count (a
+    deterministic stand-in for churn-vs-censored), stratified into 3
+    cohorts. Risk sets via a suffix sum over the bounded per-time
+    histogram; the survival product folds each stratum in one
+    ordered-array pass with exact ppm truncating steps; the oracle
+    replays the identical recurrence as a recursive CTE — the
+    holt_linear twin for survival."""
+    from etl_script_spark.operators import survival
+
+    ev = t(spark, sf_dir, "events")
+    subj = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.max("ts")), F.to_date(F.min("ts"))
+        ).cast("long").alias("t"),
+        (F.count(F.lit(1)) % 2 == 1).alias("e"),
+    ).select(
+        (F.col("user_id") % 3).alias("cohort"), "t", "e"
+    )
+    return survival.kaplan_meier_curve(subj, "cohort", "t", "e")

@@ -426,3 +426,21 @@ def test_avro_decimal_exactness_beyond_double(tmp_path):
     write_avro(p, schema, [{"amt": v} for v in vals])
     _, got = read_avro_bytes(open(p, "rb").read())
     assert [r["amt"] for r in got] == vals
+
+
+def test_guard_error_with_null_group_key(spark):
+    """A NULL group key over the bound must still raise with a
+    readable message — concat with a NULL key would otherwise null
+    out the whole raise_error string."""
+    from pyspark.errors.exceptions.base import PySparkException
+    from py4j.protocol import Py4JJavaError
+
+    from etl_script_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(None, i, i) for i in range(30)], "g string, x long, y long"
+    )
+    with pytest.raises(
+        (Py4JJavaError, PySparkException), match="max_group_rows"
+    ):
+        stats._guard_group_size(df, "g", 10, "op").collect()

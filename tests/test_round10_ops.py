@@ -1,0 +1,228 @@
+"""Round-10 operators: one-way ANOVA, two-proportion z, runs test,
+Benjamini-Hochberg FDR, Kaplan-Meier — hand-checked fixtures + edge
+cases (the hostile shapes the oracle sweep's real data never hits)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_script_spark.operators import stats, survival
+
+
+# ------------------------------------------------------------------ #
+# anova_oneway
+# ------------------------------------------------------------------ #
+
+def test_anova_separated_groups_large_f(spark):
+    # three groups with zero within-group variance -> SSW = 0 -> NULL
+    df = spark.createDataFrame(
+        [("a", 10)] * 3 + [("b", 20)] * 3 + [("c", 30)] * 3,
+        "g string, v long",
+    )
+    row = stats.anova_oneway(df, "g", "v").collect()[0]
+    assert row["n_total"] == 9 and row["n_groups"] == 3
+    assert row["f_milli"] is None  # 0 denominator -> NULL, never a throw
+
+
+def test_anova_identical_groups_f_zero(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 1), ("b", 3)], "g string, v long"
+    )
+    row = stats.anova_oneway(df, "g", "v").collect()[0]
+    assert row["f_milli"] == 0
+
+
+def test_anova_shift_invariance(spark):
+    base = [("a", 5), ("a", 9), ("b", 7), ("b", 15), ("c", 2), ("c", 4)]
+    df1 = spark.createDataFrame(base, "g string, v long")
+    df2 = spark.createDataFrame(
+        [(g, v - 1000) for g, v in base], "g string, v long"
+    )
+    f1 = stats.anova_oneway(df1, "g", "v").collect()[0]["f_milli"]
+    f2 = stats.anova_oneway(df2, "g", "v").collect()[0]["f_milli"]
+    assert f1 == f2 and f1 is not None
+
+
+# ------------------------------------------------------------------ #
+# two_proportion_z
+# ------------------------------------------------------------------ #
+
+def test_two_proportion_equal_rates_z_zero(spark):
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (False, True), (False, False)] * 10,
+        "g boolean, s boolean",
+    )
+    row = stats.two_proportion_z(df, "g", "s").collect()[0]
+    assert row["n1"] == 20 and row["n2"] == 20
+    assert row["p1_ppm"] == 500000 and row["p2_ppm"] == 500000
+    assert row["z_milli"] == 0
+
+
+def test_two_proportion_known_value(spark):
+    # arm1: 30/100, arm2: 10/100 -> pooled p=.2, se=sqrt(.2*.8*.02)
+    # = .056568..., z = .2/.056568 = 3.5355
+    rows = (
+        [(True, True)] * 30 + [(True, False)] * 70
+        + [(False, True)] * 10 + [(False, False)] * 90
+    )
+    df = spark.createDataFrame(rows, "g boolean, s boolean")
+    row = stats.two_proportion_z(df, "g", "s").collect()[0]
+    assert row["p1_ppm"] == 300000 and row["p2_ppm"] == 100000
+    assert abs(row["z_milli"] - 3535) <= 2  # ppm quantization
+
+
+def test_two_proportion_empty_arm_null(spark):
+    df = spark.createDataFrame(
+        [(True, True), (True, False)], "g boolean, s boolean"
+    )
+    row = stats.two_proportion_z(df, "g", "s").collect()[0]
+    assert row["n2"] == 0 and row["z_milli"] is None
+
+
+# ------------------------------------------------------------------ #
+# runs_test_groups
+# ------------------------------------------------------------------ #
+
+def test_runs_alternating_max_runs(spark):
+    # perfect alternation above/below: runs = n (after median drop)
+    seq = [("g", i, 10 if i % 2 == 0 else 20) for i in range(10)]
+    df = spark.createDataFrame(seq, "g string, t long, v long")
+    row = stats.runs_test_groups(df, "g", "t", "v").collect()[0]
+    # lower median = 10 -> the five 10s drop as ties; 5 high values
+    # remain -> one run
+    assert row["n_above"] == 5 and row["n_below"] == 0
+    assert row["n_runs"] == 1
+
+
+def test_runs_three_level_series(spark):
+    # values 1,9,1,9,... median-free alternation (median=1 drops the
+    # 1s? no: lower median of [1,9]*5 is 1 -> 1s drop): use 3 levels
+    seq = [("g", 0, 1), ("g", 1, 9), ("g", 2, 1), ("g", 3, 9),
+           ("g", 4, 5)]
+    # sorted: 1,1,5,9,9 -> lower median 5 -> the 5 drops; signs by t:
+    # 1(below),9(above),1(below),9(above) -> 4 runs
+    df = spark.createDataFrame(seq, "g string, t long, v long")
+    row = stats.runs_test_groups(df, "g", "t", "v").collect()[0]
+    assert row["n_above"] == 2 and row["n_below"] == 2
+    assert row["n_runs"] == 4
+    # mu = 1 + 2*2*2/4 = 3 -> 3000 milli; var = 8*(8-4)/(16*3) = 2/3
+    assert row["expected_milli"] == 3000
+    assert row["var_micro"] == 666666
+    # z = (4-3)/sqrt(2/3) = 1.2247
+    assert abs(row["z_milli"] - 1224) <= 2
+
+
+def test_runs_constant_series_vanishes(spark):
+    # every value ties the median -> all rows drop -> no output row
+    df = spark.createDataFrame(
+        [("g", i, 7) for i in range(5)], "g string, t long, v long"
+    )
+    assert stats.runs_test_groups(df, "g", "t", "v").count() == 0
+
+
+# ------------------------------------------------------------------ #
+# benjamini_hochberg
+# ------------------------------------------------------------------ #
+
+def test_bh_textbook_example(spark):
+    # classic: p = .01, .02, .03, .04, .05 at alpha=.05, m=5:
+    # thresholds .01,.02,.03,.04,.05 -> all pass stepwise? check
+    # p_i <= i*alpha/m: .01<=.01 T, .02<=.02 T, .03<=.03 T, .04<=.04
+    # T, .05<=.05 T -> k=5, all rejected
+    df = spark.createDataFrame(
+        [(i, i * 10000) for i in range(1, 6)], "test long, p long"
+    )
+    rows = stats.benjamini_hochberg(df, "test", "p").collect()
+    assert all(r["rejected"] for r in rows)
+    # padj = min suffix of p*m/i = p*5/i = 50000 everywhere
+    assert [r["padj_ppm"] for r in rows] == [50000] * 5
+
+
+def test_bh_step_up_rescues_middle_p(spark):
+    # p = .010, .045, .046 at alpha=.05: p3 <= 3*.05/3=.05 -> k=3,
+    # ALL reject (step-up rescues p2 even though .045 > 2*.05/3=.0333)
+    df = spark.createDataFrame(
+        [(1, 10000), (2, 45000), (3, 46000)], "test long, p long"
+    )
+    rows = stats.benjamini_hochberg(df, "test", "p").collect()
+    assert [r["rejected"] for r in rows] == [True, True, True]
+
+
+def test_bh_none_significant(spark):
+    df = spark.createDataFrame(
+        [(1, 900000), (2, 950000), (3, 990000)], "test long, p long"
+    )
+    rows = stats.benjamini_hochberg(df, "test", "p").collect()
+    assert not any(r["rejected"] for r in rows)
+    assert all(r["padj_ppm"] <= 1000000 for r in rows)
+
+
+def test_bh_bad_alpha_raises(spark):
+    df = spark.createDataFrame([(1, 1000)], "test long, p long")
+    with pytest.raises(ValueError, match="alpha_ppm"):
+        stats.benjamini_hochberg(df, "test", "p", alpha_ppm=0)
+
+
+# ------------------------------------------------------------------ #
+# kaplan_meier_curve
+# ------------------------------------------------------------------ #
+
+def test_km_textbook_curve(spark):
+    # one stratum, subjects: events at t=1 (2 of 5), censor at t=2,
+    # event at t=3 (1 of 2), survivor censored at t=4
+    rows = [
+        ("s", 1, True), ("s", 1, True), ("s", 2, False),
+        ("s", 3, True), ("s", 4, False),
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, e boolean")
+    out = {
+        r["t"]: r for r in survival.kaplan_meier_curve(
+            df, "g", "t", "e"
+        ).collect()
+    }
+    # t=1: n=5, d=2 -> S = 600000
+    assert out[1]["at_risk"] == 5 and out[1]["events"] == 2
+    assert out[1]["surv_ppm"] == 600000
+    # t=2: censor only -> S unchanged
+    assert out[2]["at_risk"] == 3 and out[2]["censored"] == 1
+    assert out[2]["surv_ppm"] == 600000
+    # t=3: n=2, d=1 -> S = 600000*1//2 = 300000
+    assert out[3]["at_risk"] == 2 and out[3]["surv_ppm"] == 300000
+    # t=4: censor -> unchanged
+    assert out[4]["surv_ppm"] == 300000
+
+
+def test_km_all_censored_flat(spark):
+    df = spark.createDataFrame(
+        [("s", t, False) for t in (1, 2, 3)], "g string, t long, e boolean"
+    )
+    rows = survival.kaplan_meier_curve(df, "g", "t", "e").collect()
+    assert all(r["surv_ppm"] == 1000000 for r in rows)
+
+
+def test_km_distinct_time_guard_raises(spark):
+    from pyspark.errors.exceptions.base import PySparkException
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [("s", t, True) for t in range(30)], "g string, t long, e boolean"
+    )
+    with pytest.raises(
+        (Py4JJavaError, PySparkException), match="max_distinct_times"
+    ):
+        survival.kaplan_meier_curve(
+            df, "g", "t", "e", max_distinct_times=10
+        ).collect()
+
+
+def test_km_strata_independent(spark):
+    df = spark.createDataFrame(
+        [("a", 1, True), ("a", 2, True), ("b", 1, False), ("b", 2, True)],
+        "g string, t long, e boolean",
+    )
+    out = {
+        (r["stratum"], r["t"]): r["surv_ppm"]
+        for r in survival.kaplan_meier_curve(df, "g", "t", "e").collect()
+    }
+    assert out[("a", 1)] == 500000 and out[("a", 2)] == 0
+    assert out[("b", 1)] == 1000000 and out[("b", 2)] == 0

@@ -1887,8 +1887,146 @@ def stress_round9_newops(spark):
         graph_ops.adamic_adar_scores(edges, deg_cap=64, k=100))
 
 
+def stress_round10_newops(spark):
+    """Round-10 decade push, per the r9 VERDICT asks: the Avro source
+    at 1.5k shards (one task per shard — watching for a driver listing
+    bottleneck), the lakehouse commit log at 10k commits (checkpointed
+    replay must stay O(interval), and a real parquet-backed table at
+    100 commits must read in constant commit-file opens), Adamic-Adar
+    at 10 M vertices / 40 M edges, Holt at 1 M series x 200 points
+    (the long-series shape; r9 did 10 M x 20), and corpus burstiness
+    at the 100 M-doc decade. Run:
+    ``python tools/stress_curation.py --round10``."""
+    import os
+    import shutil
+    from decimal import Decimal
+
+    from etl_script_spark.operators import corpusstats
+    from etl_script_spark.operators import graph as graph_ops
+    from etl_script_spark.operators import timeseries as ts_ops
+    from etl_script_spark.sources import avro_io, lakelog
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        if hasattr(out, "write"):
+            out.write.mode("overwrite").format("noop").save()
+            cnt = out.count()
+        else:
+            cnt = out
+        print(f"{name}: {time.time()-t0:.1f}s -> {cnt}", flush=True)
+
+    # --- Avro at 1.5k shards ---------------------------------------
+    d = "/tmp/etl_script_spark_io/stress_r10_avro"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    dec_t = {"type": "bytes", "logicalType": "decimal",
+             "precision": 15, "scale": 2}
+    schema = {"type": "record", "name": "m", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "amt", "type": dec_t},
+        {"name": "s", "type": "string"},
+    ]}
+    t0 = time.time()
+    for sh in range(1500):
+        recs = [
+            {"k": sh * 200 + i, "amt": Decimal(sh * 200 + i).scaleb(-2),
+             "s": f"row{sh}_{i}"}
+            for i in range(200)
+        ]
+        avro_io.write_avro(f"{d}/p{sh:05d}.avro", schema, recs,
+                           codec="deflate")
+    print(f"avro write 1500 shards x 200 recs: {time.time()-t0:.1f}s",
+          flush=True)
+    run("avro distributed read 1500 shards (300k recs)", lambda:
+        avro_io.read_avro_distributed(
+            spark, f"{d}/p*.avro",
+            "k long, amt decimal(15,2), s string"))
+
+    # --- lakelog at 10k commits ------------------------------------
+    tbl = "/tmp/etl_script_spark_io/stress_r10_lakelog"
+    shutil.rmtree(tbl, ignore_errors=True)
+    t0 = time.time()
+    for v in range(1, 10_001):
+        entry = {"version": v, "parent": v - 1, "action": "append",
+                 "files": [f"data/x{v}.parquet"],
+                 "schema": {"columns": [["k", "bigint"]],
+                            "fingerprint": "f"}}
+        assert lakelog._try_commit(tbl, v, entry)
+        lakelog._maybe_checkpoint(tbl, v)
+    print(f"lakelog 10k commits (+1k checkpoints): {time.time()-t0:.1f}s",
+          flush=True)
+    t0 = time.time()
+    head = lakelog.latest_version(tbl)
+    files = lakelog.snapshot_files(tbl)
+    print(f"lakelog snapshot at head {head}: {time.time()-t0:.3f}s"
+          f" -> {len(files)} files", flush=True)
+    t0 = time.time()
+    old = lakelog.snapshot_files(tbl, 5_005)
+    print(f"lakelog time travel to v5005: {time.time()-t0:.3f}s"
+          f" -> {len(old)} files", flush=True)
+
+    # real parquet-backed table: 100 appends then one snapshot read
+    tbl2 = "/tmp/etl_script_spark_io/stress_r10_laketbl"
+    shutil.rmtree(tbl2, ignore_errors=True)
+    t0 = time.time()
+    for i in range(100):
+        lakelog.write_table(
+            spark.range(i * 1000, (i + 1) * 1000).select(
+                F.col("id").alias("k")),
+            tbl2)
+    print(f"lakelog 100 real appends: {time.time()-t0:.1f}s", flush=True)
+    run("lakelog read at 100-commit head (100k rows)", lambda:
+        lakelog.read_table(spark, tbl2))
+
+    # one transactional upsert against the 100-commit table
+    run("lakelog upsert_table 10k-row batch into 100k-row table",
+        lambda: (
+            lakelog.upsert_table(
+                spark,
+                spark.range(50_000, 60_000).select(
+                    F.col("id").alias("k")),
+                tbl2, keys=["k"]),
+        )[0])
+
+    # --- Adamic-Adar at 10M vertices / 40M edges -------------------
+    edges = spark.range(40_000_000).select(
+        (F.col("id") % 10_000_000).alias("src"),
+        (F.abs(F.xxhash64("id")) % 10_000_000).alias("dst"))
+    run("adamic_adar 10M vertices, 40M edges, k=100", lambda:
+        graph_ops.adamic_adar_scores(edges, deg_cap=64, k=100))
+
+    # --- Holt at 1M series x 200 points ----------------------------
+    run("holt_linear 1M series x 200 points (200M rows)", lambda:
+        ts_ops.holt_linear_smooth(
+            spark.range(200_000_000).select(
+                (F.col("id") % 1_000_000).alias("srs"),
+                F.expr("id DIV 1000000").alias("t"),
+                (F.xxhash64("id") % 10_000).alias("x")),
+            "srs", "t", "x"))
+
+    # --- burstiness at 100M docs (1.2e9 tokens) --------------------
+    docs = spark.range(100_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(11)),
+                lambda i: F.format_string(
+                    "w%03d",
+                    (F.xxhash64(i, F.col("id")) % 500 + 500) % 500),
+            ), " ").alias("text"),
+    )
+    run("burstiness_fano 100M x 12-word docs", lambda:
+        corpusstats.burstiness_fano(docs, "text", "doc_id",
+                                    min_docs=5, k=50))
+
+
 if __name__ == "__main__":
-    if "--round9" in sys.argv:
+    if "--round10" in sys.argv:
+        spark = get_spark(app_name="stress-round10")
+        stress_round10_newops(spark)
+        spark.stop()
+    elif "--round9" in sys.argv:
         spark = get_spark(app_name="stress-round9")
         stress_round9_newops(spark)
         spark.stop()
