@@ -2703,3 +2703,56 @@ def benjamini_hochberg(
         .select("test", "p_ppm", "rank", "padj_ppm", "rejected")
         .orderBy("rank")
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_ppm_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration (reliability) table for a probabilistic scorer:
+    bin predictions by score, compare each bin's MEAN PREDICTED
+    probability with its OBSERVED event rate — the diagram that says
+    whether a quality/spam/toxicity classifier's scores can be read
+    as probabilities before thresholding a corpus on them (the
+    companion QA to roc_auc, which only checks ranking).
+
+    Scores arrive as exact ppm integers in [0, 1e6]; bin =
+    score·n_bins DIV 1e6, clamped so score=1e6 lands in the top bin.
+    Mean and rate are exact floor divisions (DECIMAL DIV). One
+    map-side-combinable aggregation — sufficient statistics per bin,
+    no sort, no window.
+
+    Returns (bin, n, mean_score_ppm, event_rate_ppm) ordered by bin.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    b = df.select(
+        F.col(score_ppm_col).cast("long").alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    binned = b.withColumn(
+        "bin",
+        F.least(
+            F.expr(f"CAST(s * {int(n_bins)} DIV 1000000 AS BIGINT)"),
+            F.lit(n_bins - 1).cast("long"),
+        ),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("s").cast(_D).alias("__ss"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast(_D).alias("__ys"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.expr("CAST(__ss DIV n AS BIGINT)").alias("mean_score_ppm"),
+            F.expr(
+                "CAST((__ys * 1000000) DIV n AS BIGINT)"
+            ).alias("event_rate_ppm"),
+        )
+        .orderBy("bin")
+    )

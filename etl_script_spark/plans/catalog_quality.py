@@ -2675,3 +2675,136 @@ def surv_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 3).alias("cohort"), "t", "e"
     )
     return survival.kaplan_meier_curve(subj, "cohort", "t", "e")
+
+
+@register(
+    "surv_log_rank",
+    """
+    WITH subj AS (
+      SELECT user_id % 2 AS g,
+             CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                            CAST(MAX(ts) AS DATE)) AS BIGINT) AS t,
+             (COUNT(*) % 2 = 1) AS e
+      FROM events GROUP BY user_id
+    ),
+    per_gt AS (
+      SELECT g, t, SUM(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+             COUNT(*) AS m
+      FROM subj GROUP BY g, t
+    ),
+    grid AS (
+      SELECT t, g FROM (SELECT DISTINCT t FROM per_gt)
+      CROSS JOIN (SELECT DISTINCT g FROM per_gt)
+    ),
+    filled AS (
+      SELECT grid.g, grid.t, COALESCE(d, 0) AS d, COALESCE(m, 0) AS m
+      FROM grid LEFT JOIN per_gt
+        ON grid.g = per_gt.g AND grid.t = per_gt.t
+    ),
+    h AS (
+      SELECT g, t, d,
+             SUM(m) OVER (PARTITION BY g ORDER BY t DESC) AS n_g
+      FROM filled
+    ),
+    per_t AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN g = 0 THEN n_g END) AS HUGEINT) AS n1t,
+             CAST(SUM(CASE WHEN g = 1 THEN n_g END) AS HUGEINT) AS n2t,
+             CAST(SUM(CASE WHEN g = 0 THEN d ELSE 0 END) AS HUGEINT)
+               AS d1t,
+             CAST(SUM(d) AS HUGEINT) AS dt
+      FROM h GROUP BY t
+    ),
+    folded AS (
+      SELECT CAST(SUM(d1t) AS BIGINT) AS o1,
+             CAST(SUM((n1t * dt * 1000000) // (n1t + n2t)) AS BIGINT)
+               AS e1_ppm,
+             CAST(SUM((n1t * n2t * dt * ((n1t + n2t) - dt) * 1000000)
+                      // NULLIF((n1t + n2t) * (n1t + n2t)
+                                * ((n1t + n2t) - 1), 0)) AS BIGINT)
+               AS v_micro
+      FROM per_t WHERE dt > 0
+    ),
+    sizes AS (
+      SELECT CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM subj
+    ),
+    cur AS (
+      SELECT n1, n2, o1, e1_ppm, v_micro,
+             CAST(o1 AS HUGEINT) * 1000000 - e1_ppm AS num,
+             CAST(FLOOR(SQRT(CAST(v_micro AS DOUBLE))) AS HUGEINT) AS s0
+      FROM sizes, folded
+    ),
+    sd AS (
+      SELECT *, (CASE WHEN (s0+2)*(s0+2) <= v_micro THEN s0+2
+                      WHEN (s0+1)*(s0+1) <= v_micro THEN s0+1
+                      WHEN s0*s0 <= v_micro THEN s0
+                      WHEN (s0-1)*(s0-1) <= v_micro THEN s0-1
+                      ELSE s0-2 END) AS sd_milli
+      FROM cur
+    )
+    SELECT n1, n2, o1, e1_ppm, v_micro,
+           CASE WHEN v_micro IS NULL OR sd_milli <= 0 THEN NULL
+                WHEN num < 0 THEN CAST(-((-num) // sd_milli) AS BIGINT)
+                ELSE CAST(num // sd_milli AS BIGINT) END AS z_milli
+    FROM sd
+    """,
+    ("X-statistics", "X-survival"),
+)
+def surv_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test (survival.log_rank_test) between the
+    even/odd user cohorts of the surv_kaplan_meier subject table —
+    does cohort 0's survival differ from cohort 1's? O/E/V fold from
+    the same bounded per-time histograms as the KM curve; z through
+    the exact isqrt ladder with the sign-split truncation."""
+    from etl_script_spark.operators import survival
+
+    ev = t(spark, sf_dir, "events")
+    subj = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.max("ts")), F.to_date(F.min("ts"))
+        ).cast("long").alias("t"),
+        (F.count(F.lit(1)) % 2 == 1).alias("e"),
+    ).select((F.col("user_id") % 2).alias("cohort"), "t", "e")
+    return survival.log_rank_test(subj, "cohort", "t", "e")
+
+
+@register(
+    "stat_calibration_bins",
+    """
+    WITH b AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) % 1000000 AS s,
+             (o_orderstatus = 'F') AS y
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    binned AS (
+      SELECT CAST(LEAST((s * 10) // 1000000, 9) AS BIGINT) AS bin, s, y
+      FROM b
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(s AS HUGEINT)) // COUNT(*) AS BIGINT)
+             AS mean_score_ppm,
+           CAST((CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT)
+                 * 1000000) // COUNT(*) AS BIGINT) AS event_rate_ppm
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    ("X-statistics",),
+)
+def stat_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/reliability table (stats.calibration_bins): bin a
+    ppm 'score' (here a deterministic cents-derived stand-in) and
+    compare mean predicted vs observed fulfilled-rate per bin — the
+    probability-QA companion to stat_roc_auc's ranking check, run
+    before thresholding a corpus on classifier scores. Exact floor
+    divisions, one aggregation, no windows."""
+    from etl_script_spark.operators import stats
+
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        (F.round(F.col("o_totalprice") * 100).cast("long") % 1000000)
+        .alias("score"),
+        (F.col("o_orderstatus") == "F").alias("filled"),
+    )
+    return stats.calibration_bins(o, "score", "filled", n_bins=10)

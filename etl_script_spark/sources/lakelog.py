@@ -111,9 +111,12 @@ def snapshot_files(table: str, version: int | None = None) -> list[str]:
     version, so cost is O(CHECKPOINT_INTERVAL) commit reads, not
     O(versions)."""
     head = latest_version(table) if version is None else version
-    if version is not None and version > latest_version(table):
+    if version is not None and (
+        version < 0 or version > latest_version(table)
+    ):
         raise ValueError(
-            f"lakelog: version {version} > head {latest_version(table)}"
+            f"lakelog: version {version} outside [0, "
+            f"{latest_version(table)}]"
         )
     files: list[str] = []
     start = 1

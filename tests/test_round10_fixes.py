@@ -444,3 +444,12 @@ def test_guard_error_with_null_group_key(spark):
         (Py4JJavaError, PySparkException), match="max_group_rows"
     ):
         stats._guard_group_size(df, "g", 10, "op").collect()
+
+
+def test_lakelog_negative_version_raises(spark, tmp_path):
+    from etl_script_spark.sources import lakelog
+
+    table = str(tmp_path / "t")
+    lakelog.write_table(spark.createDataFrame([(1,)], "k long"), table)
+    with pytest.raises(ValueError, match="version"):
+        lakelog.snapshot_files(table, -1)

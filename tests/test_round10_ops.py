@@ -226,3 +226,85 @@ def test_km_strata_independent(spark):
     }
     assert out[("a", 1)] == 500000 and out[("a", 2)] == 0
     assert out[("b", 1)] == 1000000 and out[("b", 2)] == 0
+
+
+# ------------------------------------------------------------------ #
+# log_rank_test
+# ------------------------------------------------------------------ #
+
+def test_log_rank_identical_curves_z_zero(spark):
+    rows = [(g, t, True) for g in ("a", "b") for t in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, t long, e boolean")
+    row = survival.log_rank_test(df, "g", "t", "e").collect()[0]
+    assert row["n1"] == 3 and row["n2"] == 3
+    assert row["o1"] * 2 * 1000000 // 1 and row["z_milli"] == 0
+
+
+def test_log_rank_separated_curves(spark):
+    # group a: all events early (t=1); group b: all late (t=9) ->
+    # strongly negative z for a (observed > expected at t=1 means
+    # o1 > e1 -> positive z for group '0'... compute expected by hand:
+    # t=1: n1=3, n2=3, d=3 (all a) -> e1 += 3*3e6/6 = 1.5e6
+    # t=9: n1=0, n2=3, d=3 -> e1 += 0
+    # o1 = 3, e1 = 1.5 -> num > 0 -> z > 0
+    rows = [("a", 1, True)] * 3 + [("b", 9, True)] * 3
+    df = spark.createDataFrame(rows, "g string, t long, e boolean")
+    row = survival.log_rank_test(df, "g", "t", "e").collect()[0]
+    assert row["o1"] == 3 and row["e1_ppm"] == 1500000
+    assert row["z_milli"] is not None and row["z_milli"] > 2000
+
+
+def test_log_rank_three_groups_raises(spark):
+    from pyspark.errors.exceptions.base import PySparkException
+    from py4j.protocol import Py4JJavaError
+
+    rows = [(g, 1, True) for g in ("a", "b", "c")]
+    df = spark.createDataFrame(rows, "g string, t long, e boolean")
+    with pytest.raises(
+        (Py4JJavaError, PySparkException), match="exactly 2 strata"
+    ):
+        survival.log_rank_test(df, "g", "t", "e").collect()
+
+
+def test_log_rank_censoring_shrinks_risk_sets(spark):
+    # a censored subject in group b at t=1 leaves b's risk set for
+    # t=2 without an event
+    rows = [("a", 2, True), ("a", 2, True),
+            ("b", 1, False), ("b", 2, True)]
+    df = spark.createDataFrame(rows, "g string, t long, e boolean")
+    row = survival.log_rank_test(df, "g", "t", "e").collect()[0]
+    # t=1: d=0 -> filtered. t=2: n1=2, n2=1, d=3
+    # e1 = 2*3e6/3 = 2e6; o1 = 2
+    assert row["o1"] == 2 and row["e1_ppm"] == 2000000
+
+
+# ------------------------------------------------------------------ #
+# calibration_bins
+# ------------------------------------------------------------------ #
+
+def test_calibration_perfectly_calibrated(spark):
+    # bin [0.3): 300k scores, 30% positive; bin at 0.85: 85% positive
+    rows = (
+        [(300000, True)] * 3 + [(300000, False)] * 7
+        + [(850000, True)] * 17 + [(850000, False)] * 3
+    )
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    out = {r["bin"]: r for r in stats.calibration_bins(
+        df, "s", "y", n_bins=10).collect()}
+    assert out[3]["n"] == 10 and out[3]["mean_score_ppm"] == 300000
+    assert out[3]["event_rate_ppm"] == 300000
+    assert out[8]["n"] == 20 and out[8]["event_rate_ppm"] == 850000
+
+
+def test_calibration_top_edge_clamps(spark):
+    df = spark.createDataFrame(
+        [(1000000, True), (999999, False)], "s long, y boolean"
+    )
+    rows = stats.calibration_bins(df, "s", "y", n_bins=10).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 9 and rows[0]["n"] == 2
+
+
+def test_calibration_bad_bins_raises(spark):
+    df = spark.createDataFrame([(1, True)], "s long, y boolean")
+    with pytest.raises(ValueError, match="n_bins"):
+        stats.calibration_bins(df, "s", "y", n_bins=1)
