@@ -200,6 +200,11 @@ EXTRA = [
     "surv_kaplan_meier",
     "lake_upsert_txn",
     "s26_avro_decimal_date",
+    "surv_log_rank",
+    "stat_calibration_bins",
+    "ts_mann_kendall",
+    "ts_seasonal_decompose",
+    "corpus_chao1",
 ]
 
 # Entries whose plans are dominated by codegen'd lambda aggregates

@@ -359,3 +359,52 @@ def burstiness_fano(
     return scored.orderBy(
         F.col("fano_ppm").desc(), F.col("token").asc()
     ).limit(k)
+
+
+def chao1_richness(
+    df: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Chao1 estimator of total vocabulary size (Chao 1984): how many
+    distinct token types the corpus WOULD show with unbounded
+    sampling, from the observed type count plus the singleton/
+    doubleton ratio —
+
+        Ĉ = V + f₁·(f₁−1) / (2·(f₂+1)),
+
+    f₁/f₂ = types seen exactly once/twice (the bias-corrected form,
+    defined even at f₂=0). The coverage diagnostic next to
+    heaps_curve: a big Chao1 gap says the crawl is nowhere near
+    lexical saturation, so dedup/quality decisions based on "the
+    vocabulary" are premature.
+
+    Shape: token histogram → frequency-of-frequencies (≤ distinct
+    counts rows) → one fold. Exact integers, one DIV.
+
+    Returns one row (v_obs, f1, f2, chao1).
+    """
+    from etl_script_spark.operators.partitioning import fan_out
+    from etl_script_spark.operators.textstats import words
+
+    b = fan_out(df.select(F.col(text_col).cast("string").alias("__t")))
+    counts = (
+        b.select(F.explode(words(F.col("__t"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("v_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long").alias("f2"),
+    ).select(
+        "v_obs",
+        "f1",
+        "f2",
+        F.expr(
+            "CAST(v_obs + (CAST(f1 AS DECIMAL(38,0)) * (f1 - 1))"
+            " DIV (2 * (f2 + 1)) AS BIGINT)"
+        ).alias("chao1"),
+    )

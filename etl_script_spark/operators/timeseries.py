@@ -841,3 +841,205 @@ def holt_linear_smooth(
             F.expr(f"__f.l + {int(horizon)} * __f.b").alias("forecast"),
         )
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    max_series_rows: int | None = 10000,
+) -> DataFrame:
+    """Per-series Mann–Kendall trend test (Mann 1945; Kendall 1975):
+    the monotone-trend detector on a time series —
+
+        S = Σ_{i<j} sign(x_j − x_i),
+        Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)   (tie groups t),
+        z = (S ∓ 1)/√Var  (continuity-corrected, 0 at S = 0)
+
+    — the hypothesis-test sibling of theil_sen_groups (which gives
+    the slope MK decides is real). Signs by direct comparison (never
+    subtraction — int64 wrap), the variance from the per-series VALUE
+    histogram, and z in exact milli: sd_milli = isqrt((Var18·1e6)
+    DIV 18) — the one inner truncating DIV is the same integer op on
+    both engines, then the sign-split outer division.
+
+    Scale contract: pair generation is Θ(n²) PER SERIES (inherent —
+    every pair is the statistic), group-keyed so series distribute;
+    ENFORCED ≤ ``max_series_rows`` exactly like theil_sen/kendall.
+
+    Returns (series, n, s_stat, var_x18, z_milli).
+    """
+    from etl_script_spark.operators.stats import (
+        _D, _guard_group_size, isqrt_column,
+    )
+
+    b = df.select(
+        F.col(series_col).alias("g"),
+        F.col(order_col).alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    ).filter(F.col("v").isNotNull() & F.col("g").isNotNull())
+    if max_series_rows is not None:
+        if max_series_rows < 2:
+            raise ValueError(
+                f"max_series_rows must be >= 2, got {max_series_rows}"
+            )
+        b = _guard_group_size(b, "g", max_series_rows, "mann_kendall_trend")
+    w = Window.partitionBy("g").orderBy("t")
+    bi = b.withColumn("__i", F.row_number().over(w))
+    s_tab = (
+        bi.alias("i")
+        .join(bi.alias("j"), F.col("i.g") == F.col("j.g"))
+        .filter(F.col("i.__i") < F.col("j.__i"))
+        .groupBy(F.col("i.g").alias("g"))
+        .agg(
+            F.sum(
+                F.when(F.col("j.v") > F.col("i.v"), 1)
+                .when(F.col("j.v") < F.col("i.v"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_stat")
+        )
+    )
+    ties = (
+        b.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast(_D).alias("tc"))
+        .groupBy("g")
+        .agg(
+            F.sum("tc").cast(_D).alias("n"),
+            F.sum(
+                F.expr("tc * (tc - 1) * (2 * tc + 5)")
+            ).cast(_D).alias("tie18"),
+        )
+    )
+    cur = (
+        s_tab.join(ties, "g")
+        .withColumn(
+            "var_x18",
+            F.expr("n * (n - 1) * (2 * n + 5) - tie18"),
+        )
+        .withColumn(
+            "__sd_milli",
+            isqrt_column(F.expr(f"CAST((var_x18 * 1000000) DIV 18 AS {_D})")),
+        )
+        .withColumn(
+            "__num",
+            F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+            .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+            .otherwise(F.lit(0)).cast(_D) * 1000000,
+        )
+    )
+    z = (
+        # __num is (S∓1)·1e6 and __sd_milli is σ·1e3, so the plain
+        # quotient is already z·1e3 — z in exact milli
+        F.when(F.col("__sd_milli") <= 0, F.lit(None))
+        .when(
+            F.col("__num") < 0,
+            -F.expr("CAST((-__num) DIV __sd_milli AS BIGINT)"),
+        )
+        .otherwise(F.expr("CAST(__num DIV __sd_milli AS BIGINT)"))
+        .cast("long")
+    )
+    return cur.select(
+        F.col("g").alias("series"),
+        F.col("n").cast("long").alias("n"),
+        "s_stat",
+        F.col("var_x18").cast("long").alias("var_x18"),
+        z.alias("z_milli"),
+    )
+
+
+def seasonal_decompose_ma(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    period: int,
+) -> DataFrame:
+    """Classical additive seasonal decomposition by centered moving
+    average (the moving-average half of STL; Macaulay 1931): per
+    series, trend = centered MA over one ODD period window (rows
+    without a full window carry NULL trend — edges are honestly
+    unknown, never extrapolated), detrended = value − trend,
+    seasonal = per-phase mean of the detrended series RE-CENTERED so
+    the indices sum to ~0 over a cycle, residual = the rest. The
+    decomposition behind deseasonalized drift checks and anomaly
+    gates (a residual spike means something; a seasonal spike is
+    Tuesday).
+
+    Exact integer milli arithmetic: trend = (window sum·1000) DIV p,
+    phase means and the centering mean via the sign-split truncating
+    division both engines share. ``period`` must be odd (an even
+    period needs the 2×MA second smoothing pass — call with p+1/p−1
+    or pre-aggregate; validate-don't-default).
+
+    Scale shape: two group-keyed windows over the fact (the centered
+    MA and the row numbering — inherent to a sequential statistic,
+    series distribute) and one bounded per-(series, phase) table
+    joined back. Returns (series, t, v, trend_milli, seasonal_milli,
+    residual_milli).
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError(
+            f"period must be odd and >= 3, got {period} — even periods"
+            " need the 2xMA pass; use an odd window or pre-aggregate"
+        )
+    k = (period - 1) // 2
+    b = df.select(
+        F.col(series_col).alias("g"),
+        F.col(order_col).alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    ).filter(F.col("v").isNotNull() & F.col("g").isNotNull())
+    w_ord = Window.partitionBy("g").orderBy("t")
+    w_ma = w_ord.rowsBetween(-k, k)
+    tdiv = (
+        lambda num, den:
+        F.when(
+            F.expr(num) < 0,
+            -F.expr(f"CAST((-({num})) DIV ({den}) AS BIGINT)"),
+        ).otherwise(F.expr(f"CAST(({num}) DIV ({den}) AS BIGINT)"))
+    )
+    based = (
+        b.withColumn("__rn", F.row_number().over(w_ord))
+        .withColumn("__ws", F.sum("v").over(w_ma))
+        .withColumn("__wc", F.count(F.lit(1)).over(w_ma))
+        .withColumn(
+            "trend_milli",
+            F.when(
+                F.col("__wc") == period,
+                tdiv(f"CAST(__ws AS DECIMAL(38,0)) * 1000", str(period)),
+            ),
+        )
+        .withColumn("__phase", (F.col("__rn") - 1) % period)
+        .withColumn(
+            "__det", F.col("v") * 1000 - F.col("trend_milli")
+        )
+    )
+    phase = based.filter(F.col("__det").isNotNull()).groupBy(
+        "g", "__phase"
+    ).agg(
+        F.sum("__det").cast("long").alias("__ds"),
+        F.count(F.lit(1)).cast("long").alias("__dc"),
+    ).withColumn("__smean", tdiv("CAST(__ds AS DECIMAL(38,0))", "__dc"))
+    centering = phase.groupBy("g").agg(
+        F.sum("__smean").cast("long").alias("__cs"),
+        F.count(F.lit(1)).cast("long").alias("__cc"),
+    ).withColumn("__center", tdiv("CAST(__cs AS DECIMAL(38,0))", "__cc"))
+    seas = phase.join(centering.select("g", "__center"), "g").select(
+        "g",
+        "__phase",
+        (F.col("__smean") - F.col("__center")).alias("seasonal_milli"),
+    )
+    return (
+        based.join(seas, ["g", "__phase"], "left")
+        .select(
+            F.col("g").alias("series"),
+            "t",
+            "v",
+            "trend_milli",
+            "seasonal_milli",
+            (
+                F.col("v") * 1000 - F.col("trend_milli")
+                - F.col("seasonal_milli")
+            ).alias("residual_milli"),
+        )
+    )

@@ -1214,3 +1214,169 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "srs", "ord", "x",
         alpha_ppm=300000, beta_ppm=100000, horizon=1,
     )
+
+
+_MK_ISQRT = (
+    "(CASE WHEN (s0+2)*(s0+2) <= vs THEN s0+2"
+    " WHEN (s0+1)*(s0+1) <= vs THEN s0+1"
+    " WHEN s0*s0 <= vs THEN s0"
+    " WHEN (s0-1)*(s0-1) <= vs THEN s0-1 ELSE s0-2 END)"
+)
+
+
+@register(
+    "ts_mann_kendall",
+    f"""
+    WITH b AS (
+      SELECT c_nationkey AS g, c_custkey AS t,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v
+      FROM customer
+    ),
+    bi AS (
+      SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY t) AS i
+      FROM b
+    ),
+    s AS (
+      SELECT i.g,
+             CAST(SUM(CASE WHEN j.v > i.v THEN 1
+                           WHEN j.v < i.v THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM bi i JOIN bi j ON i.g = j.g AND i.i < j.i GROUP BY i.g
+    ),
+    ties AS (
+      SELECT g, SUM(tc) AS n, SUM(tc * (tc - 1) * (2 * tc + 5)) AS tie18
+      FROM (SELECT g, v, CAST(COUNT(*) AS HUGEINT) AS tc
+            FROM b GROUP BY g, v) GROUP BY g
+    ),
+    cur AS (
+      SELECT s.g, s_stat, n,
+             n * (n - 1) * (2 * n + 5) - tie18 AS var18
+      FROM s JOIN ties ON s.g = ties.g
+    ),
+    num AS (
+      SELECT *,
+             CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                       WHEN s_stat < 0 THEN s_stat + 1
+                       ELSE 0 END AS HUGEINT) * 1000000 AS nm,
+             (var18 * 1000000) // 18 AS vs
+      FROM cur
+    ),
+    sd AS (
+      SELECT *, CAST(FLOOR(SQRT(CAST(vs AS DOUBLE))) AS HUGEINT) AS s0
+      FROM num
+    ),
+    sd2 AS (SELECT *, {_MK_ISQRT} AS sdm FROM sd)
+    SELECT g AS series, CAST(n AS BIGINT) AS n, s_stat,
+           CAST(var18 AS BIGINT) AS var_x18,
+           CASE WHEN sdm <= 0 THEN NULL
+                WHEN nm < 0 THEN CAST(-((-nm) // sdm) AS BIGINT)
+                ELSE CAST(nm // sdm AS BIGINT) END AS z_milli
+    FROM sd2
+    """,
+    ("X-timeseries", "X-statistics"),
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Mann-Kendall monotone-trend test of account balance
+    over the customer-key ordering (timeseries.mann_kendall_trend) —
+    the hypothesis-test sibling of stat_theil_sen's slope: S from
+    group-keyed pairwise sign comparisons (Θ(n²) per series, bounded
+    + enforced), tie-corrected variance off the value histogram,
+    continuity-corrected z in exact milli via the isqrt ladder."""
+    from etl_script_spark.operators import timeseries as ts
+
+    from etl_script_spark.plans.catalog import cents
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("g"),
+        F.col("c_custkey").alias("t"),
+        cents(F.col("c_acctbal")).alias("v"),
+    )
+    return ts.mann_kendall_trend(c, "g", "t", "v")
+
+
+_TD = (
+    lambda num, den:
+    f"(CASE WHEN ({num}) < 0 THEN -((-({num})) // ({den}))"
+    f" ELSE ({num}) // ({den}) END)"
+)
+
+
+@register(
+    "ts_seasonal_decompose",
+    f"""
+    WITH b AS (
+      SELECT user_id % 4 AS g, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    based AS (
+      SELECT g, ts, event_id, v,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS rn,
+             SUM(CAST(v AS HUGEINT)) OVER
+               (PARTITION BY g ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ws,
+             COUNT(*) OVER
+               (PARTITION BY g ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wc
+      FROM b
+    ),
+    t1 AS (
+      SELECT *,
+             CASE WHEN wc = 7
+                  THEN CAST({_TD("ws * 1000", "7")} AS BIGINT) END
+               AS trend_milli,
+             (rn - 1) % 7 AS phase
+      FROM based
+    ),
+    t2 AS (SELECT *, v * 1000 - trend_milli AS det FROM t1),
+    ph AS (
+      SELECT g, phase,
+             CAST({_TD("SUM(CAST(det AS HUGEINT))", "COUNT(*)")}
+                  AS BIGINT) AS smean
+      FROM t2 WHERE det IS NOT NULL GROUP BY g, phase
+    ),
+    ctr AS (
+      SELECT g,
+             CAST({_TD("SUM(CAST(smean AS HUGEINT))", "COUNT(*)")}
+                  AS BIGINT) AS center
+      FROM ph GROUP BY g
+    ),
+    seas AS (
+      SELECT ph.g, phase, smean - center AS seasonal_milli
+      FROM ph JOIN ctr ON ph.g = ctr.g
+    )
+    SELECT t2.g AS series, t2.event_id, t2.v AS v, t2.trend_milli,
+           seas.seasonal_milli,
+           t2.v * 1000 - t2.trend_milli - seas.seasonal_milli
+             AS residual_milli
+    FROM t2 LEFT JOIN seas
+      ON t2.g = seas.g AND t2.phase = seas.phase
+    """,
+    ("X-timeseries",),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition by centered 7-point moving
+    average (timeseries.seasonal_decompose_ma) of event values per
+    user-bucket: trend (NULL at honest edges), re-centered per-phase
+    seasonal indices, residual — all exact integer milli with the
+    shared sign-split truncating division. The deseasonalizer behind
+    residual-based anomaly gates."""
+    from etl_script_spark.operators import timeseries as ts
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 4).alias("g"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("ord"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = ts.seasonal_decompose_ma(ev, "g", "ord", "cents", period=7)
+    return out.select(
+        "series",
+        F.col("t.event_id").alias("event_id"),
+        "v",
+        "trend_milli",
+        "seasonal_milli",
+        "residual_milli",
+    )

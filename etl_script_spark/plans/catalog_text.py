@@ -2636,3 +2636,39 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("tok").alias("token"))
     )
     return textstats.oov_rate(d, "text", "doc_id", vocab, "token")
+
+
+@register(
+    "corpus_chao1",
+    f"""
+    WITH counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_filter({_WS}, w -> w != '')) AS tok
+        FROM documents
+      ) GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS v_obs,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(COUNT(*)
+                + (CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS HUGEINT)
+                   * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1))
+                  // (2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))
+                AS BIGINT) AS chao1
+    FROM counts
+    """,
+    ("LLM-text",),
+)
+def corpus_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate (corpusstats.chao1_richness)
+    over the documents corpus: observed types plus the bias-corrected
+    singleton/doubleton extrapolation — the lexical-saturation
+    diagnostic next to corpus heaps_curve. Token histogram to a
+    frequency-of-frequencies fold; exact integers, one DIV."""
+    from etl_script_spark.operators import corpusstats
+
+    return corpusstats.chao1_richness(
+        t(spark, sf_dir, "documents"), "text"
+    )

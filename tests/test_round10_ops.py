@@ -308,3 +308,121 @@ def test_calibration_bad_bins_raises(spark):
     df = spark.createDataFrame([(1, True)], "s long, y boolean")
     with pytest.raises(ValueError, match="n_bins"):
         stats.calibration_bins(df, "s", "y", n_bins=1)
+
+
+# ------------------------------------------------------------------ #
+# mann_kendall_trend
+# ------------------------------------------------------------------ #
+
+def test_mk_strictly_increasing(spark):
+    from etl_script_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame(
+        [("s", i, i * 10) for i in range(10)], "g string, t long, v long"
+    )
+    row = ts.mann_kendall_trend(df, "g", "t", "v").collect()[0]
+    assert row["s_stat"] == 45  # all 45 pairs concordant
+    # no ties: var18 = 10*9*25 = 2250 -> var = 125, sd ~ 11.18
+    assert row["var_x18"] == 2250
+    # z = (45-1)/11.180 = 3.9355
+    assert abs(row["z_milli"] - 3935) <= 2
+
+
+def test_mk_strictly_decreasing_symmetric(spark):
+    from etl_script_spark.operators import timeseries as ts
+
+    up = spark.createDataFrame(
+        [("s", i, i) for i in range(8)], "g string, t long, v long"
+    )
+    dn = spark.createDataFrame(
+        [("s", i, -i) for i in range(8)], "g string, t long, v long"
+    )
+    zu = ts.mann_kendall_trend(up, "g", "t", "v").collect()[0]["z_milli"]
+    zd = ts.mann_kendall_trend(dn, "g", "t", "v").collect()[0]["z_milli"]
+    assert zu > 0 and zd == -zu
+
+
+def test_mk_constant_series_null_z(spark):
+    from etl_script_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame(
+        [("s", i, 7) for i in range(6)], "g string, t long, v long"
+    )
+    row = ts.mann_kendall_trend(df, "g", "t", "v").collect()[0]
+    # all tied: S = 0, var18 = n(n-1)(2n+5) - n(n-1)(2n+5) = 0 -> NULL
+    assert row["s_stat"] == 0 and row["var_x18"] == 0
+    assert row["z_milli"] is None
+
+
+def test_mk_guard_raises(spark):
+    from pyspark.errors.exceptions.base import PySparkException
+    from py4j.protocol import Py4JJavaError
+
+    from etl_script_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame(
+        [("s", i, i) for i in range(30)], "g string, t long, v long"
+    )
+    with pytest.raises(
+        (Py4JJavaError, PySparkException), match="max_group_rows"
+    ):
+        ts.mann_kendall_trend(df, "g", "t", "v", max_series_rows=10).collect()
+
+
+# ------------------------------------------------------------------ #
+# seasonal_decompose_ma
+# ------------------------------------------------------------------ #
+
+def test_decompose_recovers_pure_seasonal(spark):
+    from etl_script_spark.operators import timeseries as ts
+
+    # pure period-3 signal on a flat base: v = [10, 20, 30] repeating
+    rows = [("s", i, [10, 20, 30][i % 3]) for i in range(12)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    out = ts.seasonal_decompose_ma(df, "g", "t", "v", period=3).collect()
+    mid = [r for r in out if r["trend_milli"] is not None]
+    # interior trend = mean(10,20,30) = 20 everywhere
+    assert all(r["trend_milli"] == 20000 for r in mid)
+    # seasonal indices recover -10, 0, +10 (phase order by t)
+    assert all(r["residual_milli"] == 0 for r in mid)
+    # edges: first and last row have NULL trend (honest edges)
+    by_t = {r["t"]: r for r in out}
+    assert by_t[0]["trend_milli"] is None
+    assert by_t[11]["trend_milli"] is None
+
+
+def test_decompose_even_period_raises(spark):
+    from etl_script_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame([("s", 1, 1)], "g string, t long, v long")
+    with pytest.raises(ValueError, match="odd"):
+        ts.seasonal_decompose_ma(df, "g", "t", "v", period=4)
+
+
+# ------------------------------------------------------------------ #
+# chao1_richness
+# ------------------------------------------------------------------ #
+
+def test_chao1_hand_computed(spark):
+    from etl_script_spark.operators import corpusstats
+
+    # corpus: "a a b c" + "c d" -> counts a:2 b:1 c:2 d:1
+    # V=4, f1=2, f2=2, chao1 = 4 + 2*1/(2*3) = 4 + 0 (floor) = 4
+    df = spark.createDataFrame(
+        [("a a b c",), ("c d",)], "text string"
+    )
+    row = corpusstats.chao1_richness(df, "text").collect()[0]
+    assert row["v_obs"] == 4 and row["f1"] == 2 and row["f2"] == 2
+    assert row["chao1"] == 4
+
+
+def test_chao1_many_singletons_extrapolates(spark):
+    from etl_script_spark.operators import corpusstats
+
+    # 10 singletons, no doubletons: chao1 = 10 + 10*9/2 = 55
+    df = spark.createDataFrame(
+        [(" ".join(f"w{i}" for i in range(10)),)], "text string"
+    )
+    row = corpusstats.chao1_richness(df, "text").collect()[0]
+    assert row["v_obs"] == 10 and row["f1"] == 10 and row["f2"] == 0
+    assert row["chao1"] == 55
