@@ -25,6 +25,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_script_spark.operators.partitioning import fan_out as _fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns (double)."""
@@ -181,6 +183,21 @@ def lsh_topk(
     )
 
 
+def _fit_sample(
+    vectors: DataFrame, id_col: str, vec_col: str, n: int
+) -> list:
+    """The shared deterministic fit sample: the ``n`` vectors with
+    the smallest ``xxhash64(id)`` (ties by id). Collected ONCE and
+    passed to every model fit that needs it — the hash order makes it
+    reproducible and id-order-unbiased (see ``ivf_centroids``)."""
+    return (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(n)
+        .collect()
+    )
+
+
 def ivf_centroids(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -188,6 +205,7 @@ def ivf_centroids(
     n_centroids: int = 8,
     sample_size: int = 1024,
     iters: int = 5,
+    _sample: list | None = None,
 ) -> list[list[float]]:
     """Deterministic IVF "fit": k-means (Lloyd) on a bounded sample,
     driver-side. The sample is the ``sample_size`` vectors with the
@@ -205,10 +223,11 @@ def ivf_centroids(
     import numpy as np
 
     rows = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(max(sample_size, n_centroids))
-        .collect()
+        _sample
+        if _sample is not None
+        else _fit_sample(
+            vectors, id_col, vec_col, max(sample_size, n_centroids)
+        )
     )
     x = np.asarray([list(map(float, r[vec_col])) for r in rows], dtype=np.float64)
     cents = x[:n_centroids].copy()
@@ -593,6 +612,7 @@ def pq_fit(
     ksub: int = 16,
     sample_size: int = 1024,
     iters: int = 8,
+    _sample: list | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebook fit (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011 — public
@@ -613,10 +633,9 @@ def pq_fit(
         raise ValueError(f"ksub must be in [1, 256], got {ksub}")
     dsub = dim // m
     rows = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(max(sample_size, ksub))
-        .collect()
+        _sample
+        if _sample is not None
+        else _fit_sample(vectors, id_col, vec_col, max(sample_size, ksub))
     )
     x = np.asarray([list(map(float, r[vec_col])) for r in rows], dtype=np.float64)
     books: list[list[list[float]]] = []
@@ -885,8 +904,21 @@ def build_ivfpq_index(
     subsequent ``ivfpq_topk`` call. Returns (index_df, model) where
     model = {"centroids", "codebooks"} re-parameterizes the serve
     path (persist it next to the index — it is a few KB of floats)."""
-    centroids = ivf_centroids(vectors, id_col, vec_col, n_centroids)
-    codebooks = pq_fit(vectors, id_col, vec_col, dim=dim, m=m, ksub=ksub)
+    # ONE hash-ordered sample collect feeds BOTH fits: ivf_centroids
+    # and pq_fit draw the identical deterministic sample (same order
+    # key, same default size), so collecting it twice was a pure
+    # duplicate scan+TakeOrdered job on the serve path (r10 measure:
+    # the inline-build entry is latency-bound on its stage chain, not
+    # on encode CPU — a fan-out of the encode moved nothing).
+    sample = _fit_sample(
+        vectors, id_col, vec_col, max(1024, n_centroids, ksub)
+    )
+    centroids = ivf_centroids(
+        vectors, id_col, vec_col, n_centroids, _sample=sample
+    )
+    codebooks = pq_fit(
+        vectors, id_col, vec_col, dim=dim, m=m, ksub=ksub, _sample=sample
+    )
     index = vectors.select(
         F.col(id_col),
         ivf_assign(vec_col, centroids).alias("__cell"),

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
 from etl_script_spark.operators.dedup import normalize_text
+from etl_script_spark.operators.partitioning import fan_out as _fan_out
 
 
 def _md5_int(c: Column) -> Column:
@@ -117,29 +118,42 @@ def winnow_fingerprints(
             F.filter(F.split(norm, ""), lambda x: x != ""), from_chars
         )
 
-    def bounded_seq(lim: Column) -> Column:
-        # sequence(1, 0) DESCENDS in Spark ([1, 0]) — boundary
-        # positions (i = 1, i = n) must take an empty run, not a
-        # zero-length slice probe (slice start 0 throws)
-        return F.when(
-            lim >= 1, F.sequence(F.lit(1), lim)
-        ).otherwise(F.array().cast("array<int>"))
-
     def sel_of(h: Column) -> Column:
         n = F.size(h)
 
         def keep(i: Column) -> Column:
             hi = F.element_at(h, i)
-            lrun = F.size(
-                F.filter(
-                    bounded_seq(F.least(F.lit(w - 1), i - 1)),
-                    lambda d: F.array_min(F.slice(h, i - d, d)) >= hi,
+            # Run lengths via the monotone neighbor chain: "all d
+            # nearest neighbors clear the bound" holds iff it held
+            # for d-1 AND the d-th neighbor clears it, so the capped
+            # run length is a sum of w-1 chained boolean probes —
+            # plain element_at comparisons. The first form
+            # (array_min over a slice per probe) allocated two
+            # arrays per probe per position; interpreted-HOF
+            # allocation churn was the measured wall (r10 profile:
+            # 32 RUNNABLE task threads all inside
+            # Slice.nullSafeEval/ArrayDataIndexedSeq, jvm_cpu 7.7×
+            # the single-task total at 32-way fan-out). Same
+            # selected positions, zero per-probe allocation.
+            def run(cmp) -> Column:
+                conds = []
+                cond = F.lit(True)
+                for d in range(1, w):
+                    cond = cond & F.coalesce(cmp(d), F.lit(False))
+                    conds.append(cond.cast("int"))
+                out = conds[0]
+                for c in conds[1:]:
+                    out = out + c
+                return out
+
+            lrun = run(
+                lambda d: F.when(
+                    i - d >= 1, F.element_at(h, i - d) >= hi
                 )
             )
-            rrun = F.size(
-                F.filter(
-                    bounded_seq(F.least(F.lit(w - 1), n - i)),
-                    lambda d: F.array_min(F.slice(h, i + 1, d)) > hi,
+            rrun = run(
+                lambda d: F.when(
+                    i + d <= n, F.element_at(h, i + d) > hi
                 )
             )
             return ((lrun + rrun) >= F.lit(w - 1)) & (
@@ -174,8 +188,14 @@ def winnow_fingerprints(
 
         return let(sel_of(h), with_sel)
 
+    # the hash+selection projection is O(len·w²) CPU per row over a
+    # byte-tiny input: a single small parquet file scans as ONE split
+    # (openCost packing), so without a fan-out the whole corpus
+    # fingerprints on one core (measured 8.7 s wall ≈ 8.9 s jvm_cpu at
+    # sf0.1). Round-robin spread of only the two needed columns; a
+    # wide 100 TB scan passes through untouched (fan_out contract).
     packed = let(hashes_of(normalize_text(F.col(text_col))), out_cols)
-    return df.select(
+    return _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), packed.alias("__p")
     ).select(
         "id",
@@ -229,7 +249,14 @@ def ngram_novelty(
             ),
         ).otherwise(F.array().cast("array<long>"))
         cols = [F.col(id_col).alias("id")] if with_id else []
-        return d.select(*cols, F.explode(arr).alias("g"))
+        # md5-per-gram is CPU-dense over byte-tiny inputs (same
+        # single-split pathology as winnow_fingerprints: measured
+        # 5.0 s wall ≈ 5.0 s jvm_cpu at sf0.1) — spread the narrow
+        # scan before the gram projection; wide scans pass through.
+        keep = [*cols, F.col(text_col)] if with_id else [F.col(text_col)]
+        return _fan_out(d.select(*keep)).select(
+            *([F.col("id")] if with_id else []), F.explode(arr).alias("g")
+        )
 
     doc_g = grams(corpus, True)
     ref_g = grams(reference, False).distinct().withColumn(
