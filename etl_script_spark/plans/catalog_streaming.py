@@ -144,7 +144,10 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         delay="365 days",
     ).select("user_id", "event_type")
     return ingest.run_available_now(
-        deduped, f"st_stream_dedup_{_tag(sf_dir)}", output_mode="append"
+        deduped,
+        f"st_stream_dedup_{_tag(sf_dir)}",
+        output_mode="append",
+        state_partitions=ingest.adaptive_state_partitions(spark, sf_dir),
     )
 
 
@@ -177,7 +180,10 @@ def st_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
     return ingest.run_available_now(
-        agg, f"st_stream_tumbling_{_tag(sf_dir)}", output_mode="complete"
+        agg,
+        f"st_stream_tumbling_{_tag(sf_dir)}",
+        output_mode="complete",
+        state_partitions=ingest.adaptive_state_partitions(spark, sf_dir),
     )
 
 
@@ -207,8 +213,17 @@ def st_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sdf = ingest.stream_events(spark, sf_dir)
     flagged = stateful.running_mean_anomalies(sdf, factor_num=2, factor_den=1)
+    # Python-stateful op: per-partition cost is Arrow transfer + Python
+    # compute, not state-store I/O, so it wants ~4x the parallelism per
+    # byte of the JVM-stateful entries (r10 sweep at sf0.1: 16 parts
+    # 1.9 s, 4 parts 2.7 s, 32 parts 2.4 s warm).
     return ingest.run_available_now(
-        flagged, f"st_stateful_anomalies_{_tag(sf_dir)}", output_mode="append"
+        flagged,
+        f"st_stateful_anomalies_{_tag(sf_dir)}",
+        output_mode="append",
+        state_partitions=ingest.adaptive_state_partitions(
+            spark, sf_dir, target_bytes=128 * 1024
+        ),
     )
 
 
@@ -384,7 +399,9 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
     return ingest.run_available_now(
-        joined, f"st_stream_stream_join_{_tag(sf_dir)}"
+        joined,
+        f"st_stream_stream_join_{_tag(sf_dir)}",
+        state_partitions=ingest.adaptive_state_partitions(spark, sf_dir),
     )
 
 
@@ -664,6 +681,7 @@ def st_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts,
         f"st_stream_drift_{_tag(sf_dir)}",
         output_mode="complete",
+        state_partitions=ingest.adaptive_state_partitions(spark, sf_dir),
     )
     e = t(spark, sf_dir, "events")
     base = e.groupBy(bucket.alias("bucket")).agg(
@@ -814,7 +832,10 @@ def st_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "open", "high", "low", "close", "n_events",
     )
     return ingest.run_available_now(
-        agg, f"st_stream_ohlc_{_tag(sf_dir)}", output_mode="complete"
+        agg,
+        f"st_stream_ohlc_{_tag(sf_dir)}",
+        output_mode="complete",
+        state_partitions=ingest.adaptive_state_partitions(spark, sf_dir),
     )
 
 
@@ -858,5 +879,8 @@ def st_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf, "event_type", ["event_id", "user_id", "vmic"]
     )
     return ingest.run_available_now(
-        fp, f"st_fp_{_tag(sf_dir)}", output_mode="complete"
+        fp,
+        f"st_fp_{_tag(sf_dir)}",
+        output_mode="complete",
+        state_partitions=ingest.adaptive_state_partitions(spark, sf_dir),
     )

@@ -12,10 +12,61 @@ path (plans/catalog.py ``t()``), so batch and stream plans agree.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def adaptive_state_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    filename: str = "events.parquet",
+    target_bytes: int = 512 * 1024,
+) -> int:
+    """Size-derived state-partition count for a stateful streaming
+    query over a known file source: ~1 partition per ``target_bytes``
+    of input, clamped to [2, defaultParallelism].
+
+    Why derive instead of inheriting the session's shuffle.partitions:
+    every state partition is a live state store — a stream-stream
+    join keeps FOUR per partition, each paying snapshot/delta/commit
+    file I/O per micro-batch, so the per-batch floor scales with the
+    partition count regardless of data volume (r10 measure,
+    st_stream_stream_join at a 2 MB fixture: 32 partitions = 7.9 s
+    wall / 73 jvm-CPU-s, 4 partitions = 2.6 s / 6.7 — the state
+    machinery was 10× the actual join work). A byte-tiny drain gets
+    a handful of stores; a 100 TB/day stream hits the
+    defaultParallelism clamp, i.e. full cluster width. The clamp
+    floor of 2 keeps the keyed-exchange path exercised (1 would
+    degenerate every test stream to a single store)."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, filename))
+    except OSError:
+        return spark.sparkContext.defaultParallelism
+    want = max(2, (size + target_bytes - 1) // target_bytes)
+    return int(min(want, spark.sparkContext.defaultParallelism))
+
+
+@contextlib.contextmanager
+def _shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily pin spark.sql.shuffle.partitions while a streaming
+    query STARTS (the value is captured into the query's checkpoint at
+    start and stays fixed for its lifetime); restores on exit. The
+    driver is single-threaded through these catalog entries, so the
+    transient session-conf change cannot race another build."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the events parquet. FileStreamSource
@@ -54,12 +105,21 @@ def run_available_now(
     output_mode: str = "append",
     checkpoint_dir: str | None = None,
     timeout_s: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (Trigger.AvailableNow), land it in an in-memory table, and return
     that table as a batch DataFrame. This is the test/oracle bridge:
     the driver's correctness gate gets a plain DataFrame out of a REAL
-    streaming execution (stateful operators, watermarks and all)."""
+    streaming execution (stateful operators, watermarks and all).
+
+    ``state_partitions`` pins spark.sql.shuffle.partitions for the
+    query's lifetime (captured at start into the checkpoint): stateful
+    streaming ops get one state store per shuffle partition and AQE
+    does NOT coalesce streaming exchanges, so the session default
+    (sized for batch) over-provisions stores whose per-micro-batch
+    snapshot/commit I/O dominates small drains. Callers derive it from
+    input size (adaptive_state_partitions)."""
     import uuid
 
     spark = sdf.sparkSession
@@ -68,14 +128,15 @@ def run_available_now(
     # the previous run's memory table or checkpoint
     unique = f"{query_name}_{uuid.uuid4().hex[:8]}"
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{unique}_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(unique)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _shuffle_partitions(spark, state_partitions):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(unique)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
     # awaitTermination(timeout) returns False on timeout (and raises on
     # query failure): returning the memory table mid-write would hand
     # the oracle a silently PARTIAL result

@@ -349,3 +349,44 @@ def test_neardup_gate_empty_feed_schema_matches_mode(spark):
         assert out.count() == 0
         got = dict(out.dtypes)["fp"]
         assert got == want, f"mode={mode}: fp dtype {got}, want {want}"
+
+
+def test_adaptive_state_partitions_size_derivation(spark, tmp_path):
+    """r10 optimization: state-partition count derives from input
+    bytes (~1 per 512 KB), clamped to [2, defaultParallelism] — a tiny
+    drain gets a handful of state stores, a huge one gets full width,
+    and a missing file falls back to full width rather than guessing."""
+    dp = spark.sparkContext.defaultParallelism
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"x" * 1000)  # <2*512KB -> clamp floor
+    assert ingest.adaptive_state_partitions(
+        spark, str(tmp_path), filename="small.parquet"
+    ) == 2
+    big = tmp_path / "big.parquet"
+    big.write_bytes(b"x" * (3 * 512 * 1024 + 1))  # ceil -> 4 (if dp >= 4)
+    assert ingest.adaptive_state_partitions(
+        spark, str(tmp_path), filename="big.parquet"
+    ) == min(4, dp)
+    # per-byte target is tunable (Python-stateful ops want more width)
+    assert ingest.adaptive_state_partitions(
+        spark, str(tmp_path), filename="big.parquet", target_bytes=128 * 1024
+    ) == min(13, dp)
+    # missing file: fall back to cluster width, never raise
+    assert ingest.adaptive_state_partitions(
+        spark, str(tmp_path), filename="nope.parquet"
+    ) == dp
+
+
+def test_run_available_now_state_partitions_restores_conf(spark, tmp_path):
+    """The pinned shuffle.partitions must apply to the stream and be
+    restored on the session afterwards."""
+    drop_dir = str(tmp_path / "drops_sp")
+    _write_drop(spark, drop_dir, [(1, "a"), (2, "b"), (1, "a2")])
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    sdf = spark.readStream.schema("k long, v string").parquet(drop_dir)
+    agg = sdf.groupBy("k").count()
+    out = ingest.run_available_now(
+        agg, "sp_restore", output_mode="complete", state_partitions=3
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert sorted((r["k"], r["count"]) for r in out.collect()) == [(1, 2), (2, 1)]
