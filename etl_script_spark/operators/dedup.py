@@ -284,12 +284,12 @@ def minhash_lsh_candidates(
     the returned persisted DataFrame and unpersists the signature
     intermediate before returning — a catalog sweep leaves no dead
     cache behind. Call ``.unpersist()`` on the result when done. With
-    ``eager=False`` everything stays lazy — the caller's terminal
-    action evaluates the whole DAG as ONE job (downstream consumers
-    co-schedule with the signature stages instead of serializing
-    behind an eager count) — and the signature cache must be released
-    by the caller via the ``_sig_cache`` attribute on the returned
-    DataFrame (or ``spark.catalog.clearCache()``).
+    ``eager=False`` the pair DAG stays lazy (the signature cache is
+    still materialized at build time — see the inline note: concurrent
+    consumer stages would otherwise race the empty cache and recompute
+    the signature pipeline) and the cache must be released by the
+    caller via the ``_sig_cache`` attribute on the returned DataFrame
+    (or ``spark.catalog.clearCache()``).
     """
     if not 1 <= bands <= num_hashes or num_hashes % bands != 0:
         raise ValueError(
@@ -302,6 +302,19 @@ def minhash_lsh_candidates(
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n, unit=unit
     ).persist()
+    # Materialize the cache NOW, before any consumer subtree is built:
+    # four consumers (banding, star grouping, both agreement rejoins)
+    # otherwise land in ONE job whose concurrent stages race to read
+    # the still-empty cache, each recomputing the explode+k-aggregate
+    # signature pipeline for the partitions it touches (the lazy runs
+    # log "Block rdd_N already exists on this machine; not re-adding
+    # it" — two stages computed the same cached partition; r10 sf0.1
+    # A/B across the family: simhash 7.66 -> 6.53 s wall, binary
+    # simhash 70.2 -> 54.4 JVM CPU-s. At corpus scale the signature
+    # pass is the dominant cost, so a 2-4x recompute of it is days of
+    # cluster time). The extra materialization job is one scan of the
+    # persisted aggregate.
+    sig.count()
     # banded carries ONLY (id, band, bucket): the candidate self-join
     # shuffles 3 small columns, not the 64-long signatures
     banded = sig.select(
@@ -629,6 +642,11 @@ def simhash_near_dups(
             "loss); bands=1 is a full cross join"
         )
     fp = simhash_fingerprints(df, id_col, text_col, unit=unit).persist()
+    # materialize before consumers are built: the grouping, identity
+    # map, banding and hamming verify otherwise race the empty cache
+    # in one job and recompute the fingerprint pipeline per stage
+    # (same finding as minhash_lsh_candidates' sig cache, r10)
+    fp.count()
     identity_map = None
     star_pairs = None
     if collapse_identical:

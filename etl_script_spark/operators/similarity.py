@@ -374,6 +374,11 @@ def embedding_near_dups(
         F.col(vec_col).alias("vec"),
         l2_norm(F.col(vec_col)).alias("__n"),
     ).persist()
+    # materialize before building the three consumers (banding + both
+    # verify rejoins): concurrent stages of one job would otherwise
+    # each recompute uncached partitions of the normed-vector pipeline
+    # (same finding as minhash_lsh_candidates' sig cache, r10)
+    v.count()
     banded = v.select(
         "id",
         F.explode(
