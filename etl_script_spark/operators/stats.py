@@ -585,26 +585,31 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
 
     Returns one row (n, rho_ppb).
     """
-    # NOTE deliberately NOT persisted: the pair histogram feeds three
-    # consumers, but it is INPUT-cardinality (near-unique axes give
-    # one row per fact row) — measured at 20 M rows, caching it costs
-    # more than the two saved re-aggregations (88 s vs 51 s cold).
-    # The Kneser-Ney cache is the opposite case: a type-cardinality
-    # table 60x smaller than the explode that builds it.
-    pairs = (
-        df.select(
-            F.col(x_col).cast("long").alias("x"),
-            F.col(y_col).cast("long").alias("y"),
-        )
-        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # NOTE deliberately NOT persisted: the pair histogram is
+    # INPUT-cardinality (near-unique axes give one row per fact row)
+    # — measured at 20 M rows, caching it costs more than recomputing
+    # (88 s vs 51 s cold). The Kneser-Ney cache is the opposite case:
+    # a type-cardinality table 60x smaller than the explode that
+    # builds it. r10 restructure: the MARGINAL histograms no longer
+    # derive from the pair histogram (which made the groupBy(x, y)
+    # subtree a three-consumer fan-out, re-executed per consumer —
+    # 3 scans AND 3 wide aggregations); each marginal is a direct
+    # one-column aggregation of the base scan (sum over y of
+    # cnt(x, y) == count(x), so values are identical), leaving the
+    # wide pair aggregation with exactly ONE consumer. sf0.1: 7.0 →
+    # 6.2 s, and at scale two full-width shuffles disappear.
+    base = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    pairs = base.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    hx = pairs.groupBy(F.col("x").alias("v")).agg(
-        F.sum("cnt").cast("long").alias("c")
+    hx = base.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    hy = pairs.groupBy(F.col("y").alias("v")).agg(
-        F.sum("cnt").cast("long").alias("c")
+    hy = base.groupBy(F.col("y").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
     rx = _bucketed_below(hx).select(
         F.col("v").alias("__xv"),
@@ -1179,6 +1184,22 @@ def theil_sen_groups(
                 f"max_group_rows must be >= 2, got {max_group_rows}"
             )
         b = _guard_group_size(b, "g", max_group_rows, "theil_sen_groups")
+    # Pin the pair-generation parallelism (r10): the guarded relation's
+    # INPUT bytes are tiny relative to its Θ(n²) pair OUTPUT, so the
+    # planner broadcasts one side and streams the other at the SCAN's
+    # width — a single-split file ran the whole quadratic stage in ONE
+    # task (sf0.1: 7.8 s wall at ~2.6 cores; AQE's size-based coalesce
+    # has the same blind spot when the join shuffles). An explicit
+    # hash-repartition on the group key spreads groups over the
+    # cluster, is immune to AQE coalescing (user-specified partition
+    # count), and doubles as the join/median-window distribution — the
+    # downstream Window.partitionBy(g) reuses it, deleting the
+    # pairs-sized exchange (sf0.1: 7.8M slope rows no longer shuffle;
+    # 7.81 → 2.84 s, results bit-identical). At scale the sort-merge
+    # pair join needs this exact hash(g) exchange anyway.
+    b = b.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "g"
+    )
     pairs = (
         b.alias("i")
         .join(b.alias("j"), F.col("i.g") == F.col("j.g"))
@@ -1736,6 +1757,17 @@ def kendall_tau_groups(
                 f"max_group_rows must be >= 2, got {max_group_rows}"
             )
         b = _guard_group_size(b, "g", max_group_rows, "kendall_tau_groups")
+    # Pin the pair-generation parallelism (r10, same finding as
+    # theil_sen_groups): the row_number window's ENSURE_REQUIREMENTS
+    # exchange carries only the tiny guarded input, so AQE coalesces
+    # it to one partition and the window, the Θ(n²) self-join AND the
+    # concordance aggregation all run single-task. The explicit
+    # hash(g) repartition (user partition count — not coalescible)
+    # feeds the window, both join sides, and every per-group
+    # aggregation downstream without further exchanges.
+    b = b.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "g"
+    )
     # stable within-group pair id so each unordered pair counts once:
     # row_number over (x, y) — deterministic even with full-row ties
     w = Window.partitionBy("g").orderBy("x", "y")

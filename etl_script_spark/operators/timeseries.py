@@ -885,6 +885,12 @@ def mann_kendall_trend(
                 f"max_series_rows must be >= 2, got {max_series_rows}"
             )
         b = _guard_group_size(b, "g", max_series_rows, "mann_kendall_trend")
+    # pin pair-generation parallelism (r10, the theil_sen/kendall
+    # finding): tiny input bytes otherwise leave the Θ(n²) stage at
+    # the scan's width / an AQE-coalesced single task
+    b = b.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "g"
+    )
     w = Window.partitionBy("g").orderBy("t")
     bi = b.withColumn("__i", F.row_number().over(w))
     s_tab = (

@@ -471,12 +471,26 @@ def a7_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile`` matches DuckDB's ``quantile_cont`` bitwise. At
     100 TB switch to ``percentile_approx`` (t-digest sketch, map-side
     mergeable, no per-group sort buffer) when the consumer tolerates
-    rank error; the exact form is the oracle-able contract."""
+    rank error; the exact form is the oracle-able contract.
+
+    r10: the raw rows fold to a (flag, value) -> count histogram
+    FIRST (a codegen'd hash aggregate that combines map-side), and
+    ``percentile`` runs in its frequency form on the histogram. The
+    direct form shipped every row into 3 ObjectHashAggregate
+    counts-maps whose per-group merge serialized on ≤3 final tasks
+    (sf0.1: 3.65 s at ~1.7 cores); the histogram shuffle carries one
+    row per distinct (flag, value) and the percentile buffers merge
+    pre-counted entries (3.65 → 2.55 s, values bit-identical —
+    percentile's interpolation sees the same sorted (value, count)
+    sequence either way)."""
     l = t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    h = l.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return h.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5, __c)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9, __c)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99, __c)").alias("p99"),
     )
 
 
