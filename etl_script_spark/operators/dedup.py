@@ -436,6 +436,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = 1000,
     unit: str = "word",
+    eager: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED
     shingle inverted index (Chaudhuri SSJoin / Bayardo AllPairs):
@@ -467,6 +468,17 @@ def ngram_jaccard_pairs(
     pair table — the arrays shuffle once, keyed by id, only into the
     verify stage; the candidate join itself moves 3 fixed-width
     columns per prefix row.
+
+    Exchange economy (r10): the ranked shingle table is the expensive
+    subtree (tokenize + explode + TWO window shuffles) and feeds THREE
+    consumers — both prefix join sides and the per-doc array rollup —
+    each of which used to re-run the whole pipeline. It is persisted
+    and materialized once before any consumer subtree is built (the
+    minhash_lsh_candidates sig-cache finding). ``eager=True``
+    (default) materializes the (small) verified pair table and
+    unpersists the shingle cache — no dead cache after a catalog
+    sweep; with ``eager=False`` the caller must release via the
+    ``_sh_cache`` attribute on the returned DataFrame.
     """
     shingle_fn = char_shingles if unit == "char" else shingles
     sh = (
@@ -492,7 +504,8 @@ def ngram_jaccard_pairs(
         F.row_number().over(
             Window.partitionBy("id").orderBy("__df", "shingle")
         ),
-    )
+    ).persist()
+    sh.count()
     # epsilon guards: every float comparison errs toward KEEPING a
     # row — 0.8*5 is 4.0000000000000002 in IEEE double and a bare
     # ceil would silently shrink the prefix (lossless becomes lossy)
@@ -532,9 +545,16 @@ def ngram_jaccard_pairs(
     jac = (
         inter / (F.size("__aa") + F.size("__ab") - inter)
     ).alias("jaccard")
-    return verified.select("id_a", "id_b", jac).filter(
+    out = verified.select("id_a", "id_b", jac).filter(
         F.col("jaccard") >= threshold
     )
+    if eager:
+        out = out.persist()
+        out.count()
+        sh.unpersist()
+    else:
+        out._sh_cache = sh
+    return out
 
 
 def simhash_fingerprints(
@@ -545,12 +565,23 @@ def simhash_fingerprints(
 
     Per feature w with hash h: for each bit position, +1 if set else
     -1; fingerprint bit = sign of the vote sum. Shape: explode
-    features to rows, ONE hash aggregation with ``bits`` signed-vote
-    sums, then assemble the fingerprint from the votes. Same rationale
-    as minhash_signatures — the feature array is computed once (an
-    inline per-bit array-aggregate version re-inlines the tokenization
-    ``bits`` times), partials combine map-side, work spreads across
-    cores. O(features × bits) cheap bit ops, no UDF.
+    features to rows, ONE hash aggregation, then assemble the
+    fingerprint from the votes. Same rationale as minhash_signatures —
+    the feature array is computed once (an inline per-bit
+    array-aggregate version re-inlines the tokenization ``bits``
+    times), partials combine map-side, work spreads across cores.
+    O(features × bits) cheap bit ops, no UDF.
+
+    r10: each per-bit vote is ``sum((h >> i) & 1)`` (set-bit COUNT)
+    plus one shared row count n, with the sign recovered as
+    ``2*S_i > n`` (votes_i = 2*S_i - n, so sign(votes_i) > 0 iff
+    2*S_i > n — exact, no overflow: S_i <= n <= int64 range/2). The
+    previous form summed ``when(h & (1<<i) != 0, 1).otherwise(-1)``
+    — 64 branchy CASE WHEN aggregates per row vs 64 two-instruction
+    shift-mask adds; measured sf0.1: word 4.59 -> 3.08 s, byte-hex
+    2.41 -> 2.10 s, fingerprints bit-identical (guide §4/§1: keep the
+    single codegen'd hash aggregate, shrink per-row instruction
+    count).
 
     ``unit='word'`` (default) votes over whitespace words;
     ``unit='char'`` over character 4-grams for undelimited scripts
@@ -569,21 +600,19 @@ def simhash_fingerprints(
     ex = _fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(feats).alias("__w")
     ).withColumn("__h", F.xxhash64("__w"))
-    votes = [
+    sums = [
         F.sum(
-            F.when(
-                F.col("__h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0,
-                1,
-            ).otherwise(-1)
-        ).alias(f"__v{i}")
+            F.shiftrightunsigned("__h", i).bitwiseAND(F.lit(1).cast("long"))
+        ).alias(f"__s{i}")
         for i in range(bits)
     ]
-    agg = ex.groupBy("id").agg(*votes)
+    agg = ex.groupBy("id").agg(*sums, F.count(F.lit(1)).alias("__n"))
     fp = F.lit(0).cast("long")
     for i in range(bits):
         fp = fp.bitwiseOR(
             F.when(
-                F.col(f"__v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                2 * F.col(f"__s{i}") > F.col("__n"),
+                F.shiftleft(F.lit(1).cast("long"), i),
             ).otherwise(F.lit(0).cast("long"))
         )
     return agg.select("id", fp.alias("fp"))
@@ -1301,6 +1330,7 @@ def containment_pairs(
     id_col: str,
     n: int = 3,
     threshold_ppm: int = 800_000,
+    eager: bool = True,
 ) -> DataFrame:
     """Asymmetric near-duplicate detection: EXACT n-gram containment
     C(A in B) = |grams(A) ∩ grams(B)| / |grams(A)| — the measure
@@ -1329,6 +1359,20 @@ def containment_pairs(
 
     Returns (contained_id, container_id, n_grams_a, n_common,
     containment_ppm).
+
+    Exchange economy (r10): the exploded gram table is the expensive
+    subtree (normalize + md5 per gram) and used to feed THREE
+    consumers (df-count, the docs rollup, and the full inverted
+    index), each re-running the explode. It is now persisted and
+    materialized once (minhash_lsh_candidates' sig-cache finding),
+    the per-doc sorted gram table ``docs`` is persisted and
+    materialized (it feeds the prefix, the full index — derived by
+    re-exploding ``__gs``, same distinct grams — and both verify
+    sides), and the gram cache is released as soon as ``docs`` is
+    solid. ``eager=True`` (default) materializes the (small) pair
+    table and unpersists ``docs`` — no dead cache after a catalog
+    sweep; with ``eager=False`` the caller must release via the
+    ``_docs_cache`` attribute.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -1350,13 +1394,26 @@ def containment_pairs(
             )
         ),
     ).otherwise(F.array().cast("array<long>"))
-    g = df.select(
+    # _fan_out: the md5-per-gram explode is the dominant CPU cost and
+    # otherwise runs at the SCAN's width (a single small parquet file
+    # = 1-2 tasks; the theil_sen r10 finding). Hash-spread on the id
+    # so one doc's grams stay together for the per-doc rollup.
+    g = _fan_out(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(grams_arr).alias("g"),
-    )
+    ).persist()
+    # materialize before consumers are built (the empty-cache race:
+    # concurrent stages of one job each recompute the explode)
+    g.count()
     dfreq = g.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     docs = (
         g.join(dfreq, "g")
+        # explicit width on the CPU-heavy rollup (sort_array over every
+        # doc's gram structs): the join output's small byte size lets
+        # AQE coalesce it to ~2 partitions otherwise
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id"
+        )
         .groupBy("id")
         .agg(
             F.transform(
@@ -1372,12 +1429,19 @@ def containment_pairs(
                 f" DIV 1000000 + 1 AS INT)"
             ),
         )
-    )
+    ).persist()
+    docs.count()
+    g.unpersist()
     prefix = docs.select(
         F.col("id").alias("contained_id"),
         F.explode(F.slice("__gs", 1, F.col("__p"))).alias("g"),
     )
-    full = g.select(F.col("id").alias("container_id"), "g")
+    # the full inverted index re-explodes the per-doc distinct gram
+    # list — identical rows to ``g`` (grams_arr is array_distinct'd),
+    # read from the docs cache instead of a third explode
+    full = docs.select(
+        F.col("id").alias("container_id"), F.explode("__gs").alias("g")
+    )
     cands = (
         prefix.join(full, "g")
         .filter(F.col("contained_id") != F.col("container_id"))
@@ -1404,10 +1468,17 @@ def containment_pairs(
         )
         .filter(F.col("containment_ppm") >= F.lit(threshold_ppm))
     )
-    return pairs.select(
+    out = pairs.select(
         "contained_id", "container_id", "n_grams_a", "n_common",
         "containment_ppm",
     )
+    if eager:
+        out = out.persist()
+        out.count()
+        docs.unpersist()
+    else:
+        out._docs_cache = docs
+    return out
 
 
 def jaccard_pairs_prefix_filtered(

@@ -317,10 +317,19 @@ def interpolate_linear(
 
     Scale shape: the grid is gap_fill's (sequence+explode, bounded
     by each key's own span); prev/next observations come from two
-    frame-bounded window passes over the SAME (key, bucket) sort —
-    Spark computes both in one Window sort per direction, and the
-    partitioning key is the series key, so a 100 TB fact table
-    distributes by key with no global sort.
+    RUNNING-frame window passes — forward (__t asc) for the previous
+    observation, reverse (__t desc) for the next. r10: the next-
+    observation pass used to be a ``(currentRow, unboundedFollowing)``
+    frame, which WindowExec evaluates by RE-SCANNING from each row to
+    the partition end — Θ(n²) per series (the UnboundedFollowing
+    frame has no running state). ``last(ignorenulls)`` over the
+    DESC-ordered running frame is the same value (the nearest
+    non-null at or >= the current bucket; bucket times are unique
+    within a key) and both passes are O(n) streaming frames; the
+    second pass re-sorts within the same hash(key) exchange — no new
+    shuffle (sf0.1: 2.82 -> 1.92 s, jvm_cpu 17.0 -> 11.6, rows
+    identical). The partitioning key is the series key, so a 100 TB
+    fact table distributes by key with no global sort.
 
     Returns key_cols + (bucket_col, value_col, interpolated).
     """
@@ -334,18 +343,18 @@ def interpolate_linear(
         .orderBy("__t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_next = (
+    w_rev = (
         Window.partitionBy(*key_cols)
-        .orderBy("__t")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("__t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     v = F.col(value_col)
     obs_t = F.when(v.isNotNull(), F.col("__t"))
     g = (
         g.withColumn("__vp", F.last(v, ignorenulls=True).over(w_prev))
         .withColumn("__tp", F.last(obs_t, ignorenulls=True).over(w_prev))
-        .withColumn("__vn", F.first(v, ignorenulls=True).over(w_next))
-        .withColumn("__tn", F.first(obs_t, ignorenulls=True).over(w_next))
+        .withColumn("__vn", F.last(v, ignorenulls=True).over(w_rev))
+        .withColumn("__tn", F.last(obs_t, ignorenulls=True).over(w_rev))
     )
     num = "(CAST(__vn AS DECIMAL(38,0)) - __vp) * (__t - __tp)"
     mag = f"CAST((abs({num}) DIV (__tn - __tp)) AS BIGINT)"

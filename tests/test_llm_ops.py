@@ -166,6 +166,16 @@ def test_cache_discipline_minhash_simhash_cc(spark, sf_dir):
     sh.unpersist()
     assert _cache_manager_empty(spark), "simhash left dead cache"
 
+    nj = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    assert nj.count() >= 0
+    nj.unpersist()
+    assert _cache_manager_empty(spark), "ngram_jaccard left dead cache"
+
+    cp = dedup_ops.containment_pairs(d, "text", "doc_id")
+    assert cp.count() >= 0
+    cp.unpersist()
+    assert _cache_manager_empty(spark), "containment left dead cache"
+
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
     )
@@ -208,12 +218,9 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     from etl_script_spark.operators import dedup as dedup_ops
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    exact = {
-        (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in dedup_ops.ngram_jaccard_pairs(
-            d, "doc_id", "text", n=3, threshold=0.5
-        ).collect()
-    }
+    ex = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ex.collect()}
+    ex.unpersist()
     assert len(exact) >= 10, "fixture should contain planted near-dups"
     mh = dedup_ops.minhash_lsh_candidates(d, "doc_id", "text")
     got = {
