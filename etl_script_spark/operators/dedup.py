@@ -436,7 +436,6 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = 1000,
     unit: str = "word",
-    eager: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED
     shingle inverted index (Chaudhuri SSJoin / Bayardo AllPairs):
@@ -468,17 +467,6 @@ def ngram_jaccard_pairs(
     pair table — the arrays shuffle once, keyed by id, only into the
     verify stage; the candidate join itself moves 3 fixed-width
     columns per prefix row.
-
-    Exchange economy (r10): the ranked shingle table is the expensive
-    subtree (tokenize + explode + TWO window shuffles) and feeds THREE
-    consumers — both prefix join sides and the per-doc array rollup —
-    each of which used to re-run the whole pipeline. It is persisted
-    and materialized once before any consumer subtree is built (the
-    minhash_lsh_candidates sig-cache finding). ``eager=True``
-    (default) materializes the (small) verified pair table and
-    unpersists the shingle cache — no dead cache after a catalog
-    sweep; with ``eager=False`` the caller must release via the
-    ``_sh_cache`` attribute on the returned DataFrame.
     """
     shingle_fn = char_shingles if unit == "char" else shingles
     sh = (
@@ -504,8 +492,7 @@ def ngram_jaccard_pairs(
         F.row_number().over(
             Window.partitionBy("id").orderBy("__df", "shingle")
         ),
-    ).persist()
-    sh.count()
+    )
     # epsilon guards: every float comparison errs toward KEEPING a
     # row — 0.8*5 is 4.0000000000000002 in IEEE double and a bare
     # ceil would silently shrink the prefix (lossless becomes lossy)
@@ -545,16 +532,9 @@ def ngram_jaccard_pairs(
     jac = (
         inter / (F.size("__aa") + F.size("__ab") - inter)
     ).alias("jaccard")
-    out = verified.select("id_a", "id_b", jac).filter(
+    return verified.select("id_a", "id_b", jac).filter(
         F.col("jaccard") >= threshold
     )
-    if eager:
-        out = out.persist()
-        out.count()
-        sh.unpersist()
-    else:
-        out._sh_cache = sh
-    return out
 
 
 def simhash_fingerprints(

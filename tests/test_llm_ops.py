@@ -166,11 +166,6 @@ def test_cache_discipline_minhash_simhash_cc(spark, sf_dir):
     sh.unpersist()
     assert _cache_manager_empty(spark), "simhash left dead cache"
 
-    nj = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
-    assert nj.count() >= 0
-    nj.unpersist()
-    assert _cache_manager_empty(spark), "ngram_jaccard left dead cache"
-
     cp = dedup_ops.containment_pairs(d, "text", "doc_id")
     assert cp.count() >= 0
     cp.unpersist()
