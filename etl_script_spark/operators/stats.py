@@ -530,6 +530,92 @@ def corr_ppb_from_suffstats(n, sx, sy, sxx, syy, sxy) -> F.Column:
     )
 
 
+def append_corr_ppb_staged(
+    df: DataFrame,
+    out_col: str,
+    n: str = "__n",
+    sx: str = "__sx",
+    sy: str = "__sy",
+    sxx: str = "__sxx",
+    syy: str = "__syy",
+    sxy: str = "__sxy",
+) -> DataFrame:
+    """Append ``out_col`` = :func:`corr_ppb_from_suffstats` over the
+    named DECIMAL(38,0) sufficient-statistic columns, evaluated via
+    STAGED intermediate columns instead of one inline Column tree.
+
+    Why this exists (guide §1/§5, the stat_partial_corr finding,
+    db88894): inlining the corr ladder duplicates its subtrees — the
+    isqrt ±2 window alone references its radicand 8x, each radicand
+    duplicates the fdiv quotient, so the analyzed tree goes to ~10^4
+    nodes and the DRIVER pays seconds of analysis + Janino compile per
+    query against sub-second execution (measured on the acf_lags shape
+    at sf0.1: 3.5-4.3 s wall inline vs 1.2-1.9 s staged, results
+    bit-identical). Each staged step references plain attributes, so
+    the tree stays linear. Arithmetic is IDENTICAL to
+    corr_ppb_from_suffstats; the one mechanical difference is the
+    NULLIF(b_x*b_y, 0) divisor guard — staging evaluates the magnitude
+    unconditionally, and a constant column would make the divisor 0
+    where the inline when-branch never evaluated it (ANSI % would
+    throw); NULL flows to the same NULL the guard returns.
+
+    The ``__cps_*`` staging columns are dropped before returning.
+    """
+    num, sxc, syc = F.col(n) * F.col(sxy) - F.col(sx) * F.col(sy), F.col(sx), F.col(sy)
+
+    def fdiv(x: F.Column, y: F.Column) -> F.Column:
+        return ((x - (x % y)) / y).cast(_D)
+
+    def ladder(q: F.Column) -> F.Column:
+        t21 = F.lit(10**15).cast(_D) * F.lit(10**6)
+        return (
+            F.when(q <= F.lit(10**9), F.lit(10**9))
+            .when(q <= F.lit(10**15), F.lit(10**6))
+            .when(q <= t21, F.lit(10**3))
+            .otherwise(F.lit(1))
+            .cast(_D)
+        )
+
+    nc = F.col(n)
+    cur = (
+        df.withColumn("__cps_num", num)
+        .withColumn("__cps_a", fdiv(F.abs(F.col("__cps_num")), nc))
+        .withColumn("__cps_qx", fdiv(nc * F.col(sxx) - sxc * sxc, nc))
+        .withColumn("__cps_qy", fdiv(nc * F.col(syy) - syc * syc, nc))
+        .withColumn("__cps_kx", ladder(F.col("__cps_qx")))
+        .withColumn("__cps_ky", ladder(F.col("__cps_qy")))
+        .withColumn(
+            "__cps_bx",
+            isqrt_column(F.col("__cps_qx") * F.col("__cps_kx") * F.col("__cps_kx")),
+        )
+        .withColumn(
+            "__cps_by",
+            isqrt_column(F.col("__cps_qy") * F.col("__cps_ky") * F.col("__cps_ky")),
+        )
+        .withColumn(
+            "__cps_mag",
+            fdiv(
+                F.col("__cps_a") * F.col("__cps_kx") * F.col("__cps_ky")
+                * F.lit(1000000000).cast(_D),
+                F.expr("NULLIF(__cps_bx * __cps_by, 0)").cast(_D),
+            ),
+        )
+        .withColumn(
+            out_col,
+            F.when(
+                (F.col("__cps_bx") * F.col("__cps_by")) == 0, F.lit(None)
+            )
+            .when(F.col("__cps_num") < 0, -F.col("__cps_mag"))
+            .otherwise(F.col("__cps_mag"))
+            .cast("long"),
+        )
+    )
+    return cur.drop(
+        "__cps_num", "__cps_a", "__cps_qx", "__cps_qy", "__cps_kx",
+        "__cps_ky", "__cps_bx", "__cps_by", "__cps_mag",
+    )
+
+
 def _bucketed_below(h: DataFrame, n_buckets: int = 1024) -> DataFrame:
     """Two-phase distributed prefix sum over a value histogram
     ``(v long, c long)``: adds ``__below`` = total count strictly
@@ -631,13 +717,13 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.sum(c * F.col("dy") * F.col("dy")).alias("syy"),
         F.sum(c * F.col("dx") * F.col("dy")).alias("sxy"),
     )
-    return s.select(
-        F.col("n").cast("long").alias("n"),
-        corr_ppb_from_suffstats(
-            F.col("n"), F.col("sx"), F.col("sy"),
-            F.col("sxx"), F.col("syy"), F.col("sxy"),
-        ).alias("rho_ppb"),
-    )
+    # staged ladder (append_corr_ppb_staged): identical arithmetic,
+    # linear Column tree — the inline form cost ~2.5 s of driver
+    # analysis/codegen per build (r10)
+    return append_corr_ppb_staged(
+        s, "rho_ppb", n="n", sx="sx", sy="sy",
+        sxx="sxx", syy="syy", sxy="sxy",
+    ).select(F.col("n").cast("long").alias("n"), "rho_ppb")
 
 
 def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:

@@ -404,7 +404,7 @@ def acf_lags(
 
     Returns (key_cols..., lag, n, corr_ppb).
     """
-    from etl_script_spark.operators.stats import corr_ppb_from_suffstats
+    from etl_script_spark.operators.stats import append_corr_ppb_staged
 
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
@@ -444,14 +444,14 @@ def acf_lags(
         F.sum(y * y).alias("__syy"),
         F.sum(x * y).alias("__sxy"),
     )
-    return s.select(
+    # staged ladder (stats.append_corr_ppb_staged): identical
+    # arithmetic, linear Column tree — the inline corr ladder cost
+    # ~2.5 s of driver analysis/codegen per build (r10)
+    return append_corr_ppb_staged(s, "corr_ppb").select(
         *key_cols,
         "lag",
         F.col("__n").cast("long").alias("n"),
-        corr_ppb_from_suffstats(
-            F.col("__n"), F.col("__sx"), F.col("__sy"),
-            F.col("__sxx"), F.col("__syy"), F.col("__sxy"),
-        ).alias("corr_ppb"),
+        "corr_ppb",
     )
 
 
@@ -481,7 +481,7 @@ def acf_lags_regular(
 
     Returns (key_cols..., lag, n, corr_ppb).
     """
-    from etl_script_spark.operators.stats import corr_ppb_from_suffstats
+    from etl_script_spark.operators.stats import append_corr_ppb_staged
 
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
@@ -518,14 +518,14 @@ def acf_lags_regular(
         F.sum(y * y).alias("__syy"),
         F.sum(x * y).alias("__sxy"),
     )
-    return s.select(
+    # staged ladder (stats.append_corr_ppb_staged): identical
+    # arithmetic, linear Column tree — the inline corr ladder cost
+    # ~2.5 s of driver analysis/codegen per build (r10)
+    return append_corr_ppb_staged(s, "corr_ppb").select(
         *key_cols,
         "lag",
         F.col("__n").cast("long").alias("n"),
-        corr_ppb_from_suffstats(
-            F.col("__n"), F.col("__sx"), F.col("__sy"),
-            F.col("__sxx"), F.col("__syy"), F.col("__sxy"),
-        ).alias("corr_ppb"),
+        "corr_ppb",
     )
 
 
@@ -551,7 +551,7 @@ def ccf_lags(
     Returns (key_cols..., lag, n, corr_ppb) — up to 2·max_lag+1 rows
     per key.
     """
-    from etl_script_spark.operators.stats import corr_ppb_from_suffstats
+    from etl_script_spark.operators.stats import append_corr_ppb_staged
 
     if max_lag < 0:
         raise ValueError(f"max_lag must be >= 0, got {max_lag}")
@@ -593,14 +593,14 @@ def ccf_lags(
         F.sum(y * y).alias("__syy"),
         F.sum(x * y).alias("__sxy"),
     )
-    return s.select(
+    # staged ladder (stats.append_corr_ppb_staged): identical
+    # arithmetic, linear Column tree — the inline corr ladder cost
+    # ~2.5 s of driver analysis/codegen per build (r10)
+    return append_corr_ppb_staged(s, "corr_ppb").select(
         *key_cols,
         "lag",
         F.col("__n").cast("long").alias("n"),
-        corr_ppb_from_suffstats(
-            F.col("__n"), F.col("__sx"), F.col("__sy"),
-            F.col("__sxx"), F.col("__syy"), F.col("__sxy"),
-        ).alias("corr_ppb"),
+        "corr_ppb",
     )
 
 
