@@ -568,9 +568,14 @@ def pipeline_r7_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_script_spark.operators.dedup import normalize_text
 
     d = t(spark, sf_dir, "documents")
-    pairs = dd.containment_pairs(
+    pairs0 = dd.containment_pairs(
         d, "text", "doc_id", n=3, threshold_ppm=900000
     )
+    # re-home the eager-persisted pair table (r10) and release it so
+    # the sweep leaves no cache-manager entry; downstream reads the
+    # checkpointed blocks
+    pairs = pairs0.localCheckpoint(eager=True)
+    pairs0.unpersist()
     dropped = (
         pairs.filter(F.col("container_id") < F.col("contained_id"))
         .select(F.col("contained_id").alias("doc_id"))

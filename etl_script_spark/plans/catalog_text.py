@@ -1549,9 +1549,16 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(ws, 1, 12), " ").alias("text"),
     )
     base = d.select("doc_id", "text").unionByName(excerpts)
-    return dd.containment_pairs(
+    pairs = dd.containment_pairs(
         base, "text", "doc_id", n=3, threshold_ppm=800000
     )
+    # re-home the eager-persisted pair table to a localCheckpoint and
+    # release it — a catalog sweep must leave no cache-manager entry
+    # (the dedup_minhash_lsh convention; containment_pairs became
+    # eager in r10)
+    out = pairs.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out
 
 
 @register(

@@ -179,6 +179,19 @@ def test_cache_discipline_minhash_simhash_cc(spark, sf_dir):
     assert _cache_manager_empty(spark), "connected_components left dead cache"
 
 
+def test_catalog_containment_entries_leave_no_cache(spark, sf_dir):
+    """The catalog entries built on the r10-eager containment_pairs
+    must re-home the persisted pair table to a localCheckpoint and
+    release it — a 384-entry sweep must not accumulate cache-manager
+    entries (round-2 verdict item 6, the dedup_minhash_lsh pattern)."""
+    from etl_script_spark.plans.catalog import CATALOG
+
+    spark.catalog.clearCache()
+    for name in ("dedup_containment_pairs", "pipeline_r7_curation_e2e"):
+        assert CATALOG[name].spark(spark, sf_dir).count() >= 0
+        assert _cache_manager_empty(spark), f"{name} left dead cache"
+
+
 def test_cc_high_diameter_flat_planning(spark):
     """A 50-round path graph must converge with bounded per-round
     planning time: localCheckpoint every 5 rounds truncates the
