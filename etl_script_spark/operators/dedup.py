@@ -1366,9 +1366,18 @@ def containment_pairs(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    ws = F.filter(
+    # LET-BIND the word array behind a projection boundary before the
+    # window lambda references it: a raw normalize+split subtree inside
+    # the transform is re-evaluated PER WINDOW in the interpreted HOF
+    # (the shingles() docstring lesson) — the whole document re-lowered
+    # and re-split for every gram. Measured at 100k docs of the 1M
+    # stress corpus: 290 -> 70 JVM-CPU-s / 10.6 -> 2.6 s wall for the
+    # gram explode, grams bit-identical (r10).
+    ws_expr = F.filter(
         F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
     )
+    bound = df.select(F.col(id_col).alias("id"), ws_expr.alias("__ws"))
+    ws = F.col("__ws")
     grams_arr = F.when(
         F.size(ws) >= n,
         F.array_distinct(
@@ -1388,8 +1397,8 @@ def containment_pairs(
     # otherwise runs at the SCAN's width (a single small parquet file
     # = 1-2 tasks; the theil_sen r10 finding). Hash-spread on the id
     # so one doc's grams stay together for the per-doc rollup.
-    g = _fan_out(df, id_col).select(
-        F.col(id_col).alias("id"),
+    g = _fan_out(bound, "id").select(
+        "id",
         F.explode(grams_arr).alias("g"),
     ).persist()
     # materialize before consumers are built (the empty-cache race:

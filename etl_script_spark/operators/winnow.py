@@ -234,9 +234,16 @@ def ngram_novelty(
         raise ValueError(f"n must be >= 1, got {n}")
 
     def grams(d: DataFrame, with_id: bool) -> DataFrame:
-        ws = F.filter(
+        # LET-BIND the word array behind a projection boundary before
+        # the window lambda references it — a raw normalize+split
+        # subtree inside the transform re-normalizes the whole
+        # document PER WINDOW in the interpreted HOF (the
+        # containment_pairs r10 finding: 4x jvm_cpu on the explode;
+        # grams bit-identical).
+        ws_expr = F.filter(
             F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
         )
+        ws = F.col("__ws")
         arr = F.when(
             F.size(ws) >= n,
             F.array_distinct(
@@ -253,7 +260,7 @@ def ngram_novelty(
         # single-split pathology as winnow_fingerprints: measured
         # 5.0 s wall ≈ 5.0 s jvm_cpu at sf0.1) — spread the narrow
         # scan before the gram projection; wide scans pass through.
-        keep = [*cols, F.col(text_col)] if with_id else [F.col(text_col)]
+        keep = [*cols, ws_expr.alias("__ws")]
         return _fan_out(d.select(*keep)).select(
             *([F.col("id")] if with_id else []), F.explode(arr).alias("g")
         )

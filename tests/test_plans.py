@@ -164,9 +164,18 @@ def test_containment_prefix_filter_no_full_self_join(spark, sf_dir):
     """The containment candidate join must read the PREFIX slice on
     one side (Sum-over-prefix(df) fan-out), not full x full
     (Sum(df^2) — the 353 s sf0.1 regression this pin exists for).
-    The slice shows up in the plan as the __p-bounded slice call."""
-    df = CATALOG["dedup_containment_pairs"].spark(spark, sf_dir)
+    The slice shows up in the plan as the __p-bounded slice call.
+    Pins the OPERATOR output (the catalog entry re-homes to a
+    localCheckpoint since r10, which hides the plan); eager=False so
+    nothing materializes, with the docs cache released after."""
+    from etl_script_spark.operators import dedup as dd
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = dd.containment_pairs(
+        d, "text", "doc_id", n=3, threshold_ppm=800000, eager=False
+    )
     logical = df._jdf.queryExecution().optimizedPlan().toString()
+    df._docs_cache.unpersist()
     assert "slice" in logical
 
 
