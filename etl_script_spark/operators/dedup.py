@@ -770,19 +770,29 @@ def connected_components(
     """
     checkpoint_every = 5
     _require_numeric_ids(pairs, id_a, id_b)
+    # materialize the pair list ONCE before the symmetrizing union:
+    # both union legs reference the pair plan, so materializing the
+    # union re-runs every post-exchange stage of the upstream pipeline
+    # (windows, candidate join, exact verify for the ngram form) a
+    # second time — ReuseExchange dedupes only the exchanges, not the
+    # reduce-side work above them (r11; same materialize-once shape as
+    # connected_components_alternating). Lazy checkpoint: the sizing
+    # count below is the action that runs the pair plan.
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
+    ).localCheckpoint(eager=False)
+    # DataFrame.union is UNION ALL, so the symmetrized edge count is
+    # exactly twice the pair count — no second count job needed
+    n_edges = 2 * e.count()
     edges0 = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    )
     # size the iteration to the graph, not the session default: near-dup
     # edge lists are a tiny fraction of the corpus, and a handful of
     # rows spread over 32+ shuffle partitions makes every round pay
     # dozens of empty-task overheads. Partitioning edges by dst ONCE
     # also pre-aligns the per-round join so only the (small) label
     # table shuffles each round.
-    n_edges = edges0.count()
     sc = pairs.sparkSession.sparkContext
     nparts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
     edges = edges0.repartition(nparts, "dst").persist()
@@ -798,7 +808,8 @@ def connected_components(
     # exact, and labels only decrease, so equal sums ⇔ converged.
     _lsum = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_sum = labels.agg(_lsum).collect()[0][0]
-    edges0.unpersist()  # repartitioned copy is materialized by now
+    # (the lazy-checkpointed pair blocks are freed by the
+    # ContextCleaner once `e` goes out of scope at return)
     for i in range(max_iter):
         nmin = (
             edges.join(labels, edges.dst == labels.id)
