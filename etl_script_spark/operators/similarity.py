@@ -353,13 +353,20 @@ def embedding_near_dups(
     (random-pair collision ~2^-r per band), ``n_bands`` buys recall
     back — grow both together as the corpus grows.
 
-    Shape (same exchange economy as ``minhash_lsh_candidates``): the
-    normed vector table is persisted and feeds banding plus both
-    verify rejoins; the banded self-join shuffles only (id, band,
-    bucket); candidate pairs dedup map-side (a pair can match in up
-    to n_bands bands) BEFORE the exact-cosine verify, so each pair's
+    Shape: the normed vector table stays LAZY — all four of its
+    plan appearances (both banded self-join sides, both verify
+    rejoins) sit behind exactly two exchanges (hash(band,bucket) and
+    hash(id)), which ReuseExchange dedupes, so the norm pipeline
+    executes twice regardless of caching; an r10 persist+count
+    "race fix" here was measured strictly worse (r11 A/B, quiet
+    window: lazy 26.1 JVM-CPU-s vs persist+count 33.4 — the cache
+    write plus the extra materialization job bought nothing) and
+    would pin a corpus-width vector table in executor memory at
+    scale. The banded self-join shuffles only (id, band, bucket);
+    candidate pairs dedup map-side (a pair can match in up to
+    n_bands bands) BEFORE the exact-cosine verify, so each pair's
     dot product is computed once. ``eager=True`` materializes the
-    (small) pair table and unpersists the intermediate."""
+    (small) pair table."""
     if n_bands < 1 or planes_per_band < 1 or planes_per_band > 62:
         raise ValueError(
             f"n_bands={n_bands}, planes_per_band={planes_per_band}: both "
@@ -373,12 +380,7 @@ def embedding_near_dups(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         l2_norm(F.col(vec_col)).alias("__n"),
-    ).persist()
-    # materialize before building the three consumers (banding + both
-    # verify rejoins): concurrent stages of one job would otherwise
-    # each recompute uncached partitions of the normed-vector pipeline
-    # (same finding as minhash_lsh_candidates' sig cache, r10)
-    v.count()
+    )
     banded = v.select(
         "id",
         F.explode(
@@ -441,7 +443,6 @@ def embedding_near_dups(
     if eager:
         out = out.persist()
         out.count()
-        v.unpersist()
     return out
 
 
