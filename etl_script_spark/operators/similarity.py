@@ -975,6 +975,16 @@ def ivfpq_topk(
         compressed, model = build_ivfpq_index(
             vectors, id_col, vec_col, n_centroids, m, ksub, dim
         )
+        # the inline-built encode projection is a ~10^4-node literal
+        # expression tree (m·ksub flat dots); left lazy it is
+        # re-analyzed by EVERY AQE stage re-plan downstream — measured
+        # ~7.5 s of inter-job driver gaps per serve at sf0.1 against
+        # ~4.4 s of actual job time (r11). A lazy localCheckpoint
+        # materializes it with the first candidate-join job, so later
+        # re-plans see a flat LogicalRDD. This mirrors the production
+        # shape (build once, serve from the materialized index) without
+        # touching the passed-index path, where the caller owns it.
+        compressed = compressed.localCheckpoint(eager=False)
     else:
         compressed = index
     centroids = model["centroids"]
@@ -994,6 +1004,11 @@ def ivfpq_topk(
     ).withColumn("__qn", l2_norm(F.col(query_vec_col))).withColumn(
         "__lut", pq_adc_lut(query_vec_col, codebooks)
     )
+    # same re-analysis economics as the index: the per-query LUT is
+    # another m·ksub-dot literal tree over a FEW rows (queries are
+    # few and broadcast by contract) — materialize it once instead of
+    # re-analyzing it in every downstream AQE re-plan
+    q = q.localCheckpoint(eager=False)
     cand = compressed.join(F.broadcast(q), "__cell").select(
         F.col(query_id_col),
         F.col(id_col),
