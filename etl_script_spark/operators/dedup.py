@@ -1372,8 +1372,10 @@ def containment_pairs(
     sides), and the gram cache is released as soon as ``docs`` is
     solid. ``eager=True`` (default) materializes the (small) pair
     table and unpersists ``docs`` — no dead cache after a catalog
-    sweep; with ``eager=False`` the caller must release via the
-    ``_docs_cache`` attribute.
+    sweep; ``eager=False`` (r11) returns a PLAIN LAZY PLAN — no
+    persists, no construction-time jobs — for plan-only composition
+    (executing an eager=False plan recomputes the gram explode per
+    consumer subtree; use the default for real runs).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -1411,26 +1413,46 @@ def containment_pairs(
     g = _fan_out(bound, "id").select(
         "id",
         F.explode(grams_arr).alias("g"),
-    ).persist()
-    # materialize before consumers are built (the empty-cache race:
-    # concurrent stages of one job each recompute the explode)
-    g.count()
+    )
+    if eager:
+        # persist AND materialize before consumers are built (the
+        # empty-cache race: concurrent stages of one job would each
+        # recompute the explode). eager=False keeps the whole operator
+        # a plain lazy plan — no caches, no construction-time jobs —
+        # for plan-only composition; executing callers should use
+        # eager=True, where the scan-side explode is shared via the
+        # cache (no post-shuffle exchange exists for ReuseExchange to
+        # share here, unlike ngram_jaccard_pairs).
+        g = g.persist()
+        g.count()
     dfreq = g.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    # r11: the rarest-first rollup collects PACKED LONGS — document
+    # frequency in the high bits, the 32-bit gram hash in the low 32
+    # (g = conv of 8 md5 hex chars, so 0 <= g < 2^32) — instead of
+    # (df, g) structs. sort_array then compares primitive longs
+    # (identical order: the pack is lexicographic in (df, g) while
+    # df < 2^31, i.e. under ~2.1e9 documents sharing one gram), the
+    # collect buffers longs instead of struct rows, and the unpack
+    # transform disappears entirely: df is a FUNCTION of g (one global
+    # frequency per gram value), so the pack is injective in g — the
+    # prefix/index equi-join and the verify array_intersect operate on
+    # packed values with identical match semantics, and no gram value
+    # escapes the operator (output is ids + counts + ppm only). The
+    # struct form measured ~2267 JVM-CPU-s of ObjectHashAggregate at
+    # the 1 M-doc stress (r10 attribution).
     docs = (
         g.join(dfreq, "g")
         # explicit width on the CPU-heavy rollup (sort_array over every
-        # doc's gram structs): the join output's small byte size lets
+        # doc's gram list): the join output's small byte size lets
         # AQE coalesce it to ~2 partitions otherwise
         .repartition(
             df.sparkSession.sparkContext.defaultParallelism, "id"
         )
-        .groupBy("id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("__df", "g"))),
-                lambda s: s["g"],
-            ).alias("__gs")
+        .select(
+            "id", (F.shiftleft("__df", 32) + F.col("g")).alias("__pk")
         )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("__pk")).alias("__gs"))
         .withColumn("n_g", F.size("__gs"))
         .withColumn(
             "__p",
@@ -1439,16 +1461,19 @@ def containment_pairs(
                 f" DIV 1000000 + 1 AS INT)"
             ),
         )
-    ).persist()
-    docs.count()
-    g.unpersist()
+    )
+    if eager:
+        docs = docs.persist()
+        docs.count()
+        g.unpersist()
     prefix = docs.select(
         F.col("id").alias("contained_id"),
         F.explode(F.slice("__gs", 1, F.col("__p"))).alias("g"),
     )
-    # the full inverted index re-explodes the per-doc distinct gram
-    # list — identical rows to ``g`` (grams_arr is array_distinct'd),
-    # read from the docs cache instead of a third explode
+    # the full inverted index re-explodes the per-doc distinct PACKED
+    # gram list — same distinct keys as ``g`` under the injective pack
+    # (grams_arr is array_distinct'd), read from the docs cache
+    # instead of a third explode
     full = docs.select(
         F.col("id").alias("container_id"), F.explode("__gs").alias("g")
     )
@@ -1486,8 +1511,6 @@ def containment_pairs(
         out = out.persist()
         out.count()
         docs.unpersist()
-    else:
-        out._docs_cache = docs
     return out
 
 

@@ -166,8 +166,9 @@ def test_containment_prefix_filter_no_full_self_join(spark, sf_dir):
     (Sum(df^2) — the 353 s sf0.1 regression this pin exists for).
     The slice shows up in the plan as the __p-bounded slice call.
     Pins the OPERATOR output (the catalog entry re-homes to a
-    localCheckpoint since r10, which hides the plan); eager=False so
-    nothing materializes, with the docs cache released after."""
+    localCheckpoint since r10, which hides the plan); eager=False is
+    a plain lazy plan since r11 — nothing materializes and there is
+    no cache to release."""
     from etl_script_spark.operators import dedup as dd
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -175,7 +176,6 @@ def test_containment_prefix_filter_no_full_self_join(spark, sf_dir):
         d, "text", "doc_id", n=3, threshold_ppm=800000, eager=False
     )
     logical = df._jdf.queryExecution().optimizedPlan().toString()
-    df._docs_cache.unpersist()
     assert "slice" in logical
 
 

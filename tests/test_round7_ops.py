@@ -151,12 +151,14 @@ def test_containment_directed_excerpt(spark):
         [(1, long_text), (2, excerpt), (3, "unrelated words entirely here")],
         "doc_id long, text string",
     )
+    out = dd.containment_pairs(df, "text", "doc_id", n=3, threshold_ppm=800000)
     pairs = {
         (r["contained_id"], r["container_id"]): r["containment_ppm"]
-        for r in dd.containment_pairs(
-            df, "text", "doc_id", n=3, threshold_ppm=800000
-        ).collect()
+        for r in out.collect()
     }
+    # release the eager-persisted pair table: leaving it would trip the
+    # shared session's cache-discipline asserts later in the run
+    out.unpersist()
     assert pairs == {(2, 1): 1000000}  # directed; reverse NOT flagged
 
 
