@@ -32,3 +32,20 @@ def fan_out(df: DataFrame, *by: Column | str) -> DataFrame:
     if by:
         return df.repartition(sc.defaultParallelism, *by)
     return df.repartition(sc.defaultParallelism)
+
+
+def keyed_width(df: DataFrame) -> int:
+    """Partition count for an EXPLICIT keyed repartition in front of a
+    CPU-dense stage (pair self-joins, quadratic windows): the cluster
+    width or the session's shuffle width, whichever is LARGER — an
+    explicit repartition is immune to AQE's size-based coalescing (the
+    point of using it), so it must never silently cap a stage below
+    what the session's shuffle.partitions would have given it (r11;
+    a plain defaultParallelism target did exactly that on clusters
+    configured with shuffle.partitions > cores)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle = sc.defaultParallelism
+    return max(sc.defaultParallelism, shuffle)

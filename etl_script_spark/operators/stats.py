@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_script_spark.operators.partitioning import keyed_width as _keyed_width
+
 _D = "DECIMAL(38,0)"
 
 
@@ -1283,9 +1285,7 @@ def theil_sen_groups(
     # pairs-sized exchange (sf0.1: 7.8M slope rows no longer shuffle;
     # 7.81 → 2.84 s, results bit-identical). At scale the sort-merge
     # pair join needs this exact hash(g) exchange anyway.
-    b = b.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "g"
-    )
+    b = b.repartition(_keyed_width(df), "g")
     pairs = (
         b.alias("i")
         .join(b.alias("j"), F.col("i.g") == F.col("j.g"))
@@ -1851,9 +1851,7 @@ def kendall_tau_groups(
     # hash(g) repartition (user partition count — not coalescible)
     # feeds the window, both join sides, and every per-group
     # aggregation downstream without further exchanges.
-    b = b.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "g"
-    )
+    b = b.repartition(_keyed_width(df), "g")
     # stable within-group pair id so each unordered pair counts once:
     # row_number over (x, y) — deterministic even with full-row ties
     w = Window.partitionBy("g").orderBy("x", "y")

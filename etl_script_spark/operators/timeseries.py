@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
+from etl_script_spark.operators.partitioning import keyed_width as _keyed_width
+
 
 def ewma_weights(alpha: float, taps: int) -> list[float]:
     """FIR tap weights: a, a(1-a), ..., a(1-a)^(taps-2), (1-a)^(taps-1).
@@ -897,9 +899,7 @@ def mann_kendall_trend(
     # pin pair-generation parallelism (r10, the theil_sen/kendall
     # finding): tiny input bytes otherwise leave the Θ(n²) stage at
     # the scan's width / an AQE-coalesced single task
-    b = b.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "g"
-    )
+    b = b.repartition(_keyed_width(df), "g")
     w = Window.partitionBy("g").orderBy("t")
     bi = b.withColumn("__i", F.row_number().over(w))
     s_tab = (
