@@ -239,6 +239,16 @@ DEEP_ISOLATED = [
     "sim_tfidf_cosine_pairs",
     # round 9: never-isolated 13.8 s manifest wall (VERDICT r8 ask)
     "stat_partial_corr",
+    # round 11 (VERDICT r10 asks #5/#6): the four e2e pipelines whose
+    # 9-25 s cold-manifest walls re-litigated every round, plus the
+    # two most expensive never-isolated entries — steady-state numbers
+    # land in the artifact itself (additions-only)
+    "pipeline_sale_report_e2e",
+    "pipeline_invoice_clean_e2e",
+    "pipeline_r6_curation_e2e",
+    "pipeline_dbd_financial_e2e",
+    "curation_dsir_select",
+    "dedup_pair_sim_histogram",
 ]
 
 

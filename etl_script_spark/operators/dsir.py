@@ -91,7 +91,15 @@ def dsir_weights(
     setup). Returns (id_col, n_grams, weight_q) — weight_q is the
     1e-6-quantized integer sum; divide by 1e6 * n_grams for a mean
     log-ratio. Documents with no grams produce no row."""
-    exploded = df.select(
+    # _fan_out: the gram explode (normalize + split + md5 per gram) is
+    # the dominant CPU of both legs and otherwise runs at the SCAN's
+    # width (a single small parquet file = 1 task; r11 — 2.5 s wall at
+    # 3.8 JVM-CPU-s, i.e. two serial single-task explodes). Hash-spread
+    # on the doc id so the final per-document sum reuses the
+    # distribution (no exchange after the broadcast join).
+    from etl_script_spark.operators.partitioning import fan_out
+
+    exploded = fan_out(df, id_col).select(
         F.col(id_col),
         target.alias("__is_target"),
         F.explode(gram_buckets(F.col(text_col), n_buckets, seed)).alias("bucket"),
