@@ -25,6 +25,14 @@ def fan_out(df: DataFrame, *by: Column | str) -> DataFrame:
     columns instead of round-robin, which lets a downstream
     ``groupBy(*by)`` reuse the distribution (no second shuffle) while
     still buying the parallelism.
+
+    Cost note: the width check reads ``df.rdd.getNumPartitions()``,
+    which converts the plan to an RDD eagerly on the driver (no job
+    runs, but the physical plan is built). That is milliseconds per
+    call site and happens once per query construction — acceptable at
+    catalog scale, but do not call this inside a loop over many
+    DataFrames; it also reads the PRE-AQE partition count, which is
+    the conservative side (AQE can only coalesce further).
     """
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
