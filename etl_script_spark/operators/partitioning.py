@@ -27,12 +27,13 @@ def fan_out(df: DataFrame, *by: Column | str) -> DataFrame:
     still buying the parallelism.
 
     Cost note: the width check reads ``df.rdd.getNumPartitions()``,
-    which converts the plan to an RDD eagerly on the driver (no job
-    runs, but the physical plan is built). That is milliseconds per
-    call site and happens once per query construction — acceptable at
-    catalog scale, but do not call this inside a loop over many
-    DataFrames; it also reads the PRE-AQE partition count, which is
-    the conservative side (AQE can only coalesce further).
+    which converts the plan to an RDD eagerly on the driver. For
+    SCAN-ROOTED inputs — every call site in this repo — that builds
+    the physical plan (milliseconds) and runs no job. Do NOT wrap a
+    plan that already contains exchanges: under AQE, the RDD
+    conversion SUBMITS the upstream shuffle stages at
+    plan-construction time (and the count read is then the
+    AQE-coalesced final-stage width, not the pre-AQE one).
     """
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
@@ -50,7 +51,12 @@ def keyed_width(df: DataFrame) -> int:
     point of using it), so it must never silently cap a stage below
     what the session's shuffle.partitions would have given it (r11;
     a plain defaultParallelism target did exactly that on clusters
-    configured with shuffle.partitions > cores)."""
+    configured with shuffle.partitions > cores). On a session left at
+    Spark's stock shuffle.partitions=200 this pins 200 partitions —
+    the same width every implicit exchange (join/groupBy) on that
+    session already gets, so the empty-task overhead is bounded by
+    what the session's own shuffles pay; the project session sizes
+    shuffle.partitions to the core count."""
     sc = df.sparkSession.sparkContext
     try:
         shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))

@@ -984,6 +984,13 @@ def ivfpq_topk(
         # re-plans see a flat LogicalRDD. This mirrors the production
         # shape (build once, serve from the materialized index) without
         # touching the passed-index path, where the caller owns it.
+        # Trade (standard localCheckpoint semantics, same as the CC /
+        # catalog re-homing sites): lineage is truncated, so losing an
+        # executor that holds checkpoint blocks fails later actions
+        # instead of recomputing, and the compressed index stays
+        # pinned until the returned DataFrame is GC'd — long-lived
+        # multi-serve callers should build the index once via
+        # build_ivfpq_index and pass it in.
         compressed = compressed.localCheckpoint(eager=False)
     else:
         compressed = index
